@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table access for the graft engine.
+  *
+  * Scale stance: shuffle partitions sized to the local core count (the
+  * driver contract runs local[32]); AQE enabled so runtime re-plans
+  * (coalesce post-shuffle, skew-join split) carry the same plans to a
+  * real cluster; UTC session time zone for oracle parity.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Create a session and register graft SQL functions. */
+  def getOrCreate(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    functions.registerAll(spark)
+    spark
+  }
+
+  /** Ensure graft SQL functions exist on an externally created session
+    * (the driver builds its own SparkSession for Verify/Bench).
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    functions.registerAll(spark)
+    spark
+  }
+}
+
+/** Parquet table access for the driver-generated test data.
+  * Plain `spark.read.parquet` so Catalyst owns pushdown and pruning.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

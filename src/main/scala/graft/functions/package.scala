@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+
+/** Column-level graft functions (custom Catalyst expressions exposed as
+  * `Column`s) + SQL registration.
+  */
+package object functions {
+
+  import graft.expressions._
+
+  /** 2-D Hilbert-curve index of (x, y) on a 2^bits × 2^bits grid.
+    * Replaces the reference's driver-side Hilbert sort key
+    * (reference: write.py:36, 66-90) with a codegen'd expression
+    * usable inside any Spark plan (e.g. repartitionByRange).
+    */
+  def hilbert_index(x: Column, y: Column, bits: Int): Column =
+    toCol(HilbertIndex(toExpr(x), toExpr(y), bits))
+
+  /** Morton (Z-order) interleave of (x, y) on a 2^bits grid. */
+  def morton_index(x: Column, y: Column, bits: Int): Column =
+    toCol(MortonIndex(toExpr(x), toExpr(y), bits))
+
+  /** MinHash signature: Array[Long](n) over an array of string
+    * shingles, one pass per row, no shingle explode.
+    */
+  def minhash(shingles: Column, numHashes: Int, seed: Long = 0L): Column =
+    toCol(MinHashSignature(toExpr(shingles), numHashes, seed))
+
+  /** 64-bit SimHash over an array of string tokens. */
+  def simhash64(tokens: Column): Column =
+    toCol(SimHash64(toExpr(tokens)))
+
+  /** Register graft functions for SQL use on this session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "hilbert_index",
+      exprs => HilbertIndex(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "morton_index",
+      exprs => MortonIndex(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], 0L),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+  }
+}

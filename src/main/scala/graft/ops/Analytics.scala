@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core analytic query shapes over the TPC-H-ish tables — the engine
+  * proof that graft's session defaults (AQE, broadcast thresholds,
+  * shuffle sizing) produce the plans we want: partial aggregation
+  * before shuffles, broadcast star joins, single-shuffle windows.
+  */
+object Analytics {
+
+  /** TPC-H Q1 shape: scan-heavy partial agg. Only the 7 referenced
+    * columns are read (column pruning) and the shipdate predicate is
+    * pushed to the parquet scan.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: fact-fact join + group + top-k. Revenue is
+    * rounded before the sort so the ordering is stable across engines;
+    * o_orderkey breaks ties deterministically.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-03-15 00:00:00").cast("timestamp")
+    val customer = Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" < cutoff)
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" > cutoff)
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .select($"o_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join. Dimensions (region, nation, supplier)
+    * are broadcast explicitly — at 100 TB the fact-side shuffle is on
+    * the join keys only, dims never move.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.load(spark, dir, "region").filter($"r_name" === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supplier),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  /** Rank-per-group top-k via window function: one shuffle on the
+    * partition key, broadcast dim join after.
+    */
+  def topkCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables.load(spark, dir, "nation")
+    val rev = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .groupBy($"c_custkey", $"c_name", $"c_nationkey")
+      .agg(round(sum($"o_totalprice"), 2).as("total_spent"))
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"total_spent".desc, $"c_custkey")
+    rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey", $"c_name", $"total_spent", $"rnk")
+      .orderBy($"n_name", $"rnk")
+  }
+
+  /** Month-bucketed trend over orders. */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy(trunc($"o_orderdate", "month").as("month"))
+      .agg(
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"month")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "topk_customers_per_nation" ->
+      """WITH rev AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    round(sum(o_totalprice),2) AS total_spent
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey, c_name, c_nationkey)
+        |SELECT n_name, c_custkey, c_name, total_spent, rnk
+        |FROM (
+        |  SELECT rev.*, row_number() OVER (
+        |    PARTITION BY c_nationkey
+        |    ORDER BY total_spent DESC, c_custkey) AS rnk
+        |  FROM rev) t
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin,
+    "monthly_revenue" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        | round(sum(o_totalprice),2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin)
+}
