@@ -20,6 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no
+      // native type for; read as BIGINT nanos and convert explicitly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Create a session and register graft SQL functions. */
@@ -33,6 +36,8 @@ object GraftSession {
     * (the driver builds its own SparkSession for Verify/Bench).
     */
   def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     functions.registerAll(spark)
     spark
   }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream batch operators. `events.ts` is nanosecond-precision
+  * parquet (read as BIGINT nanos — see GraftSession); conversions to
+  * Spark timestamps are explicit µs truncations.
+  */
+object Events {
+
+  /** Gap-based sessionization (gap > 30 min starts a new session):
+    * one shuffle on user_id, two stacked window functions, then the
+    * session rollup — the classic single-pass distributed plan.
+    */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // µs truncation before any comparison: DuckDB (the oracle engine)
+    // reads TIMESTAMP(NANOS) parquet at µs precision.
+    Tables.load(spark, dir, "events")
+      .withColumn("ts", expr("ts DIV 1000"))
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_ts".isNull || $"ts" - $"prev_ts" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("start_us"),
+        max($"ts").as("end_us"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Tumbling-window aggregation via Spark's native `window()` on the
+    * µs-converted timestamp; emitted bucket is the window start.
+    */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select($"w.start".as("hour_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "events_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR ts_us - prev_us > 1800000000::BIGINT THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT *, sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  round(sum(value),2) AS total_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "events_window_agg" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin)
+}
