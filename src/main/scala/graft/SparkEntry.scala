@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Analytics, Events}
+import graft.stac.StacOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -26,11 +27,24 @@ object SparkEntry {
     "topk_customers_per_nation" -> wrap(Analytics.topkCustomersPerNation),
     "monthly_revenue" -> wrap(Analytics.monthlyRevenue),
     "events_sessionize" -> wrap(Events.sessionize(_, _)),
-    "events_window_agg" -> wrap(Events.windowAgg)
+    "events_window_agg" -> wrap(Events.windowAgg),
+    "stac_parse_items" -> wrap(StacOps.parseItems),
+    "stac_link_extract" -> wrap(StacOps.linkExtract),
+    "stac_bbox_filter" -> wrap(StacOps.bboxFilter(_, _)),
+    "stac_temporal_filter" -> wrap(StacOps.temporalFilter(_, _)),
+    "stac_daily_links" -> wrap(StacOps.dailyLinks),
+    "stac_monthly_rollup" -> wrap(StacOps.monthlyRollup),
+    "stac_mgrs_extract" -> wrap(StacOps.mgrsExtract),
+    "stac_failed_links" -> wrap(StacOps.failedLinks),
+    "stac_asset_access" -> wrap(StacOps.assetAccess),
+    "mgrs_to_latlon" -> wrap(StacOps.mgrsToLatLon),
+    "hilbert_index" -> wrap(StacOps.hilbertIndexQuery),
+    "spatial_sort" -> wrap(StacOps.spatialSort(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
-  def oracleSql: Map[String, String] = Analytics.oracles ++ Events.oracles
+  def oracleSql: Map[String, String] =
+    Analytics.oracles ++ Events.oracles ++ StacOps.oracles
 }

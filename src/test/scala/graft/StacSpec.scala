@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.stac.{StacOps, StacSynth, StacWrite, HlsCollections, Validation}
+
+class StacSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("catalog is deterministic and fully populated") {
+    val c = StacSynth.catalog(spark, sf).cache()
+    assert(c.count() === 1500)
+    assert(c.filter($"tile".rlike("^[0-9]{2}[A-Z]{3}$")).count() === 1500)
+    assert(c.filter(size($"links") === 4).count() === 1500)
+  }
+
+  test("link extract picks the https stac.json link, not s3/xml/jpg") {
+    val rows = StacOps.linkExtract(spark, sf).collect()
+    assert(rows.length === 1500)
+    assert(rows.forall(_.getString(1).startsWith("https")))
+    assert(rows.forall(_.getString(1).endsWith("_stac.json")))
+  }
+
+  test("bbox filter validates and restricts") {
+    intercept[IllegalArgumentException] {
+      StacOps.bboxFilter(spark, sf, (100.0, 0.0, 60.0, 50.0)) // w>e
+    }
+    intercept[IllegalArgumentException] {
+      Validation.validateBbox(-200, 0, 10, 10)
+    }
+    val in = StacOps.bboxFilter(spark, sf, (-150.0, -50.0, -100.0, 50.0)).collect()
+    assert(in.nonEmpty)
+    assert(in.forall { r =>
+      val lon = r.getDouble(1); val lat = r.getDouble(2)
+      lon >= -150 && lon <= -100 && lat >= -50 && lat <= 50
+    })
+  }
+
+  test("monthly rollup marks complete months and honors origin dates") {
+    val rows = StacOps.monthlyRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val jan95L = rows.find(r => r.getString(0) == "HLSL30_2.0" &&
+      r.getDate(1).toString == "1995-01-01").get
+    // origin 1995-01-15 → expected days = 17 (15th..31st)
+    assert(jan95L.getLong(3) === 17L)
+  }
+
+  test("spatial sort yields disjoint, ordered hilbert ranges") {
+    val parts = StacOps.spatialSort(spark, sf, 8).collect()
+    assert(parts.length > 1)
+    val sorted = parts.sortBy(_.getInt(0))
+    for (i <- 1 until sorted.length) {
+      assert(sorted(i - 1).getLong(2) <= sorted(i).getLong(1),
+        s"partition ${i - 1} max overlaps partition $i min")
+    }
+  }
+
+  test("writeMonthly: partitioned zstd layout, skip-existing, completeness") {
+    val tmp = Files.createTempDirectory("graft-stac").toString
+    val items = StacSynth.catalog(spark, sf)
+    val wrote = StacWrite.writeMonthly(spark, items, tmp, "0.1",
+      "HLSL30_2.0", 1996, 3)
+    assert(wrote)
+    val monthDir = s"$tmp/v0.1/HLSL30_2.0/year=1996/month=3"
+    assert(StacWrite.exists(spark, monthDir))
+    // partition pruning works on readback
+    val back = spark.read.parquet(s"$tmp/v0.1/HLSL30_2.0")
+      .filter($"year" === 1996 && $"month" === 3)
+    assert(back.count() > 0)
+    // skip-existing short-circuits
+    assert(!StacWrite.writeMonthly(spark, items, tmp, "0.1",
+      "HLSL30_2.0", 1996, 3, skipExisting = true))
+    // rewrite without skip replaces, does not clobber other months
+    val wrote2 = StacWrite.writeMonthly(spark, items, tmp, "0.1",
+      "HLSL30_2.0", 1996, 4)
+    assert(wrote2 && StacWrite.exists(spark, monthDir))
+    // incomplete month with requireCompleteLinks throws
+    val sparse = items.filter(dayofmonth(to_date($"ts")) <= 5)
+    intercept[IllegalStateException] {
+      StacWrite.writeMonthly(spark, sparse, tmp, "0.1",
+        "HLSL30_2.0", 1996, 5, requireCompleteLinks = true)
+    }
+  }
+
+  test("collection registry mirrors reference constants") {
+    assert(HlsCollections.byName("HLSL30").conceptId === "C2021957657-LPCLOUD")
+    assert(HlsCollections.byName("HLSS30").collectionId === "HLSS30_2.0")
+    intercept[IllegalArgumentException] { HlsCollections.byName("NOPE") }
+    assert(HlsCollections.linkPath("HLSL30_2.0", 2024, 1, 5) ===
+      "links/HLSL30_2.0/2024/01/2024-01-05.json")
+  }
+
+  test("hilbert index query computes in-plan (codegen) without error") {
+    val rows = StacOps.hilbertIndexQuery(spark, sf).limit(50).collect()
+    assert(rows.nonEmpty)
+    import graft.expressions.HilbertIndex
+    rows.foreach { r =>
+      assert(r.getLong(3) === HilbertIndex.xy2d(14, r.getInt(1), r.getInt(2)))
+    }
+  }
+}
