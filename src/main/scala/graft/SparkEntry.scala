@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Events}
+import graft.ops.{Analytics, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.stac.StacOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
@@ -39,12 +39,27 @@ object SparkEntry {
     "stac_asset_access" -> wrap(StacOps.assetAccess),
     "mgrs_to_latlon" -> wrap(StacOps.mgrsToLatLon),
     "hilbert_index" -> wrap(StacOps.hilbertIndexQuery),
-    "spatial_sort" -> wrap(StacOps.spatialSort(_, _))
+    "spatial_sort" -> wrap(StacOps.spatialSort(_, _)),
+    "dedup_exact" -> wrap(Dedup.exact),
+    "dedup_ngram_jaccard" -> wrap(Dedup.ngramJaccard(_, _)),
+    "dedup_minhash_lsh" -> wrap(Dedup.minhashLsh(_, _)),
+    "dedup_simhash" -> wrap(Dedup.simhashPairs(_, _)),
+    "dedup_embedding" -> wrap(Dedup.embeddingPairs(_, _)),
+    "knn_brute_force" -> wrap(Similarity.knnBruteForce(_, _)),
+    "knn_ivf" -> wrap(Similarity.knnIvf(_, _)),
+    "knn_lsh" -> wrap(Similarity.knnLsh(_, _)),
+    "text_token_count" -> wrap(TextAnalysis.tokenCount),
+    "text_quality" -> wrap(TextAnalysis.quality),
+    "text_langid" -> wrap(TextAnalysis.langId),
+    "text_fingerprint" -> wrap(TextAnalysis.fingerprint),
+    "multimodal_meta" -> wrap(Multimodal.mediaMeta)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ Events.oracles ++ StacOps.oracles
+    Analytics.oracles ++ Events.oracles ++ StacOps.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      Multimodal.oracles
 }

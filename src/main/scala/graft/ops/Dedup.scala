@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{minhash, simhash64}
+
+/** Deduplication operators over the `documents` table.
+  *
+  * Scale design: the only all-pairs computations are (a) deliberately
+  * candidate-bounded brute-force baselines and (b) verification of
+  * LSH/simhash candidate pairs. The scale paths are MinHash-LSH
+  * (band-bucket join, O(n·bands) shuffle rows) and simhash chunk
+  * blocking (pigeonhole on 16-bit chunks) — both avoid the O(n²)
+  * cross join entirely.
+  */
+object Dedup {
+
+  /** Distinct 3-token shingles of `text` (split on single space). */
+  private[ops] def shingleCol: Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+      i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+
+  private[ops] def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingleCol)
+
+  /** C1 — exact dedup: content-hash groupBy, keep the smallest doc_id
+    * (one shuffle on the hash; at 100 TB this is the cheapest possible
+    * exact dedup — the hash is computed scan-side).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper_id")
+  }
+
+  /** Exact Jaccard over distinct 3-token shingles for a pair of
+    * shingle-set columns.
+    */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** C4 — brute-force n-gram Jaccard pairs (threshold 0.8) over a
+    * bounded candidate set (doc_id < 2500 keeps the quadratic baseline
+    * quadratic-in-a-constant at every SF; the unbounded path is C2).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val docs = withShingles(
+      Tables.load(spark, dir, "documents").filter($"doc_id" < 2500))
+      .select($"doc_id", $"sh")
+    val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("j", jaccard($"sh_a", $"sh_b"))
+      .filter($"j" >= threshold)
+      .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** C2 — MinHash(128) + LSH(32 bands × 4 rows) near-dup pairs with
+    * exact-Jaccard verification at 0.8.
+    *
+    * P(miss | s=0.8) = (1−0.8⁴)^32 ≈ 5·10⁻⁸, so the LSH candidate set
+    * is an exact recall of the brute-force oracle in practice. One
+    * narrow shuffle of (band_id, band_sig, doc_id), bucket self-pairs,
+    * then verification joins back to shingle sets — never all pairs.
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 threshold: Double = 0.8,
+                 numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    import spark.implicits._
+    val rows = numHashes / bands
+    val docs = withShingles(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"sh")
+      .withColumn("sig", minhash($"sh", numHashes, seed = 42L))
+
+    val banded = docs
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => slice($"sig", b * rows + 1, lit(rows)))).as(Seq("band", "band_sig")))
+
+    val candidates = banded.groupBy($"band", $"band_sig")
+      .agg(collect_set($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode($"ids").as("doc_a"), $"ids")
+      .select($"doc_a", explode($"ids").as("doc_b"))
+      .filter($"doc_a" < $"doc_b")
+      .distinct()
+
+    val sh = docs.select($"doc_id", $"sh")
+    candidates
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("j", jaccard($"sh_a", $"sh_b"))
+      .filter($"j" >= threshold)
+      .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** C3 — SimHash near-dup pairs: 64-bit simhash over tokens, chunk
+    * blocking (4 × 16-bit chunks — pigeonhole guarantees recall for
+    * hamming ≤ 3), exact hamming verification. Custom-hash based, so
+    * driver check is rows-only; SimHashSpec asserts the semantics.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("sim", simhash64($"toks"))
+      .select($"doc_id", $"sim")
+
+    val chunks = array((0 until 4).map(c =>
+      shiftrightunsigned($"sim", c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = docs.select($"doc_id", $"sim",
+      posexplode(chunks).as(Seq("chunk_idx", "chunk_val")))
+
+    val candidates = chunked.as("x").join(chunked.as("y"),
+        $"x.chunk_idx" === $"y.chunk_idx" &&
+          $"x.chunk_val" === $"y.chunk_val" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.sim".as("sim_a"), $"y.sim".as("sim_b"))
+      .distinct()
+
+    candidates
+      .withColumn("hamming", bit_count($"sim_a".bitwiseXOR($"sim_b")))
+      .filter($"hamming" <= maxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** C5 — embedding-cosine near-dup pairs (all-pairs at test scale;
+    * the production path for this shape is D2's LSH-ANN buckets).
+    * Cosine is computed index-ordered (zip_with + aggregate) so the
+    * double summation is bit-identical to the oracle's.
+    */
+  def embeddingPairs(spark: SparkSession, dir: String,
+                     threshold: Double = 0.45): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"v")
+    val a = vecs.select($"vec_id".as("vec_a"), $"v".as("va"))
+    val b = vecs.select($"vec_id".as("vec_b"), $"v".as("vb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .withColumn("cos", Similarity.cosine($"va", $"vb"))
+      .filter($"cos" >= threshold)
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** DuckDB-side shingle CTE shared by the jaccard oracles. */
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(t[i:i+2], ' ')
+      |      for i in range(1, greatest(len(t) - 1, 2))]) AS s
+      |  FROM toks WHERE len(t) >= 3)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+    "dedup_ngram_jaccard" -> (shingleCte.replace("FROM documents",
+      "FROM documents WHERE doc_id < 2500") +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(a.s || b.s)) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_minhash_lsh" -> (shingleCte +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(a.s || b.s)) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table.
+  *
+  * D1 is the exact baseline (one corpus pass × broadcast queries).
+  * Scale paths: [[knnIvf]] (inverted-file index: seeded Lloyd
+  * centroids, probe the nprobe nearest cells) for general corpora,
+  * and [[knnLsh]] (random-hyperplane buckets) for high-similarity
+  * regimes (near-dup retrieval), where hyperplane collision
+  * probability is meaningful.
+  */
+object Similarity {
+
+  /** Index-ordered cosine: zip_with for the products, aggregate for
+    * the left-to-right sum — bit-identical to a sequential-loop oracle.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def loadVecs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"v")
+  }
+
+  /** Top-k per query over a (possibly pruned) scored candidate set. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"),
+        round($"cos", 6).as("cosine"))
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** D1 — brute-force cosine top-k for query vectors (vec_id < 10):
+    * broadcast the tiny query side, window-rank per query.
+    */
+  def knnBruteForce(spark: SparkSession, dir: String,
+                    k: Int = 5, numQueries: Int = 10): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir)
+    val queries = vecs.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    topK(vecs.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"qv", $"v")), k)
+  }
+
+  /** D2a — IVF top-k: deterministic centroids (seeded picks refined by
+    * `lloydIters` Lloyd steps), inverted cell assignment, probe the
+    * `nprobe` nearest cells per query. At 100 TB: centroids broadcast,
+    * the corpus is partitioned by cell, and a query touches
+    * nprobe/cells of the data.
+    */
+  def knnIvf(spark: SparkSession, dir: String,
+             k: Int = 5, numQueries: Int = 10,
+             cells: Int = 8, nprobe: Int = 4,
+             lloydIters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir).cache()
+
+    // deterministic seed centroids: evenly strided vec_ids
+    val n = vecs.count()
+    val stride = math.max(1L, n / cells)
+    var centroids: Array[(Int, Seq[Double])] = vecs
+      .filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(cells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    // Lloyd refinement (deterministic; driver holds only centroids)
+    for (_ <- 0 until lloydIters) {
+      val cArr = centroids
+      val assigned = assignCells(vecs, cArr)
+      // distributed per-dimension mean — only cells×dim scalars ever
+      // reach the driver, never the vectors themselves
+      val means = assigned
+        .select($"cell", posexplode($"v").as(Seq("j", "x")))
+        .groupBy($"cell", $"j").agg(avg($"x").as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1).map { case (cell, rows) =>
+        cell -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+      centroids = centroids.map { case (i, old) =>
+        (i, byCell.getOrElse(i, old))
+      }
+    }
+
+    val assigned = assignCells(vecs, centroids)
+    val queries = assigned.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val probes = probeCells(queries, centroids, nprobe)
+
+    topK(assigned.join(broadcast(probes),
+        $"cell" === $"probe_cell" && $"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"qv", $"v")), k)
+  }
+
+  /** Nearest-centroid assignment (centroids broadcast as literals). */
+  private def assignCells(vecs: DataFrame,
+                          centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    def dist2(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    val best = centroids.map { case (i, c) =>
+      struct(dist2($"v", c).as("d"), lit(i).as("cell"))
+    }.reduce((a, b) => when(a("d") <= b("d"), a).otherwise(b))
+    vecs.withColumn("cell", best.getField("cell"))
+  }
+
+  /** Per-query nprobe nearest cells, exploded to (query, probe_cell). */
+  private def probeCells(queries: DataFrame,
+                         centroids: Array[(Int, Seq[Double])],
+                         nprobe: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    def dist2(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    val scored = array(centroids.map { case (i, c) =>
+      struct(dist2($"qv", c).as("d"), lit(i).as("cell"))
+    }: _*)
+    queries
+      .withColumn("probe_cell",
+        explode(slice(transform(array_sort(scored), s => s.getField("cell")),
+          1, nprobe)))
+  }
+
+  /** D2b — LSH top-k for high-similarity regimes: 16 deterministic
+    * hyperplane signs → bucket, probe own bucket + 1-bit flips.
+    * Prunes hard; recall is meaningful when neighbors are angularly
+    * close (near-duplicates), which SimilaritySpec exercises with
+    * planted copies.
+    */
+  def knnLsh(spark: SparkSession, dir: String,
+             k: Int = 5, numQueries: Int = 10, planes: Int = 16): DataFrame =
+    knnLshOn(loadVecs(spark, dir), k, numQueries, planes)
+
+  private[graft] def knnLshOn(vecs: DataFrame, k: Int, numQueries: Int,
+                              planes: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val dim = 64
+    def planeComponent(p: Int, j: Int): Double = {
+      val h = graft.expressions.Hash64.splitmix64(p.toLong * dim + j)
+      (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+    val planesArr = Array.tabulate(planes, dim)(planeComponent)
+    val planesLit = typedLit(planesArr.map(_.toSeq).toSeq)
+
+    val bucketed = vecs
+      .withColumn("planes", planesLit)
+      .withColumn("bucket",
+        (0 until planes).map { p =>
+          when(aggregate(
+            zip_with(element_at($"planes", p + 1), $"v", (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) >= 0,
+            lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)))
+      .drop("planes")
+
+    val queries = bucketed.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket".as("qbucket"))
+      .withColumn("probe", explode(array(
+        ($"qbucket" +: (0 until planes).map(p =>
+          $"qbucket".bitwiseXOR(lit(1L << p)))): _*)))
+
+    topK(bucketed.join(broadcast(queries),
+        $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"qv", $"v")), k)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "knn_brute_force" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, v.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qe, v.e) AS cos,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qe, v.e) DESC, v.vec_id) AS rnk
+        |  FROM q JOIN v ON v.vec_id <> q.query_id)
+        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+        |FROM scored WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin)
+}

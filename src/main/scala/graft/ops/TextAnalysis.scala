@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents`. Everything is codegen'd
+  * `functions._` arithmetic — no UDFs — so the whole stage fuses into
+  * one pass over the scan at any scale.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+    "on", "for", "with")
+
+  /** Per-language discriminator word lists for the heuristic
+    * language-ID (argmax of profile hits; ties break in declared
+    * order). Kept tiny — the operator shape (profile score + argmax)
+    * is what scales, not the list.
+    */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+
+  /** Engine-portable 4-dp rounding: floor(x·10⁴ + 0.5)/10⁴ — the same
+    * IEEE ops on both engines, unlike round() whose half-way handling
+    * differs between Spark (BigDecimal HALF_UP on the decimal string)
+    * and DuckDB (double arithmetic).
+    */
+  private def roundP(c: Column): Column =
+    floor(c * 10000.0 + 0.5).cast("double") / 10000.0
+
+  /** E1 — token + char counting. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars_actual"))
+      .orderBy($"doc_id")
+  }
+
+  /** E2 — quality score: length saturation, punctuation ratio,
+    * stopword ratio, token uniqueness — equal-weighted blend.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") > 0)
+      .withColumn("len_score",
+        least(length($"text").cast("double") / 500.0, lit(1.0)))
+      .withColumn("punct_ratio",
+        length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("double") /
+          length($"text").cast("double"))
+      .withColumn("stop_ratio",
+        countIn($"toks", Stopwords).cast("double") /
+          size($"toks").cast("double"))
+      .withColumn("uniq_ratio",
+        size(array_distinct($"toks")).cast("double") /
+          size($"toks").cast("double"))
+      .withColumn("quality", roundP(
+        ($"len_score" + (lit(1.0) - $"punct_ratio") +
+          (lit(1.0) - $"stop_ratio") + $"uniq_ratio") / 4.0))
+      .select($"doc_id", roundP($"len_score").as("len_score"),
+        roundP($"punct_ratio").as("punct_ratio"),
+        roundP($"stop_ratio").as("stop_ratio"),
+        roundP($"uniq_ratio").as("uniq_ratio"), $"quality")
+      .orderBy($"doc_id")
+  }
+
+  /** E3 — heuristic language ID: per-language profile hit counts,
+    * deterministic argmax (first language in declared order wins ties).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withScores = LangProfiles.foldLeft(
+      Tables.load(spark, dir, "documents")
+        .withColumn("toks", split($"text", " "))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang", countIn($"toks", words).cast("long"))
+    }
+    val scores = LangProfiles.map { case (l, _) => col(s"s_$l") }
+    val pred = LangProfiles.init.zipWithIndex.foldRight(
+      lit(LangProfiles.last._1)) { case (((lang, _), i), elseCol) =>
+      when(scores(i) >= scores.drop(i + 1).reduce(greatest(_, _)), lang)
+        .otherwise(elseCol)
+    }
+    withScores
+      .withColumn("pred_lang", pred)
+      .withColumn("matches_label", $"pred_lang" === $"lang")
+      .select(($"doc_id" +: LangProfiles.map { case (l, _) => col(s"s_$l") }) :+
+        $"pred_lang" :+ $"matches_label": _*)
+      .orderBy($"doc_id")
+  }
+
+  /** E4 — document fingerprint: polynomial rolling hash over
+    * characters, mod 1e9+7 (order-sensitive, unlike the shingle ops).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("fp", aggregate(
+        split($"text", ""),
+        lit(0L),
+        (h, c) => (h * 31 + ascii(c)) % 1000000007L))
+      .select($"doc_id", $"fp".as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  length(text)::BIGINT AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |      / length(text)::DOUBLE AS punct_ratio,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+        |      / len(toks)::DOUBLE AS stop_ratio,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS uniq_ratio
+        |  FROM t)
+        |SELECT doc_id,
+        |  floor(len_score * 10000.0 + 0.5) / 10000.0 AS len_score,
+        |  floor(punct_ratio * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+        |  floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        |  floor(uniq_ratio * 10000.0 + 0.5) / 10000.0 AS uniq_ratio,
+        |  floor((len_score + (1.0 - punct_ratio) + (1.0 - stop_ratio)
+        |    + uniq_ratio) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','nicht','das')))::BIGINT AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','is','with')))::BIGINT AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','que','los','una')))::BIGINT AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','des','est','une')))::BIGINT AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('de5','shi4','bu4','le5','zai4')))::BIGINT AS s_zh
+        |  FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE
+        |    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred_lang,
+        |  (CASE
+        |    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END) = lang AS matches_label
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    [unicode(c)::BIGINT for c in string_split(text, '')]),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact dedup groups by content hash, keeps min id") {
+    val rows = Dedup.exact(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === 500L) // total docs preserved
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+
+  test("minhash LSH finds the same pairs as brute force") {
+    val lsh = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === brute, "LSH must recall every brute-force pair here")
+    assert(lsh.nonEmpty, "test corpus has planted near-dups")
+  }
+
+  test("simhash: near-dup docs collide within small hamming distance") {
+    val pairs = Dedup.simhashPairs(spark, sf, maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every high-jaccard pair should be hamming-close in simhash space
+    val nearDups = Dedup.minhashLsh(spark, sf, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught = nearDups.count(pairs.contains)
+    assert(nearDups.isEmpty ||
+      caught.toDouble / nearDups.size >= 0.8,
+      s"simhash caught $caught of ${nearDups.size} jaccard>=0.9 pairs")
+  }
+
+  test("simhash is deterministic and insensitive to tiny perturbation") {
+    import graft.expressions.{SimHash64 => SH}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sim(tokens: Seq[String]): Long =
+      SH.compute(new GenericArrayData(
+        tokens.map(t => UTF8String.fromString(t)).toArray))
+    val base = Seq.tabulate(60)(i => s"tok$i")
+    val perturbed = base.updated(3, "changed")
+    val h1 = sim(base); val h2 = sim(base); val h3 = sim(perturbed)
+    assert(h1 === h2)
+    assert(java.lang.Long.bitCount(h1 ^ h3) <= 16,
+      "one-token change flips few bits")
+  }
+
+  test("knn IVF with full probing equals brute force exactly") {
+    val exact = Similarity.knnBruteForce(spark, sf).collect().toSeq
+    val full = Similarity.knnIvf(spark, sf, cells = 8, nprobe = 8)
+      .collect().toSeq
+    assert(full === exact, "nprobe=cells must degrade to exact search")
+  }
+
+  test("knn IVF pruned probing keeps useful recall on this corpus") {
+    val exact = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.knnIvf(spark, sf, cells = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // the test corpus is near-isotropic (top-5 cosine ≈ 0.3–0.5), so
+    // pruning to half the cells keeps roughly half-plus of the hits
+    assert(recall >= 0.4, s"IVF recall $recall below 0.4")
+  }
+
+  test("knn LSH retrieves planted exact duplicates (its regime)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"v")
+    // plant copies of vectors 0..4 as ids 10000..10004
+    val copies = vecs.filter($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 10000L)
+    val corpus = vecs.union(copies)
+    val res = Similarity.knnLshOn(corpus, k = 1, numQueries = 5, planes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (q <- 0 until 5)
+      assert(res(q.toLong) === q + 10000L,
+        s"query $q must find its planted copy, got ${res(q.toLong)}")
+  }
+
+  test("langid predicts mostly en on english-stopword corpus") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    val en = rows.count(_.getString(6) == "en")
+    assert(en.toDouble / rows.length > 0.5)
+  }
+
+  test("multimodal decode stub batches per partition deterministically") {
+    val feats = Multimodal.decodeStub(spark, sf).collect()
+    assert(feats.length === 500)
+    assert(feats.forall(_.feature_dim === 16))
+    assert(feats.forall(_.feature_norm > 0))
+    val again = Multimodal.decodeStub(spark, sf).collect()
+    assert(feats.map(f => (f.doc_id, f.feature_norm)).toMap ===
+      again.map(f => (f.doc_id, f.feature_norm)).toMap)
+  }
+}
