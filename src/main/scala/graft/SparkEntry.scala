@@ -52,7 +52,9 @@ object SparkEntry {
     "text_quality" -> wrap(TextAnalysis.quality),
     "text_langid" -> wrap(TextAnalysis.langId),
     "text_fingerprint" -> wrap(TextAnalysis.fingerprint),
-    "multimodal_meta" -> wrap(Multimodal.mediaMeta)
+    "multimodal_meta" -> wrap(Multimodal.mediaMeta),
+    "stream_window_agg" -> wrap(graft.streaming.EventStreams.windowAgg),
+    "stream_sessionize" -> wrap(graft.streaming.EventStreams.sessionize)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,5 +63,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ Events.oracles ++ StacOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ graft.streaming.EventStreams.oracles
 }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events table, run to
+  * completion against the static parquet so the driver can treat them
+  * as batch queries with batch oracles. The streaming plumbing is the
+  * real contract: file source → event-time windows → memory sink.
+  *
+  * At scale the same plans run against a live file/Kafka source with
+  * watermarks bounding state; `complete` output here is what makes the
+  * one-shot parity run deterministic.
+  */
+object EventStreams {
+
+  private val counter = new AtomicInteger(0)
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as ns BIGINT
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
+
+  private def runToCompletion(df: DataFrame, prefix: String): DataFrame = {
+    val name = s"${prefix}_${counter.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** G1 — streaming tumbling-window aggregation (1 h event-time
+    * windows over the ns-precision event stream).
+    */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventStream(spark, dir)
+      .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+    runToCompletion(agg, "graft_stream_window")
+      .select($"w.start".as("hour_start"), $"event_type", $"n",
+        $"total_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** G2 — stateful sessionization via native `session_window` (30 min
+    * gap). Session merge happens in streaming state; the finished
+    * table is then sequenced per user for a deterministic output.
+    * Note the boundary semantics: windows are [ts, ts+gap), so a gap
+    * of exactly 30 min starts a NEW session (oracle uses >=).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val agg = eventStream(spark, dir)
+      .groupBy(session_window($"tsm", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros($"tsm")).as("start_us"),
+        max(unix_micros($"tsm")).as("end_us"),
+        round(sum($"value"), 2).as("total_value"))
+    val done = runToCompletion(agg, "graft_stream_session")
+    val w = Window.partitionBy($"user_id").orderBy($"start_us")
+    done
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select($"user_id", $"session_seq", $"n_events", $"start_us",
+        $"end_us", $"total_value")
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "stream_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR ts_us - prev_us >= 1800000000::BIGINT THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT *, sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id AS session_seq, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  round(sum(value),2) AS total_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_seq""".stripMargin)
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.Events
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming window agg equals the batch window agg") {
+    val stream = EventStreams.windowAgg(spark, sf).collect()
+    val batch = Events.windowAgg(spark, sf).collect()
+    assert(stream.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
+  test("streaming sessionization produces contiguous per-user sequences") {
+    val rows = EventStreams.sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val seqs = rs.map(_.getLong(1)).sorted
+      assert(seqs === (1L to seqs.length).toArray.toSeq,
+        s"user $u has gaps in session_seq")
+      rs.foreach(r => assert(r.getLong(4) >= r.getLong(3),
+        s"user $u session end before start"))
+    }
+    // sessions within a user never overlap
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      for (i <- 1 until sorted.length)
+        assert(sorted(i).getLong(3) > sorted(i - 1).getLong(4),
+          s"user $u sessions overlap")
+    }
+  }
+
+  test("repeated invocation is safe (unique memory sink names)") {
+    val a = EventStreams.windowAgg(spark, sf).count()
+    val b = EventStreams.windowAgg(spark, sf).count()
+    assert(a === b && a > 0)
+  }
+}
