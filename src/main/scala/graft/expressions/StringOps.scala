@@ -1,0 +1,58 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** First element of a string array with the given prefix and suffix,
+  * else null — the reference's link-selection semantics (cmr_api.py:
+  * 74-103: first href startswith(protocol) ∧ endswith("stac.json")).
+  *
+  * A codegen'd single pass. The equivalent
+  * `element_at(filter(links, λ), 1)` runs the lambda interpreted AND
+  * re-evaluates the (expensive) array-producing child in both the
+  * null-filter predicate and the projection — 20× slower on the bench.
+  */
+case class FirstLink(child: Expression, prefix: String, suffix: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "first_link"
+
+  @transient private lazy val prefixU = UTF8String.fromString(prefix)
+  @transient private lazy val suffixU = UTF8String.fromString(suffix)
+
+  override def nullSafeEval(arr: Any): Any =
+    FirstLink.compute(arr.asInstanceOf[ArrayData], prefixU, suffixU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("prefix", prefixU)
+    val sRef = ctx.addReferenceObj("suffix", suffixU)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.expressions.FirstLink.compute($a, $pRef, $sRef);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FirstLink {
+  def compute(arr: ArrayData, prefix: UTF8String,
+              suffix: UTF8String): UTF8String = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.startsWith(prefix) && s.endsWith(suffix)) return s
+      }
+      i += 1
+    }
+    null
+  }
+}

@@ -32,6 +32,26 @@ package object functions {
   def simhash64(tokens: Column): Column =
     toCol(SimHash64(toExpr(tokens)))
 
+  /** Codegen'd cosine similarity over Array[Double] columns. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** Codegen'd squared euclidean distance over Array[Double] columns. */
+  def squared_distance(a: Column, b: Column): Column =
+    toCol(SquaredDistance(toExpr(a), toExpr(b)))
+
+  /** Codegen'd |A ∩ B| for string arrays (expects deduplicated). */
+  def intersect_size(a: Column, b: Column): Column =
+    toCol(IntersectSize(toExpr(a), toExpr(b)))
+
+  /** Codegen'd dot product over Array[Double] columns. */
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** First array element with given prefix+suffix, else null. */
+  def first_link(links: Column, prefix: String, suffix: String): Column =
+    toCol(FirstLink(toExpr(links), prefix, suffix))
+
   /** Register graft functions for SQL use on this session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -41,11 +41,13 @@ object Dedup {
   }
 
   /** Exact Jaccard over distinct 3-token shingles for a pair of
-    * shingle-set columns.
+    * shingle-set columns: |A∩B| via a codegen'd hash-probe kernel,
+    * |A∪B| derived as |A|+|B|−|A∩B| (no union materialization).
     */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  private def jaccard(a: Column, b: Column): Column = {
+    val i = graft.functions.intersect_size(a, b).cast("double")
+    i / (size(a).cast("double") + size(b).cast("double") - i)
+  }
 
   /** C4 — brute-force n-gram Jaccard pairs (threshold 0.8) over a
     * bounded candidate set (doc_id < 2500 keeps the quadratic baseline
@@ -54,12 +56,26 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
+    // Size-band pruning: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    // J ≥ 0.8 needs 5·min ≥ 4·max (exact integer arithmetic), i.e.
+    // log₁.₂₅ sizes within 1 → adjacent size buckets. Exploding each
+    // doc to buckets {k, k+1} turns the all-pairs comparison into an
+    // EQUI-join on bucket (hash join, shuffled — no nested loop), and
+    // `bucket = max(k_a, k_b)` keeps exactly one copy of each pair.
     val docs = withShingles(
       Tables.load(spark, dir, "documents").filter($"doc_id" < 2500))
-      .select($"doc_id", $"sh")
-    val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    a.join(b, $"doc_a" < $"doc_b")
+      .select($"doc_id", $"sh", size($"sh").as("sz"))
+      .withColumn("k", floor(log($"sz".cast("double")) / math.log(1.25)).cast("int"))
+    val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"),
+      $"sz".as("sz_a"), $"k".as("k_a"),
+      explode(array($"k", $"k" + 1)).as("bucket"))
+    val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
+      $"sz".as("sz_b"), $"k".as("k_b"),
+      explode(array($"k", $"k" + 1)).as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter($"doc_a" < $"doc_b" &&
+        $"bucket" === greatest($"k_a", $"k_b") &&
+        least($"sz_a", $"sz_b") * 5 >= greatest($"sz_a", $"sz_b") * 4)
       .withColumn("j", jaccard($"sh_a", $"sh_b"))
       .filter($"j" >= threshold)
       .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))

@@ -17,14 +17,13 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Index-ordered cosine: zip_with for the products, aggregate for
-    * the left-to-right sum — bit-identical to a sequential-loop oracle.
+  /** Index-ordered cosine — a codegen'd Catalyst expression (a tight
+    * primitive loop; Spark's higher-order functions run interpreted
+    * and were the pairwise bottleneck). Single sequential pass, same
+    * evaluation order as the oracle's list_cosine_similarity.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.cosine_similarity(a, b)
 
   private def loadVecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -113,8 +112,7 @@ object Similarity {
                           centroids: Array[(Int, Seq[Double])]): DataFrame = {
     import vecs.sparkSession.implicits._
     def dist2(v: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.squared_distance(v, typedLit(c))
     val best = centroids.map { case (i, c) =>
       struct(dist2($"v", c).as("d"), lit(i).as("cell"))
     }.reduce((a, b) => when(a("d") <= b("d"), a).otherwise(b))
@@ -127,8 +125,7 @@ object Similarity {
                          nprobe: Int): DataFrame = {
     import queries.sparkSession.implicits._
     def dist2(v: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.squared_distance(v, typedLit(c))
     val scored = array(centroids.map { case (i, c) =>
       struct(dist2($"qv", c).as("d"), lit(i).as("cell"))
     }: _*)
@@ -163,9 +160,8 @@ object Similarity {
       .withColumn("planes", planesLit)
       .withColumn("bucket",
         (0 until planes).map { p =>
-          when(aggregate(
-            zip_with(element_at($"planes", p + 1), $"v", (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x) >= 0,
+          when(graft.functions.dot_product(
+            element_at($"planes", p + 1), $"v") >= 0,
             lit(1L << p)).otherwise(lit(0L))
         }.reduce(_.bitwiseOR(_)))
       .drop("planes")

@@ -49,9 +49,7 @@ object StacOps {
     import spark.implicits._
     catalog(spark, dir)
       .withColumn("stac_link",
-        element_at(
-          filter($"links", l =>
-            l.startsWith("https") && l.endsWith("stac.json")), 1))
+        graft.functions.first_link($"links", "https", "stac.json"))
       .filter($"stac_link".isNotNull)
       .select($"granule_id", $"stac_link")
       .orderBy($"granule_id")
