@@ -1,0 +1,86 @@
+package graft.stac
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's two top-level verbs (cli.py) as library functions —
+  * what a user of hls-stac-parquet would call after switching engines.
+  *
+  * `cacheDailyStacJsonLinks` (links.py:61-117): query the catalog for
+  * one day (bbox + temporal pushdown), extract STAC JSON links, write
+  * the daily link cache. The reference writes one JSON array per day;
+  * here the cache is a date-partitioned parquet dataset of links —
+  * same contract (list links for day X), but partition-prunable and
+  * splittable at 100 TB.
+  *
+  * `writeMonthlyStacGeoparquet` (write.py:101-247): read a month of
+  * cached links (partition pruning does the month filter), optionally
+  * require completeness, spatially sort by Hilbert index, write the
+  * monthly zstd parquet.
+  */
+object StacPipeline {
+
+  /** Daily link cache root (mirrors LINK_PATH_PREFIX, constants.py:6). */
+  def linksRoot(dest: String): String = s"$dest/links"
+
+  def cacheDailyStacJsonLinks(
+      spark: SparkSession,
+      catalog: DataFrame, // granule feed: collection, ts, lon, lat, links
+      dest: String,
+      collectionId: String,
+      date: String, // YYYY-MM-DD
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      protocol: String = "https",
+      skipExisting: Boolean = false): Boolean = {
+    import spark.implicits._
+    val day = java.time.LocalDate.parse(date)
+    val outPath = s"${linksRoot(dest)}/collection=$collectionId/" +
+      s"year=${day.getYear}/month=${day.getMonthValue}/day=${day.getDayOfMonth}"
+    if (skipExisting && StacWrite.exists(spark, outPath)) return false
+
+    val dayStart = s"$date 00:00:00"
+    val dayEnd = s"$date 23:59:59" // closed [start, start+1d-1s], links.py:104-106
+    var q = catalog
+      .filter($"collection" === collectionId)
+      .filter($"ts" >= lit(dayStart).cast("timestamp") &&
+        $"ts" <= lit(dayEnd).cast("timestamp"))
+    bbox.foreach { case (w, s, e, n) =>
+      Validation.validateBbox(w, s, e, n)
+      q = q.filter($"lon" >= w && $"lon" <= e && $"lat" >= s && $"lat" <= n)
+    }
+    q.withColumn("stac_link",
+        graft.functions.first_link($"links", protocol, "stac.json"))
+      .filter($"stac_link".isNotNull)
+      .select($"granule_id", $"stac_link", $"lon", $"lat", $"ts")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    true
+  }
+
+  /** Read a month of daily link caches (partition-pruned). */
+  def readMonthlyLinks(spark: SparkSession, dest: String,
+                       collectionId: String, year: Int, month: Int): DataFrame = {
+    import spark.implicits._
+    spark.read
+      .option("basePath", linksRoot(dest))
+      .parquet(linksRoot(dest))
+      .filter($"collection" === collectionId &&
+        $"year" === year && $"month" === month)
+  }
+
+  def writeMonthlyStacGeoparquet(
+      spark: SparkSession,
+      dest: String,
+      collectionId: String,
+      year: Int,
+      month: Int,
+      version: String = "0.1",
+      requireCompleteLinks: Boolean = false,
+      skipExisting: Boolean = false): Boolean = {
+    import spark.implicits._
+    val monthly = readMonthlyLinks(spark, dest, collectionId, year, month)
+      .withColumn("collection", lit(collectionId))
+      .withColumn("url_stac", $"stac_link")
+    StacWrite.writeMonthly(spark, monthly, dest, version, collectionId,
+      year, month, requireCompleteLinks, skipExisting)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.stac.{StacPipeline, StacSynth}
+
+class StacPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("end-to-end: cache daily links for a month, then write monthly geoparquet") {
+    val tmp = Files.createTempDirectory("graft-pipe").toString
+    val catalog = StacSynth.catalog(spark, sf).cache()
+    val cid = "HLSS30_2.0"
+
+    // which days of 1996-03 have data?
+    val days = catalog
+      .filter($"collection" === cid)
+      .filter(org.apache.spark.sql.functions.date_format($"ts", "yyyy-MM") === "1996-03")
+      .select(org.apache.spark.sql.functions.dayofmonth($"ts"))
+      .distinct().as[Int].collect().sorted
+
+    for (d <- days) {
+      val wrote = StacPipeline.cacheDailyStacJsonLinks(spark, catalog, tmp,
+        cid, f"1996-03-$d%02d")
+      assert(wrote)
+    }
+    // skip-existing short-circuits on re-run
+    assert(!StacPipeline.cacheDailyStacJsonLinks(spark, catalog, tmp,
+      cid, f"1996-03-${days.head}%02d", skipExisting = true))
+
+    // month readback is partition-pruned to exactly the cached days
+    val monthly = StacPipeline.readMonthlyLinks(spark, tmp, cid, 1996, 3)
+    assert(monthly.count() > 0)
+    assert(monthly.select($"day").distinct().count() === days.length)
+
+    if (days.length == 31) {
+      assert(StacPipeline.writeMonthlyStacGeoparquet(spark, tmp, cid,
+        1996, 3, requireCompleteLinks = true))
+    } else {
+      // incomplete month must throw under requireCompleteLinks…
+      intercept[IllegalStateException] {
+        StacPipeline.writeMonthlyStacGeoparquet(spark, tmp, cid,
+          1996, 3, requireCompleteLinks = true)
+      }
+      // …and succeed without it
+      assert(StacPipeline.writeMonthlyStacGeoparquet(spark, tmp, cid, 1996, 3))
+    }
+    val out = spark.read.parquet(s"$tmp/v0.1/$cid")
+    assert(out.filter($"year" === 1996 && $"month" === 3).count() ===
+      monthly.count())
+
+    // bbox-filtered daily cache is a subset
+    StacPipeline.cacheDailyStacJsonLinks(spark, catalog, s"$tmp/bb",
+      cid, f"1996-03-${days.head}%02d",
+      bbox = Some((-150.0, -50.0, -100.0, 50.0)))
+    val bbLinks = spark.read.parquet(
+      s"$tmp/bb/links/collection=$cid/year=1996/month=3/day=${days.head}")
+    val allLinks = spark.read.parquet(
+      s"$tmp/links/collection=$cid/year=1996/month=3/day=${days.head}")
+    assert(bbLinks.count() <= allLinks.count())
+  }
+}
