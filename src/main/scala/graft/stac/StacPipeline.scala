@@ -77,10 +77,32 @@ object StacPipeline {
       requireCompleteLinks: Boolean = false,
       skipExisting: Boolean = false): Boolean = {
     import spark.implicits._
+    // Completeness = every expected daily CACHE FILE exists (a day may
+    // legitimately hold zero granules) — the reference compares link
+    // file paths, not data rows (write.py:158-189).
+    if (requireCompleteLinks) {
+      val monthStart = java.time.LocalDate.of(year, month, 1)
+      val origin = StacSynth.OriginDates.get(collectionId)
+        .map(java.time.LocalDate.parse)
+      val firstDay = origin match {
+        case Some(o) if o.getYear == year && o.getMonthValue == month =>
+          o.getDayOfMonth
+        case _ => 1
+      }
+      val missing = (firstDay to monthStart.lengthOfMonth()).filterNot { d =>
+        StacWrite.exists(spark, s"${linksRoot(dest)}/collection=" +
+          s"$collectionId/year=$year/month=$month/day=$d")
+      }
+      if (missing.nonEmpty) {
+        throw new IllegalStateException(
+          s"$collectionId $year-$month: missing daily link caches for " +
+            s"days ${missing.mkString(", ")}")
+      }
+    }
     val monthly = readMonthlyLinks(spark, dest, collectionId, year, month)
       .withColumn("collection", lit(collectionId))
       .withColumn("url_stac", $"stac_link")
     StacWrite.writeMonthly(spark, monthly, dest, version, collectionId,
-      year, month, requireCompleteLinks, skipExisting)
+      year, month, requireCompleteLinks = false, skipExisting)
   }
 }
