@@ -28,6 +28,7 @@ object SparkEntry {
     "monthly_revenue" -> wrap(Analytics.monthlyRevenue),
     "events_sessionize" -> wrap(Events.sessionize(_, _)),
     "events_window_agg" -> wrap(Events.windowAgg),
+    "events_salted_agg" -> wrap(Events.saltedAgg(_, _)),
     "stac_parse_items" -> wrap(StacOps.parseItems),
     "stac_link_extract" -> wrap(StacOps.linkExtract),
     "stac_bbox_filter" -> wrap(StacOps.bboxFilter(_, _)),
@@ -52,9 +53,12 @@ object SparkEntry {
     "text_quality" -> wrap(TextAnalysis.quality),
     "text_langid" -> wrap(TextAnalysis.langId),
     "text_fingerprint" -> wrap(TextAnalysis.fingerprint),
+    "text_ngram_freq" -> wrap(TextAnalysis.ngramFreq(_, _)),
+    "text_clean" -> wrap(TextAnalysis.clean),
     "multimodal_meta" -> wrap(Multimodal.mediaMeta),
     "stream_window_agg" -> wrap(graft.streaming.EventStreams.windowAgg),
-    "stream_sessionize" -> wrap(graft.streaming.EventStreams.sessionize)
+    "stream_sessionize" -> wrap(graft.streaming.EventStreams.sessionize),
+    "stream_dedup_count" -> wrap(graft.streaming.EventStreams.dedupCount)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -72,7 +72,13 @@ object Dedup {
     val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
       $"sz".as("sz_b"), $"k".as("k_b"),
       explode(array($"k", $"k" + 1)).as("bucket"))
-    a.join(b, Seq("bucket"))
+    // Broadcast the build side: with only ~log₁.₂₅(size-range) distinct
+    // buckets a shuffled join gets that few tasks; a broadcast hash
+    // join parallelizes across the (repartitioned) probe side instead.
+    // At 100 TB the probe side streams; the build side is the bounded
+    // candidate set.
+    a.repartition(a.sparkSession.sessionState.conf.numShufflePartitions)
+      .join(broadcast(b), Seq("bucket"))
       .filter($"doc_a" < $"doc_b" &&
         $"bucket" === greatest($"k_a", $"k_b") &&
         least($"sz_a", $"sz_b") * 5 >= greatest($"sz_a", $"sz_b") * 4)

@@ -52,7 +52,27 @@ object Events {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** B8 — explicit two-phase salted aggregation: pre-aggregate on
+    * (key, salt) to spread a hot key across partitions, then final
+    * merge on key. Equal to the direct groupBy (the oracle) — the
+    * point is the shuffle shape: a skewed key's rows split across
+    * `salts` reducers in phase 1 instead of hammering one.
+    */
+  def saltedAgg(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("salt", ($"event_id" % salts).cast("int"))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"value").as("pv"))
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n"), round(sum($"pv"), 2).as("total_value"))
+      .orderBy($"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,

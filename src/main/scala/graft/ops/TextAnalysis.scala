@@ -116,7 +116,68 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E5 — corpus n-gram profile: top-10 token bigrams per language
+    * (partial-agg count, then a per-group window rank).
+    */
+  def ngramFreq(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val grams = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .select($"lang", explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", slice($"toks", i, lit(2))))).as("gram"))
+      .groupBy($"lang", $"gram")
+      .agg(count(lit(1)).as("cnt"))
+    val w = W.partitionBy($"lang").orderBy($"cnt".desc, $"gram")
+    grams.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"lang", $"rnk", $"gram", $"cnt")
+      .orderBy($"lang", $"rnk")
+  }
+
+  /** E6 — text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace. Emits a fingerprint + length (not the full
+    * cleaned body) so the artifact stays narrow.
+    */
+  def clean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("cleaned",
+        trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
+          " +", " ")))
+      .select($"doc_id", length($"cleaned").cast("long").as("clean_len"),
+        md5($"cleaned").as("clean_hash"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_ngram_freq" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT lang, unnest([array_to_string(toks[i:i+1], ' ')
+        |    for i in range(1, len(toks))]) AS gram
+        |  FROM t),
+        |c AS (
+        |  SELECT lang, gram, count(*) AS cnt FROM g GROUP BY lang, gram),
+        |r AS (
+        |  SELECT lang, gram, cnt, row_number() OVER (
+        |    PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+        |  FROM c)
+        |SELECT lang, rnk, gram, cnt FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
+    "text_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id, length(cleaned)::BIGINT AS clean_len,
+        |  md5(cleaned) AS clean_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -56,6 +56,25 @@ object StacPipeline {
     true
   }
 
+  /** Date-range fan-out (reference: infrastructure/lambda/
+    * batch_publisher.py): the list of days to cache for a collection —
+    * start defaults to the collection's origin date, end to
+    * `today − 1`. Feed each day to [[cacheDailyStacJsonLinks]].
+    */
+  def dateRange(collection: HlsCollections.Collection,
+                startDate: Option[String] = None,
+                endDate: Option[String] = None,
+                today: java.time.LocalDate = java.time.LocalDate.now())
+      : Seq[String] = {
+    val start = java.time.LocalDate.parse(
+      startDate.getOrElse(collection.originDate))
+    val end = endDate.map(java.time.LocalDate.parse)
+      .getOrElse(today.minusDays(1))
+    require(!start.isAfter(end), s"start_date $start after end_date $end")
+    Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(end)).map(_.toString).toSeq
+  }
+
   /** Read a month of daily link caches (partition-pruned). */
   def readMonthlyLinks(spark: SparkSession, dest: String,
                        collectionId: String, year: Int, month: Int): DataFrame = {

@@ -83,7 +83,28 @@ object EventStreams {
       .orderBy($"user_id", $"session_seq")
   }
 
+  /** G3 — streaming deduplication: `dropDuplicates` state over a
+    * semantic key (user, type, hour) — the streaming analogue of the
+    * batch exact-dedup operator; per-type counts of unique keys.
+    */
+  def dedupCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventStream(spark, dir)
+      .withColumn("hour", date_trunc("hour", $"tsm"))
+      .dropDuplicates("user_id", "event_type", "hour")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_unique"))
+    runToCompletion(agg, "graft_stream_dedup")
+      .orderBy($"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_dedup_count" ->
+      """SELECT event_type, count(*) AS n_unique FROM (
+        |  SELECT DISTINCT user_id, event_type,
+        |    date_trunc('hour', ts) AS hour
+        |  FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
         |  count(*) AS n, round(sum(value),2) AS total_value

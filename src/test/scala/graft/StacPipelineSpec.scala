@@ -7,6 +7,20 @@ import graft.stac.{StacPipeline, StacSynth}
 class StacPipelineSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("dateRange: origin-date default, yesterday default, validation") {
+    import graft.stac.HlsCollections
+    val today = java.time.LocalDate.parse("2013-04-15")
+    val r = StacPipeline.dateRange(HlsCollections.HLSL30, today = today)
+    assert(r === Seq("2013-04-11", "2013-04-12", "2013-04-13", "2013-04-14"))
+    val r2 = StacPipeline.dateRange(HlsCollections.HLSS30,
+      startDate = Some("2024-01-30"), endDate = Some("2024-02-02"))
+    assert(r2 === Seq("2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02"))
+    intercept[IllegalArgumentException] {
+      StacPipeline.dateRange(HlsCollections.HLSL30,
+        startDate = Some("2024-02-02"), endDate = Some("2024-01-30"))
+    }
+  }
+
   test("end-to-end: cache daily links for a month, then write monthly geoparquet") {
     val tmp = Files.createTempDirectory("graft-pipe").toString
     val catalog = StacSynth.catalog(spark, sf).cache()
