@@ -14,6 +14,7 @@ object GraftSession {
   def builder(master: String = "local[*]",
               shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -38,6 +39,11 @@ object GraftSession {
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // graft optimizer rules, for sessions not built via `builder`
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.RewriteSetOps)) {
+      spark.experimental.extraOptimizations = extra :+ graft.plans.RewriteSetOps
+    }
     functions.registerAll(spark)
     spark
   }

@@ -117,10 +117,12 @@ object SquaredDistance {
   }
 }
 
-/** Intersection cardinality of two string arrays (hash-set probe) —
-  * the Jaccard verification kernel. |A∪B| is derived as
-  * |A|+|B|−|A∩B|, so the union array is never materialized.
-  * Inputs are expected deduplicated (graft shingle sets are).
+/** Distinct intersection cardinality of two string arrays (hash-set
+  * probe) — the Jaccard verification kernel, and the target of the
+  * `size(array_intersect(a, b))` optimizer rewrite
+  * (graft.plans.RewriteSetOps). |A∪B| is derived as |A|+|B|−|A∩B| by
+  * callers, so the union array is never materialized. Null elements
+  * are ignored (the rewrite only fires on containsNull=false inputs).
   */
 case class IntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -155,7 +157,9 @@ object IntersectSize {
     var cnt = 0
     i = 0
     while (i < large.numElements()) {
-      if (!large.isNullAt(i) && set.contains(large.getUTF8String(i))) cnt += 1
+      // remove-on-match counts each distinct element once, keeping
+      // exact size(array_intersect(...)) semantics on duplicate inputs
+      if (!large.isNullAt(i) && set.remove(large.getUTF8String(i))) cnt += 1
       i += 1
     }
     cnt
