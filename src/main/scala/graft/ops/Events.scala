@@ -48,7 +48,8 @@ object Events {
       .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
       .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
-      .select($"w.start".as("hour_start"), $"event_type", $"n", $"total_value")
+      .select($"w.start".cast("timestamp_ntz").as("hour_start"),
+        $"event_type", $"n", $"total_value")
       .orderBy($"hour_start", $"event_type")
   }
 
@@ -69,7 +70,26 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** B9 — semi-structured JSON extraction from the props column:
+    * typed field pull + aggregation (the scan-side JSON path).
+    */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_props_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -54,8 +54,8 @@ object EventStreams {
       .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
     runToCompletion(agg, "graft_stream_window")
-      .select($"w.start".as("hour_start"), $"event_type", $"n",
-        $"total_value")
+      .select($"w.start".cast("timestamp_ntz").as("hour_start"),
+        $"event_type", $"n", $"total_value")
       .orderBy($"hour_start", $"event_type")
   }
 
