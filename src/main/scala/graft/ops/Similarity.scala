@@ -97,7 +97,7 @@ object Similarity {
       }
     }
 
-    val assigned = assignCells(vecs, centroids)
+    val assigned = assignCells(vecs, centroids).cache()
     val queries = assigned.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val probes = probeCells(queries, centroids, nprobe)

@@ -56,6 +56,47 @@ object StacPipeline {
     true
   }
 
+  /** Byte-format-compatible daily cache: ONE JSON array file per day at
+    * the reference's exact path
+    * `links/{cid}/{y}/{m:02d}/{y}-{m:02d}-{d:02d}.json`
+    * (constants.py:6-7, links.py:55-58) — for downstream consumers of
+    * the original layout. A daily link list is small by construction
+    * (the reference holds it in one Lambda), so the single-file write
+    * is a deliberate, bounded driver-side step; the parquet cache
+    * above is the scale path.
+    */
+  def writeDailyLinksJsonArray(
+      spark: SparkSession,
+      catalog: org.apache.spark.sql.DataFrame,
+      dest: String,
+      collectionId: String,
+      date: String,
+      protocol: String = "https"): String = {
+    import spark.implicits._
+    val day = java.time.LocalDate.parse(date)
+    val links = catalog
+      .filter($"collection" === collectionId)
+      .filter($"ts" >= lit(s"$date 00:00:00").cast("timestamp") &&
+        $"ts" <= lit(s"$date 23:59:59").cast("timestamp"))
+      .withColumn("stac_link",
+        graft.functions.first_link($"links", protocol, "stac.json"))
+      .filter($"stac_link".isNotNull)
+      .select($"stac_link").orderBy($"stac_link")
+      .as[String].collect()
+    val path = f"$dest/${HlsCollections.linkPath(collectionId,
+      day.getYear, day.getMonthValue, day.getDayOfMonth)}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val json = links.map(l =>
+        "\"" + l.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ", ", "]")
+      out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    path
+  }
+
   /** Date-range fan-out (reference: infrastructure/lambda/
     * batch_publisher.py): the list of days to cache for a collection —
     * start defaults to the collection's origin date, end to

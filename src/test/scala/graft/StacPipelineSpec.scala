@@ -21,6 +21,31 @@ class StacPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("json-array daily cache matches the reference's exact file layout") {
+    import org.apache.spark.sql.functions.to_date
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val catalog = StacSynth.catalog(spark, sf)
+    // pick a day that actually has HLSS30 granules at this SF
+    val day = catalog.filter($"collection" === "HLSS30_2.0")
+      .select(to_date($"ts").cast("string")).orderBy($"ts").head().getString(0)
+    val Array(y, m, d) = day.split("-")
+    val path = StacPipeline.writeDailyLinksJsonArray(spark, catalog, tmp,
+      "HLSS30_2.0", day)
+    assert(path.endsWith(s"links/HLSS30_2.0/$y/$m/$day.json"))
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    // a single JSON array of https stac.json URLs, like links.py writes
+    assert(content.startsWith("[") && content.endsWith("]"))
+    val parsed = content.stripPrefix("[").stripSuffix("]").split(", ")
+    assert(parsed.nonEmpty && parsed.forall(s => s.startsWith("\"https") &&
+      s.endsWith("stac.json\"")))
+    // empty day still writes a valid empty array
+    val p2 = StacPipeline.writeDailyLinksJsonArray(spark, catalog, tmp,
+      "HLSS30_2.0", "2030-01-01")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p2)), "UTF-8") === "[]")
+  }
+
   test("end-to-end: cache daily links for a month, then write monthly geoparquet") {
     val tmp = Files.createTempDirectory("graft-pipe").toString
     val catalog = StacSynth.catalog(spark, sf).cache()
