@@ -59,7 +59,9 @@ object SparkEntry {
     "multimodal_meta" -> wrap(Multimodal.mediaMeta),
     "stream_window_agg" -> wrap(graft.streaming.EventStreams.windowAgg),
     "stream_sessionize" -> wrap(graft.streaming.EventStreams.sessionize),
-    "stream_dedup_count" -> wrap(graft.streaming.EventStreams.dedupCount)
+    "stream_dedup_count" -> wrap(graft.streaming.EventStreams.dedupCount),
+    "stream_user_totals" -> wrap(graft.streaming.EventStreams.userRunningTotals),
+    "curate_corpus" -> wrap(graft.ops.TextPipeline.curate(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +70,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ Events.oracles ++ StacOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ graft.streaming.EventStreams.oracles
+      Multimodal.oracles ++ graft.streaming.EventStreams.oracles ++
+      graft.ops.TextPipeline.oracles
 }

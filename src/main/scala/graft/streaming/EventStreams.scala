@@ -98,7 +98,45 @@ object EventStreams {
       .orderBy($"event_type")
   }
 
+  final case class UserTotals(user_id: Long, n: Long, total_value: Double)
+
+  /** G4 — custom state machine via `mapGroupsWithState`: per-user
+    * running (count, sum) state, emitted on every update. Run over the
+    * static file the final states equal the batch per-user aggregate
+    * (the oracle). This is the arbitrary-stateful-logic API the
+    * built-in windows can't express (e.g. CUSUM/anomaly state).
+    */
+  def userRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = eventStream(spark, dir)
+      .select($"user_id".as[Long], $"value".as[Double])
+    val updated = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          var (n, t) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update((n, t))
+          UserTotals(user, n, t)
+      }
+    val name = s"graft_stream_state_${counter.incrementAndGet()}"
+    val q = updated.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // one input batch → one (final) update per user
+    spark.table(name)
+      .select($"user_id", $"n", round($"total_value", 2).as("total_value"))
+      .orderBy($"user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_user_totals" ->
+      """SELECT user_id, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup_count" ->
       """SELECT event_type, count(*) AS n_unique FROM (
         |  SELECT DISTINCT user_id, event_type,
