@@ -66,7 +66,7 @@ object Similarity {
   def knnIvf(spark: SparkSession, dir: String,
              k: Int = 5, numQueries: Int = 10,
              cells: Int = 8, nprobe: Int = 4,
-             lloydIters: Int = 2): DataFrame = {
+             lloydIters: Int = 1): DataFrame = {
     import spark.implicits._
     val vecs = loadVecs(spark, dir).cache()
 
