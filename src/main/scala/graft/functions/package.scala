@@ -48,6 +48,10 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
 
+  /** WKB POINT geometry from (lon, lat) — geoparquet encoding. */
+  def wkb_point(lon: Column, lat: Column): Column =
+    toCol(WkbPoint(toExpr(lon), toExpr(lat)))
+
   /** First array element with given prefix+suffix, else null. */
   def first_link(links: Column, prefix: String, suffix: String): Column =
     toCol(FirstLink(toExpr(links), prefix, suffix))

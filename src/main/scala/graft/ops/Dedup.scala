@@ -101,9 +101,12 @@ object Dedup {
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
     import spark.implicits._
     val rows = numHashes / bands
+    // cached: the shingle+signature pass feeds banding AND both sides
+    // of candidate verification — materialize it once
     val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh")
       .withColumn("sig", minhash($"sh", numHashes, seed = 42L))
+      .cache()
 
     val banded = docs
       .select($"doc_id", posexplode(

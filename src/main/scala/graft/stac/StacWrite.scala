@@ -79,6 +79,8 @@ object StacWrite {
     }
 
     monthly
+      // geoparquet geometry column (WKB point of the granule centroid)
+      .withColumn("geometry", graft.functions.wkb_point($"lon", $"lat"))
       .withColumn("gx", floor(($"lon" + 180.0) / 360.0 * 16384).cast("int"))
       .withColumn("gy", floor(($"lat" + 90.0) / 180.0 * 16384).cast("int"))
       .withColumn("hilbert", hilbert_index($"gx", $"gy", 14))

@@ -84,6 +84,23 @@ class StacSpec extends SparkSpecBase {
     }
   }
 
+  test("wkb_point encodes the standard little-endian POINT layout") {
+    import graft.expressions.WkbPoint
+    val b = WkbPoint.encode(1.0, 2.0)
+    def hex(a: Array[Byte]) = a.map("%02X".format(_)).mkString
+    assert(hex(b) === "0101000000000000000000F03F0000000000000040")
+    assert(b.length === 21)
+    // and the sink carries the geometry column
+    val tmp = java.nio.file.Files.createTempDirectory("graft-geo").toString
+    val items = StacSynth.catalog(spark, sf)
+    StacWrite.writeMonthly(spark, items, tmp, "0.1", "HLSL30_2.0", 1996, 3)
+    val back = spark.read.parquet(s"$tmp/v0.1/HLSL30_2.0")
+    assert(back.columns.contains("geometry"))
+    val row = back.select("lon", "lat", "geometry").head()
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]](2),
+      WkbPoint.encode(row.getDouble(0), row.getDouble(1))))
+  }
+
   test("collection registry mirrors reference constants") {
     assert(HlsCollections.byName("HLSL30").conceptId === "C2021957657-LPCLOUD")
     assert(HlsCollections.byName("HLSS30").collectionId === "HLSS30_2.0")
