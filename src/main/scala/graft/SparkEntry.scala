@@ -50,6 +50,7 @@ object SparkEntry {
     "knn_brute_force" -> wrap(Similarity.knnBruteForce(_, _)),
     "knn_ivf" -> wrap(Similarity.knnIvf(_, _)),
     "knn_lsh" -> wrap(Similarity.knnLsh(_, _)),
+    "knn_lsh_multi" -> wrap(Similarity.knnLshMulti(_, _)),
     "text_token_count" -> wrap(TextAnalysis.tokenCount),
     "text_quality" -> wrap(TextAnalysis.quality),
     "text_langid" -> wrap(TextAnalysis.langId),

@@ -177,6 +177,51 @@ object Similarity {
       .withColumn("cos", cosine($"qv", $"v")), k)
   }
 
+  /** D2c — multi-table LSH: `tables` independent hyperplane sets of
+    * `planes` bits each; a candidate collides in ANY table. Collision
+    * probability 1−(1−p^planes)^tables keeps recall useful in the
+    * mid-similarity band (cosine ≈ 0.7–0.9) where one long signature
+    * prunes too hard — the standard recall/cost dial for LSH at scale.
+    */
+  def knnLshMulti(spark: SparkSession, dir: String,
+                  k: Int = 5, numQueries: Int = 10,
+                  tables: Int = 8, planes: Int = 8): DataFrame =
+    knnLshMultiOn(loadVecs(spark, dir), k, numQueries, tables, planes)
+
+  private[graft] def knnLshMultiOn(vecs: DataFrame, k: Int,
+                                   numQueries: Int, tables: Int,
+                                   planes: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val dim = 64
+    def component(t: Int, p: Int, j: Int): Double = {
+      val h = graft.expressions.Hash64.splitmix64(
+        ((t.toLong * 31 + p) * dim + j) + 1)
+      (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+    def tablePlanes(t: Int) =
+      typedLit(Array.tabulate(planes, dim)(component(t, _, _))
+        .map(_.toSeq).toSeq)
+    val bucketCols = (0 until tables).map { t =>
+      val pl = tablePlanes(t)
+      (0 until planes).map { p =>
+        when(graft.functions.dot_product(
+          element_at(pl, p + 1), $"v") >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    val bucketed = vecs
+      .select($"vec_id", $"v",
+        posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+    val queries = bucketed.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        $"tbl".as("qtbl"), $"bucket".as("qbucket"))
+    val candidates = bucketed.join(broadcast(queries),
+        $"tbl" === $"qtbl" && $"bucket" === $"qbucket" &&
+          $"vec_id" =!= $"query_id")
+      .dropDuplicates("query_id", "vec_id")
+    topK(candidates.withColumn("cos", cosine($"qv", $"v")), k)
+  }
+
   val oracles: Map[String, String] = Map(
     "knn_brute_force" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

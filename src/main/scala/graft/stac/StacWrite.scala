@@ -46,8 +46,11 @@ object StacWrite {
       month: Int,
       requireCompleteLinks: Boolean = false,
       skipExisting: Boolean = false,
-      spatialPartitions: Int = 16): Boolean = {
+      spatialPartitions: Int = 16,
+      clusterBy: String = "hilbert"): Boolean = {
     import spark.implicits._
+    require(clusterBy == "hilbert" || clusterBy == "morton",
+      s"clusterBy must be 'hilbert' or 'morton', got $clusterBy")
 
     val root = parquetRoot(dest, version, collectionId)
     val monthPath = s"$root/year=$year/month=$month"
@@ -83,7 +86,10 @@ object StacWrite {
       .withColumn("geometry", graft.functions.wkb_point($"lon", $"lat"))
       .withColumn("gx", floor(($"lon" + 180.0) / 360.0 * 16384).cast("int"))
       .withColumn("gy", floor(($"lat" + 90.0) / 180.0 * 16384).cast("int"))
-      .withColumn("hilbert", hilbert_index($"gx", $"gy", 14))
+      .withColumn("hilbert",
+        if (clusterBy == "morton")
+          graft.functions.morton_index($"gx", $"gy", 14)
+        else hilbert_index($"gx", $"gy", 14))
       .withColumn("year", lit(year))
       .withColumn("month", lit(month))
       .repartitionByRange(spatialPartitions, $"hilbert")

@@ -82,6 +82,33 @@ class DedupSpec extends SparkSpecBase {
         s"query $q must find its planted copy, got ${res(q.toLong)}")
   }
 
+  test("multi-table LSH beats single-table in the mid-similarity band") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"v")
+    // plant mid-similarity neighbors (cosine ≈ 0.85): mix each vector
+    // with its shifted self
+    val mixed = vecs.filter($"vec_id" < 5)
+      .withColumn("v", transform($"v",
+        (x, i) => x + lit(0.6) * element_at($"v", (i + 1) % 64 + 1)))
+      .withColumn("vec_id", $"vec_id" + 20000L)
+    val corpus = vecs.union(mixed)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val top = df.filter($"rnk" === 1).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      (0 until 5).count(q => top.get(q.toLong).contains(q + 20000L)) / 5.0
+    }
+    val multi = recallOf(graft.ops.Similarity.knnLshMultiOn(
+      corpus, k = 1, numQueries = 5, tables = 8, planes = 8))
+    val single = recallOf(graft.ops.Similarity.knnLshOn(
+      corpus, k = 1, numQueries = 5, planes = 16))
+    assert(multi >= single,
+      s"multi-table recall $multi below single-table $single")
+    assert(multi >= 0.6, s"multi-table recall $multi below 0.6")
+  }
+
   test("langid predicts mostly en on english-stopword corpus") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     val en = rows.count(_.getString(6) == "en")

@@ -101,6 +101,17 @@ class StacSpec extends SparkSpecBase {
       WkbPoint.encode(row.getDouble(0), row.getDouble(1))))
   }
 
+  test("morton clustering is an accepted writer option") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-morton").toString
+    val items = StacSynth.catalog(spark, sf)
+    assert(StacWrite.writeMonthly(spark, items, tmp, "0.1", "HLSL30_2.0",
+      1996, 3, clusterBy = "morton"))
+    intercept[IllegalArgumentException] {
+      StacWrite.writeMonthly(spark, items, tmp, "0.1", "HLSL30_2.0",
+        1996, 3, clusterBy = "zorder-typo")
+    }
+  }
+
   test("collection registry mirrors reference constants") {
     assert(HlsCollections.byName("HLSL30").conceptId === "C2021957657-LPCLOUD")
     assert(HlsCollections.byName("HLSS30").collectionId === "HLSS30_2.0")
