@@ -86,14 +86,14 @@ object StacWrite {
       .withColumn("geometry", graft.functions.wkb_point($"lon", $"lat"))
       .withColumn("gx", floor(($"lon" + 180.0) / 360.0 * 16384).cast("int"))
       .withColumn("gy", floor(($"lat" + 90.0) / 180.0 * 16384).cast("int"))
-      .withColumn("hilbert",
+      .withColumn("cluster_key",
         if (clusterBy == "morton")
           graft.functions.morton_index($"gx", $"gy", 14)
         else hilbert_index($"gx", $"gy", 14))
       .withColumn("year", lit(year))
       .withColumn("month", lit(month))
-      .repartitionByRange(spatialPartitions, $"hilbert")
-      .sortWithinPartitions($"hilbert")
+      .repartitionByRange(spatialPartitions, $"cluster_key")
+      .sortWithinPartitions($"cluster_key")
       .drop("gx", "gy")
       .write
       .mode("overwrite")
