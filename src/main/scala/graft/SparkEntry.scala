@@ -51,6 +51,7 @@ object SparkEntry {
     "knn_ivf" -> wrap(Similarity.knnIvf(_, _)),
     "knn_lsh" -> wrap(Similarity.knnLsh(_, _)),
     "knn_lsh_multi" -> wrap(Similarity.knnLshMulti(_, _)),
+    "embedding_quantize" -> wrap(Similarity.quantizeEmbeddings),
     "text_token_count" -> wrap(TextAnalysis.tokenCount),
     "text_quality" -> wrap(TextAnalysis.quality),
     "text_langid" -> wrap(TextAnalysis.langId),

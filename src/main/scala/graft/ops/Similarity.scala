@@ -222,7 +222,51 @@ object Similarity {
     topK(candidates.withColumn("cos", cosine($"qv", $"v")), k)
   }
 
+  /** E/D-support — int8 symmetric quantization of the embedding
+    * column: per-vector scale = max|x|/127, stored codes ∈ [−127,127].
+    * The 4× storage cut that makes billion-vector ANN shards fit in
+    * memory; reports per-vector reconstruction error so the quality
+    * cost is measured, not assumed. Arithmetic is portable (floor
+    * rounding), so the driver gets a full SQL oracle.
+    */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .withColumn("scale",
+        aggregate($"v", lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
+      .withColumn("codes",
+        transform($"v", x => floor(x / $"scale" + 0.5).cast("int")))
+      .withColumn("max_err",
+        aggregate(zip_with($"v", $"codes",
+          (x, c) => abs(x - c.cast("double") * $"scale")),
+          lit(0.0), (m, e) => greatest(m, e)))
+      .select($"vec_id",
+        (floor($"scale" * 1e9 + 0.5).cast("double") / 1e9).as("scale"),
+        element_at($"codes", 1).as("code0"),
+        element_at($"codes", 64).as("code63"),
+        (floor($"max_err" * 1e9 + 0.5).cast("double") / 1e9).as("max_err"))
+      .orderBy($"vec_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |  FROM v),
+        |c AS (
+        |  SELECT vec_id, e, scale,
+        |    list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)) AS codes
+        |  FROM q)
+        |SELECT vec_id,
+        |  floor(scale * 1e9 + 0.5) / 1e9 AS scale,
+        |  codes[1] AS code0, codes[64] AS code63,
+        |  floor(list_max([abs(e[i] - codes[i] * scale)
+        |    for i in range(1, len(e) + 1)]) * 1e9 + 0.5) / 1e9 AS max_err
+        |FROM c ORDER BY vec_id""".stripMargin,
     "knn_brute_force" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
