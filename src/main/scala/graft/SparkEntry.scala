@@ -26,6 +26,9 @@ object SparkEntry {
     "q5_region_revenue" -> wrap(Analytics.q5RegionRevenue),
     "topk_customers_per_nation" -> wrap(Analytics.topkCustomersPerNation),
     "monthly_revenue" -> wrap(Analytics.monthlyRevenue),
+    "running_revenue" -> wrap(Analytics.runningRevenue),
+    "events_funnel" -> wrap(Analytics.eventsFunnel),
+    "supplier_part_share" -> wrap(Analytics.supplierPartShare(_, _)),
     "events_sessionize" -> wrap(Events.sessionize(_, _)),
     "events_window_agg" -> wrap(Events.windowAgg),
     "events_salted_agg" -> wrap(Events.saltedAgg(_, _)),

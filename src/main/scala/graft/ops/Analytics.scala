@@ -111,7 +111,111 @@ object Analytics {
       .orderBy($"month")
   }
 
+  /** Cumulative (running) monthly revenue — unbounded-preceding window
+    * over the month rollup; the frame stays tiny because it runs on
+    * the aggregate, not the fact table.
+    */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.load(spark, dir, "orders")
+      .groupBy(trunc($"o_orderdate", "month").as("month"))
+      .agg(sum($"o_totalprice").as("rev"))
+    val w = Window.orderBy($"month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_revenue", round(sum($"rev").over(w), 2))
+      .select($"month", round($"rev", 2).as("revenue"), $"cum_revenue")
+      .orderBy($"month")
+  }
+
+  /** Funnel analysis over the event stream: per user, first signup and
+    * first purchase after it → conversion flag + lag. The min-filter
+    * formulation keeps it one shuffle on user_id.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("ts", expr("ts DIV 1000")) // µs, oracle parity
+    val signups = events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_us"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"))
+    // the >= condition must live IN the left join: a post-join filter
+    // would drop users whose purchases all precede signup, instead of
+    // keeping them as converted=false
+    signups.as("s")
+      .join(purchases.as("p"),
+        $"s.user_id" === $"p.user_id" && $"purchase_ts" >= $"signup_us",
+        "left")
+      .groupBy($"s.user_id".as("user_id"), $"signup_us")
+      .agg(min($"purchase_ts").as("first_purchase_us"))
+      .withColumn("converted", $"first_purchase_us".isNotNull)
+      .withColumn("lag_us", $"first_purchase_us" - $"signup_us")
+      .orderBy($"user_id")
+  }
+
+  /** Supplier share of each part's line revenue — fact self-aggregate
+    * + window ratio, the classic market-share shape (Q8-like).
+    */
+  def supplierPartShare(spark: SparkSession, dir: String,
+                        topK: Int = 100): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_extendedprice").as("rev"))
+    val w = Window.partitionBy($"l_partkey")
+    val wRank = Window.orderBy($"part_total".desc, $"l_partkey", $"l_suppkey")
+    li.withColumn("part_total", sum($"rev").over(w))
+      .withColumn("share",
+        floor($"rev" / $"part_total" * 10000.0 + 0.5).cast("double") / 10000.0)
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"l_partkey", $"l_suppkey",
+        round($"rev", 2).as("revenue"),
+        round($"part_total", 2).as("part_total"), $"share", $"rnk")
+      .orderBy($"rnk")
+  }
+
   val oracles: Map[String, String] = Map(
+    "running_revenue" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, round(rev, 2) AS revenue,
+        |  round(sum(rev) OVER (ORDER BY month
+        |    ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+        |FROM m ORDER BY month""".stripMargin,
+    "events_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS signup_us FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS purchase_ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.signup_us,
+        |  min(p.purchase_ts) AS first_purchase_us,
+        |  min(p.purchase_ts) IS NOT NULL AS converted,
+        |  min(p.purchase_ts) - s.signup_us AS lag_us
+        |FROM s LEFT JOIN p
+        |  ON s.user_id = p.user_id AND p.purchase_ts >= s.signup_us
+        |GROUP BY s.user_id, s.signup_us
+        |ORDER BY s.user_id""".stripMargin,
+    "supplier_part_share" ->
+      """WITH agg AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_extendedprice) AS rev
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |t AS (
+        |  SELECT *, sum(rev) OVER (PARTITION BY l_partkey) AS part_total
+        |  FROM agg),
+        |r AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(rev, 2) AS revenue, round(part_total, 2) AS part_total,
+        |    floor(rev / part_total * 10000.0 + 0.5) / 10000.0 AS share,
+        |    row_number() OVER (ORDER BY part_total DESC, l_partkey, l_suppkey) AS rnk
+        |  FROM t)
+        |SELECT l_partkey, l_suppkey, revenue, part_total, share, rnk
+        |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
