@@ -33,6 +33,7 @@ object SparkEntry {
     "events_window_agg" -> wrap(Events.windowAgg),
     "events_salted_agg" -> wrap(Events.saltedAgg(_, _)),
     "events_props_extract" -> wrap(Events.propsExtract),
+    "events_approx_users" -> wrap(Events.approxUsers(_, _)),
     "stac_parse_items" -> wrap(StacOps.parseItems),
     "stac_link_extract" -> wrap(StacOps.linkExtract),
     "stac_bbox_filter" -> wrap(StacOps.bboxFilter(_, _)),

@@ -84,6 +84,22 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** HLL sketch distinct-count per type (approx_count_distinct is
+    * Spark's HyperLogLog++): the constant-memory distinct at 100 TB.
+    * Approximation ≠ oracle-parity, so the driver check is rows-only;
+    * EventsSpec bounds the error against the exact count.
+    */
+  def approxUsers(spark: SparkSession, dir: String,
+                  rsd: Double = 0.02): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", rsd).as("approx_users"),
+        countDistinct($"user_id").as("exact_users"))
+      .orderBy($"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
     "events_props_extract" ->
       """SELECT event_type, count(*) AS n,
