@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> wrap(Dedup.minhashLsh(_, _)),
     "dedup_simhash" -> wrap(Dedup.simhashPairs(_, _)),
     "dedup_embedding" -> wrap(Dedup.embeddingPairs(_, _)),
+    "dedup_clusters" -> wrap(Dedup.clusters(_, _)),
     "knn_brute_force" -> wrap(Similarity.knnBruteForce(_, _)),
     "knn_ivf" -> wrap(Similarity.knnIvf(_, _)),
     "knn_lsh" -> wrap(Similarity.knnLsh(_, _)),

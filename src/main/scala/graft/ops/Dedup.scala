@@ -186,6 +186,49 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** C6 — near-dup CLUSTERS: connected components over the LSH pair
+    * graph via iterative min-label propagation (the transitive-closure
+    * dedup semantics — A~B, B~C ⇒ {A,B,C} one cluster, which greedy
+    * pair-dropping gets wrong). Converges in O(log n) rounds of one
+    * shuffle each; the driver-side loop only checks a changed-count.
+    */
+  def clusters(spark: SparkSession, dir: String,
+               threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir, threshold)
+      .select($"doc_a", $"doc_b").cache()
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .cache()
+    var labels = edges.select($"doc_a".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id").cache()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy($"doc_a").agg(min($"label").as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("doc_a"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nmin", $"label")).as("label"))
+        .cache()
+      val changed = updated.as("u")
+        .join(labels.as("l"), $"u.doc_id" === $"l.doc_id")
+        .filter($"u.label" =!= $"l.label").count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
   /** DuckDB-side shingle CTE shared by the jaccard oracles. */
   private val shingleCte =
     """WITH toks AS (
@@ -219,6 +262,29 @@ object Dedup {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_clusters" -> (shingleCte
+      .replace("WITH toks", "WITH RECURSIVE toks")
+      .stripSuffix("\n") + ",\n" +
+      """pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, lab) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT e.doc_a, r.lab FROM reach r
+        |  JOIN edges e ON e.doc_b = r.doc_id),
+        |comp AS (
+        |  SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),
+        |sized AS (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT c.doc_id, c.cluster_id, s.cluster_size
+        |FROM comp c JOIN sized s ON c.cluster_id = s.cluster_id
+        |ORDER BY c.doc_id""".stripMargin),
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -109,6 +109,25 @@ class DedupSpec extends SparkSpecBase {
     assert(multi >= 0.6, s"multi-table recall $multi below 0.6")
   }
 
+  test("cluster labels are transitive minima over the pair graph") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // both endpoints of every pair share a cluster id, which is the
+    // min of the cluster's members
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 === clusters(b)._1, s"pair ($a,$b) split")
+    }
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid label not the min id")
+      assert(members.head._2._2 === members.size.toLong)
+    }
+    // corpus has chained dups: at least one cluster of size >= 3
+    assert(clusters.values.map(_._2).max >= 3L,
+      "expected a transitive chain in the planted dups")
+  }
+
   test("langid predicts mostly en on english-stopword corpus") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     val en = rows.count(_.getString(6) == "en")
