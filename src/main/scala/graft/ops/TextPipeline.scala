@@ -8,8 +8,9 @@ import graft.Tables
 /** The composite training-data curation pipeline — the flagship
   * LLM-data use case, composing the proven operators end-to-end:
   *
-  *   1. near-dup removal: MinHash-LSH pairs (Dedup.minhashLsh, the
-  *      scale path), greedy keep-smaller-id;
+  *   1. near-dup removal: connected-components clusters over the
+  *      MinHash-LSH pair graph (Dedup.clusters — transitive closure),
+  *      keep each cluster's minimum doc_id;
   *   2. quality gate on the raw 4-component score;
   *   3. language ID + normalization fingerprint on the survivors.
   *
@@ -24,9 +25,11 @@ object TextPipeline {
              jaccardThreshold: Double = 0.8): DataFrame = {
     import spark.implicits._
 
-    // 1. near-dup drop set (doc_b of every LSH-verified pair)
-    val dropIds = Dedup.minhashLsh(spark, dir, jaccardThreshold)
-      .select($"doc_b").distinct()
+    // 1. near-dup drop set: connected-components clusters (transitive
+    // closure), keep each cluster's minimum doc_id
+    val dropIds = Dedup.clusters(spark, dir, jaccardThreshold)
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id".as("doc_b"))
 
     // 2-3. quality + langid + clean fingerprint on survivors
     val docs = Tables.load(spark, dir, "documents")
@@ -79,18 +82,30 @@ object TextPipeline {
   }
 
   private val pairsCte =
-    """WITH toks AS (
+    """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT doc_id,
       |    list_distinct([array_to_string(t[i:i+2], ' ')
       |      for i in range(1, greatest(len(t) - 1, 2))]) AS s
       |  FROM toks WHERE len(t) >= 3),
-      |drops AS (
-      |  SELECT DISTINCT b.doc_id AS drop_id
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
       |      / len(list_distinct(a.s || b.s)) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, lab) AS (
+      |  SELECT DISTINCT doc_a, doc_a FROM edges
+      |  UNION
+      |  SELECT e.doc_a, r.lab FROM reach r
+      |  JOIN edges e ON e.doc_b = r.doc_id),
+      |drops AS (
+      |  SELECT doc_id AS drop_id FROM (
+      |    SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id)
+      |  WHERE doc_id <> cluster_id),
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
