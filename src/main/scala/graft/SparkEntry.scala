@@ -34,6 +34,9 @@ object SparkEntry {
     "events_salted_agg" -> wrap(Events.saltedAgg(_, _)),
     "events_props_extract" -> wrap(Events.propsExtract),
     "events_approx_users" -> wrap(Events.approxUsers(_, _)),
+    "events_retention" -> wrap(Events.retention),
+    "events_type_pivot" -> wrap(Events.typePivot),
+    "text_tfidf" -> wrap(TextAnalysis.tfidf(_, _)),
     "stac_parse_items" -> wrap(StacOps.parseItems),
     "stac_link_extract" -> wrap(StacOps.linkExtract),
     "stac_bbox_filter" -> wrap(StacOps.bboxFilter(_, _)),

@@ -100,7 +100,63 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** B14 — daily cohort retention: users grouped by first-seen day,
+    * fraction still active N days later (the canonical growth query:
+    * two self-referential aggregates, one broadcast-sized cohort dim).
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+    val cohorts = events.groupBy($"user_id")
+      .agg(min($"day").as("cohort_day"))
+    val activity = events.select($"user_id", $"day").distinct()
+    activity
+      .join(broadcast(cohorts), "user_id")
+      .withColumn("day_offset", datediff($"day", $"cohort_day").cast("long"))
+      .filter($"day_offset".isin(0L, 1L, 7L))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  /** B15 — pivot/crosstab: event counts per type as columns keyed by
+    * user cohort decile (`groupBy().pivot()` with an explicit value
+    * list keeps the schema static — the scale-safe pivot form).
+    */
+  def typePivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("user_bucket", ($"user_id" % 10).cast("int"))
+      .groupBy($"user_bucket")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_bucket")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |activity AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT c.cohort_day, (a.day - c.cohort_day)::BIGINT AS day_offset,
+        |  count(DISTINCT a.user_id) AS active_users
+        |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |WHERE (a.day - c.cohort_day) IN (0, 1, 7)
+        |GROUP BY c.cohort_day, (a.day - c.cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_type_pivot" ->
+      """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

@@ -153,7 +153,51 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E8 — TF-IDF top-3 terms per document: term explode → per-doc tf,
+    * per-term df, broadcast df join, rank on the (portably rounded)
+    * score. The one-explode-two-aggregates shape that scales linearly.
+    */
+  def tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.count().toDouble
+    val terms = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = W.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    terms.join(broadcast(df), "term")
+      .withColumn("tfidf",
+        floor($"tf" * log(lit(n) / $"df") * 1000000.0 + 0.5)
+          .cast("double") / 1000000.0)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"tfidf")
+      .orderBy($"doc_id", $"rnk")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    floor(tf.tf * ln(n.n / df.df) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (
         |  SELECT lang, string_split(text, ' ') AS toks FROM documents
