@@ -29,6 +29,9 @@ object SparkEntry {
     "running_revenue" -> wrap(Analytics.runningRevenue),
     "events_funnel" -> wrap(Analytics.eventsFunnel),
     "supplier_part_share" -> wrap(Analytics.supplierPartShare(_, _)),
+    "discounted_orders" -> wrap(Analytics.discountedOrders),
+    "customers_without_orders" -> wrap(Analytics.customersWithoutOrders),
+    "revenue_rollup" -> wrap(Analytics.revenueRollup),
     "events_sessionize" -> wrap(Events.sessionize(_, _)),
     "events_window_agg" -> wrap(Events.windowAgg),
     "events_salted_agg" -> wrap(Events.saltedAgg(_, _)),

@@ -176,7 +176,65 @@ object Analytics {
       .orderBy($"rnk")
   }
 
+  /** Semi-join (EXISTS): orders having at least one deep-discount
+    * line — `left_semi` never duplicates or widens the left side.
+    */
+  def discountedOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deep = Tables.load(spark, dir, "lineitem")
+      .filter($"l_discount" > 0.05)
+      .select($"l_orderkey")
+    Tables.load(spark, dir, "orders")
+      .join(deep, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Anti-join (NOT EXISTS): customers who never ordered. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders").select($"o_custkey")
+    Tables.load(spark, dir, "customer")
+      .join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  /** ROLLUP subtotals: revenue by (year, month) with month subtotals
+    * and a grand total — one pass, no union of aggregates.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .withColumn("yr", year($"o_orderdate").cast("long"))
+      .withColumn("mo", month($"o_orderdate").cast("long"))
+      .rollup($"yr", $"mo")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"yr".asc_nulls_first, $"mo".asc_nulls_first)
+  }
+
   val oracles: Map[String, String] = Map(
+    "discounted_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "revenue_rollup" ->
+      """SELECT year(o_orderdate)::BIGINT AS yr,
+        |  month(o_orderdate)::BIGINT AS mo,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate)::BIGINT, month(o_orderdate)::BIGINT)
+        |ORDER BY yr ASC NULLS FIRST, mo ASC NULLS FIRST""".stripMargin,
     "running_revenue" ->
       """WITH m AS (
         |  SELECT date_trunc('month', o_orderdate) AS month,
