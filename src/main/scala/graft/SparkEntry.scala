@@ -32,6 +32,7 @@ object SparkEntry {
     "discounted_orders" -> wrap(Analytics.discountedOrders),
     "customers_without_orders" -> wrap(Analytics.customersWithoutOrders),
     "revenue_rollup" -> wrap(Analytics.revenueRollup),
+    "geomean_order_value" -> wrap(Analytics.geomeanOrderValue),
     "events_sessionize" -> wrap(Events.sessionize(_, _)),
     "events_window_agg" -> wrap(Events.windowAgg),
     "events_salted_agg" -> wrap(Events.saltedAgg(_, _)),

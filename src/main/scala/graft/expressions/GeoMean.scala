@@ -1,0 +1,21 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregate (`Aggregator[IN, BUF, OUT]`): geometric mean
+  * via (Σ ln x, n) — the log-sum buffer merges associatively, so the
+  * aggregate partial-combines map-side like any built-in.
+  */
+object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+  override def zero: (Double, Long) = (0.0, 0L)
+  override def reduce(b: (Double, Long), x: Double): (Double, Long) =
+    (b._1 + math.log(x), b._2 + 1)
+  override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  override def finish(r: (Double, Long)): Double =
+    if (r._2 == 0) Double.NaN else math.exp(r._1 / r._2)
+  override def bufferEncoder: Encoder[(Double, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

@@ -215,7 +215,28 @@ object Analytics {
       .orderBy($"yr".asc_nulls_first, $"mo".asc_nulls_first)
   }
 
+  /** Custom typed Aggregator (UDAF): geometric-mean order value per
+    * priority — the log-sum buffer partial-aggregates map-side.
+    */
+  def geomeanOrderValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val geomean = udaf(graft.expressions.GeoMean)
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg((floor(geomean($"o_totalprice") * 10000.0 + 0.5)
+        .cast("double") / 10000.0).as("geomean_value"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
   val oracles: Map[String, String] = Map(
+    "geomean_order_value" ->
+      """SELECT o_orderpriority,
+        |  floor(exp(sum(ln(o_totalprice)) / count(*)) * 10000.0 + 0.5)
+        |    / 10000.0 AS geomean_value,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "discounted_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o
