@@ -71,6 +71,7 @@ object SparkEntry {
     "text_ngram_freq" -> wrap(TextAnalysis.ngramFreq(_, _)),
     "text_clean" -> wrap(TextAnalysis.clean),
     "multimodal_meta" -> wrap(Multimodal.mediaMeta),
+    "multimodal_frames" -> wrap(Multimodal.sampleFrames(_, _)),
     "stream_window_agg" -> wrap(graft.streaming.EventStreams.windowAgg),
     "stream_sessionize" -> wrap(graft.streaming.EventStreams.sessionize),
     "stream_dedup_count" -> wrap(graft.streaming.EventStreams.dedupCount),

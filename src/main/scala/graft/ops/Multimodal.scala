@@ -71,7 +71,42 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** F2 — frame sampling: explode each video payload into fixed-size
+    * frame chunks (first 4), with per-frame offset + content hash —
+    * the row-multiplying shape a video pipeline feeds to a decoder.
+    * Declarative (sequence + substring), so it carries a full oracle;
+    * the imperative batched variant lives in [[decodeStub]].
+    */
+  def sampleFrames(spark: SparkSession, dir: String,
+                   frameBytes: Int = 256, maxFrames: Int = 4): DataFrame = {
+    import spark.implicits._
+    withMedia(spark, dir)
+      .filter($"media_type" === "video/mp4")
+      .withColumn("frame_idx", explode(sequence(lit(0),
+        least(floor(($"n_bytes" - 1) / frameBytes).cast("int"),
+          lit(maxFrames - 1)))))
+      .withColumn("byte_offset", ($"frame_idx" * frameBytes).cast("long"))
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        $"byte_offset",
+        expr(s"md5(substring(payload, frame_idx * $frameBytes + 1, " +
+          s"$frameBytes))").as("frame_hash"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, text,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, least((n_bytes - 1) // 256 + 1, 4))) AS frame_idx
+        |  FROM v)
+        |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+        |  (frame_idx * 256)::BIGINT AS byte_offset,
+        |  md5(substring(text, (frame_idx * 256 + 1)::INT, 256)) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
