@@ -40,6 +40,8 @@ object SparkEntry {
     "events_approx_users" -> wrap(Events.approxUsers(_, _)),
     "events_retention" -> wrap(Events.retention),
     "events_type_pivot" -> wrap(Events.typePivot),
+    "events_value_percentiles" -> wrap(Events.valuePercentiles),
+    "events_type_cube" -> wrap(Events.typeBucketCube),
     "text_tfidf" -> wrap(TextAnalysis.tfidf(_, _)),
     "stac_parse_items" -> wrap(StacOps.parseItems),
     "stac_link_extract" -> wrap(StacOps.linkExtract),

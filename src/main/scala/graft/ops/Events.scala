@@ -136,7 +136,47 @@ object Events {
       .orderBy($"user_bucket")
   }
 
+  /** B20 — exact percentiles (median/p90/p99 of value per type):
+    * linear-interpolation percentile, the tail-latency staple.
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def p(q: Double) =
+      floor(expr(s"percentile(value, $q)") * 10000.0 + 0.5)
+        .cast("double") / 10000.0
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(p(0.5).as("p50"), p(0.9).as("p90"), p(0.99).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** B21 — CUBE: all grouping-set combinations of (type, user bucket)
+    * in one pass.
+    */
+  def typeBucketCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("user_bucket", ($"user_id" % 4).cast("long"))
+      .cube($"event_type", $"user_bucket")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"event_type".asc_nulls_first, $"user_bucket".asc_nulls_first)
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_value_percentiles" ->
+      """SELECT event_type,
+        |  floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |  floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_type_cube" ->
+      """SELECT event_type, (user_id % 4)::BIGINT AS user_bucket,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY CUBE (event_type, (user_id % 4)::BIGINT)
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
     "events_retention" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
