@@ -187,16 +187,21 @@ object Dedup {
   }
 
   /** C6 — near-dup CLUSTERS: connected components over the LSH pair
-    * graph via iterative min-label propagation (the transitive-closure
-    * dedup semantics — A~B, B~C ⇒ {A,B,C} one cluster, which greedy
-    * pair-dropping gets wrong). Converges in O(log n) rounds of one
-    * shuffle each; the driver-side loop only checks a changed-count.
+    * graph via min-label propagation WITH pointer jumping (each round
+    * also replaces a vertex's label by its label's label), the
+    * transitive-closure dedup semantics — A~B, B~C ⇒ {A,B,C} one
+    * cluster, which greedy pair-dropping gets wrong. Plain propagation
+    * needs O(diameter) rounds (a 50-doc chain = 50 shuffles); the jump
+    * halves the remaining diameter every round → O(log d) rounds, each
+    * one Spark job. The driver-side loop only reads a changed-count.
     */
   def clusters(spark: SparkSession, dir: String,
                threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
     import spark.implicits._
+    // localCheckpoint: materialize the LSH pairs once and cut the
+    // minhash lineage out of every iteration's plan.
     val pairs = minhashLsh(spark, dir, threshold)
-      .select($"doc_a", $"doc_b").cache()
+      .select($"doc_a", $"doc_b").localCheckpoint()
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .cache()
@@ -209,15 +214,25 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy($"doc_a").agg(min($"label").as("nmin"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("doc_a"), "left")
         .select($"doc_id",
           least($"label", coalesce($"nmin", $"label")).as("label"))
-        .cache()
-      val changed = updated.as("u")
+      // pointer jump: label ← label(label). Labels always point at a
+      // smaller vertex, so the lookup side is the same relation.
+      val lut = propagated.select($"doc_id".as("l_id"), $"label".as("l_lab"))
+      val jumped = propagated
+        .join(lut, propagated("label") === lut("l_id"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"l_lab", $"label")).as("label"))
+      // fuse update + changed-count into one job over one cached pass
+      val compared = jumped.as("u")
         .join(labels.as("l"), $"u.doc_id" === $"l.doc_id")
-        .filter($"u.label" =!= $"l.label").count()
-      labels = updated
+        .select($"u.doc_id".as("doc_id"), $"u.label".as("label"),
+          ($"u.label" =!= $"l.label").cast("long").as("chg"))
+        .cache()
+      val changed = compared.agg(sum($"chg")).as[Option[Long]].head.getOrElse(0L)
+      labels = compared.select($"doc_id", $"label").cache()
       converged = changed == 0
       iter += 1
     }

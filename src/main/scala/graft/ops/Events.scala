@@ -199,7 +199,7 @@ object Events {
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
     "events_props_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_salted_agg" ->
@@ -215,9 +215,9 @@ object Events {
         |      OR ts_us - prev_us > 1800000000::BIGINT THEN 1 ELSE 0 END AS is_new
         |  FROM lagged),
         |sess AS (
-        |  SELECT *, sum(is_new) OVER (
+        |  SELECT *, CAST(sum(is_new) OVER (
         |    PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us,

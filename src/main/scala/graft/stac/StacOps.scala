@@ -278,8 +278,8 @@ object StacOps {
         |FROM stac ORDER BY granule_id""".stripMargin),
     "stac_failed_links" -> (cte +
       """SELECT collection, CAST(ts AS DATE) AS day,
-        |  sum(CASE WHEN fetch_failed THEN 1 ELSE 0 END) AS n_failed,
-        |  sum(CASE WHEN fetch_failed THEN 0 ELSE 1 END) AS n_ok,
+        |  CAST(sum(CASE WHEN fetch_failed THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+        |  CAST(sum(CASE WHEN fetch_failed THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
         |  string_agg(CASE WHEN fetch_failed THEN url_stac END, ','
         |    ORDER BY CASE WHEN fetch_failed THEN url_stac END) AS failed_csv
         |FROM stac GROUP BY collection, CAST(ts AS DATE)

@@ -159,9 +159,9 @@ object EventStreams {
         |      OR ts_us - prev_us >= 1800000000::BIGINT THEN 1 ELSE 0 END AS is_new
         |  FROM lagged),
         |sess AS (
-        |  SELECT *, sum(is_new) OVER (
+        |  SELECT *, CAST(sum(is_new) OVER (
         |    PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id AS session_seq, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us,

@@ -18,6 +18,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def fam(t):
+    if t in INT_FAMILY:
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    return t  # HUGEINT, DECIMAL(...), VARCHAR, TIMESTAMP, ... stand alone
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -46,6 +58,18 @@ def main(sf_dir, out_dir):
                 f"SELECT {', '.join(e_cols)} FROM exp ORDER BY ALL").fetchall()
             if g_cols != e_cols:
                 print(f"FAIL {name}: columns {g_cols} != {e_cols}")
+                n_fail += 1
+                continue
+            # Type parity: the driver hashes stringified values, and
+            # e.g. DuckDB HUGEINT (sum over ints) stringifies unlike
+            # Spark BIGINT. Flag family-level mismatches here, not in
+            # the driver run (int-width diffs stringify identically).
+            g_types = dict(zip(got.columns, [str(t) for t in got.types]))
+            e_types = dict(zip(exp.columns, [str(t) for t in exp.types]))
+            type_diff = {c: (g_types[c], e_types[c]) for c in g_types
+                         if fam(g_types[c]) != fam(e_types[c])}
+            if type_diff:
+                print(f"FAIL {name}: type mismatch {type_diff}")
                 n_fail += 1
                 continue
             gs = [tuple(norm(v) for v in r) for r in got_rows]
