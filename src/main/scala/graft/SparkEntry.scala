@@ -78,7 +78,13 @@ object SparkEntry {
     "stream_sessionize" -> wrap(graft.streaming.EventStreams.sessionize),
     "stream_dedup_count" -> wrap(graft.streaming.EventStreams.dedupCount),
     "stream_user_totals" -> wrap(graft.streaming.EventStreams.userRunningTotals),
-    "curate_corpus" -> wrap(graft.ops.TextPipeline.curate(_, _))
+    "curate_corpus" -> wrap(graft.ops.TextPipeline.curate(_, _)),
+    "events_asof_join" -> wrap(graft.ops.AsOf.viewPurchase),
+    "dataset_split" -> wrap(graft.ops.Curation.datasetSplit),
+    "pack_sequences" -> wrap(graft.ops.Curation.packSequences(_, _)),
+    "contamination_check" -> wrap(graft.ops.Curation.contaminationCheck(_, _)),
+    "lang_mix_weights" -> wrap(graft.ops.Curation.langMixWeights),
+    "embedding_centroids" -> wrap(Similarity.labelCentroids)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +94,6 @@ object SparkEntry {
     Analytics.oracles ++ Events.oracles ++ StacOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ graft.streaming.EventStreams.oracles ++
-      graft.ops.TextPipeline.oracles
+      graft.ops.TextPipeline.oracles ++ graft.ops.AsOf.oracles ++
+      graft.ops.Curation.oracles
 }

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-corpus curation operators beyond cleaning/dedup: split
+  * assignment, sequence packing, benchmark-contamination checks, and
+  * domain-mixing weights — the bookkeeping a 100 TB data pipeline does
+  * after filtering and before tokenization.
+  */
+object Curation {
+
+  /** Deterministic train/val/test assignment from a content-stable
+    * hash (md5 of the doc id): bucket = last hex digit (0–15),
+    * train = 0–11, val = 12–13, test = 14–15 (75/12.5/12.5).
+    *
+    * Scale shape: a pure scan-side projection — no shuffle, no RNG
+    * state, reproducible under retries/re-partitioning, and any
+    * engine (here: DuckDB) derives the identical split, which is the
+    * property that matters for held-out hygiene.
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 32, 1),
+          16, 10).cast("long"))
+      .withColumn("split",
+        when($"bucket" < 12, "train")
+          .when($"bucket" < 14, "val")
+          .otherwise("test"))
+      .select($"doc_id", $"bucket", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** Sequence packing: concatenate documents (per language, in doc_id
+    * order) into fixed token-budget packs; a doc starts a new pack
+    * when the running total crosses the budget. One window per
+    * partition key — a single shuffle on `lang`; the cumulative sum is
+    * streaming within each sorted partition.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+                    budget: Int = 512): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .select($"doc_id", $"lang", $"n_tokens", $"pack_id")
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark-contamination check: corpus documents sharing any
+    * 8-token shingle with a held-out benchmark set (here: doc_id <
+    * 50). The benchmark's distinct shingles are BROADCAST — at 100 TB
+    * the corpus streams through a map-side hash probe; only matched
+    * (doc, gram) rows reach the count shuffle.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String,
+                         benchBelow: Long = 50L, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .withColumn("t", split($"text", " "))
+      .filter(size($"t") >= n)
+      .select($"doc_id", explode(array_distinct(transform(
+        sequence(lit(1), size($"t") - (n - 1)),
+        i => concat_ws(" ", slice($"t", i, lit(n)))))).as("gram"))
+    val bench = grams.filter($"doc_id" < benchBelow)
+      .select($"gram").distinct()
+    grams.filter($"doc_id" >= benchBelow)
+      .join(broadcast(bench), "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared")) // per-doc grams already distinct
+      .orderBy($"doc_id")
+  }
+
+  /** Domain-mixing weights: per-language resampling factor that would
+    * rebalance the corpus to uniform language shares
+    * (weight = total / (n_langs · count)). The stats frame is tiny —
+    * everything after the first groupBy is a broadcast-scale plan.
+    */
+  def langMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Window.partitionBy()
+    Tables.load(spark, dir, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("mix_weight", round(
+        sum($"n_docs").over(all).cast("double") /
+          (count(lit(1)).over(all) * $"n_docs"), 6))
+      .select($"lang", $"n_docs", $"mix_weight")
+      .orderBy($"lang")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dataset_split" ->
+      """SELECT doc_id,
+        |  strpos('0123456789abcdef',
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS bucket,
+        |  CASE WHEN strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 12
+        |    THEN 'train'
+        |  WHEN strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 14
+        |    THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "contamination_check" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ')
+        |    for i in range(1, len(t) - 6)]) AS grams
+        |  FROM toks WHERE len(t) >= 8),
+        |bench AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+        |corpus AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM corpus c JOIN bench b USING (gram)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "lang_mix_weights" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round((SELECT count(*) FROM documents)::DOUBLE /
+        |    ((SELECT count(DISTINCT lang) FROM documents) * count(*)),
+        |    6) AS mix_weight
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+}

@@ -249,7 +249,43 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Per-label centroids (class prototypes / one Lloyd step over given
+    * assignments). Distributed shape: posexplode to (label, dim) rows
+    * → partial-agg avg (map-side combine keeps the shuffle at
+    * labels×dims rows regardless of corpus size) → re-assemble the
+    * vector with a sorted collect_list. The tiny reassembly frame is
+    * labels×dims; the corpus is touched exactly once.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+    val dims = e.select($"label", posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy($"label", $"i")
+      // + 0.0 squashes IEEE negative zero (DuckDB round keeps -0.0)
+      .agg((round(avg($"v".cast("double")), 4) + 0.0).as("r"))
+    val centroids = dims.groupBy($"label").agg(
+      transform(array_sort(collect_list(struct($"i", $"r"))),
+        s => s.getField("r")).as("centroid"))
+    e.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+      .join(centroids, "label")
+      .select($"label", $"n_vecs", $"centroid")
+      .orderBy($"label")
+  }
+
   val oracles: Map[String, String] = Map(
+    "embedding_centroids" ->
+      """WITH x AS (
+        |  SELECT label, i, embedding[i]::DOUBLE AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+        |c AS (
+        |  SELECT label, i, round(avg(v), 4) + 0.0 AS r FROM x GROUP BY label, i),
+        |ctr AS (
+        |  SELECT label, array_agg(r ORDER BY i) AS centroid
+        |  FROM c GROUP BY label),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT n.label, n.n_vecs, ctr.centroid
+        |FROM n JOIN ctr USING (label) ORDER BY label""".stripMargin,
     "embedding_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOf, Curation}
+
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- generic as-of join semantics on a hand-built frame ---
+
+  private def asof(left: Seq[(Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    val l = left.toDF("k", "lts")
+    val r = right.toDF("k", "rts", "pay")
+    AsOf.joinAsOf(l, r, "k", "lts", "rts", Seq("pay"))
+      .select($"k", $"lts", $"pay").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+  }
+
+  test("as-of join picks latest right row at-or-before each left row") {
+    val got = asof(
+      left = Seq((1L, 10L), (1L, 25L), (1L, 5L)),
+      right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L)))
+    assert(got === Set(
+      (1L, 10L, Some(100L)), // tie: rts == lts matches (<= bound)
+      (1L, 25L, Some(200L)), // latest of {10, 20}
+      (1L, 5L, None)))       // nothing at-or-before → null payload
+  }
+
+  test("as-of join never crosses keys") {
+    val got = asof(
+      left = Seq((1L, 50L), (2L, 50L)),
+      right = Seq((1L, 40L, 100L)))
+    assert(got === Set((1L, 50L, Some(100L)), (2L, 50L, None)))
+  }
+
+  test("as-of query: every gap is non-negative, all purchases kept") {
+    val df = AsOf.viewPurchase(spark, sf)
+    val n = df.count()
+    val purchases = Tables.load(spark, sf, "events")
+      .filter($"event_type" === "purchase").count()
+    assert(n === purchases, "left join keeps every purchase")
+    assert(df.filter($"gap_us" < 0).count() === 0)
+  }
+
+  // --- curation operators ---
+
+  test("dataset split is deterministic, exhaustive, and ~75/12.5/12.5") {
+    val rows = Curation.datasetSplit(spark, sf).collect()
+    assert(rows.length === 500)
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"),
+      "train must be the large split")
+    // re-running yields byte-identical assignment (hash, not RNG)
+    val again = Curation.datasetSplit(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("sequence packing: packs are contiguous and within budget + tail doc") {
+    val budget = 512
+    val rows = Curation.packSequences(spark, sf, budget).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(2), r.getLong(0)))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      // pack ids per lang are dense from 0
+      val packs = docs.map(_._2).distinct.sorted
+      assert(packs.head === 0L && packs === (0L until packs.length).toArray.toSeq)
+      // a pack only exceeds the budget by (part of) its final doc
+      docs.groupBy(_._2).foreach { case (_, inPack) =>
+        val tokens = inPack.map(_._3).sum
+        val maxDoc = inPack.map(_._3).max
+        assert(tokens - maxDoc < budget,
+          "removing the last doc must bring the pack under budget")
+      }
+    }
+  }
+
+  test("contamination: flagged docs truly share an 8-gram with benchmark") {
+    val flagged = Curation.contaminationCheck(spark, sf).collect()
+    assert(flagged.forall(_.getLong(1) > 0))
+    // cross-check one flagged doc by brute force
+    flagged.headOption.foreach { r =>
+      val docId = r.getLong(0)
+      def grams(id: Long): Set[String] = {
+        val text = Tables.load(spark, sf, "documents")
+          .filter($"doc_id" === id).select($"text").head.getString(0)
+        text.split(" ").sliding(8).map(_.mkString(" ")).toSet
+      }
+      val bench = (0L until 50L).flatMap(grams).toSet
+      assert(grams(docId).intersect(bench).size === r.getLong(1))
+    }
+  }
+
+  test("mix weights rebalance to uniform language shares") {
+    val rows = Curation.langMixWeights(spark, sf).collect()
+    val reweighted = rows.map(r => r.getLong(1) * r.getDouble(2))
+    // n_docs × weight is the same (total/n_langs) for every language
+    assert(reweighted.map(x => math.round(x * 100)).distinct.length === 1)
+  }
+}
