@@ -84,7 +84,12 @@ object SparkEntry {
     "pack_sequences" -> wrap(graft.ops.Curation.packSequences(_, _)),
     "contamination_check" -> wrap(graft.ops.Curation.contaminationCheck(_, _)),
     "lang_mix_weights" -> wrap(graft.ops.Curation.langMixWeights),
-    "embedding_centroids" -> wrap(Similarity.labelCentroids)
+    "embedding_centroids" -> wrap(Similarity.labelCentroids),
+    "events_range_join" -> wrap((s, d) => graft.ops.RangeJoin.busyWindows(s, d)),
+    "events_latest_state" -> wrap(Events.latestState),
+    "text_regex_tokens" -> wrap(TextAnalysis.regexTokens),
+    "vocab_top" -> wrap((s, d) => TextAnalysis.vocabulary(s, d)),
+    "oov_rate" -> wrap((s, d) => TextAnalysis.oovRate(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +100,5 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ graft.streaming.EventStreams.oracles ++
       graft.ops.TextPipeline.oracles ++ graft.ops.AsOf.oracles ++
-      graft.ops.Curation.oracles
+      graft.ops.Curation.oracles ++ graft.ops.RangeJoin.oracles
 }

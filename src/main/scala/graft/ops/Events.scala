@@ -163,7 +163,41 @@ object Events {
       .orderBy($"event_type".asc_nulls_first, $"user_bucket".asc_nulls_first)
   }
 
+  /** Latest-snapshot compaction (CDC shape): one row per key holding
+    * the most recent event's payload. Implemented as `max(struct(ts,
+    * id, payload…))` — an ASSOCIATIVE argmax that partial-aggregates
+    * map-side, so the shuffle carries one row per (partition, key).
+    * The window-function formulation (row_number DESC = 1) would
+    * shuffle every raw row and sort; this shape is the one that
+    * compacts a 100 TB changelog. (ts, event_id) is unique, so the
+    * trailing struct fields never decide the ordering.
+    */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(struct(expr("ts DIV 1000").as("us"), $"event_id",
+        $"event_type",
+        (floor($"value" * 100.0 + 0.5).cast("double") / 100.0).as("v")))
+        .as("last"))
+      .select($"user_id", $"last.us".as("last_us"),
+        $"last.event_id".as("last_event_id"),
+        $"last.event_type".as("last_type"),
+        $"last.v".as("last_value"))
+      .orderBy($"user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_latest_state" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS last_us,
+        |    event_id AS last_event_id, event_type AS last_type,
+        |    floor(value * 100.0 + 0.5) / 100.0 AS last_value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, last_us, last_event_id, last_type, last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "events_value_percentiles" ->
       """SELECT event_type,
         |  floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,

@@ -177,7 +177,110 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** E9 — regex tokenization (the BPE-pre-tokenizer shape): letter
+    * runs / digit runs / punctuation runs as separate tokens. The
+    * alternatives have disjoint first characters, so alternation-order
+    * semantics (Java regex vs RE2) can't change the result — the
+    * property that makes the count oracle-portable.
+    */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val full = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+"
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", regexp_extract_all($"text", lit(full), lit(0)))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tok"),
+        size(array_distinct($"toks")).cast("long").as("n_uniq"),
+        size(regexp_extract_all($"text", lit("[A-Za-z]+"), lit(0)))
+          .cast("long").as("n_alpha"),
+        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_num"))
+      .withColumn("n_punct", $"n_tok" - $"n_alpha" - $"n_num")
+      .orderBy($"doc_id")
+  }
+
+  private def tokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+  }
+
+  /** E10 — vocabulary build: top-V corpus tokens by frequency
+    * (deterministic tiebreak: token asc). The orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition top-V heaps merged on the
+    * driver, never a single-partition global sort of the full vocab —
+    * so only the final V×1 rank window is serial.
+    */
+  def vocabulary(spark: SparkSession, dir: String,
+                 topV: Int = 500): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val top = tokens(spark, dir)
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token").limit(topV)
+    top.withColumn("rank",
+        row_number().over(W.orderBy($"freq".desc, $"token")).cast("long"))
+      .orderBy($"rank")
+  }
+
+  /** E11 — out-of-vocabulary rate per document against the top-V
+    * vocabulary: token stream LEFT-joins the BROADCAST vocab (tiny by
+    * construction), so the corpus never shuffles on token.
+    */
+  def oovRate(spark: SparkSession, dir: String,
+              topV: Int = 10): DataFrame = {
+    import spark.implicits._
+    val vocab = vocabulary(spark, dir, topV)
+      .select($"token", lit(1).as("in_v"))
+    tokens(spark, dir)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        roundP($"n_oov".cast("double") / $"n_tok"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_regex_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+'))::BIGINT AS n_tok,
+        |  len(list_distinct(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+')))::BIGINT AS n_uniq,
+        |  len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_alpha,
+        |  len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_num,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+'))::BIGINT
+        |    - len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT
+        |    - len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_top" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |f AS (
+        |  SELECT token, count(*) AS freq FROM t WHERE token <> ''
+        |  GROUP BY token)
+        |SELECT token, freq,
+        |  row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |FROM f ORDER BY freq DESC, token LIMIT 500""".stripMargin,
+    "oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |vocab AS (
+        |  SELECT token FROM t GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 10)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  floor(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*) * 10000.0 + 0.5) / 10000.0 AS oov_rate
+        |FROM t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
