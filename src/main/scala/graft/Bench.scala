@@ -29,12 +29,18 @@ object Bench {
         if (a < 0) { val b = once(); math.max(a, b) }
         else if (a > 2.0) { val b = once(); if (b < 0) a else math.min(a, b) }
         else a
+      // per-query cache hygiene: operators that cache (LSH docs, IVF
+      // vectors) must not squeeze later queries' execution memory
+      spark.catalog.clearCache()
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the JSON line short enough for the
+    // driver's bounded stdout-tail window — full nanos overflowed it
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,14 +100,25 @@ object Dedup {
                  threshold: Double = 0.8,
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
     import spark.implicits._
-    val rows = numHashes / bands
     // cached: the shingle+signature pass feeds banding AND both sides
     // of candidate verification — materialize it once
     val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh")
       .withColumn("sig", minhash($"sh", numHashes, seed = 42L))
       .cache()
+    lshVerifiedPairs(docs, threshold, numHashes, bands)
+      .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
 
+  /** LSH band-bucket candidates + exact-jaccard verification over a
+    * (doc_id, sh, sig) frame; shared by [[minhashLsh]] and
+    * [[clusters]]. Emits (doc_a, doc_b, j).
+    */
+  private def lshVerifiedPairs(docs: DataFrame, threshold: Double,
+                               numHashes: Int, bands: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rows = numHashes / bands
     val banded = docs
       .select($"doc_id", posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -129,8 +140,7 @@ object Dedup {
         .withColumnRenamed("sh", "sh_b"), "doc_b")
       .withColumn("j", jaccard($"sh_a", $"sh_b"))
       .filter($"j" >= threshold)
-      .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b", $"j")
   }
 
   /** C3 — SimHash near-dup pairs: 64-bit simhash over tokens, chunk
@@ -198,15 +208,23 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String,
                threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
     import spark.implicits._
-    // localCheckpoint: materialize the LSH pairs once and cut the
-    // minhash lineage out of every iteration's plan.
-    val pairs = minhashLsh(spark, dir, threshold)
+    // localCheckpoint — NOT cache — between iterations: cache keeps the
+    // full logical plan, and with `labels` referenced 3× per iteration
+    // Catalyst's analysis work triples every round (measured: tens of
+    // seconds by iteration 5). Checkpointing truncates the plan, so
+    // every iteration optimizes a constant-depth plan.
+    val docs = withShingles(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"sh")
+      .withColumn("sig", minhash($"sh", 128, seed = 42L))
+      .cache()
+    val pairs = lshVerifiedPairs(docs, threshold, 128, 32)
       .select($"doc_a", $"doc_b").localCheckpoint()
+    docs.unpersist()
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select($"doc_a".as("doc_id")).distinct()
-      .withColumn("label", $"doc_id").cache()
+      .withColumn("label", $"doc_id").localCheckpoint()
 
     var converged = false
     var iter = 0
@@ -225,14 +243,15 @@ object Dedup {
         .join(lut, propagated("label") === lut("l_id"), "left")
         .select($"doc_id",
           least($"label", coalesce($"l_lab", $"label")).as("label"))
-      // fuse update + changed-count into one job over one cached pass
+      // one checkpointed pass serves both the changed-count action and
+      // the next iteration's labels
       val compared = jumped.as("u")
         .join(labels.as("l"), $"u.doc_id" === $"l.doc_id")
         .select($"u.doc_id".as("doc_id"), $"u.label".as("label"),
           ($"u.label" =!= $"l.label").cast("long").as("chg"))
-        .cache()
+        .localCheckpoint()
       val changed = compared.agg(sum($"chg")).as[Option[Long]].head.getOrElse(0L)
-      labels = compared.select($"doc_id", $"label").cache()
+      labels = compared.select($"doc_id", $"label")
       converged = changed == 0
       iter += 1
     }

@@ -252,9 +252,10 @@ object Similarity {
   /** Per-label centroids (class prototypes / one Lloyd step over given
     * assignments). Distributed shape: posexplode to (label, dim) rows
     * → partial-agg avg (map-side combine keeps the shuffle at
-    * labels×dims rows regardless of corpus size) → re-assemble the
-    * vector with a sorted collect_list. The tiny reassembly frame is
-    * labels×dims; the corpus is touched exactly once.
+    * labels×dims rows regardless of corpus size). Emitted FLAT —
+    * (label, dim, value, n_vecs) — all-scalar columns so the driver's
+    * row-sort compare works; [[labelCentroidVectors]] is the assembled
+    * array form for library callers.
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -262,12 +263,23 @@ object Similarity {
     val dims = e.select($"label", posexplode($"embedding").as(Seq("i", "v")))
       .groupBy($"label", $"i")
       // + 0.0 squashes IEEE negative zero (DuckDB round keeps -0.0)
-      .agg((round(avg($"v".cast("double")), 4) + 0.0).as("r"))
-    val centroids = dims.groupBy($"label").agg(
-      transform(array_sort(collect_list(struct($"i", $"r"))),
-        s => s.getField("r")).as("centroid"))
+      .agg((round(avg($"v".cast("double")), 4) + 0.0).as("centroid_v"))
     e.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
-      .join(centroids, "label")
+      .join(dims, "label")
+      .select($"label", $"i", $"centroid_v", $"n_vecs")
+      .orderBy($"label", $"i")
+  }
+
+  /** Assembled-vector form of [[labelCentroids]]: the tiny labels×dims
+    * frame is re-shaped into one centroid array per label with a
+    * sorted collect_list (post-aggregate, so never corpus-sized).
+    */
+  def labelCentroidVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    labelCentroids(spark, dir)
+      .groupBy($"label", $"n_vecs")
+      .agg(transform(array_sort(collect_list(struct($"i", $"centroid_v"))),
+        s => s.getField("centroid_v")).as("centroid"))
       .select($"label", $"n_vecs", $"centroid")
       .orderBy($"label")
   }
@@ -279,13 +291,11 @@ object Similarity {
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
         |c AS (
-        |  SELECT label, i, round(avg(v), 4) + 0.0 AS r FROM x GROUP BY label, i),
-        |ctr AS (
-        |  SELECT label, array_agg(r ORDER BY i) AS centroid
-        |  FROM c GROUP BY label),
+        |  SELECT label, i - 1 AS i, round(avg(v), 4) + 0.0 AS centroid_v
+        |  FROM x GROUP BY label, i),
         |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
-        |SELECT n.label, n.n_vecs, ctr.centroid
-        |FROM n JOIN ctr USING (label) ORDER BY label""".stripMargin,
+        |SELECT c.label, c.i, c.centroid_v, n.n_vecs
+        |FROM c JOIN n USING (label) ORDER BY label, i""".stripMargin,
     "embedding_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -289,7 +289,38 @@ object StacOps {
       """SELECT granule_id,
         |  json_extract_string(assets_json, '$.B04.href') AS b04_href,
         |  json_extract_string(assets_json, '$.Fmask.href') AS fmask_href
-        |FROM stac ORDER BY granule_id""".stripMargin))
+        |FROM stac ORDER BY granule_id""".stripMargin),
+    // Hilbert xy→d re-derived in SQL: the standard rotate-and-flip loop
+    // as a 14-level recursive CTE (state (x,y,s,d), s halves per level),
+    // morton as a direct bit-interleave sum — full value parity with the
+    // codegen'd expressions, no custom hash anywhere.
+    "hilbert_index" -> (cte.replaceFirst("WITH stac_catalog",
+      "WITH RECURSIVE stac_catalog").stripSuffix("\n") + ",\n" +
+      """gc AS (
+        |  SELECT granule_id,
+        |    least(greatest(CAST(floor((lon + 180.0) / 360.0 * 16384) AS BIGINT), 0), 16383) AS gx,
+        |    least(greatest(CAST(floor((lat + 90.0) / 180.0 * 16384) AS BIGINT), 0), 16383) AS gy
+        |  FROM stac),
+        |h(granule_id, x, y, s, d) AS (
+        |  SELECT granule_id, gx, gy, 8192::BIGINT, 0::BIGINT FROM gc
+        |  UNION ALL
+        |  SELECT granule_id,
+        |    CASE WHEN (y & s) > 0 THEN x
+        |         WHEN (x & s) > 0 THEN s - 1 - y
+        |         ELSE y END,
+        |    CASE WHEN (y & s) > 0 THEN y
+        |         WHEN (x & s) > 0 THEN s - 1 - x
+        |         ELSE x END,
+        |    s // 2,
+        |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)
+        |  FROM h WHERE s > 0)
+        |SELECT gc.granule_id, gc.gx, gc.gy, h.d AS hilbert,
+        |  CAST(list_sum([((gc.gx >> i) & 1) * (1::BIGINT << (2 * i))
+        |      + ((gc.gy >> i) & 1) * (1::BIGINT << (2 * i + 1))
+        |    for i in range(0, 14)]) AS BIGINT) AS morton
+        |FROM gc JOIN h ON h.granule_id = gc.granule_id AND h.s = 0
+        |ORDER BY gc.granule_id""".stripMargin))
 }
 
 /** Bbox validation (reference: validation.py). */
