@@ -89,7 +89,11 @@ object SparkEntry {
     "events_latest_state" -> wrap(Events.latestState),
     "text_regex_tokens" -> wrap(TextAnalysis.regexTokens),
     "vocab_top" -> wrap((s, d) => TextAnalysis.vocabulary(s, d)),
-    "oov_rate" -> wrap((s, d) => TextAnalysis.oovRate(s, d))
+    "oov_rate" -> wrap((s, d) => TextAnalysis.oovRate(s, d)),
+    "doc_chunks" -> wrap(TextAnalysis.chunkDocuments(_, _)),
+    "token_histogram" -> wrap(TextAnalysis.tokenHistogram(_, _)),
+    "sample_stratified" -> wrap(graft.ops.Curation.stratifiedSample),
+    "global_shuffle" -> wrap(graft.ops.Curation.globalShuffle)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -96,7 +96,87 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** H6 — deterministic stratified sampling: downsample every language
+    * to (approximately) the rarest language's share by keeping a doc
+    * iff its content-stable hash bucket falls under the language's
+    * rate. Same reproducibility stance as [[datasetSplit]] — no RNG
+    * state, stable under retries, any engine re-derives the keep set.
+    * The per-lang stats frame is tiny and broadcast; the corpus is one
+    * scan-side filter.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val rates = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        min($"n_docs").over(Window.partitionBy()).cast("double") / $"n_docs")
+      .select($"lang", $"rate")
+    docs.join(broadcast(rates), "lang")
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 2),
+          16, 10).cast("long"))
+      .filter($"bucket".cast("double") / 256.0 < $"rate")
+      .select($"doc_id", $"lang", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** H7 — deterministic global shuffle rank (training-order
+    * randomization): order by a content-stable hash key. The global
+    * rank is computed WITHOUT a single-partition sort: the first hex
+    * digit of the key splits the key space into 16 ordered ranges,
+    * ranks are per-range row_numbers plus broadcast range offsets —
+    * concatenated ranges ARE the global hash order. At 100 TB the
+    * ranges are just more numerous (a longer prefix); nothing is ever
+    * globally sorted on one node.
+    */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.load(spark, dir, "documents")
+      .select($"doc_id")
+      .withColumn("sk",
+        md5(concat(lit("shuffle:"), $"doc_id".cast("string")).cast("binary")))
+      .withColumn("bkt", conv(substring($"sk", 1, 1), 16, 10).cast("int"))
+    // 16-row offsets frame: docs below each key range (hex-char string
+    // order == hex value order, so range concatenation is global order)
+    val offsets = keyed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum($"cnt").over(Window.orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"offset")
+    val w = Window.partitionBy($"bkt").orderBy($"sk", $"doc_id")
+    keyed.join(broadcast(offsets), "bkt")
+      .withColumn("rank", (row_number().over(w) + $"offset").cast("long"))
+      .select($"doc_id", $"sk", $"rank")
+      .orderBy($"rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang,
+        |    (min(n_docs) OVER ())::DOUBLE / n_docs AS rate FROM c),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    ((strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)::BIGINT
+        |      AS bucket
+        |  FROM documents)
+        |SELECT b.doc_id, b.lang, b.bucket
+        |FROM b JOIN r USING (lang)
+        |WHERE b.bucket::DOUBLE / 256.0 < r.rate
+        |ORDER BY doc_id""".stripMargin,
+    "global_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents)
+        |SELECT doc_id, sk,
+        |  row_number() OVER (ORDER BY sk, doc_id) AS rank
+        |FROM k ORDER BY rank""".stripMargin,
     "dataset_split" ->
       """SELECT doc_id,
         |  strpos('0123456789abcdef',

@@ -243,7 +243,72 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E12 — context-window chunking: each document's token stream cut
+    * into fixed-size overlapping windows (size 64, stride 48) — the
+    * row-multiplying step before tokenization in a training pipeline.
+    * Pure per-row explode (no shuffle); emits a per-chunk hash so the
+    * artifact stays narrow at any corpus size.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    import spark.implicits._
+    val stride = chunkSize - overlap
+    Tables.load(spark, dir, "documents")
+      .withColumn("t", split($"text", " "))
+      .withColumn("n", size($"t").cast("long"))
+      .withColumn("n_chunks",
+        when($"n" <= chunkSize, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(n - $chunkSize + ${stride - 1}) div $stride")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), $"n_chunks" - 1)))
+      .withColumn("start", $"chunk_idx" * stride)
+      .select($"doc_id", $"chunk_idx",
+        least($"n" - $"start", lit(chunkSize.toLong)).as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice($"t", ($"start" + 1).cast("int"), lit(chunkSize)))
+          .cast("binary")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** E13 — token-count histogram: fixed-width bins (top bin open) with
+    * per-bin count and range. One partial-aggregated groupBy over a
+    * scan-side projection — the constant-output corpus profile.
+    */
+  def tokenHistogram(spark: SparkSession, dir: String,
+                     binWidth: Int = 32, maxBins: Int = 10): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("n", size(split($"text", " ")).cast("long"))
+      .withColumn("bin", least(expr(s"n div $binWidth"), lit(maxBins - 1L)))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), min($"n").as("min_tokens"),
+        max($"n").as("max_tokens"))
+      .orderBy($"bin")
+  }
+
   val oracles: Map[String, String] = Map(
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |      ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |  least(n - chunk_idx * 48, 64)::BIGINT AS chunk_tokens,
+        |  md5(array_to_string(
+        |    tk[(chunk_idx * 48 + 1)::INT : (chunk_idx * 48 + 64)::INT],
+        |    ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "token_histogram" ->
+      """WITH t AS (
+        |  SELECT len(string_split(text, ' '))::BIGINT AS n FROM documents)
+        |SELECT least(n // 32, 9) AS bin, count(*) AS n_docs,
+        |  min(n) AS min_tokens, max(n) AS max_tokens
+        |FROM t GROUP BY 1 ORDER BY bin""".stripMargin,
     "text_regex_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text,

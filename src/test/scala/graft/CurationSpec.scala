@@ -99,4 +99,29 @@ class CurationSpec extends SparkSpecBase {
     // n_docs × weight is the same (total/n_langs) for every language
     assert(reweighted.map(x => math.round(x * 100)).distinct.length === 1)
   }
+
+  test("global shuffle: ranks are a permutation in exact hash order") {
+    val rows = Curation.globalShuffle(spark, sf)
+      .select($"rank", $"sk").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._1).sorted.toSeq === (1L to rows.length).toSeq,
+      "ranks are dense 1..n")
+    // bucket-offset composition must equal one global sort of the key
+    assert(rows.sortBy(_._1).map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+  }
+
+  test("stratified sample keeps every language near the rarest share") {
+    val docs = Tables.load(spark, sf, "documents")
+    val minShare = docs.groupBy($"lang").count().agg(min($"count"))
+      .head.getLong(0).toDouble
+    val kept = Curation.stratifiedSample(spark, sf)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty)
+    kept.values.foreach { n =>
+      // 2-digit hash buckets: expect ±40% of the target at sf0.001 sizes
+      assert(n <= minShare * 1.4 && n >= minShare * 0.4,
+        s"per-lang kept count $n far from target $minShare")
+    }
+  }
 }

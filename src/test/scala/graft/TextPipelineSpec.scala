@@ -5,6 +5,25 @@ import graft.ops.{Dedup, TextPipeline}
 class TextPipelineSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("chunking covers every token once per window at the right stride") {
+    val chunks = ops.TextAnalysis.chunkDocuments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nTokens = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val n = nTokens(docId)
+      // chunk indices dense from 0; all full-size except possibly last
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0L until cs.length).toSeq)
+      sorted.init.foreach { case (_, _, tok) => assert(tok === 64L) }
+      // stride 48 + final size lands exactly on the document's end
+      val (_, lastIdx, lastTok) = sorted.last
+      assert(lastIdx * 48 + lastTok === n,
+        s"doc $docId: last chunk must reach token $n")
+    }
+  }
+
   test("curation drops near-dup doc_b ids and low-quality docs") {
     val curated = TextPipeline.curate(spark, sf).collect()
     assert(curated.nonEmpty && curated.length < 500)
