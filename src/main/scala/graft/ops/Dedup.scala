@@ -263,6 +263,48 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** DuckDB re-derivation of the simhash pipeline (Hash64.fnv1a64 +
+    * splitmix64 + per-bit vote), built from [[OracleU64]]'s helpers.
+    * Chained CTEs keep each step evaluated once.
+    */
+  private val simhashOracle: String = {
+    import OracleU64._
+    // FNV-1a xor step touches only the low byte, so it stays in-lane
+    val fnvStep = "(((h // 256) * 256 + " +
+      "xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT) * " +
+      s"1099511628211::HUGEINT) % $Two64"
+    s"""WITH RECURSIVE pow(j, w) AS (
+       |  SELECT 0, 1::HUGEINT
+       |  UNION ALL SELECT j + 1, w * 2 FROM pow WHERE j < 63),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |f0 AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      [unicode(c)::HUGEINT for c in string_split(t, '')]),
+       |    (h, c) -> $fnvStep) AS f
+       |  FROM tok),
+       |s1 AS (SELECT doc_id, ${mixStep1("f")} AS x FROM f0),
+       |s2 AS (SELECT doc_id, ${mixStep2("x")} AS x FROM s1),
+       |s3 AS (SELECT doc_id, ${mixStep3("x")} AS x FROM s2),
+       |s4 AS (SELECT doc_id, ${u2s(xor64("x", shr("x", 31)))} AS th FROM s3),
+       |bits AS (
+       |  SELECT doc_id, th, unnest(range(0, 64)) AS j FROM s4),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM bits GROUP BY doc_id, j),
+       |sims AS (
+       |  SELECT doc_id, ${u2s(
+            "coalesce(sum(CASE WHEN v > 0 THEN w END), 0::HUGEINT)")} AS sh
+       |  FROM votes JOIN pow USING (j) GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.sh, b.sh)) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** DuckDB-side shingle CTE shared by the jaccard oracles. */
   private val shingleCte =
     """WITH toks AS (
@@ -275,6 +317,7 @@ object Dedup {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
@@ -327,4 +370,49 @@ object Dedup {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         |    b.embedding::DOUBLE[]) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin)
+}
+
+/** SQL-text builders for unsigned 64-bit arithmetic in DuckDB, used to
+  * re-derive graft's hash expressions (Hash64.splitmix64 etc.) inside
+  * oracles: values ride in HUGEINT with explicit mod-2^64 wraparound;
+  * xor drops to signed BIGINT (bit-identical two's complement) and
+  * back; multiplication splits the constant into 32-bit halves so no
+  * partial product overflows INT128.
+  */
+private[ops] object OracleU64 {
+  val Two64 = "18446744073709551616::HUGEINT"
+
+  /** unsigned hugeint → the same 64 bits as signed BIGINT */
+  def u2s(e: String): String =
+    s"(CASE WHEN $e >= 9223372036854775808::HUGEINT THEN $e - $Two64 ELSE $e END)::BIGINT"
+
+  /** signed 64-bit → unsigned hugeint */
+  def s2u(e: String): String =
+    s"(CASE WHEN $e < 0 THEN $e::HUGEINT + $Two64 ELSE $e::HUGEINT END)"
+
+  def xor64(a: String, b: String): String = s2u(s"xor(${u2s(a)}, ${u2s(b)})")
+
+  /** logical right shift (values are non-negative hugeints) */
+  def shr(e: String, n: Int): String = s"($e // ${1L << n}::HUGEINT)"
+
+  def mulMod(a: String, b: BigInt): String = {
+    val blo = b & 0xFFFFFFFFL
+    val bhi = b >> 32
+    val alo = s"($a % 4294967296::HUGEINT)"
+    val ahi = s"($a // 4294967296::HUGEINT)"
+    s"(($alo * $blo::HUGEINT + (($alo * $bhi::HUGEINT + $ahi * $blo::HUGEINT)" +
+      s" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $Two64)"
+  }
+
+  /** splitmix64 steps (Hash64.splitmix64): seed-add, two xor-shift
+    * multiplies, final xor-shift. Meant for chained CTEs so each step's
+    * input is a named column evaluated once.
+    */
+  def mixStep1(e: String): String =
+    s"(($e + 11400714819323198485::HUGEINT) % $Two64)"
+  def mixStep2(e: String): String =
+    mulMod(xor64(e, shr(e, 30)), BigInt("13787848793156543929"))
+  def mixStep3(e: String): String =
+    mulMod(xor64(e, shr(e, 27)), BigInt("10723151780598845931"))
+  def mixStep4(e: String): String = xor64(e, shr(e, 31))
 }

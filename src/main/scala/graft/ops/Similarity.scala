@@ -284,7 +284,118 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** DuckDB re-derivation of the random-hyperplane LSH: the plane
+    * components come from Hash64.splitmix64, which [[OracleU64]]
+    * rebuilds in SQL; dot products use an index-ordered list_reduce so
+    * the IEEE summation order (and hence every sign) matches the
+    * codegen'd DotProduct kernel bit-for-bit.
+    */
+  private def lshOracleSingle: String = {
+    import OracleU64._
+    s"""WITH seeds AS (
+       |  SELECT p, j, (p * 64 + j)::HUGEINT AS x0
+       |  FROM (SELECT unnest(range(0, 16)) AS p),
+       |       (SELECT unnest(range(0, 64)) AS j)),
+       |m1 AS (SELECT p, j, ${mixStep1("x0")} AS x FROM seeds),
+       |m2 AS (SELECT p, j, ${mixStep2("x")} AS x FROM m1),
+       |m3 AS (SELECT p, j, ${mixStep3("x")} AS x FROM m2),
+       |m4 AS (SELECT p, j, ${mixStep4("x")} AS h FROM m3),
+       |comps AS (SELECT p, j,
+       |  ${shr("h", 11)}::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS comp
+       |  FROM m4),
+       |planes AS (
+       |  SELECT p, array_agg(comp ORDER BY j) AS pl FROM comps GROUP BY p),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p, list_reduce(
+       |    list_prepend(0.0::DOUBLE, [pl[i] * e[i] for i in range(1, 65)]),
+       |    (a, b) -> a + b) AS d
+       |  FROM v CROSS JOIN planes),
+       |buckets AS (
+       |  SELECT vec_id, CAST(coalesce(
+       |    sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) END), 0) AS BIGINT)
+       |    AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |q AS (
+       |  SELECT vec_id AS query_id, e AS qe, bucket AS qbucket
+       |  FROM v JOIN buckets USING (vec_id) WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qe, qbucket AS probe FROM q
+       |  UNION ALL
+       |  SELECT query_id, qe, xor(qbucket, (1::BIGINT << p))
+       |  FROM q, (SELECT unnest(range(0, 16)) AS p)),
+       |cand AS (
+       |  SELECT pr.query_id, pr.qe, b.vec_id, v2.e
+       |  FROM probes pr
+       |  JOIN buckets b ON b.bucket = pr.probe AND b.vec_id <> pr.query_id
+       |  JOIN v v2 ON v2.vec_id = b.vec_id),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    list_cosine_similarity(qe, e) AS cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qe, e) DESC, vec_id) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       |FROM scored WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Multi-table variant: 8 tables × 8 planes, seed ((t·31+p)·64+j)+1,
+    * any-table collision, candidates deduped before scoring — exactly
+    * [[knnLshMulti]]'s shape.
+    */
+  private def lshOracleMulti: String = {
+    import OracleU64._
+    s"""WITH seeds AS (
+       |  SELECT t, p, j, (((t * 31 + p) * 64 + j) + 1)::HUGEINT AS x0
+       |  FROM (SELECT unnest(range(0, 8)) AS t),
+       |       (SELECT unnest(range(0, 8)) AS p),
+       |       (SELECT unnest(range(0, 64)) AS j)),
+       |m1 AS (SELECT t, p, j, ${mixStep1("x0")} AS x FROM seeds),
+       |m2 AS (SELECT t, p, j, ${mixStep2("x")} AS x FROM m1),
+       |m3 AS (SELECT t, p, j, ${mixStep3("x")} AS x FROM m2),
+       |m4 AS (SELECT t, p, j, ${mixStep4("x")} AS h FROM m3),
+       |comps AS (SELECT t, p, j,
+       |  ${shr("h", 11)}::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS comp
+       |  FROM m4),
+       |planes AS (
+       |  SELECT t, p, array_agg(comp ORDER BY j) AS pl
+       |  FROM comps GROUP BY t, p),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, t, p, list_reduce(
+       |    list_prepend(0.0::DOUBLE, [pl[i] * e[i] for i in range(1, 65)]),
+       |    (a, b) -> a + b) AS d
+       |  FROM v CROSS JOIN planes),
+       |buckets AS (
+       |  SELECT vec_id, t, CAST(coalesce(
+       |    sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) END), 0) AS BIGINT)
+       |    AS bucket
+       |  FROM dots GROUP BY vec_id, t),
+       |q AS (
+       |  SELECT vec_id AS query_id, t, bucket FROM buckets
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id
+       |  FROM q JOIN buckets b
+       |    ON b.t = q.t AND b.bucket = q.bucket AND b.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(vq.e, vn.e) AS cos,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(vq.e, vn.e) DESC, c.vec_id)
+       |      AS rnk
+       |  FROM cand c
+       |  JOIN v vq ON vq.vec_id = c.query_id
+       |  JOIN v vn ON vn.vec_id = c.vec_id)
+       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       |FROM scored WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "knn_lsh" -> lshOracleSingle,
+    "knn_lsh_multi" -> lshOracleMulti,
     "embedding_centroids" ->
       """WITH x AS (
         |  SELECT label, i, embedding[i]::DOUBLE AS v
