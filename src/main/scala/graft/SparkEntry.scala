@@ -93,7 +93,10 @@ object SparkEntry {
     "doc_chunks" -> wrap(TextAnalysis.chunkDocuments(_, _)),
     "token_histogram" -> wrap(TextAnalysis.tokenHistogram(_, _)),
     "sample_stratified" -> wrap(graft.ops.Curation.stratifiedSample),
-    "global_shuffle" -> wrap(graft.ops.Curation.globalShuffle)
+    "global_shuffle" -> wrap(graft.ops.Curation.globalShuffle),
+    "text_repetition" -> wrap(TextAnalysis.repetition),
+    "text_entropy" -> wrap(TextAnalysis.charEntropy),
+    "text_pii_scrub" -> wrap(TextAnalysis.piiScrub)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -286,7 +286,204 @@ object TextAnalysis {
       .orderBy($"bin")
   }
 
+  /** E14 — repetition profile (the Gopher-style repetition quality
+    * gate): per-document duplicate-token fraction, most-frequent
+    * unigram/bigram shares, and longest same-token run. Token stream
+    * partial-aggregates per (doc, gram); the run-length pass is a
+    * per-doc window — every shuffle is keyed by doc_id, so the op
+    * scales with corpus size, never vocabulary size. The flag uses
+    * integer arithmetic (5·top > n) so both engines decide identically.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") > 0)
+    val tok = docs.select($"doc_id", posexplode($"toks").as(Seq("pos", "token")))
+    val uni = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+    val stats = uni.groupBy($"doc_id").agg(
+      sum($"c").as("n_tok"), max($"c").as("top_tok"),
+      count(lit(1)).as("n_uniq"))
+    val bigTop = docs.filter(size($"toks") >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", slice($"toks", i, lit(2))))).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_big"))
+    val w = W.partitionBy($"doc_id").orderBy($"pos")
+    val maxRun = tok
+      .withColumn("chg",
+        when(lag($"token", 1).over(w) === $"token", 0L).otherwise(1L))
+      .withColumn("seg", sum($"chg").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy($"doc_id", $"seg").agg(count(lit(1)).as("run"))
+      .groupBy($"doc_id").agg(max($"run").as("max_run"))
+    stats.join(bigTop, Seq("doc_id"), "left").join(maxRun, Seq("doc_id"))
+      .select($"doc_id", $"n_tok", $"n_uniq",
+        roundP(lit(1.0) - $"n_uniq".cast("double") / $"n_tok")
+          .as("dup_frac"),
+        roundP($"top_tok".cast("double") / $"n_tok").as("top_tok_frac"),
+        when($"n_tok" < 2, 0.0)
+          .otherwise(roundP(coalesce($"top_big", lit(0L)).cast("double") /
+            ($"n_tok" - 1))).as("top_bigram_frac"),
+        $"max_run",
+        ($"top_tok" * 5 > $"n_tok").as("repetitive"))
+      .orderBy($"doc_id")
+  }
+
+  /** E15 — character-entropy quality proxy: Shannon entropy (bits) of
+    * the per-document character distribution — the cheap gibberish /
+    * encoding-junk detector (natural text sits ~3.5–4.5 bits). One
+    * explode + two doc-keyed partial aggregations.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    counts.groupBy($"doc_id").agg(
+        sum($"c").as("n_chars_e"), count(lit(1)).as("n_distinct_chars"),
+        sum($"c".cast("double") * log($"c".cast("double"))).as("slc"))
+      .select($"doc_id", $"n_chars_e", $"n_distinct_chars",
+        (floor((log($"n_chars_e".cast("double")) - $"slc" / $"n_chars_e")
+          / log(lit(2.0)) * 1000000.0 + 0.5).cast("double")
+          / 1000000.0).as("entropy_bits"))
+      .orderBy($"doc_id")
+  }
+
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhonePat = "\\+[0-9][0-9\\-]{5,14}[0-9]"
+
+  /** E16 — PII scrub: regex redaction of emails / IPv4s / phone
+    * numbers (applied in that order — the IP pass must run before the
+    * phone pass or dotted quads match the phone shape). The synthetic
+    * corpus carries no natural PII, so the op deterministically
+    * injects one of each (derived from doc_id) before scrubbing —
+    * the same injection happens in the oracle, and the md5 of the
+    * scrubbed body proves byte-exact redaction. Pure per-row codegen'd
+    * string work: no shuffle at any scale.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("aug", concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or call +1-555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), ($"doc_id" % 256).cast("string"), lit(".0.1")))
+      .withColumn("n_emails",
+        size(regexp_extract_all($"aug", lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("r1", regexp_replace($"aug", EmailPat, "<EMAIL>"))
+      .withColumn("n_ips",
+        size(regexp_extract_all($"r1", lit(IpPat), lit(0))).cast("long"))
+      .withColumn("r2", regexp_replace($"r1", IpPat, "<IP>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all($"r2", lit(PhonePat), lit(0))).cast("long"))
+      .withColumn("r3", regexp_replace($"r2", PhonePat, "<PHONE>"))
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones",
+        length($"r3").cast("long").as("scrubbed_len"),
+        md5($"r3").as("scrubbed_hash"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |    unnest(range(1, len(toks) + 1)) AS pos FROM t),
+        |uni AS (
+        |  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    CAST(max(c) AS BIGINT) AS top_tok,
+        |    count(*)::BIGINT AS n_uniq
+        |  FROM uni GROUP BY 1),
+        |big AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+        |    for i in range(1, len(toks))]) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |bigm AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_big FROM (
+        |    SELECT doc_id, gram, count(*) AS c FROM big GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |seg AS (
+        |  SELECT doc_id, pos, CAST(sum(chg) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+        |  FROM (SELECT doc_id, pos,
+        |    CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      = token THEN 0 ELSE 1 END AS chg FROM tok)),
+        |mr AS (
+        |  SELECT doc_id, CAST(max(run) AS BIGINT) AS max_run FROM (
+        |    SELECT doc_id, seg, count(*) AS run FROM seg GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT s.doc_id, s.n_tok, s.n_uniq,
+        |  floor((1.0 - s.n_uniq::DOUBLE / s.n_tok) * 10000.0 + 0.5)
+        |    / 10000.0 AS dup_frac,
+        |  floor(s.top_tok::DOUBLE / s.n_tok * 10000.0 + 0.5)
+        |    / 10000.0 AS top_tok_frac,
+        |  CASE WHEN s.n_tok < 2 THEN 0.0
+        |    ELSE floor(coalesce(b.top_big, 0)::DOUBLE / (s.n_tok - 1)
+        |      * 10000.0 + 0.5) / 10000.0 END AS top_bigram_frac,
+        |  mr.max_run, s.top_tok * 5 > s.n_tok AS repetitive
+        |FROM stats s LEFT JOIN bigm b ON s.doc_id = b.doc_id
+        |JOIN mr ON s.doc_id = mr.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_e,
+        |    count(*)::BIGINT AS n_distinct_chars,
+        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS slc
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars_e, n_distinct_chars,
+        |  floor((ln(n_chars_e::DOUBLE) - slc / n_chars_e) / ln(2.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS entropy_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id
+        |    || '@example.com or call +1-555-'
+        |    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    || ' from 10.' || (doc_id % 256) || '.0.1' AS a
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, a,
+        |    len(regexp_extract_all(a,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |      AS n_emails,
+        |    regexp_replace(a,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS r1
+        |  FROM aug),
+        |r2 AS (
+        |  SELECT doc_id, n_emails,
+        |    len(regexp_extract_all(r1,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT
+        |      AS n_ips,
+        |    regexp_replace(r1,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<IP>', 'g') AS r2
+        |  FROM r),
+        |r3 AS (
+        |  SELECT doc_id, n_emails, n_ips,
+        |    len(regexp_extract_all(r2,
+        |      '\+[0-9][0-9\-]{5,14}[0-9]'))::BIGINT AS n_phones,
+        |    regexp_replace(r2, '\+[0-9][0-9\-]{5,14}[0-9]',
+        |      '<PHONE>', 'g') AS r3
+        |  FROM r2)
+        |SELECT doc_id, n_emails, n_ips, n_phones,
+        |  length(r3)::BIGINT AS scrubbed_len, md5(r3) AS scrubbed_hash
+        |FROM r3 ORDER BY doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk,

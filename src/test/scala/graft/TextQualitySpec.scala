@@ -1,0 +1,92 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.ops.TextAnalysis
+
+/** Semantic specs for the quality-gate text ops (E14/E15/E16):
+  * independent pure-Scala recomputation per document, compared against
+  * the distributed results.
+  */
+class TextQualitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def roundP(x: Double, dp: Int): Double = {
+    val p = math.pow(10, dp)
+    math.floor(x * p + 0.5) / p
+  }
+
+  private lazy val texts: Map[Long, String] =
+    Tables.load(spark, sf, "documents").select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("repetition measures match a per-doc recomputation") {
+    val got = TextAnalysis.repetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size === texts.size)
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val n = toks.length.toLong
+      val uni = toks.groupBy(identity).map(_._2.length)
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val maxRun = toks.foldLeft((0L, "", 0L)) {
+        case ((best, prev, run), t) =>
+          val r = if (t == prev) run + 1 else 1L
+          (math.max(best, r), t, r)
+      }._1
+      val row = got(id)
+      assert(row.getLong(1) === n)
+      assert(row.getLong(2) === uni.size.toLong)
+      assert(row.getDouble(3) === roundP(1.0 - uni.size.toDouble / n, 4))
+      assert(row.getDouble(4) === roundP(uni.max.toDouble / n, 4))
+      val topBig =
+        if (bigrams.isEmpty) 0.0
+        else bigrams.groupBy(identity).map(_._2.length).max.toDouble / (n - 1)
+      assert(row.getDouble(5) === roundP(topBig, 4))
+      assert(row.getLong(6) === maxRun)
+      assert(row.getBoolean(7) === (uni.max * 5 > n))
+    }
+  }
+
+  test("char entropy matches a per-doc recomputation") {
+    val got = TextAnalysis.charEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, text) =>
+      val counts = text.toSeq.groupBy(identity).map(_._2.length.toDouble)
+      val nc = text.length.toDouble
+      val h = counts.map(c => -c / nc * math.log(c / nc)).sum / math.log(2.0)
+      val row = got(id)
+      assert(row.getLong(1) === text.length.toLong)
+      assert(row.getLong(2) === counts.size.toLong)
+      // recomputation differs from the engine's ln(n) - slc/n form by
+      // summation-order ulps only — compare at 5 dp under the 6-dp round
+      assert(math.abs(row.getDouble(3) - h) < 1e-5)
+      assert(row.getDouble(3) >= 0.0 &&
+        row.getDouble(3) <= math.log(counts.size.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("pii scrub redacts every injected email/ip/phone byte-exactly") {
+    val got = TextAnalysis.piiScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val md = MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, text) =>
+      val aug = s"$text contact user$id@example.com or call +1-555-" +
+        f"${id % 10000}%04d from 10.${id % 256}.0.1"
+      val scrubbed = aug
+        .replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+        .replaceAll("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+        .replaceAll("\\+[0-9][0-9\\-]{5,14}[0-9]", "<PHONE>")
+      val row = got(id)
+      assert(row.getLong(1) >= 1L, s"doc $id: injected email not counted")
+      assert(row.getLong(2) >= 1L, s"doc $id: injected ip not counted")
+      assert(row.getLong(3) >= 1L, s"doc $id: injected phone not counted")
+      assert(row.getLong(4) === scrubbed.length.toLong)
+      val hash = md.digest(scrubbed.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(row.getString(5) === hash, s"doc $id: scrub mismatch")
+      // nothing PII-shaped survives
+      assert(!scrubbed.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"))
+    }
+  }
+}
