@@ -96,7 +96,9 @@ object SparkEntry {
     "global_shuffle" -> wrap(graft.ops.Curation.globalShuffle),
     "text_repetition" -> wrap(TextAnalysis.repetition),
     "text_entropy" -> wrap(TextAnalysis.charEntropy),
-    "text_pii_scrub" -> wrap(TextAnalysis.piiScrub)
+    "text_pii_scrub" -> wrap(TextAnalysis.piiScrub),
+    "events_skew_join" -> wrap(Events.skewJoin(_, _)),
+    "stream_join" -> wrap(graft.streaming.EventStreams.streamJoin)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

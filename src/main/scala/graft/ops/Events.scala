@@ -187,7 +187,49 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** B22 — salted big-big skew join: ~60% of the fact lands on one
+    * synthesized hot key, so a plain shuffle join would funnel those
+    * rows through a single reducer. The fact side carries a
+    * deterministic salt (event_id % salts); the dim side is replicated
+    * ×salts, and the join runs on (key, salt) — the hot key spreads
+    * across `salts` reducers. `shuffle_hash` hint keeps the exchange
+    * in the plan (an auto-broadcast would hide the shape this op
+    * demonstrates; at 100 TB the dim side is assumed over the
+    * broadcast threshold, and AQE skew-join is the complementary
+    * runtime fallback). Equal to the unsalted join (the oracle).
+    */
+  def skewJoin(spark: SparkSession, dir: String, salts: Int = 16): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.load(spark, dir, "events")
+      .withColumn("skew_key",
+        when($"event_type".isin("view", "click", "error"), 0L)
+          .otherwise($"user_id" % 50))
+      .withColumn("salt", ($"event_id" % salts).cast("int"))
+    val dim = spark.range(0, 50).select($"id".as("skew_key"),
+      (($"id" * 7 + 3) % 11).as("weight"))
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    fact.join(dimSalted.hint("shuffle_hash"), Seq("skew_key", "salt"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value" * $"weight"), 2).as("weighted_value"))
+      .orderBy($"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_skew_join" ->
+      """WITH f AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN event_type IN ('view', 'click', 'error') THEN 0
+        |      ELSE user_id % 50 END AS skew_key
+        |  FROM events),
+        |d AS (
+        |  SELECT range AS skew_key, (range * 7 + 3) % 11 AS weight
+        |  FROM range(0, 50))
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(value * weight), 2) AS weighted_value
+        |FROM f JOIN d USING (skew_key)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_latest_state" ->
       """WITH r AS (
         |  SELECT user_id, epoch_us(ts) AS last_us,

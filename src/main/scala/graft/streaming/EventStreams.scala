@@ -34,10 +34,11 @@ object EventStreams {
       .parquet(dir)
       .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
 
-  private def runToCompletion(df: DataFrame, prefix: String): DataFrame = {
+  private def runToCompletion(df: DataFrame, prefix: String,
+                              mode: String = "complete"): DataFrame = {
     val name = s"${prefix}_${counter.incrementAndGet()}"
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()
@@ -133,7 +134,44 @@ object EventStreams {
       .orderBy($"user_id")
   }
 
+  /** G5 — stream-stream interval join: each purchase matched to every
+    * signup of the same user in the preceding day. Both sides carry
+    * watermarks and the join carries the time-range predicate — that
+    * pair is what lets the engine expire join state (without them,
+    * stream-stream state grows without bound). Inner-join matches
+    * append as soon as both rows arrive, so the one-shot run equals
+    * the batch join (the oracle).
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = eventStream(spark, dir)
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"tsm".as("signup_tsm"))
+      .withWatermark("signup_tsm", "1 hour")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"tsm".as("purchase_tsm"), $"value")
+      .withWatermark("purchase_tsm", "1 hour")
+    val joined = signups.join(purchases,
+      $"s_user" === $"p_user" &&
+        $"purchase_tsm" >= $"signup_tsm" &&
+        $"purchase_tsm" < $"signup_tsm" + expr("INTERVAL 1 DAY"))
+    runToCompletion(joined, "graft_stream_join", mode = "append")
+      .select($"s_user".as("user_id"),
+        unix_micros($"signup_tsm").as("signup_us"),
+        unix_micros($"purchase_tsm").as("purchase_us"),
+        round($"value", 2).as("purchase_value"))
+      .orderBy($"user_id", $"signup_us", $"purchase_us")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_join" ->
+      """SELECT s.user_id, epoch_us(s.ts) AS signup_us,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  round(p.value, 2) AS purchase_value
+        |FROM events s JOIN events p ON s.user_id = p.user_id
+        |  AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 DAY
+        |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        |ORDER BY 1, 2, 3""".stripMargin,
     "stream_user_totals" ->
       """SELECT user_id, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -39,4 +39,25 @@ class EventsSpec extends SparkSpecBase {
     assert(out(200L).isEmpty, "user 200 purchased only before signup")
     assert(out(300L).isEmpty, "user 300 never purchased")
   }
+
+  test("salted skew join equals the plain join and keeps the shuffle in the plan") {
+    import spark.implicits._
+    val salted = Events.skewJoin(spark, sf)
+    // the hint must survive planning: no broadcast exchange anywhere
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "dim side must not auto-broadcast — the salted shuffle is the op")
+    assert(plan.contains("ShuffledHashJoin"), "expected a shuffled hash join")
+    val direct = Tables.load(spark, sf, "events")
+      .withColumn("skew_key",
+        when($"event_type".isin("view", "click", "error"), 0L)
+          .otherwise($"user_id" % 50))
+      .join(spark.range(0, 50).select($"id".as("skew_key"),
+        (($"id" * 7 + 3) % 11).as("weight")), "skew_key")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value" * $"weight"), 2).as("weighted_value"))
+      .orderBy($"event_type")
+    assert(salted.collect().toSeq === direct.collect().toSeq)
+  }
 }

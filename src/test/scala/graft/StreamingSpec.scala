@@ -37,4 +37,24 @@ class StreamingSpec extends SparkSpecBase {
     val b = EventStreams.windowAgg(spark, sf).count()
     assert(a === b && a > 0)
   }
+
+  test("stream-stream interval join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = EventStreams.streamJoin(spark, sf).collect().toSeq
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("us", expr("ts DIV 1000"))
+    val s = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"us".as("signup_us"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us".as("purchase_us"), $"value")
+    val batch = s.join(p, Seq("user_id"))
+      .filter($"purchase_us" >= $"signup_us" &&
+        $"purchase_us" < $"signup_us" + 86400000000L)
+      .select($"user_id", $"signup_us", $"purchase_us",
+        round($"value", 2).as("purchase_value"))
+      .orderBy($"user_id", $"signup_us", $"purchase_us")
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
 }
