@@ -98,7 +98,8 @@ object SparkEntry {
     "text_entropy" -> wrap(TextAnalysis.charEntropy),
     "text_pii_scrub" -> wrap(TextAnalysis.piiScrub),
     "events_skew_join" -> wrap(Events.skewJoin(_, _)),
-    "stream_join" -> wrap(graft.streaming.EventStreams.streamJoin)
+    "stream_join" -> wrap(graft.streaming.EventStreams.streamJoin),
+    "bpe_pair_stats" -> wrap(TextAnalysis.bpePairStats(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -352,6 +352,33 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E17 — BPE training's first merge iteration: corpus-weighted
+    * adjacent-character-pair counts. The classic formulation counts
+    * pairs per DISTINCT word weighted by word frequency — so the
+    * explode runs over the (tiny) vocabulary, not the corpus, and the
+    * corpus-sized work is just the word-frequency groupBy. Top pairs
+    * via TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def bpePairStats(spark: SparkSession, dir: String,
+                   topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val tf = tokens(spark, dir)
+      .filter(length($"token") >= 2)
+      .groupBy($"token").agg(count(lit(1)).as("f"))
+    val top = tf
+      .select($"f", explode(transform(
+        sequence(lit(1), length($"token") - 1),
+        i => concat($"token".substr(i, lit(1)),
+          $"token".substr(i + 1, lit(1))))).as("pair"))
+      .groupBy($"pair").agg(sum($"f").as("cnt"))
+      .orderBy($"cnt".desc, $"pair").limit(topK)
+    top.withColumn("rank",
+        row_number().over(W.orderBy($"cnt".desc, $"pair")).cast("long"))
+      .select($"rank", $"pair", $"cnt")
+      .orderBy($"rank")
+  }
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val IpPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   private val PhonePat = "\\+[0-9][0-9\\-]{5,14}[0-9]"
@@ -389,6 +416,20 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "bpe_pair_stats" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (
+        |  SELECT t, count(*) AS f FROM tok
+        |  WHERE t <> '' AND len(t) >= 2 GROUP BY t),
+        |p AS (
+        |  SELECT f, unnest([t[i:i+1] for i in range(1, len(t))]) AS pair
+        |  FROM tf),
+        |agg AS (
+        |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM p GROUP BY pair)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rank,
+        |  pair, cnt
+        |FROM agg ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
