@@ -99,7 +99,9 @@ object SparkEntry {
     "text_pii_scrub" -> wrap(TextAnalysis.piiScrub),
     "events_skew_join" -> wrap(Events.skewJoin(_, _)),
     "stream_join" -> wrap(graft.streaming.EventStreams.streamJoin),
-    "bpe_pair_stats" -> wrap(TextAnalysis.bpePairStats(_, _))
+    "bpe_pair_stats" -> wrap(TextAnalysis.bpePairStats(_, _)),
+    "dedup_paragraphs" -> wrap(Dedup.paragraphs(_, _)),
+    "events_daily_full_join" -> wrap(Events.dailyActivityJoin)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -40,6 +40,32 @@ object Dedup {
       .orderBy($"keeper_id")
   }
 
+  /** C7 — paragraph-granularity exact dedup: each document cut into
+    * non-overlapping 16-token windows (tail stub ignored), hashed, and
+    * windows appearing in ≥2 distinct documents reported with their
+    * keeper. The sub-document complement of [[exact]]: boilerplate
+    * shared across near-copies that document-level hashing misses.
+    * One explode + one hash-keyed groupBy — linear at any corpus size.
+    */
+  def paragraphs(spark: SparkSession, dir: String,
+                 parTokens: Int = 16): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("t", split($"text", " "))
+      .withColumn("np", (size($"t") / parTokens).cast("long"))
+      .filter($"np" >= 1)
+      .withColumn("ci", explode(sequence(lit(0L), $"np" - 1)))
+      .select($"doc_id", md5(concat_ws(" ",
+        slice($"t", ($"ci" * parTokens + 1).cast("int"), lit(parTokens)))
+        .cast("binary")).as("paragraph_hash"))
+      .groupBy($"paragraph_hash")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min($"doc_id").as("keeper_id"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"paragraph_hash")
+  }
+
   /** Exact Jaccard over distinct 3-token shingles for a pair of
     * shingle-set columns: |A∩B| via a codegen'd hash-probe kernel,
     * |A∪B| derived as |A|+|B|−|A∩B| (no union materialization).
@@ -318,6 +344,25 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
+    "dedup_paragraphs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) // 16 AS np
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, unnest(range(0, np)) AS ci
+        |  FROM t WHERE np >= 1),
+        |h AS (
+        |  SELECT doc_id, md5(array_to_string(
+        |    tk[(ci * 16 + 1)::INT : (ci * 16 + 16)::INT], ' ')) AS paragraph_hash
+        |  FROM c)
+        |SELECT paragraph_hash,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*) AS n_occurrences,
+        |  min(doc_id) AS keeper_id
+        |FROM h GROUP BY paragraph_hash
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY paragraph_hash""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies

@@ -216,7 +216,42 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** B23 — FULL OUTER join of two per-(user, day) aggregates: signup
+    * vs purchase activity including one-sided user-days (~40% each
+    * side here). The join key carries both columns, so the two
+    * aggregates arrive identically partitioned and the outer join
+    * reuses the shuffle; nulls become explicit zeros.
+    */
+  def dailyActivityJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byDay = Tables.load(spark, dir, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+    def side(t: String, out: String) =
+      byDay.filter($"event_type" === t)
+        .groupBy($"user_id", $"day").agg(count(lit(1)).as(out))
+    side("signup", "n_signups")
+      .join(side("purchase", "n_purchases"), Seq("user_id", "day"), "full_outer")
+      .select($"user_id", $"day",
+        coalesce($"n_signups", lit(0L)).as("n_signups"),
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"))
+      .orderBy($"user_id", $"day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_daily_full_join" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_signups
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT coalesce(s.user_id, p.user_id) AS user_id,
+        |  coalesce(s.day, p.day) AS day,
+        |  coalesce(s.n_signups, 0) AS n_signups,
+        |  coalesce(p.n_purchases, 0) AS n_purchases
+        |FROM s FULL OUTER JOIN p
+        |  ON s.user_id = p.user_id AND s.day = p.day
+        |ORDER BY 1, 2""".stripMargin,
     "events_skew_join" ->
       """WITH f AS (
         |  SELECT event_type, value,

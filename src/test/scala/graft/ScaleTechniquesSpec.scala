@@ -42,6 +42,48 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom-filter pre-join prunes the probe side with zero false negatives") {
+    import org.apache.spark.sql.Row
+    // the runtime-filter shape for 100 TB fact-fact joins: build a
+    // bloom over the (selective) build-side keys, push might_contain
+    // into the probe scan, then finish with the exact join on the
+    // survivors. The bloom pass is superset-correct: it may pass
+    // false positives (bounded by fpp) but never drops a true match.
+    val hot = Tables.load(spark, sf, "orders")
+      .filter($"o_totalprice" > 400000.0).select($"o_orderkey")
+    val nHot = hot.count()
+    assert(nHot > 0)
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // bloom_filter_agg / might_contain are Catalyst-internal on Spark 4
+    // (registered only for the engine's own runtime filters) — reach
+    // them through the bridge
+    val bloomRow: Row = hot
+      .agg(GraftBridge.column(new BloomFilterAggregate(
+        GraftBridge.expression($"o_orderkey"),
+        Literal(10000L), Literal(100000L)).toAggregateExpression())
+        .as("bf"))
+      .head()
+    val bf = bloomRow.getAs[Array[Byte]]("bf")
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    val bloomed = lineitem
+      .filter(GraftBridge.column(BloomFilterMightContain(
+        Literal(bf, org.apache.spark.sql.types.BinaryType),
+        GraftBridge.expression($"l_orderkey"))))
+      .select($"l_orderkey")
+    val exact = lineitem.join(hot, $"l_orderkey" === $"o_orderkey",
+      "left_semi").select($"l_orderkey")
+    val bloomedCnt = bloomed.count()
+    val exactCnt = exact.count()
+    // no false negatives: everything the exact semi-join keeps survives
+    assert(exact.except(bloomed).count() === 0L)
+    // and the pass-through is a real reduction, near the exact rate
+    val total = lineitem.count()
+    assert(bloomedCnt >= exactCnt && bloomedCnt < total / 2,
+      s"bloom passed $bloomedCnt of $total (exact $exactCnt)")
+  }
+
   test("malformed STAC item JSON degrades to nulls, not failures") {
     import org.apache.spark.sql.types._
     val itemSchema = StructType(Seq(
