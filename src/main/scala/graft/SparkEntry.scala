@@ -101,6 +101,7 @@ object SparkEntry {
     "stream_join" -> wrap(graft.streaming.EventStreams.streamJoin),
     "bpe_pair_stats" -> wrap(TextAnalysis.bpePairStats(_, _)),
     "dedup_paragraphs" -> wrap(Dedup.paragraphs(_, _)),
+    "dedup_edit_distance" -> wrap(Dedup.editDistancePairs(_, _)),
     "events_daily_full_join" -> wrap(Events.dailyActivityJoin)
   )
 

@@ -66,6 +66,40 @@ object Dedup {
       .orderBy($"paragraph_hash")
   }
 
+  /** C8 — bounded edit-distance (Levenshtein ≤ 40) fuzzy pairs.
+    * Pruning: lev(a,b) ≥ |len(a)−len(b)|, so candidates come from a
+    * length-bucket equi-join (width 64 > threshold ⇒ same-or-adjacent
+    * bucket suffices — the C4 shape). The verify uses Spark's
+    * THRESHOLD-bounded levenshtein, a banded O(len·k) DP instead of
+    * the full O(len²) matrix. The cap keeps the quadratic baseline
+    * constant-sized at every SF (the scalable near-dup paths are
+    * C2/C3/C5).
+    */
+  def editDistancePairs(spark: SparkSession, dir: String,
+                        threshold: Int = 40, cap: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .filter($"doc_id" < cap)
+      .select($"doc_id", $"text", $"n_chars",
+        expr("n_chars DIV 64").cast("int").as("k"))
+    val a = docs.select($"doc_id".as("doc_a"), $"text".as("text_a"),
+      $"n_chars".as("len_a"), $"k".as("k_a"),
+      explode(array($"k", $"k" + 1)).as("bucket"))
+    val b = docs.select($"doc_id".as("doc_b"), $"text".as("text_b"),
+      $"n_chars".as("len_b"), $"k".as("k_b"),
+      explode(array($"k", $"k" + 1)).as("bucket"))
+    a.repartition(a.sparkSession.sessionState.conf.numShufflePartitions)
+      .join(broadcast(b), Seq("bucket"))
+      .filter($"doc_a" < $"doc_b" &&
+        $"bucket" === greatest($"k_a", $"k_b") &&
+        abs($"len_a" - $"len_b") <= threshold)
+      .withColumn("edit_dist",
+        levenshtein($"text_a", $"text_b", threshold).cast("long"))
+      .filter($"edit_dist" >= 0)
+      .select($"doc_a", $"doc_b", $"edit_dist")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Exact Jaccard over distinct 3-token shingles for a pair of
     * shingle-set columns: |A∩B| via a codegen'd hash-probe kernel,
     * |A∪B| derived as |A|+|B|−|A∩B| (no union materialization).
@@ -344,6 +378,15 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
+    "dedup_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 1000)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.text, b.text)::BIGINT AS edit_dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  AND abs(a.n_chars - b.n_chars) <= 40
+        |WHERE levenshtein(a.text, b.text) <= 40
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_paragraphs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk,
