@@ -84,6 +84,73 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       s"bloom passed $bloomedCnt of $total (exact $exactCnt)")
   }
 
+  test("AQE splits a skewed shuffle partition at runtime") {
+    // complementary to the declarative salt in events_skew_join: with
+    // skew-join enabled and thresholds scaled to the test data, the
+    // engine itself splits the hot partition after seeing runtime
+    // shuffle stats — the no-code-change skew path
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val left = spark.range(0, 200000).select(
+        when($"id" < 180000, 0L).otherwise($"id" % 1999 + 1).as("key"),
+        $"id".as("v"))
+      val right = spark.range(0, 2000).select($"id".as("key"),
+        ($"id" * 3).as("w"))
+      val joined = left.join(right, "key")
+      // drive THIS queryExecution to completion — count()/head() spawn
+      // their own plans and AQE finalizes only what actually ran
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() === 200000L) // every left row matches once
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"expected a skew-split join/shuffle-read in:\n$finalPlan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("dynamic partition pruning reads only the dim-selected partitions") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // a fact partitioned by a date-derived column + a filtered dim:
+    // the fact scan must receive a runtime (dynamicpruning) predicate
+    // and touch only the matching partition directories
+    Tables.load(spark, sf, "orders")
+      .withColumn("omonth", date_format($"o_orderdate", "yyyy-MM"))
+      .write.partitionBy("omonth").mode("overwrite").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    val months = fact.select($"omonth").distinct().collect().map(_.getString(0))
+    // the dim must be a scan with a surviving LIKELY-SELECTIVE filter
+    // on a NON-join column: a LocalRelation constant-folds away, a
+    // bare boolean fails isLikelySelective, and a literal filter on
+    // the join key itself propagates STATICALLY (no runtime pruning
+    // needed) — only the dim-attribute filter exercises DPP proper
+    months.sorted.zipWithIndex.map { case (m, i) => (m, i.toLong) }
+      .toSeq.toDF("omonth", "idx")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    val joined = fact.join(dim.filter($"idx" === 0L), "omonth")
+      .agg(count(lit(1)).as("n"))
+    val n = joined.head().getLong(0)
+    val expected = fact.filter($"omonth" === months.min).count()
+    assert(n === expected && n > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the fact scan in:\n$plan")
+  }
+
   test("malformed STAC item JSON degrades to nulls, not failures") {
     import org.apache.spark.sql.types._
     val itemSchema = StructType(Seq(
