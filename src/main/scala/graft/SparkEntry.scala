@@ -102,7 +102,9 @@ object SparkEntry {
     "bpe_pair_stats" -> wrap(TextAnalysis.bpePairStats(_, _)),
     "dedup_paragraphs" -> wrap(Dedup.paragraphs(_, _)),
     "dedup_edit_distance" -> wrap(Dedup.editDistancePairs(_, _)),
-    "events_daily_full_join" -> wrap(Events.dailyActivityJoin)
+    "events_daily_full_join" -> wrap(Events.dailyActivityJoin),
+    "customer_max_order" -> wrap(Analytics.customerMaxOrder),
+    "nation_set_ops" -> wrap(Analytics.nationSetOps)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

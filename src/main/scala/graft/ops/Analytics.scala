@@ -201,6 +201,41 @@ object Analytics {
       .orderBy($"c_custkey")
   }
 
+  /** B27 — correlated scalar-subquery shape (TPC-H Q2's core): each
+    * customer's most expensive order(s). The correlated
+    * `= (SELECT max(..) WHERE same key)` decorrelates to ONE window
+    * max over the key partition — one shuffle, no self-join, no
+    * re-scan of orders.
+    */
+  def customerMaxOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+    Tables.load(spark, dir, "orders")
+      .withColumn("max_price", max($"o_totalprice").over(w))
+      .filter($"o_totalprice" === $"max_price")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** B28 — set operators over key sets: nations partitioned into
+    * customer∩supplier / customer-only / supplier-only via
+    * INTERSECT / EXCEPT (distinct semantics). Each set op plans as an
+    * aggregate-style hash op on the (tiny, pre-distinct) key sets.
+    */
+  def nationSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_nationkey".as("nationkey")).distinct()
+    val s = Tables.load(spark, dir, "supplier")
+      .select($"s_nationkey".as("nationkey")).distinct()
+    c.intersect(s).withColumn("side", lit("both"))
+      .unionByName(c.except(s).withColumn("side", lit("customer_only")))
+      .unionByName(s.except(c).withColumn("side", lit("supplier_only")))
+      .select($"side", $"nationkey")
+      .orderBy($"side", $"nationkey")
+  }
+
   /** ROLLUP subtotals: revenue by (year, month) with month subtotals
     * and a grand total — one pass, no union of aggregates.
     */
@@ -230,6 +265,25 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "customer_max_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (
+        |  SELECT max(o_totalprice) FROM orders i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "nation_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'both' AS side, nationkey FROM (
+        |  SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT 'customer_only', nationkey FROM (
+        |  SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT 'supplier_only', nationkey FROM (
+        |  SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+        |ORDER BY side, nationkey""".stripMargin,
     "geomean_order_value" ->
       """SELECT o_orderpriority,
         |  floor(exp(sum(ln(o_totalprice)) / count(*)) * 10000.0 + 0.5)
