@@ -104,7 +104,15 @@ object SparkEntry {
     "dedup_edit_distance" -> wrap(Dedup.editDistancePairs(_, _)),
     "events_daily_full_join" -> wrap(Events.dailyActivityJoin),
     "customer_max_order" -> wrap(Analytics.customerMaxOrder),
-    "nation_set_ops" -> wrap(Analytics.nationSetOps)
+    "nation_set_ops" -> wrap(Analytics.nationSetOps),
+    "q4_late_orders" -> wrap(Analytics.q4LateOrders),
+    "q7_nation_trade" -> wrap(Analytics.q7NationTrade(_, _)),
+    "q11_part_value_share" -> wrap(Analytics.q11PartValueShare),
+    "q16_brand_suppliers" -> wrap(Analytics.q16BrandSuppliers),
+    "q18_large_orders" -> wrap(Analytics.q18LargeOrders(_, _)),
+    "q22_idle_balance" -> wrap(Analytics.q22IdleBalance(_, _)),
+    "stac_grid_join" -> wrap(StacOps.gridJoin),
+    "text_unigram_logprob" -> wrap(TextAnalysis.unigramLogprob)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

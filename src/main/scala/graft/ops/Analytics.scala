@@ -264,7 +264,189 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** B29 — TPC-H Q4 shape: EXISTS with a correlated date-arithmetic
+    * predicate (lines shipped >60 days after the order date). Planned
+    * as a `left_semi` join carrying the non-equi condition — the left
+    * side never widens or duplicates, and the priority rollup
+    * partial-aggregates before its shuffle.
+    */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val late = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_shipdate")
+    Tables.load(spark, dir, "orders")
+      .join(late,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** B30 — TPC-H Q7 shape (volume shipping between two nations): the
+    * two nation dims are pre-filtered to the pair and BROADCAST, so
+    * the selective predicate reaches the supplier/customer joins
+    * before the fact-fact shuffle; the OR of directions is a post-join
+    * pair filter on already-tiny rows.
+    */
+  def q7NationTrade(spark: SparkSession, dir: String,
+                    nationA: String = "NATION_3",
+                    nationB: String = "NATION_8"): DataFrame = {
+    import spark.implicits._
+    val pair = Seq(nationA, nationB)
+    val n1 = Tables.load(spark, dir, "nation")
+      .filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.load(spark, dir, "nation")
+      .filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    val supplier = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+    val customer = Tables.load(spark, dir, "customer")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.load(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+        .as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** B31 — TPC-H Q11 shape: scalar aggregate subquery as a threshold.
+    * The per-part value aggregate is computed once; the global
+    * threshold (1.5× the average part value — scale-free, unlike a
+    * fixed fraction) is a one-row frame broadcast into a nested-loop
+    * join, never a driver round-trip.
+    */
+  def q11PartValueShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pv = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice" * $"l_quantity").as("v"))
+    val thresh = pv.agg((sum($"v") / count(lit(1)) * 1.5).as("thresh"))
+    pv.crossJoin(broadcast(thresh))
+      .filter($"v" > $"thresh")
+      .select($"l_partkey", round($"v", 2).as("value"))
+      .orderBy($"value".desc, $"l_partkey")
+  }
+
+  /** B32 — TPC-H Q16 shape: NOT IN subquery (excluded suppliers) as a
+    * broadcast `left_anti` join + count DISTINCT per group. The
+    * distinct runs as a two-phase partial aggregate on (brand, supp).
+    */
+  def q16BrandSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bad = Tables.load(spark, dir, "supplier")
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val part = Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_brand")
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand")
+  }
+
+  /** B33 — TPC-H Q18 shape (large-volume orders): HAVING on a fact
+    * aggregate, then join back to orders/customer. The quantity
+    * rollup shuffles once on l_orderkey; the surviving key set is tiny
+    * and AQE turns the join back into a broadcast at runtime.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+                     minQty: Double = 300.0): DataFrame = {
+    import spark.implicits._
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("qty"))
+      .filter($"qty" > minQty)
+    Tables.load(spark, dir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.load(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", round($"qty", 2).as("total_qty"))
+      .orderBy($"total_qty".desc, $"o_orderkey")
+  }
+
+  /** B34 — TPC-H Q22 shape: global-average scalar subquery + anti-join
+    * (above-average balances with no recent orders). The one-row
+    * average broadcasts; the recent-orders key set anti-joins before
+    * the nation rollup.
+    */
+  def q22IdleBalance(spark: SparkSession, dir: String,
+                     since: String = "2001-01-01 00:00:00"): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val avgBal = customer.agg(avg($"c_acctbal").as("avg_bal"))
+    val recent = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit(since).cast("timestamp"))
+      .select($"o_custkey")
+    customer.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"c_nationkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate)::BIGINT AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q11_part_value_share" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS v
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, round(v, 2) AS value FROM pv
+        |WHERE v > (SELECT sum(v) / count(*) * 1.5 FROM pv)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q16_brand_suppliers" ->
+      """SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  round(qty, 2) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q22_idle_balance" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "customer_max_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM orders o

@@ -379,6 +379,31 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** E18 — corpus-LM surprisal (the ccnet/perplexity-style quality
+    * score, with the corpus's own unigram model standing in for the
+    * external LM): per-document mean −ln p(token) under the corpus
+    * unigram distribution. Rare-token-heavy (gibberish) documents
+    * score high, stopword-heavy boilerplate scores low. Two
+    * vocabulary-sized aggregates + a BROADCAST term-frequency join —
+    * like E8/E11 the corpus token stream never shuffles on token, and
+    * the global total is a one-row broadcast, not a driver round-trip.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = tokens(spark, dir)
+    val tf = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum($"cnt").as("total"))
+    val logp = tf.crossJoin(broadcast(total))
+      .select($"token",
+        log($"cnt".cast("double") / $"total".cast("double")).as("logp"))
+    tok.join(broadcast(logp), "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        (floor(-avg($"logp") * 1000000.0 + 0.5).cast("double") / 1000000.0)
+          .as("avg_surprisal"))
+      .orderBy($"doc_id")
+  }
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val IpPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   private val PhonePat = "\\+[0-9][0-9\\-]{5,14}[0-9]"
@@ -416,6 +441,20 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t AS (SELECT * FROM tok WHERE token <> ''),
+        |tf AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
+        |lp AS (
+        |  SELECT token, ln(cnt::DOUBLE / total::DOUBLE) AS logp
+        |  FROM tf CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  floor(-avg(logp) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
+        |FROM t JOIN lp USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bpe_pair_stats" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),

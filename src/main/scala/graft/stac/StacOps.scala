@@ -216,6 +216,41 @@ object StacOps {
       .orderBy($"collection", $"day")
   }
 
+  /** A18 — grid-bucketed spatial join: granule points vs a set of
+    * query bboxes (the multi-region variant of A3's single-bbox scan
+    * filter, and the engine answer to "which catalog rows intersect
+    * each AOI"). A naive formulation is a theta join (point-in-box
+    * comparisons) that Spark can only run as a nested loop; instead
+    * both sides key into a fixed 10° grid — regions explode to the
+    * cells they overlap (tiny, broadcast), points compute their single
+    * cell scan-side — so the join is a cell-keyed equi-join with the
+    * exact containment check as a residual filter. A point matches a
+    * region through exactly one cell (its own), so no post-join dedup
+    * is needed. At 100 TB this is the bounded-candidate spatial join:
+    * work scales with matches per cell, never |points|·|regions|.
+    */
+  def gridJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val regions = StacSynth.regions.toDF("region_id", "w", "s", "e", "n")
+    val cells = regions
+      .withColumn("cx", explode(sequence(
+        floor($"w" / 10).cast("int"), floor($"e" / 10).cast("int"))))
+      .withColumn("cy", explode(sequence(
+        floor($"s" / 10).cast("int"), floor($"n" / 10).cast("int"))))
+    val pts = catalog(spark, dir)
+      .select($"granule_id", $"lon", $"lat")
+      .withColumn("cx", floor($"lon" / 10).cast("int"))
+      .withColumn("cy", floor($"lat" / 10).cast("int"))
+    pts.join(broadcast(cells), Seq("cx", "cy"))
+      .filter($"lon" >= $"w" && $"lon" < $"e" &&
+        $"lat" >= $"s" && $"lat" < $"n")
+      .groupBy($"region_id")
+      .agg(count(lit(1)).as("n_granules"),
+        min($"granule_id").as("first_granule"),
+        max($"granule_id").as("last_granule"))
+      .orderBy($"region_id")
+  }
+
   /** A13 — asset access inside the item's assets object. */
   def assetAccess(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -285,6 +320,15 @@ object StacOps {
         |FROM stac GROUP BY collection, CAST(ts AS DATE)
         |HAVING sum(CASE WHEN fetch_failed THEN 1 ELSE 0 END) > 0
         |ORDER BY collection, day""".stripMargin),
+    "stac_grid_join" -> (cte.stripSuffix("\n") + ",\n" +
+      s"""regions(region_id, w, s, e, n) AS (VALUES
+        |    ${StacSynth.regionsSqlValues})
+        |SELECT region_id, count(*) AS n_granules,
+        |  min(granule_id) AS first_granule,
+        |  max(granule_id) AS last_granule
+        |FROM stac JOIN regions
+        |  ON lon >= w AND lon < e AND lat >= s AND lat < n
+        |GROUP BY region_id ORDER BY region_id""".stripMargin),
     "stac_asset_access" -> (cte +
       """SELECT granule_id,
         |  json_extract_string(assets_json, '$.B04.href') AS b04_href,

@@ -30,6 +30,22 @@ object StacSynth {
     "HLSL30_2.0" -> "1995-01-15",
     "HLSS30_2.0" -> "1995-01-10")
 
+  /** Query regions for the grid-bucketed spatial join (A18): twelve
+    * 50°×40° half-open boxes [w,e)×[s,n) on a 6×2 layout. Integer-
+    * valued doubles so the DuckDB VALUES literal is bit-identical.
+    */
+  val regions: Seq[(Long, Double, Double, Double, Double)] =
+    (0 until 12).map { i =>
+      val w = -180.0 + (i % 6) * 55.0
+      val s = -75.0 + (i / 6) * 80.0
+      (i.toLong, w, s, w + 50.0, s + 40.0)
+    }
+
+  /** The same regions as a DuckDB VALUES CTE body. */
+  val regionsSqlValues: String = regions.map { case (id, w, s, e, n) =>
+    s"(CAST($id AS BIGINT), $w, $s, $e, $n)"
+  }.mkString(",\n    ")
+
   def catalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "orders")
