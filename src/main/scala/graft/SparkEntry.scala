@@ -112,7 +112,10 @@ object SparkEntry {
     "q18_large_orders" -> wrap(Analytics.q18LargeOrders(_, _)),
     "q22_idle_balance" -> wrap(Analytics.q22IdleBalance(_, _)),
     "stac_grid_join" -> wrap(StacOps.gridJoin),
-    "text_unigram_logprob" -> wrap(TextAnalysis.unigramLogprob)
+    "text_unigram_logprob" -> wrap(TextAnalysis.unigramLogprob),
+    "cms_heavy_hitters" -> wrap(TextAnalysis.cmsHeavyHitters(_, _)),
+    "bpe_merge_seq" -> wrap(TextAnalysis.bpeMerges(_, _)),
+    "events_approx_percentiles" -> wrap(Events.approxPercentiles(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -35,6 +35,34 @@ object Hash64 {
   def hashUtf8(s: UTF8String): Long = fnv1a64(s.getBytes)
 }
 
+/** Scalar 64-bit string hash: splitmix64(fnv1a64(utf8 bytes) ^ key).
+  * The per-row primitive behind the count-min sketch rows (one
+  * expression per sketch row, key = seed + row·golden) — same hash
+  * family as [[MinHashSignature]], codegen'd, re-derivable in DuckDB
+  * HUGEINT SQL for exact oracles.
+  */
+case class Hash64Expr(child: Expression, key: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash64"
+
+  override def nullSafeEval(s: Any): Any =
+    Hash64Expr.compute(s.asInstanceOf[UTF8String], key)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Hash64Expr.compute($a, ${key}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Hash64Expr {
+  def compute(s: UTF8String, key: Long): Long =
+    Hash64.splitmix64(Hash64.hashUtf8(s) ^ key)
+}
+
 /** MinHash signature of an array of string shingles: for each of
   * `numHashes` hash functions h_i, the minimum of h_i(shingle) over
   * the array. One pass per row — no shingle explode, no shuffle.

@@ -32,6 +32,10 @@ package object functions {
   def simhash64(tokens: Column): Column =
     toCol(SimHash64(toExpr(tokens)))
 
+  /** Scalar 64-bit string hash: splitmix64(fnv1a64(s) ^ key). */
+  def hash64(s: Column, key: Long): Column =
+    toCol(Hash64Expr(toExpr(s), key))
+
   /** Codegen'd cosine similarity over Array[Double] columns. */
   def cosine_similarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))

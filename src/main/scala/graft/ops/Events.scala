@@ -151,6 +151,32 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** B35 — sketch-based approximate percentiles: `approx_percentile`
+    * (Greenwald-Khanna/KLL-style mergeable quantile summary) next to
+    * the exact values — the constant-memory companion to B20 the same
+    * way B13 (HLL) is to exact distinct. At 100 TB the exact
+    * percentile must materialize each group's values; the sketch
+    * partial-aggregates in fixed space per partition and merges.
+    * Approximation is engine-specific → rows-only driver check; the
+    * rank-error bound vs the exact values is spec-asserted.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String,
+                        accuracy: Int = 10000): DataFrame = {
+    import spark.implicits._
+    def ap(q: Double) =
+      expr(s"approx_percentile(value, $q, $accuracy)")
+    def p(q: Double) =
+      floor(expr(s"percentile(value, $q)") * 10000.0 + 0.5)
+        .cast("double") / 10000.0
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(ap(0.5).as("p50_approx"), ap(0.9).as("p90_approx"),
+        ap(0.99).as("p99_approx"), p(0.5).as("p50_exact"),
+        p(0.9).as("p90_exact"), p(0.99).as("p99_exact"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   /** B21 — CUBE: all grouping-set combinations of (type, user bucket)
     * in one pass.
     */

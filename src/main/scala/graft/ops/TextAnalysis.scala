@@ -404,6 +404,93 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** CMS parameters (E19): d hash rows × w counters, w a power of two
+    * so `pmod(signed hash, w)` equals the unsigned value mod w in both
+    * engines (w divides 2^64).
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+  val CmsSeed = 0x5EEDC0DEL
+
+  /** E19 — count-min-sketch heavy hitters: the constant-memory
+    * frequency sketch (d×w counter grid, estimate = min over rows of
+    * the hashed counter) that replaces a full vocabulary aggregate
+    * when only heavy hitters matter at 100 TB. Counters partial-
+    * aggregate into d·w = 1024 cells and BROADCAST; here the exact
+    * top-k rides along so the output exposes estimate vs truth (the
+    * sketch may only overestimate — spec-asserted). Hash rows reuse
+    * the minhash family (fnv1a → xor row key → splitmix64), so the
+    * DuckDB oracle re-derives the grid bit-exactly in HUGEINT SQL.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+                      topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.functions.hash64
+    val keys = (0 until CmsDepth).map(r =>
+      CmsSeed + r * graft.expressions.Hash64.Golden)
+    def buckets(c: Column) = array(keys.map(k =>
+      pmod(hash64(c, k), lit(CmsWidth.toLong))): _*)
+    val tf = tokens(spark, dir)
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val counters = tf
+      .select($"cnt", posexplode(buckets($"token")).as(Seq("r", "bucket")))
+      .groupBy($"r", $"bucket").agg(sum($"cnt").as("c"))
+    val top = tf.orderBy($"cnt".desc, $"token").limit(topK)
+    top.select($"token", $"cnt",
+        posexplode(buckets($"token")).as(Seq("r", "bucket")))
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy($"token", $"cnt").agg(min($"c").as("est_cnt"))
+      .withColumn("rank",
+        row_number().over(W.orderBy($"cnt".desc, $"token")).cast("long"))
+      .select($"rank", $"token", $"cnt".as("exact_cnt"), $"est_cnt")
+      .orderBy($"rank")
+  }
+
+  /** E20 — BPE merge training loop (the iterative extension of E17's
+    * single pair count): k greedy merge steps over the corpus-weighted
+    * vocabulary. Each step counts adjacent symbol pairs across the
+    * (tiny) distinct-word table weighted by word frequency, picks the
+    * argmax via TakeOrderedAndProject, and rewrites the symbol arrays
+    * with a left-to-right merge pass. The corpus-sized work is the ONE
+    * word-frequency aggregate up front; every iteration after that is
+    * vocabulary-sized, with `localCheckpoint` truncating the grown
+    * lineage per step (the same cure as the connected-components
+    * loop). Driver involvement per step is a single 1-row argmax —
+    * the standard structure of a distributed training loop.
+    */
+  def bpeMerges(spark: SparkSession, dir: String,
+                steps: Int = 6): DataFrame = {
+    import spark.implicits._
+    val mergeUdf = udf(BpeMerge.merge _)
+    var words = tokens(spark, dir)
+      .filter(length($"token") >= 2)
+      .groupBy($"token").agg(count(lit(1)).as("f"))
+      .select($"f", split($"token", "").as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to steps) {
+      val best = words.filter(size($"syms") >= 2)
+        .select($"f", explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"f").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b").limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((step.toLong, a, b, cnt))
+        words = words
+          .withColumn("syms", mergeUdf($"syms", lit(a), lit(b)))
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+      .toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy($"step")
+  }
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val IpPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   private val PhonePat = "\\+[0-9][0-9\\-]{5,14}[0-9]"
@@ -723,5 +810,79 @@ object TextAnalysis {
         |  list_reduce(list_prepend(0::BIGINT,
         |    [unicode(c)::BIGINT for c in string_split(text, '')]),
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin) ++ cmsOracle
+
+  /** DuckDB re-derivation of the count-min sketch (E19): the four
+    * per-row bucket hashes (fnv1a64 ^ row-key → splitmix64 mod 256)
+    * rebuilt with [[OracleU64]]-style HUGEINT mod-2^64 arithmetic; the
+    * row keys are compile-time Long constants inlined as unsigned
+    * literals so both engines hash identically.
+    */
+  private def cmsOracle: Map[String, String] = {
+    import OracleU64._
+    val mask = (BigInt(1) << 64) - 1
+    val keyCase = (0 until CmsDepth).map { r =>
+      val k = (BigInt(CmsSeed) + BigInt(r) *
+        (BigInt(graft.expressions.Hash64.Golden) & mask)) & mask
+      s"WHEN $r THEN $k::HUGEINT"
+    }.mkString("CASE r ", " ", " END")
+    val fnvStep = "(((h // 256) * 256 + " +
+      "xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT) * " +
+      s"1099511628211::HUGEINT) % $Two64"
+    Map("cms_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |tf AS (
+         |  SELECT t AS token, count(*) AS cnt FROM tok
+         |  WHERE t <> '' GROUP BY t),
+         |f0 AS (
+         |  SELECT token, cnt, list_reduce(
+         |    list_prepend(14695981039346656037::HUGEINT,
+         |      [unicode(c)::HUGEINT for c in string_split(token, '')]),
+         |    (h, c) -> $fnvStep) AS f
+         |  FROM tf),
+         |rr AS (
+         |  SELECT token, cnt, f, unnest(range(0, $CmsDepth)) AS r FROM f0),
+         |rk AS (
+         |  SELECT token, cnt, r, ${xor64("f", s"($keyCase)")} AS x
+         |  FROM rr),
+         |s1 AS (SELECT token, cnt, r, ${mixStep1("x")} AS x FROM rk),
+         |s2 AS (SELECT token, cnt, r, ${mixStep2("x")} AS x FROM s1),
+         |s3 AS (SELECT token, cnt, r, ${mixStep3("x")} AS x FROM s2),
+         |bk AS (
+         |  SELECT token, cnt, r,
+         |    (${mixStep4("x")}::HUGEINT % $CmsWidth)::BIGINT AS bucket
+         |  FROM s3),
+         |counters AS (
+         |  SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM bk GROUP BY r, bucket),
+         |top AS (
+         |  SELECT token, cnt FROM tf
+         |  ORDER BY cnt DESC, token LIMIT 10)
+         |SELECT row_number() OVER (ORDER BY t.cnt DESC, t.token) AS rank,
+         |  t.token, t.cnt AS exact_cnt, min(co.c) AS est_cnt
+         |FROM top t
+         |JOIN bk USING (token)
+         |JOIN counters co USING (r, bucket)
+         |GROUP BY t.token, t.cnt
+         |ORDER BY rank""".stripMargin)
+  }
+}
+
+/** Left-to-right greedy BPE pair merge (E20): replace each adjacent
+  * (a, b) occurrence in the symbol sequence with the fused symbol,
+  * scanning once so overlapping occurrences resolve leftmost-first —
+  * the classic BPE tokenizer-training semantics.
+  */
+object BpeMerge {
+  def merge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{BpeMerge, Events, TextAnalysis}
+
+/** Specs for the sketch/loop operators added in round 4: count-min
+  * heavy hitters (E19), approximate percentiles (B35), and the BPE
+  * merge loop (E20) — each checked against an independent exact
+  * recomputation, since their driver checks are rows-only or (for
+  * CMS) the oracle proves hashing parity but not the sketch bound.
+  */
+class SketchSpec extends SparkSpecBase {
+
+  test("cms heavy hitters: estimate never underestimates, top-1 is the modal token") {
+    val rows = TextAnalysis.cmsHeavyHitters(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2),
+        s"CMS underestimated ${r.getString(1)}") // est_cnt >= exact_cnt
+    }
+    // independent exact recomputation of the modal token
+    import spark.implicits._
+    val exactTop = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("t"))
+      .filter($"t" =!= "").groupBy($"t").count()
+      .orderBy($"count".desc, $"t").head()
+    assert(rows.head.getString(1) === exactTop.getString(0))
+    assert(rows.head.getLong(2) === exactTop.getLong(1))
+  }
+
+  test("hash64 column matches driver-side computation") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val key = 0x5EEDC0DEL
+    val rows = Seq("alpha", "beta", "gamma").toDF("s")
+      .select($"s", graft.functions.hash64($"s", key).as("h")).collect()
+    rows.foreach { r =>
+      val expected = graft.expressions.Hash64Expr.compute(
+        UTF8String.fromString(r.getString(0)), key)
+      assert(r.getLong(1) === expected)
+    }
+  }
+
+  test("approx percentiles: ordered, each within a ±1%-rank window of the data") {
+    import spark.implicits._
+    val rows = Events.approxPercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the sketch's contract is RANK error (≤ n/accuracy, here exact),
+    // not value error — so assert each approx value lands inside the
+    // sorted data within a generous ±1% rank window
+    val byType = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, a) => t -> a.map(_._2).sorted }
+    rows.foreach { r =>
+      val vals = byType(r.getString(0))
+      val n = vals.length
+      def inWindow(a: Double, q: Double): Boolean = {
+        val lo = vals(math.max(0, math.ceil((q - 0.01) * n).toInt - 1))
+        val hi = vals(math.min(n - 1, math.floor((q + 0.01) * n).toInt))
+        a >= lo && a <= hi
+      }
+      val (a50, a90, a99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(a50 <= a90 && a90 <= a99)
+      assert(inWindow(a50, 0.50) && inWindow(a90, 0.90) && inWindow(a99, 0.99))
+    }
+  }
+
+  test("bpe merge loop matches a single-threaded reference run") {
+    import spark.implicits._
+    val got = TextAnalysis.bpeMerges(spark, sf, steps = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // reference: same greedy algorithm, plain Scala over collected corpus
+    val freq = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ")).filter(t => t.nonEmpty && t.length >= 2)
+      .groupBy(identity).map { case (t, o) => (t.map(_.toString).toSeq, o.length.toLong) }
+    var words: Seq[(Seq[String], Long)] = freq.toSeq
+    val expected = (1 to 5).flatMap { step =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) None else {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        words = words.map { case (syms, f) => (BpeMerge.merge(syms, a, b), f) }
+        Some((step.toLong, a, b, cnt))
+      }
+    }
+    assert(got.toSeq === expected)
+  }
+
+  test("bpe first merge equals the bpe_pair_stats top pair") {
+    val firstMerge = TextAnalysis.bpeMerges(spark, sf, steps = 1).head()
+    val topPair = TextAnalysis.bpePairStats(spark, sf).head()
+    assert(firstMerge.getString(1) + firstMerge.getString(2)
+      === topPair.getString(1))
+    assert(firstMerge.getLong(3) === topPair.getLong(2))
+  }
+}
