@@ -115,7 +115,10 @@ object SparkEntry {
     "text_unigram_logprob" -> wrap(TextAnalysis.unigramLogprob),
     "cms_heavy_hitters" -> wrap(TextAnalysis.cmsHeavyHitters(_, _)),
     "bpe_merge_seq" -> wrap(TextAnalysis.bpeMerges(_, _)),
-    "events_approx_percentiles" -> wrap(Events.approxPercentiles(_, _))
+    "events_approx_percentiles" -> wrap(Events.approxPercentiles(_, _)),
+    "corpus_budget_select" -> wrap(graft.ops.Curation.budgetSelect(_, _)),
+    "dedup_incremental" -> wrap(Dedup.incremental),
+    "events_hll_merge" -> wrap(Events.hllMergeUsers)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -150,7 +150,60 @@ object Curation {
       .orderBy($"rank")
   }
 
+  /** H8 — token-budget corpus selection: keep the highest-priority
+    * documents (here: lexical diversity = distinct-token ratio,
+    * doc_id tiebreak) until the running token total reaches a fraction
+    * of the corpus — greedy data selection under a training budget.
+    * The global priority-ordered cumulative sum is computed WITHOUT a
+    * single-partition window (the H7 trick, extended from ranks to
+    * prefix sums): priority buckets split the key space, per-bucket
+    * running sums get bucket-offsets from a broadcast 17-row frame,
+    * and offset + local sum IS the global prefix sum. The budget
+    * itself is a one-row broadcast, never a driver round-trip.
+    */
+  def budgetSelect(spark: SparkSession, dir: String,
+                   frac: Double = 0.10): DataFrame = {
+    import spark.implicits._
+    val s = Tables.load(spark, dir, "documents")
+      .withColumn("tk", split($"text", " "))
+      .select($"doc_id", size($"tk").cast("long").as("n_tok"),
+        (floor(size(array_distinct($"tk")).cast("double") / size($"tk")
+          * 1000000.0 + 0.5).cast("double") / 1000000.0).as("uniq_ratio"))
+      .withColumn("bkt", floor($"uniq_ratio" * 16).cast("int"))
+    val offsets = s.groupBy($"bkt").agg(sum($"n_tok").as("btok"))
+      .withColumn("offset",
+        coalesce(sum($"btok").over(Window.orderBy($"bkt".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"offset")
+    val budget = s.agg((sum($"n_tok") * frac).as("budget"))
+    val w = Window.partitionBy($"bkt")
+      .orderBy($"uniq_ratio".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.join(broadcast(offsets), "bkt")
+      .withColumn("cum", (sum($"n_tok").over(w) + $"offset").cast("long"))
+      .crossJoin(broadcast(budget))
+      .filter($"cum" <= $"budget")
+      .select($"doc_id", $"n_tok", $"uniq_ratio", $"cum")
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "corpus_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(tk)::BIGINT AS n_tok,
+        |    floor(len(list_distinct(tk))::DOUBLE / len(tk)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS uniq_ratio
+        |  FROM t),
+        |o AS (
+        |  SELECT *, CAST(sum(n_tok) OVER (
+        |    ORDER BY uniq_ratio DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM s)
+        |SELECT doc_id, n_tok, uniq_ratio, cum FROM o
+        |WHERE cum <= (SELECT 0.10 * sum(n_tok) FROM s)
+        |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

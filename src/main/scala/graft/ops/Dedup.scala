@@ -40,6 +40,49 @@ object Dedup {
       .orderBy($"keeper_id")
   }
 
+  /** C9 — incremental (batch-vs-corpus) dedup: the ingest-time shape —
+    * which documents of an incoming batch (upper half of doc_id space)
+    * are new against the existing corpus (lower half)? The existing
+    * side is summarized as a BLOOM FILTER over 64-bit content hashes
+    * (sketch-sized, exchanged through the driver exactly like a
+    * broadcast): bloom-negative rows are provably new and skip the
+    * join entirely; only bloom-positive rows (true dups + fpp-bounded
+    * false positives) reach the exact anti-join on md5. At 100 TB the
+    * anti-join's probe side shrinks from |batch| to ~|dups|, and the
+    * historical corpus is never re-shuffled — the bloom is built once
+    * per ingest. Bloom expressions are Catalyst-internal on Spark 4,
+    * reached via the GraftBridge shim (see B24).
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import graft.functions.hash64
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", md5($"text").as("content_hash"),
+        hash64($"text", 0xB10053EDL).as("h64"))
+    val cut = docs.agg(expr("max(doc_id) DIV 2")).head().getLong(0)
+    val existing = docs.filter($"doc_id" < cut)
+    val incoming = docs.filter($"doc_id" >= cut)
+    val bf = existing
+      .agg(GraftBridge.column(new BloomFilterAggregate(
+        GraftBridge.expression($"h64"),
+        Literal(100000L), Literal(800000L)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightMatch = GraftBridge.column(BloomFilterMightContain(
+      Literal(bf, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression($"h64")))
+    val surelyNew = incoming.filter(!mightMatch)
+    val verified = incoming.filter(mightMatch)
+      .join(existing.select($"content_hash"), Seq("content_hash"), "left_anti")
+    surelyNew.select($"doc_id", $"content_hash")
+      .unionByName(verified.select($"doc_id", $"content_hash"))
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_batch_copies"))
+      .orderBy($"keeper_id")
+  }
+
   /** C7 — paragraph-granularity exact dedup: each document cut into
     * non-overlapping 16-token windows (tail stub ignored), hashed, and
     * windows appearing in ≥2 distinct documents reported with their
@@ -377,6 +420,18 @@ object Dedup {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
+        |inc AS (
+        |  SELECT doc_id, md5(text) AS content_hash
+        |  FROM documents, cut WHERE doc_id >= c),
+        |ex AS (
+        |  SELECT DISTINCT md5(text) AS h
+        |  FROM documents, cut WHERE doc_id < c)
+        |SELECT content_hash, min(doc_id) AS keeper_id,
+        |  count(*) AS n_batch_copies
+        |FROM inc WHERE content_hash NOT IN (SELECT h FROM ex)
+        |GROUP BY content_hash ORDER BY keeper_id""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_edit_distance" ->
       """WITH d AS (

@@ -100,6 +100,33 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** B36 — re-aggregable distinct sketches: per-day HLL sketches of
+    * user_id merged into a per-type total via `hll_union_agg` — the
+    * pre-aggregated-cube pattern that makes 100 TB distinct counts
+    * incremental (each new day contributes one fixed-size sketch; the
+    * merge never revisits history, unlike B13's one-shot
+    * approx_count_distinct which must re-scan). The direct sketch and
+    * exact count ride along to expose the merge fidelity; estimates
+    * are engine-specific → rows-only driver check + spec bound.
+    */
+  def hllMergeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+    val daily = e.groupBy($"event_type", $"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val merged = daily.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("merged_users"),
+        count(lit(1)).as("n_days"))
+    val direct = e.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("direct_users"),
+        countDistinct($"user_id").as("exact_users"))
+    merged.join(direct, "event_type")
+      .select($"event_type", $"n_days", $"merged_users", $"direct_users",
+        $"exact_users")
+      .orderBy($"event_type")
+  }
+
   /** B14 — daily cohort retention: users grouped by first-seen day,
     * fraction still active N days later (the canonical growth query:
     * two self-referential aggregates, one broadcast-sized cohort dim).

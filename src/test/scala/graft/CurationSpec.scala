@@ -124,4 +124,26 @@ class CurationSpec extends SparkSpecBase {
         s"per-lang kept count $n far from target $minShare")
     }
   }
+
+  test("budget select: bucketed prefix sums equal a true global cumsum") {
+    val rows = Curation.budgetSelect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the global priority-ordered cumulative sum serially
+    val stats = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select($"doc_id", size($"tk").cast("long").as("n_tok"),
+        (floor(size(array_distinct($"tk")).cast("double") / size($"tk")
+          * 1000000.0 + 0.5).cast("double") / 1000000.0).as("ur"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ordered = stats.sortBy { case (id, _, ur) => (-ur, id) }
+    val budget = 0.10 * stats.map(_._2).sum
+    var cum = 0L
+    val expected = ordered.flatMap { case (id, n, ur) =>
+      cum += n
+      if (cum <= budget) Some((id, n, ur, cum)) else None
+    }.sortBy(_._1).toSeq
+    val got = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
 }

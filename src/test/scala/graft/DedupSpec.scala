@@ -134,6 +134,22 @@ class DedupSpec extends SparkSpecBase {
     assert(en.toDouble / rows.length > 0.5)
   }
 
+  test("incremental dedup equals the plain anti-join formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, expr, lit, md5, min}
+    val got = Dedup.incremental(spark, sf).collect().toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", md5($"text").as("content_hash"))
+    val cut = docs.agg(expr("max(doc_id) DIV 2")).head().getLong(0)
+    val expected = docs.filter($"doc_id" >= cut)
+      .join(docs.filter($"doc_id" < cut).select($"content_hash"),
+        Seq("content_hash"), "left_anti")
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_batch_copies"))
+      .orderBy($"keeper_id").collect().toSeq
+    assert(got === expected)
+  }
+
   test("multimodal decode stub batches per partition deterministically") {
     val feats = Multimodal.decodeStub(spark, sf).collect()
     assert(feats.length === 500)

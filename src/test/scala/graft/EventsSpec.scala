@@ -60,4 +60,17 @@ class EventsSpec extends SparkSpecBase {
       .orderBy($"event_type")
     assert(salted.collect().toSeq === direct.collect().toSeq)
   }
+
+  test("merged daily HLL sketches track the exact distinct count") {
+    val rows = Events.hllMergeUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (merged, direct, exact) =
+        (r.getLong(2).toDouble, r.getLong(3).toDouble, r.getLong(4).toDouble)
+      // merge-of-parts must agree with the one-shot sketch, and both
+      // with truth, within standard HLL error at lgK=12 (~1.6% rsd)
+      assert(math.abs(merged - direct) <= 0.02 * exact)
+      assert(math.abs(merged - exact) <= 0.05 * exact)
+    }
+  }
 }
