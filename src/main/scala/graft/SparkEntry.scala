@@ -118,7 +118,8 @@ object SparkEntry {
     "events_approx_percentiles" -> wrap(Events.approxPercentiles(_, _)),
     "corpus_budget_select" -> wrap(graft.ops.Curation.budgetSelect(_, _)),
     "dedup_incremental" -> wrap(Dedup.incremental),
-    "events_hll_merge" -> wrap(Events.hllMergeUsers)
+    "events_hll_merge" -> wrap(Events.hllMergeUsers),
+    "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

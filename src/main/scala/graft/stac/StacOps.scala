@@ -71,6 +71,32 @@ object StacOps {
       .orderBy($"granule_id")
   }
 
+  /** A19 — antimeridian-crossing bounding box: when west > east the
+    * box wraps the 180° meridian and the longitude predicate becomes a
+    * disjunction (lon ≥ w OR lon ≤ e). The reference's validator
+    * rejects such boxes (validation.py `min_lon < max_lon`), so its
+    * users must split them manually — the engine handles the wrap
+    * directly, still as plain scan-pushable comparisons. A box around
+    * the Bering Strait / date line is the canonical case.
+    */
+  def bboxFilterWrapped(spark: SparkSession, dir: String,
+                        bbox: (Double, Double, Double, Double) =
+                          (150.0, -20.0, -140.0, 60.0)): DataFrame = {
+    import spark.implicits._
+    val (w, s, e, n) = bbox
+    require(w >= -180 && w <= 180 && e >= -180 && e <= 180,
+      s"lon bounds must be within [-180, 180], got ($w, $e)")
+    require(s >= -90 && s <= 90 && n >= -90 && n <= 90 && s < n,
+      s"invalid lat bounds ($s, $n)")
+    val lonPred =
+      if (w <= e) $"lon" >= w && $"lon" <= e
+      else $"lon" >= w || $"lon" <= e // wraps the antimeridian
+    catalog(spark, dir)
+      .filter(lonPred && $"lat" >= s && $"lat" <= n)
+      .select($"granule_id", $"lon", $"lat")
+      .orderBy($"granule_id")
+  }
+
   /** A4 — temporal day-range filter, closed interval
     * [day 00:00:00, day+1 − 1s] (reference: links.py:104-106).
     */
@@ -320,6 +346,11 @@ object StacOps {
         |FROM stac GROUP BY collection, CAST(ts AS DATE)
         |HAVING sum(CASE WHEN fetch_failed THEN 1 ELSE 0 END) > 0
         |ORDER BY collection, day""".stripMargin),
+    "stac_bbox_wrapped" -> (cte +
+      """SELECT granule_id, lon, lat FROM stac
+        |WHERE (lon >= 150.0 OR lon <= -140.0)
+        |  AND lat >= -20.0 AND lat <= 60.0
+        |ORDER BY granule_id""".stripMargin),
     "stac_grid_join" -> (cte.stripSuffix("\n") + ",\n" +
       s"""regions(region_id, w, s, e, n) AS (VALUES
         |    ${StacSynth.regionsSqlValues})

@@ -42,6 +42,29 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     }
   }
 
+  test("grid-bucketed spatial join executes as a hash equi-join, never a nested loop") {
+    // the naive point-in-box theta join can only plan as
+    // BroadcastNestedLoopJoin (per-row predicate evaluation over the
+    // cross space); the 10°-cell bucketing turns it into a broadcast
+    // HASH join on (cx, cy) with containment as a residual filter
+    val df = StacOps.gridJoin(spark, sf)
+    val qe = df.queryExecution
+    qe.toRdd.count() // materialize so AQE finalizes the plan
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "grid join degraded to a nested loop")
+    // and the wrapped-bbox filter matches a manual two-box split
+    val wrapped = StacOps.bboxFilterWrapped(spark, sf).collect()
+    val left = StacOps.bboxFilter(spark, sf, (150.0, -20.0, 180.0, 60.0))
+      .collect()
+    val right = StacOps.bboxFilter(spark, sf, (-180.0, -20.0, -140.0, 60.0))
+      .collect()
+    assert(wrapped.map(_.getLong(0)).toSet ===
+      (left.map(_.getLong(0)) ++ right.map(_.getLong(0))).toSet)
+    assert(wrapped.nonEmpty)
+  }
+
   test("bloom-filter pre-join prunes the probe side with zero false negatives") {
     import org.apache.spark.sql.Row
     // the runtime-filter shape for 100 TB fact-fact joins: build a
