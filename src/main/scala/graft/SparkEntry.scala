@@ -119,7 +119,8 @@ object SparkEntry {
     "corpus_budget_select" -> wrap(graft.ops.Curation.budgetSelect(_, _)),
     "dedup_incremental" -> wrap(Dedup.incremental),
     "events_hll_merge" -> wrap(Events.hllMergeUsers),
-    "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _))
+    "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _)),
+    "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,5 +131,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ graft.streaming.EventStreams.oracles ++
       graft.ops.TextPipeline.oracles ++ graft.ops.AsOf.oracles ++
-      graft.ops.Curation.oracles ++ graft.ops.RangeJoin.oracles
+      graft.ops.Curation.oracles ++ graft.ops.RangeJoin.oracles ++
+      graft.streaming.StacStreams.oracles
 }

@@ -46,9 +46,18 @@ object StacSynth {
     s"(CAST($id AS BIGINT), $w, $s, $e, $n)"
   }.mkString(",\n    ")
 
-  def catalog(spark: SparkSession, dir: String): DataFrame = {
+  def catalog(spark: SparkSession, dir: String): DataFrame =
+    catalogFrom(Tables.load(spark, dir, "orders"))
+
+  /** The catalog transform over any orders-shaped frame — including a
+    * `readStream` source (every column is a deterministic scalar
+    * expression, so the same plan runs batch or streaming; see
+    * `StacStreams`).
+    */
+  def catalogFrom(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
     import spark.implicits._
-    Tables.load(spark, dir, "orders")
+    orders
       .select($"o_orderkey".as("granule_id"), $"o_orderdate")
       .withColumn("collection",
         when($"granule_id" % 2 === 0, "HLSL30_2.0").otherwise("HLSS30_2.0"))

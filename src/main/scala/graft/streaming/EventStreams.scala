@@ -34,16 +34,29 @@ object EventStreams {
       .parquet(dir)
       .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
 
-  private def runToCompletion(df: DataFrame, prefix: String,
-                              mode: String = "complete"): DataFrame = {
+  /** Run a one-shot streaming query to completion into a memory sink.
+    * Streaming state (aggregation / join / dedup) allocates one state
+    * store PER shuffle partition per operator — at batch-oriented
+    * partition counts that fixed cost dominates small runs (a
+    * stream-stream join spins up 2×partitions stores), so the query
+    * runs at a reduced partition count, restored afterwards. State
+    * partitioning never changes results, only parallelism granularity.
+    */
+  private[streaming] def runToCompletion(df: DataFrame, prefix: String,
+                                         mode: String = "complete"): DataFrame = {
+    val spark = df.sparkSession
     val name = s"${prefix}_${counter.incrementAndGet()}"
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** G1 — streaming tumbling-window aggregation (1 h event-time

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.stac.StacSynth
+
+/** Streaming variants of the STAC catalog pipeline: the reference's
+  * daily-link cache treats CMR as a feed polled day by day
+  * (links.py:61-117 + the Lambda publisher); here the catalog IS a
+  * stream and the daily cache is a continuously maintained streaming
+  * aggregate — the same `StacSynth.catalogFrom` transform runs over a
+  * `readStream` source because every derived column is a
+  * deterministic scalar expression.
+  */
+object StacStreams {
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  private def catalogStream(spark: SparkSession, dir: String): DataFrame =
+    StacSynth.catalogFrom(
+      spark.readStream
+        .schema(ordersSchema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(dir))
+
+  /** G7 — streaming daily-link maintenance: per-(collection, day) link
+    * counts over the catalog stream, run to completion against the
+    * static fixture so the batch A5 rollup is the oracle. At scale the
+    * same plan tails a live feed with a watermark bounding state and
+    * appends finalized days to the partitioned cache — replacing the
+    * reference's poll-and-rewrite day files with an incremental
+    * aggregate that never revisits history.
+    */
+  def dailyLinkCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = catalogStream(spark, dir)
+      .groupBy($"collection", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_links"))
+    EventStreams.runToCompletion(agg, "graft_stream_stac")
+      .orderBy($"collection", $"day")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "stream_stac_daily" -> (StacSynth.sqlCte +
+      """SELECT collection, CAST(ts AS DATE) AS day, count(*) AS n_links
+        |FROM stac GROUP BY collection, CAST(ts AS DATE)
+        |ORDER BY collection, day""".stripMargin))
+}
