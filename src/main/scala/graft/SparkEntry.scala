@@ -120,7 +120,8 @@ object SparkEntry {
     "dedup_incremental" -> wrap(Dedup.incremental),
     "events_hll_merge" -> wrap(Events.hllMergeUsers),
     "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _)),
-    "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts)
+    "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts),
+    "knn_pq" -> wrap(Similarity.knnPq(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -107,16 +107,19 @@ object Similarity {
       .withColumn("cos", cosine($"qv", $"v")), k)
   }
 
-  /** Nearest-centroid assignment (centroids broadcast as literals). */
+  /** Nearest-centroid assignment (centroids broadcast as literals).
+    * Argmin via array_sort — linear expression size, unlike a
+    * reduce(when) chain whose tree grows 3^cells (see [[knnPq]]).
+    */
   private def assignCells(vecs: DataFrame,
                           centroids: Array[(Int, Seq[Double])]): DataFrame = {
     import vecs.sparkSession.implicits._
     def dist2(v: Column, c: Seq[Double]): Column =
       graft.functions.squared_distance(v, typedLit(c))
-    val best = centroids.map { case (i, c) =>
-      struct(dist2($"v", c).as("d"), lit(i).as("cell"))
-    }.reduce((a, b) => when(a("d") <= b("d"), a).otherwise(b))
-    vecs.withColumn("cell", best.getField("cell"))
+    vecs.withColumn("cell",
+      element_at(array_sort(array(centroids.map { case (i, c) =>
+        struct(dist2($"v", c).as("d"), lit(i).as("cell"))
+      }: _*)), 1).getField("cell"))
   }
 
   /** Per-query nprobe nearest cells, exploded to (query, probe_cell). */
@@ -133,6 +136,95 @@ object Similarity {
       .withColumn("probe_cell",
         explode(slice(transform(array_sort(scored), s => s.getField("cell")),
           1, nprobe)))
+  }
+
+  /** D5 — product-quantization ANN (IVF-PQ's compression half): the
+    * vector splits into `m` subspaces, each trained to a `ks`-entry
+    * codebook (seeded strided picks + Lloyd, same determinism stance
+    * as D2a), and every vector is stored as m one-byte codes — here
+    * 64 float dims → 8 bytes, a 32× shard-memory cut, the difference
+    * between an in-RAM and an on-disk ANN index at 100 TB. Queries
+    * score candidates by ADC (asymmetric distance): a per-query
+    * m×ks lookup table of partial distances is BROADCAST and the
+    * approximate distance is a sum of m table hits — no float vector
+    * is ever touched at query time. Codebook floats are engine-
+    * specific (rows-only check); recall vs exact L2 is spec-bounded.
+    */
+  def knnPq(spark: SparkSession, dir: String,
+            k: Int = 5, numQueries: Int = 10,
+            m: Int = 8, ks: Int = 16, lloydIters: Int = 2): DataFrame =
+    knnPqOn(loadVecs(spark, dir), k, numQueries, m, ks, lloydIters)
+
+  private[graft] def knnPqOn(vecsIn: DataFrame, k: Int, numQueries: Int,
+                             m: Int, ks: Int, lloydIters: Int): DataFrame = {
+    val spark = vecsIn.sparkSession
+    import spark.implicits._
+    val vecs = vecsIn.cache()
+    val dim = 64
+    val subDim = dim / m
+
+    def subCol(s: Int): Column = slice($"v", s * subDim + 1, subDim)
+
+    // argmin as element_at(array_sort(...), 1): the expression tree is
+    // LINEAR in ks — a reduce(when) chain re-references its accumulator
+    // three times per level and grows 3^ks nodes (analysis-time hang at
+    // ks=16)
+    def nearest(c: Column, cents: Array[(Int, Seq[Double])]): Column =
+      element_at(array_sort(array(cents.map { case (i, cv) =>
+        struct(graft.functions.squared_distance(c, typedLit(cv)).as("d"),
+          lit(i).as("code"))
+      }: _*)), 1).getField("code")
+
+    // per-subspace codebooks; only ks×subDim scalars reach the driver
+    val n = vecs.count()
+    val stride = math.max(1L, n / ks)
+    val books: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m) { s =>
+      var cents: Array[(Int, Seq[Double])] = vecs
+        .filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(ks)
+        .select(subCol(s).as("sv")).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }
+      for (_ <- 0 until lloydIters) {
+        val means = vecs.withColumn("code", nearest(subCol(s), cents))
+          .select($"code", posexplode(subCol(s)).as(Seq("j", "x")))
+          .groupBy($"code", $"j").agg(avg($"x").as("mu"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        val byCode = means.groupBy(_._1).map { case (c, rows) =>
+          c -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+        cents = cents.map { case (i, old) => (i, byCode.getOrElse(i, old)) }
+      }
+      cents
+    }
+
+    // encode: vector → m codes, exploded to (vec_id, s, code)
+    val encoded = vecs.select($"vec_id" +:
+        (0 until m).map(s => nearest(subCol(s), books(s)).as(s"c$s")): _*)
+      .select($"vec_id", posexplode(array(
+        (0 until m).map(s => col(s"c$s")): _*)).as(Seq("s", "code")))
+
+    // ADC lookup: numQueries × m × ks partial distances, broadcast
+    val qRows = vecs.filter($"vec_id" < numQueries)
+      .select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val lut = qRows.toSeq.flatMap { case (qid, qv) =>
+      (0 until m).flatMap { s =>
+        val q = qv.slice(s * subDim, (s + 1) * subDim)
+        books(s).map { case (code, cv) =>
+          (qid, s, code,
+            q.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+      }
+    }.toDF("query_id", "s", "code", "pd")
+
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    encoded.join(broadcast(lut), Seq("s", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id").agg(sum($"pd").as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"),
+        round($"adc", 6).as("adc_dist"))
+      .orderBy($"query_id", $"rnk")
   }
 
   /** D2b — LSH top-k for high-similarity regimes: 16 deterministic

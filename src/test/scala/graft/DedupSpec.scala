@@ -65,6 +65,46 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"IVF recall $recall below 0.4")
   }
 
+  test("knn PQ: deterministic, retrieves planted copies, beats chance recall") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pq = Similarity.knnPq(spark, sf).collect()
+    assert(pq.map(_.getLong(0)).distinct.length === 10)
+    // determinism: codebooks are seeded, no RNG anywhere
+    assert(Similarity.knnPq(spark, sf).collect().toSeq === pq.toSeq)
+    // planted-copy regime (PQ's actual claim for byte codes): an exact
+    // copy encodes to the query's own codes, so its ADC distance is
+    // the attainable minimum and it must surface at rank 1
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val planted = vecs.union(
+      vecs.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 10000L))
+    val res = Similarity.knnPqOn(planted, k = 1, numQueries = 5,
+      m = 8, ks = 16, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (q <- 0 until 5)
+      assert(res(q.toLong) === q + 10000L,
+        s"query $q must find its planted copy, got ${res(q.toLong)}")
+    // recall vs exact L2 on the unmodified corpus: this data is
+    // near-isotropic (max pairwise cosine ≈ 0.5), so distance contrast
+    // is tiny and no 8-byte code can rank the true top-5 highly —
+    // assert the ADC ordering still carries >10× chance-level signal
+    // (chance: 5/499 ≈ 0.01)
+    val arr = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = arr.filter(_._1 < 10).map { case (qid, qv) =>
+      qid -> arr.filter(_._1 != qid).map { case (id, v) => (d2(qv, v), id) }
+        .sortBy(t => (t._1, t._2)).take(5).map(_._2).toSet
+    }.toMap
+    val got = pq.groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recall = exact.map { case (q, ids) =>
+      ids.count(got(q).contains).toDouble / ids.size
+    }.sum / exact.size
+    assert(recall >= 0.1, s"PQ recall $recall not above chance")
+  }
+
   test("knn LSH retrieves planted exact duplicates (its regime)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
