@@ -121,7 +121,8 @@ object SparkEntry {
     "events_hll_merge" -> wrap(Events.hllMergeUsers),
     "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _)),
     "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts),
-    "knn_pq" -> wrap(Similarity.knnPq(_, _))
+    "knn_pq" -> wrap(Similarity.knnPq(_, _)),
+    "topk_orders_heap" -> wrap(Analytics.topkOrdersHeap(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

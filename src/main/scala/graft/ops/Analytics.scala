@@ -395,7 +395,35 @@ object Analytics {
       .orderBy($"c_nationkey")
   }
 
+  /** B37 — partial-aggregable top-k per group: the window formulation
+    * (B4) must shuffle and sort EVERY row of every group; this typed
+    * [[graft.expressions.TopKPairs]] Aggregator keeps a k-bounded
+    * buffer that merges associatively, so only ≤k pairs per
+    * (group × map partition) reach the shuffle — groups×k rows moved
+    * instead of N. Exact same semantics (value desc, id tiebreak, no
+    * float summation), which is why the window query IS the oracle.
+    */
+  def topkOrdersHeap(spark: SparkSession, dir: String,
+                     k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(graft.expressions.TopKPairs(k))
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("top"))
+      .select($"o_custkey", posexplode($"top").as(Seq("idx", "p")))
+      .select($"o_custkey", ($"idx" + 1).cast("long").as("rnk"),
+        $"p._2".as("o_orderkey"), $"p._1".as("o_totalprice"))
+      .orderBy($"o_custkey", $"rnk")
+  }
+
   val oracles: Map[String, String] = Map(
+    "topk_orders_heap" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_late_orders
         |FROM orders o

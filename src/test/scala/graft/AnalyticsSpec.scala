@@ -32,6 +32,27 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(rows.forall(r => r.getLong(4) >= 1 && r.getLong(4) <= 3))
   }
 
+  test("heap top-k equals the window formulation, partial-aggregates map-side") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    val df = Analytics.topkOrdersHeap(spark, sf)
+    val got = df.collect().toSeq
+    val w = W.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val expected = graft.Tables.load(spark, sf, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"rnk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rnk").collect().toSeq
+    assert(got === expected)
+    // the whole point: a two-phase (partial + final) object aggregate,
+    // not a whole-table sort under a window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
+    assert(!plan.contains("RunningWindowFunction"))
+  }
+
   test("monthly revenue covers the orderdate span contiguously-ish") {
     val rows = Analytics.monthlyRevenue(spark, sf).collect()
     assert(rows.length > 12)
