@@ -122,7 +122,8 @@ object SparkEntry {
     "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _)),
     "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts),
     "knn_pq" -> wrap(Similarity.knnPq(_, _)),
-    "topk_orders_heap" -> wrap(Analytics.topkOrdersHeap(_, _))
+    "topk_orders_heap" -> wrap(Analytics.topkOrdersHeap(_, _)),
+    "stream_cms_counters" -> wrap(graft.streaming.TextStreams.cmsCounters)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,5 +135,6 @@ object SparkEntry {
       Multimodal.oracles ++ graft.streaming.EventStreams.oracles ++
       graft.ops.TextPipeline.oracles ++ graft.ops.AsOf.oracles ++
       graft.ops.Curation.oracles ++ graft.ops.RangeJoin.oracles ++
-      graft.streaming.StacStreams.oracles
+      graft.streaming.StacStreams.oracles ++
+      graft.streaming.TextStreams.oracles
 }

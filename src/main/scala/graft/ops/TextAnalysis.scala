@@ -422,15 +422,21 @@ object TextAnalysis {
     * the minhash family (fnv1a → xor row key → splitmix64), so the
     * DuckDB oracle re-derives the grid bit-exactly in HUGEINT SQL.
     */
+  /** The d bucket indices of a token, one per sketch row — shared by
+    * the batch sketch (E19) and its streaming twin (G8).
+    */
+  private[graft] def cmsBuckets(c: Column): Column = {
+    import graft.functions.hash64
+    val keys = (0 until CmsDepth).map(r =>
+      CmsSeed + r * graft.expressions.Hash64.Golden)
+    array(keys.map(k => pmod(hash64(c, k), lit(CmsWidth.toLong))): _*)
+  }
+
   def cmsHeavyHitters(spark: SparkSession, dir: String,
                       topK: Int = 10): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.{Window => W}
-    import graft.functions.hash64
-    val keys = (0 until CmsDepth).map(r =>
-      CmsSeed + r * graft.expressions.Hash64.Golden)
-    def buckets(c: Column) = array(keys.map(k =>
-      pmod(hash64(c, k), lit(CmsWidth.toLong))): _*)
+    def buckets(c: Column) = cmsBuckets(c)
     val tf = tokens(spark, dir)
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
     val counters = tf
@@ -818,7 +824,10 @@ object TextAnalysis {
     * row keys are compile-time Long constants inlined as unsigned
     * literals so both engines hash identically.
     */
-  private def cmsOracle: Map[String, String] = {
+  /** CTE prefix re-deriving the CMS bucket grid (token → per-row
+    * bucket) in HUGEINT SQL; shared by E19's and G8's oracles.
+    */
+  private[graft] def cmsBkCte: String = {
     import OracleU64._
     val mask = (BigInt(1) << 64) - 1
     val keyCase = (0 until CmsDepth).map { r =>
@@ -829,44 +838,47 @@ object TextAnalysis {
     val fnvStep = "(((h // 256) * 256 + " +
       "xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT) * " +
       s"1099511628211::HUGEINT) % $Two64"
-    Map("cms_heavy_hitters" ->
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
-         |tf AS (
-         |  SELECT t AS token, count(*) AS cnt FROM tok
-         |  WHERE t <> '' GROUP BY t),
-         |f0 AS (
-         |  SELECT token, cnt, list_reduce(
-         |    list_prepend(14695981039346656037::HUGEINT,
-         |      [unicode(c)::HUGEINT for c in string_split(token, '')]),
-         |    (h, c) -> $fnvStep) AS f
-         |  FROM tf),
-         |rr AS (
-         |  SELECT token, cnt, f, unnest(range(0, $CmsDepth)) AS r FROM f0),
-         |rk AS (
-         |  SELECT token, cnt, r, ${xor64("f", s"($keyCase)")} AS x
-         |  FROM rr),
-         |s1 AS (SELECT token, cnt, r, ${mixStep1("x")} AS x FROM rk),
-         |s2 AS (SELECT token, cnt, r, ${mixStep2("x")} AS x FROM s1),
-         |s3 AS (SELECT token, cnt, r, ${mixStep3("x")} AS x FROM s2),
-         |bk AS (
-         |  SELECT token, cnt, r,
-         |    (${mixStep4("x")}::HUGEINT % $CmsWidth)::BIGINT AS bucket
-         |  FROM s3),
-         |counters AS (
-         |  SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c
-         |  FROM bk GROUP BY r, bucket),
-         |top AS (
-         |  SELECT token, cnt FROM tf
-         |  ORDER BY cnt DESC, token LIMIT 10)
-         |SELECT row_number() OVER (ORDER BY t.cnt DESC, t.token) AS rank,
-         |  t.token, t.cnt AS exact_cnt, min(co.c) AS est_cnt
-         |FROM top t
-         |JOIN bk USING (token)
-         |JOIN counters co USING (r, bucket)
-         |GROUP BY t.token, t.cnt
-         |ORDER BY rank""".stripMargin)
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+       |tf AS (
+       |  SELECT t AS token, count(*) AS cnt FROM tok
+       |  WHERE t <> '' GROUP BY t),
+       |f0 AS (
+       |  SELECT token, cnt, list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      [unicode(c)::HUGEINT for c in string_split(token, '')]),
+       |    (h, c) -> $fnvStep) AS f
+       |  FROM tf),
+       |rr AS (
+       |  SELECT token, cnt, f, unnest(range(0, $CmsDepth)) AS r FROM f0),
+       |rk AS (
+       |  SELECT token, cnt, r, ${xor64("f", s"($keyCase)")} AS x
+       |  FROM rr),
+       |s1 AS (SELECT token, cnt, r, ${mixStep1("x")} AS x FROM rk),
+       |s2 AS (SELECT token, cnt, r, ${mixStep2("x")} AS x FROM s1),
+       |s3 AS (SELECT token, cnt, r, ${mixStep3("x")} AS x FROM s2),
+       |bk AS (
+       |  SELECT token, cnt, r,
+       |    (${mixStep4("x")}::HUGEINT % $CmsWidth)::BIGINT AS bucket
+       |  FROM s3),
+       |counters AS (
+       |  SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM bk GROUP BY r, bucket)
+       |""".stripMargin
   }
+
+  private def cmsOracle: Map[String, String] = Map(
+    "cms_heavy_hitters" -> (cmsBkCte +
+      """, top AS (
+        |  SELECT token, cnt FROM tf
+        |  ORDER BY cnt DESC, token LIMIT 10)
+        |SELECT row_number() OVER (ORDER BY t.cnt DESC, t.token) AS rank,
+        |  t.token, t.cnt AS exact_cnt, min(co.c) AS est_cnt
+        |FROM top t
+        |JOIN bk USING (token)
+        |JOIN counters co USING (r, bucket)
+        |GROUP BY t.token, t.cnt
+        |ORDER BY rank""".stripMargin))
 }
 
 /** Left-to-right greedy BPE pair merge (E20): replace each adjacent

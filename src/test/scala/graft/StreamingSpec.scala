@@ -38,6 +38,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(a === b && a > 0)
   }
 
+  test("streaming CMS counter grid equals the batch-derived grid") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.TextStreams.cmsCounters(spark, sf).collect()
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .select(posexplode(graft.ops.TextAnalysis.cmsBuckets($"token"))
+        .as(Seq("r", "bucket")))
+      .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
+      .select($"r".cast("long").as("r"), $"bucket", $"c")
+      .orderBy($"r", $"bucket").collect()
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    // a sketch, not a histogram: the grid stays d×w no matter the stream
+    assert(streamed.length <= 4 * 256)
+  }
+
   test("checkpointed restart is exactly-once (no reprocessing, no loss)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
