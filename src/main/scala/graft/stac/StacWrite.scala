@@ -96,13 +96,16 @@ object StacWrite {
       .sortWithinPartitions($"cluster_key")
       .drop("gx", "gy")
       .write
+      // GeoParquet sink: stock parquet bytes + `geo` footer metadata
+      // with per-file bbox, zstd level pinned to 6 (write.py:219, 243)
+      .format("geoparquet")
       .mode("overwrite")
       // only replace the partitions present in this batch — a monthly
       // job must never clobber sibling months under the same root
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "zstd")
       .partitionBy("year", "month")
-      .parquet(root)
+      .save(root)
     true
   }
 }

@@ -1,0 +1,122 @@
+package org.apache.spark.sql.execution.datasources.parquet
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.api.WriteSupport.FinalizedWriteContext
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
+
+/** Parquet write support that emits GeoParquet `geo` file metadata.
+  *
+  * The reference writes stac-geoparquet via rustac
+  * (reference: write.py:219), whose output carries the GeoParquet
+  * footer key `geo` so geopandas / DuckDB-spatial / rustac recognize
+  * the geometry column. Spark's stock parquet sink has no hook for
+  * custom footer metadata, so this subclass:
+  *
+  *   - observes each row as it is written and folds the WKB point
+  *     geometry into a running bbox (zero extra passes, zero extra
+  *     I/O — the per-file bbox is exact and free);
+  *   - emits the `geo` key from [[finalizeWrite]], the parquet-mr
+  *     extension point for end-of-file metadata.
+  *
+  * This is the 100 TB-safe design: metadata cost is O(1) per file, no
+  * post-write footer rewriting, works on any FileSystem including
+  * object stores with no append support.
+  */
+class GeoParquetWriteSupport extends ParquetWriteSupport {
+
+  private var geomIdx: Int = -1
+  private var minX = Double.MaxValue
+  private var minY = Double.MaxValue
+  private var maxX = Double.MinValue
+  private var maxY = Double.MinValue
+  private var seen = 0L
+
+  override def init(configuration: Configuration): WriteSupport.WriteContext = {
+    val ctx = super.init(configuration)
+    val geomCol = configuration.get(
+      GeoParquetWriteSupport.GeometryColumnKey,
+      GeoParquetWriteSupport.DefaultGeometryColumn)
+    val schemaJson = configuration.get(ParquetWriteSupport.SPARK_ROW_SCHEMA)
+    if (schemaJson != null) {
+      DataType.fromJson(schemaJson) match {
+        case s: StructType =>
+          geomIdx = s.fields.indexWhere(f =>
+            f.name == geomCol && f.dataType == BinaryType)
+        case _ =>
+      }
+    }
+    ctx
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (geomIdx >= 0 && !row.isNullAt(geomIdx)) {
+      GeoParquetWriteSupport.wkbPointXY(row.getBinary(geomIdx)).foreach {
+        case (x, y) =>
+          if (x < minX) minX = x
+          if (x > maxX) maxX = x
+          if (y < minY) minY = y
+          if (y > maxY) maxY = y
+          seen += 1
+      }
+    }
+    super.write(row)
+  }
+
+  override def finalizeWrite(): FinalizedWriteContext = {
+    if (geomIdx < 0) new FinalizedWriteContext(java.util.Collections.emptyMap())
+    else {
+      val meta = new java.util.HashMap[String, String]()
+      meta.put("geo", GeoParquetWriteSupport.geoMetadataJson(
+        "geometry", if (seen > 0) Some((minX, minY, maxX, maxY)) else None))
+      new FinalizedWriteContext(meta)
+    }
+  }
+}
+
+object GeoParquetWriteSupport {
+  val GeometryColumnKey = "graft.geoparquet.geometry.column"
+  val DefaultGeometryColumn = "geometry"
+  /** GeoParquet spec version rustac emits (write.py:219 output contract). */
+  val GeoParquetVersion = "1.1.0"
+
+  /** Decode (x, y) from a WKB POINT; None for other geometry types. */
+  def wkbPointXY(wkb: Array[Byte]): Option[(Double, Double)] = {
+    if (wkb == null || wkb.length < 21) return None
+    val order =
+      if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val buf = ByteBuffer.wrap(wkb).order(order)
+    buf.get() // endianness byte
+    val geomType = buf.getInt()
+    // 1 = Point; 0x*1 with flags (Z/M/SRID variants) not produced here
+    if (geomType != 1) None else Some((buf.getDouble(), buf.getDouble()))
+  }
+
+  /** The `geo` footer value per the GeoParquet 1.1.0 spec: version,
+    * primary_column, per-column encoding/types/bbox. `crs` omitted =
+    * OGC:CRS84 (lon/lat WGS84), which is what the reference's STAC
+    * geometries are in.
+    */
+  def geoMetadataJson(
+      primaryColumn: String,
+      bbox: Option[(Double, Double, Double, Double)]): String = {
+    val sb = new mutable.StringBuilder()
+    sb.append("{\"version\":\"").append(GeoParquetVersion).append("\",")
+    sb.append("\"primary_column\":\"").append(primaryColumn).append("\",")
+    sb.append("\"columns\":{\"").append(primaryColumn).append("\":{")
+    sb.append("\"encoding\":\"WKB\",\"geometry_types\":[\"Point\"]")
+    bbox.foreach { case (x0, y0, x1, y1) =>
+      sb.append(",\"bbox\":[")
+        .append(x0).append(',').append(y0).append(',')
+        .append(x1).append(',').append(y1).append(']')
+    }
+    sb.append("}}}")
+    sb.toString()
+  }
+}

@@ -112,6 +112,73 @@ class StacSpec extends SparkSpecBase {
     }
   }
 
+  test("monthly sink writes GeoParquet 'geo' footer with exact per-file bbox") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val tmp = Files.createTempDirectory("graft-geofooter").toString
+    val items = StacSynth.catalog(spark, sf)
+    StacWrite.writeMonthly(spark, items, tmp, "0.1", "HLSL30_2.0", 1996, 3)
+    val monthDir = new Path(s"$tmp/v0.1/HLSL30_2.0/year=1996/month=3")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val parts = FileSystem.get(monthDir.toUri, hc).listStatus(monthDir)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    for (p <- parts) {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, hc))
+      try {
+        val fileMeta = reader.getFooter.getFileMetaData
+        val geo = fileMeta.getKeyValueMetaData.get("geo")
+        assert(geo != null, s"missing 'geo' footer key in $p")
+        assert(geo.contains("\"version\":\"1.1.0\""))
+        assert(geo.contains("\"primary_column\":\"geometry\""))
+        assert(geo.contains("\"encoding\":\"WKB\""))
+        // per-file bbox must equal the file's exact lon/lat extent
+        val bbox = "\"bbox\":\\[([^\\]]+)\\]".r
+          .findFirstMatchIn(geo).get.group(1).split(',').map(_.toDouble)
+        val ext = spark.read.parquet(p.toString)
+          .agg(min($"lon"), min($"lat"), max($"lon"), max($"lat"))
+          .head()
+        for (i <- 0 until 4) {
+          assert(math.abs(bbox(i) - ext.getDouble(i)) < 1e-9,
+            s"bbox[$i] ${bbox(i)} != ${ext.getDouble(i)} in $p")
+        }
+        // every column chunk is zstd
+        import scala.jdk.CollectionConverters._
+        for (block <- reader.getFooter.getBlocks.asScala;
+             col <- block.getColumns.asScala) {
+          assert(col.getCodec.name() === "ZSTD")
+        }
+      } finally reader.close()
+    }
+    // DuckDB-compatible round trip: the WKB geometry decodes back to
+    // the row's centroid (driver verifies via ST_GeomFromWKB)
+    val row = spark.read.parquet(monthDir.toString)
+      .select("lon", "lat", "geometry").head()
+    val xy = org.apache.spark.sql.execution.datasources.parquet
+      .GeoParquetWriteSupport.wkbPointXY(row.getAs[Array[Byte]](2)).get
+    assert(xy === ((row.getDouble(0), row.getDouble(1))))
+  }
+
+  test("geoparquet format pins zstd level 6 on the writer job conf") {
+    import org.apache.hadoop.mapreduce.Job
+    import org.apache.spark.sql.types._
+    val fmt = new graft.stac.GeoParquetFileFormat
+    val schema = StructType(Seq(StructField("geometry", BinaryType)))
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    fmt.prepareWrite(spark, job, Map("compression" -> "zstd"), schema)
+    assert(job.getConfiguration.get(
+      "parquet.compression.codec.zstd.level") === "6")
+    assert(job.getConfiguration.get("parquet.write.support.class") ===
+      "org.apache.spark.sql.execution.datasources.parquet.GeoParquetWriteSupport")
+    // and the option override is honored
+    val job2 = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    fmt.prepareWrite(spark, job2,
+      Map("compression" -> "zstd", "zstdLevel" -> "9"), schema)
+    assert(job2.getConfiguration.get(
+      "parquet.compression.codec.zstd.level") === "9")
+  }
+
   test("collection registry mirrors reference constants") {
     assert(HlsCollections.byName("HLSL30").conceptId === "C2021957657-LPCLOUD")
     assert(HlsCollections.byName("HLSS30").collectionId === "HLSS30_2.0")
