@@ -57,46 +57,77 @@ object Similarity {
       .withColumn("cos", cosine($"qv", $"v")), k)
   }
 
-  /** D2a — IVF top-k: deterministic centroids (seeded picks refined by
-    * `lloydIters` Lloyd steps), inverted cell assignment, probe the
-    * `nprobe` nearest cells per query. At 100 TB: centroids broadcast,
-    * the corpus is partitioned by cell, and a query touches
-    * nprobe/cells of the data.
+  /** Deterministic training sample: evenly strided vec_ids, at most
+    * `cap` vectors, collected in ONE job. Codebook/centroid quality
+    * depends on the sample distribution, not the corpus size — at
+    * 100 TB the training set is still `cap` vectors, so index build
+    * cost is decoupled from data volume (the round-4 scale defect:
+    * training used to re-scan the corpus once per subspace per Lloyd
+    * iteration, ~24 full passes for PQ defaults).
+    */
+  private[graft] def sampleTrainingSet(vecs: DataFrame,
+                                       cap: Int): Array[Array[Double]] = {
+    import vecs.sparkSession.implicits._
+    val n = vecs.count()
+    val stride = math.max(1L, n / cap)
+    vecs.filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(cap)
+      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Driver-side Lloyd over the (small) training sample: strided
+    * deterministic seeds, `iters` assign/mean steps, ties and empty
+    * clusters resolved exactly like the in-plan assignment
+    * (lowest-index centroid wins; empty keeps its previous value).
+    */
+  private[graft] def lloydTrain(points: Array[Array[Double]], k: Int,
+                                iters: Int): Array[(Int, Seq[Double])] = {
+    require(points.nonEmpty, "empty training sample")
+    val dim = points(0).length
+    val stride = math.max(1, points.length / k)
+    var cents: Array[Array[Double]] = Array.tabulate(k)(i =>
+      points(math.min(i * stride, points.length - 1)).clone())
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < k) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = p(j) - cents(i)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0L)
+      for (p <- points) {
+        val c = nearest(p)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += p(j); j += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+  }
+
+  /** D2a — IVF top-k: deterministic centroids (sampled, driver-side
+    * Lloyd — see [[sampleTrainingSet]]), inverted cell assignment,
+    * probe the `nprobe` nearest cells per query. At 100 TB: centroids
+    * broadcast, the corpus is partitioned by cell, a query touches
+    * nprobe/cells of the data, and the whole build is one sample
+    * collect plus ONE corpus assignment pass.
     */
   def knnIvf(spark: SparkSession, dir: String,
              k: Int = 5, numQueries: Int = 10,
              cells: Int = 8, nprobe: Int = 4,
-             lloydIters: Int = 1): DataFrame = {
+             lloydIters: Int = 1, trainSample: Int = 2048): DataFrame = {
     import spark.implicits._
     val vecs = loadVecs(spark, dir).cache()
-
-    // deterministic seed centroids: evenly strided vec_ids
-    val n = vecs.count()
-    val stride = math.max(1L, n / cells)
-    var centroids: Array[(Int, Seq[Double])] = vecs
-      .filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(cells)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
-
-    // Lloyd refinement (deterministic; driver holds only centroids)
-    for (_ <- 0 until lloydIters) {
-      val cArr = centroids
-      val assigned = assignCells(vecs, cArr)
-      // distributed per-dimension mean — only cells×dim scalars ever
-      // reach the driver, never the vectors themselves
-      val means = assigned
-        .select($"cell", posexplode($"v").as(Seq("j", "x")))
-        .groupBy($"cell", $"j").agg(avg($"x").as("m"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      val byCell = means.groupBy(_._1).map { case (cell, rows) =>
-        cell -> rows.sortBy(_._2).map(_._3).toSeq
-      }
-      centroids = centroids.map { case (i, old) =>
-        (i, byCell.getOrElse(i, old))
-      }
-    }
-
+    val centroids =
+      lloydTrain(sampleTrainingSet(vecs, trainSample), cells, lloydIters)
     val assigned = assignCells(vecs, centroids).cache()
     val queries = assigned.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
@@ -147,8 +178,12 @@ object Similarity {
     * score candidates by ADC (asymmetric distance): a per-query
     * m×ks lookup table of partial distances is BROADCAST and the
     * approximate distance is a sum of m table hits — no float vector
-    * is ever touched at query time. Codebook floats are engine-
-    * specific (rows-only check); recall vs exact L2 is spec-bounded.
+    * is ever touched at query time. Codebooks train driver-side on a
+    * strided sample ([[sampleTrainingSet]]), so the whole index build
+    * is one sample collect plus ONE corpus encode pass — training
+    * cost no longer grows with corpus size. Codebook floats are
+    * engine-specific (rows-only check); recall vs exact L2 is
+    * spec-bounded.
     */
   def knnPq(spark: SparkSession, dir: String,
             k: Int = 5, numQueries: Int = 10,
@@ -156,7 +191,8 @@ object Similarity {
     knnPqOn(loadVecs(spark, dir), k, numQueries, m, ks, lloydIters)
 
   private[graft] def knnPqOn(vecsIn: DataFrame, k: Int, numQueries: Int,
-                             m: Int, ks: Int, lloydIters: Int): DataFrame = {
+                             m: Int, ks: Int, lloydIters: Int,
+                             trainSample: Int = 2048): DataFrame = {
     val spark = vecsIn.sparkSession
     import spark.implicits._
     val vecs = vecsIn.cache()
@@ -175,25 +211,11 @@ object Similarity {
           lit(i).as("code"))
       }: _*)), 1).getField("code")
 
-    // per-subspace codebooks; only ks×subDim scalars reach the driver
-    val n = vecs.count()
-    val stride = math.max(1L, n / ks)
+    // all m codebooks from ONE sampled collect, trained driver-side
+    val sample = sampleTrainingSet(vecs, trainSample)
     val books: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m) { s =>
-      var cents: Array[(Int, Seq[Double])] = vecs
-        .filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(ks)
-        .select(subCol(s).as("sv")).collect().zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](0)) }
-      for (_ <- 0 until lloydIters) {
-        val means = vecs.withColumn("code", nearest(subCol(s), cents))
-          .select($"code", posexplode(subCol(s)).as(Seq("j", "x")))
-          .groupBy($"code", $"j").agg(avg($"x").as("mu"))
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        val byCode = means.groupBy(_._1).map { case (c, rows) =>
-          c -> rows.sortBy(_._2).map(_._3).toSeq
-        }
-        cents = cents.map { case (i, old) => (i, byCode.getOrElse(i, old)) }
-      }
-      cents
+      lloydTrain(sample.map(_.slice(s * subDim, (s + 1) * subDim)),
+        ks, lloydIters)
     }
 
     // encode: vector → m codes, exploded to (vec_id, s, code)
