@@ -117,7 +117,8 @@ object SparkEntry {
     "bpe_merge_seq" -> wrap(TextAnalysis.bpeMerges(_, _)),
     "events_approx_percentiles" -> wrap(Events.approxPercentiles(_, _)),
     "corpus_budget_select" -> wrap(graft.ops.Curation.budgetSelect(_, _)),
-    "dedup_incremental" -> wrap(Dedup.incremental),
+    "curriculum_order" -> wrap(graft.ops.Curation.curriculumOrder),
+    "dedup_incremental" -> wrap(Dedup.incremental(_, _)),
     "events_hll_merge" -> wrap(Events.hllMergeUsers),
     "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _)),
     "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts),

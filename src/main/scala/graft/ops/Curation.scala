@@ -187,7 +187,62 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** H9 — difficulty-curriculum ordering: train-order documents
+    * easy→hard by corpus-LM surprisal (E18's quality signal), with
+    * the global rank AND the running token total computed without a
+    * single-partition window — H7's bucketed-offset trick extended to
+    * carry both a row offset and a token-sum offset per bucket.
+    * Integer surprisal buckets split the score space (surprisal is
+    * ln-vocabulary bounded, so the bucket count stays small at any
+    * corpus size); per-bucket row_number/running-sum plus broadcast
+    * offsets ARE the global curriculum. Output: where each document
+    * sits in the curriculum and how many tokens precede it — the
+    * schedule a data loader consumes.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = TextAnalysis.unigramLogprob(spark, dir)
+      .withColumn("bkt", floor($"avg_surprisal").cast("int"))
+    val offsets = s.groupBy($"bkt")
+      .agg(count(lit(1)).as("bcnt"), sum($"n_tok").as("btok"))
+      .withColumn("rank_off",
+        coalesce(sum($"bcnt").over(Window.orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tok_off",
+        coalesce(sum($"btok").over(Window.orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"rank_off", $"tok_off")
+    val wr = Window.partitionBy($"bkt").orderBy($"avg_surprisal", $"doc_id")
+    val ws = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.join(broadcast(offsets), "bkt")
+      .withColumn("curriculum_rank",
+        (row_number().over(wr) + $"rank_off").cast("long"))
+      .withColumn("cum_tok", (sum($"n_tok").over(ws) + $"tok_off").cast("long"))
+      .select($"doc_id", $"n_tok", $"avg_surprisal", $"curriculum_rank",
+        $"cum_tok")
+      .orderBy($"curriculum_rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    "curriculum_order" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t AS (SELECT * FROM tok WHERE token <> ''),
+        |tf AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
+        |lp AS (
+        |  SELECT token, ln(cnt::DOUBLE / total::DOUBLE) AS logp
+        |  FROM tf CROSS JOIN tot),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    floor(-avg(logp) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
+        |  FROM t JOIN lp USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_tok, avg_surprisal,
+        |  row_number() OVER (ORDER BY avg_surprisal, doc_id) AS curriculum_rank,
+        |  CAST(sum(n_tok) OVER (ORDER BY avg_surprisal, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |FROM s ORDER BY curriculum_rank""".stripMargin,
     "corpus_budget_select" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

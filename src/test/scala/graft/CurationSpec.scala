@@ -146,4 +146,25 @@ class CurationSpec extends SparkSpecBase {
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(got === expected)
   }
+
+  test("curriculum order equals the single-window formulation") {
+    val got = Curation.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    // serial reference: one global sort by (surprisal, doc_id), then a
+    // running rank + token cumsum
+    val s = graft.ops.TextAnalysis.unigramLogprob(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, sur) => (sur, id) }
+    var cum = 0L
+    val expected = s.zipWithIndex.map { case ((id, nt, sur), i) =>
+      cum += nt
+      (id, nt, sur, (i + 1).toLong, cum)
+    }.toSeq
+    assert(got === expected)
+    // the schedule is a permutation with strictly increasing cum_tok
+    assert(got.map(_._4) === (1L to got.length.toLong))
+    assert(got.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+  }
 }
