@@ -50,10 +50,15 @@ object Dedup {
     * false positives) reach the exact anti-join on md5. At 100 TB the
     * anti-join's probe side shrinks from |batch| to ~|dups|, and the
     * historical corpus is never re-shuffled — the bloom is built once
-    * per ingest. Bloom expressions are Catalyst-internal on Spark 4,
-    * reached via the GraftBridge shim (see B24).
+    * per ingest. The bloom is sized from the build side — a cheap
+    * count-star (column-pruned parquet count) fixes expectedItems, and
+    * bits = 8×items keeps fpp ≈ 2% at ANY corpus size; a fixed
+    * capacity would saturate at real scale and funnel every row into
+    * the exact anti-join. Bloom expressions are Catalyst-internal on
+    * Spark 4, reached via the GraftBridge shim (see B24).
     */
-  def incremental(spark: SparkSession, dir: String): DataFrame = {
+  def incremental(spark: SparkSession, dir: String,
+                  expectedItems: Option[Long] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -65,10 +70,11 @@ object Dedup {
     val cut = docs.agg(expr("max(doc_id) DIV 2")).head().getLong(0)
     val existing = docs.filter($"doc_id" < cut)
     val incoming = docs.filter($"doc_id" >= cut)
+    val items = math.max(64L, expectedItems.getOrElse(existing.count()))
     val bf = existing
       .agg(GraftBridge.column(new BloomFilterAggregate(
         GraftBridge.expression($"h64"),
-        Literal(100000L), Literal(800000L)).toAggregateExpression()).as("bf"))
+        Literal(items), Literal(items * 8L)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val mightMatch = GraftBridge.column(BloomFilterMightContain(
       Literal(bf, org.apache.spark.sql.types.BinaryType),
