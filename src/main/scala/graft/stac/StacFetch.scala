@@ -1,0 +1,134 @@
+package graft.stac
+
+import java.net.URI
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed STAC-item fetch — the reference's core runtime verb
+  * (fetch.py:15–92: bounded-concurrency async gets, one store per
+  * netloc, failures separated from successes, never aborting the
+  * batch) re-expressed for Spark's execution model:
+  *
+  *   - the link set is a DataFrame, partitioned by Spark — at 100 TB
+  *     the fetch parallelism is executors × `maxConcurrent`, not one
+  *     process's event loop;
+  *   - within each partition a bounded thread pool replaces the
+  *     asyncio semaphore (fetch.py:51 `Semaphore(max_concurrent)`),
+  *     so per-task socket pressure is capped no matter how large the
+  *     partition is;
+  *   - one transport connection per (scheme, netloc) per partition
+  *     mirrors the store-per-netloc reuse of fetch.py:33–49;
+  *   - failures become ROWS (url + error), not exceptions — the
+  *     (items, failed) split of fetch.py:78–88 is a DataFrame filter,
+  *     and failed links can be re-fed to the operator for retry.
+  *
+  * Network transports aren't available in this container, so the
+  * `Transport` is injected (tests use an in-memory mock); the Spark
+  * plumbing — partitioning, bounded concurrency, connection reuse,
+  * failure separation — is the real, tested operator.
+  */
+object StacFetch {
+
+  /** One logical connection per (scheme, netloc), opened at most once
+    * per partition (fetch.py:33–49). `open` returns the getter used
+    * for every url on that netloc; implementations own auth (the
+    * reference attaches Earthdata credentials for s3 netlocs,
+    * fetch.py:37–43).
+    */
+  trait Transport extends Serializable {
+    def open(scheme: String, netloc: String): String => Array[Byte]
+  }
+
+  /** Fetch every `urlCol` of `links`. Returns one row per input link:
+    * (url, body, error) — exactly one of body/error is null. Bounded
+    * by `maxConcurrent` in-flight requests per partition.
+    */
+  def fetchRaw(links: DataFrame, urlCol: String, transport: Transport,
+               maxConcurrent: Int = 50): DataFrame = {
+    val spark = links.sparkSession
+    import spark.implicits._
+    require(maxConcurrent >= 1, s"maxConcurrent must be >= 1")
+    val urls: Dataset[String] = links.select(col(urlCol).cast("string")).as[String]
+    urls.mapPartitions { part =>
+      if (part.isEmpty) Iterator.empty
+      else {
+        val stores =
+          scala.collection.mutable.Map.empty[(String, String), String => Array[Byte]]
+        val pool = Executors.newFixedThreadPool(maxConcurrent)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          // store creation is sequential and lazy (first link wins),
+          // the gets themselves fan out on the bounded pool
+          val futures = part.map { url =>
+            val getter =
+              try {
+                val u = new URI(url)
+                Right(stores.getOrElseUpdate(
+                  (u.getScheme, u.getAuthority),
+                  transport.open(u.getScheme, u.getAuthority)))
+              } catch { case e: Exception => Left(e) }
+            getter match {
+              case Left(e) => Future.successful(
+                (url, null: String, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+              case Right(get) => Future {
+                try {
+                  (url, new String(get(url), java.nio.charset.StandardCharsets.UTF_8),
+                    null: String)
+                } catch {
+                  case e: Exception =>
+                    (url, null: String,
+                      s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                }
+              }
+            }
+          }.toVector
+          futures.map(f => Await.result(f, Duration.Inf)).iterator
+        } finally pool.shutdown()
+      }
+    }.toDF("url", "body", "error")
+  }
+
+  /** The reference's (successful_items, failed_links) pair
+    * (fetch.py:78–88): items parsed from the fetched STAC JSON with
+    * an explicit schema (malformed bodies join the failed side), and
+    * failed links carrying their error strings for retry/accounting.
+    */
+  def fetchItems(links: DataFrame, urlCol: String, transport: Transport,
+                 maxConcurrent: Int = 50): (DataFrame, DataFrame) = {
+    val spark = links.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val itemSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("collection", StringType),
+      StructField("properties",
+        StructType(Seq(StructField("datetime", StringType)))),
+      StructField("grid", StructType(Seq(
+        StructField("lon10", LongType), StructField("lat10", LongType))))))
+    // items and failed both derive from raw — persist so each link is
+    // fetched exactly once (the reference gathers once, fetch.py:70-76)
+    val raw = fetchRaw(links, urlCol, transport, maxConcurrent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parsed = raw.filter($"error".isNull)
+      .withColumn("item", from_json($"body", itemSchema))
+    val items = parsed.filter($"item.id".isNotNull)
+      .select(
+        $"url".as("url_stac"),
+        $"item.id".as("item_id"),
+        $"item.collection".as("collection"),
+        to_timestamp($"item.properties.datetime").as("ts"),
+        // grid cell → centroid, the catalog's convention (StacSynth:78-81)
+        ($"item.grid.lon10" / 10.0 - 180.0 + 0.05).as("lon"),
+        ($"item.grid.lat10" / 10.0 - 90.0 + 0.05).as("lat"))
+    val failed = raw.filter($"error".isNotNull).select($"url", $"error")
+      .unionByName(parsed.filter($"item.id".isNull)
+        .select($"url", lit("MalformedItem: unparseable STAC JSON").as("error")))
+    (items, failed)
+  }
+}

@@ -127,6 +127,32 @@ object StacPipeline {
         $"year" === year && $"month" === month)
   }
 
+  /** The reference's full runtime chain, link-cache → fetch → monthly
+    * write (fetch.py feeding write.py:213–219): read the month's
+    * cached links, fetch every STAC item through the injected
+    * transport (bounded concurrency, per-netloc reuse, failures
+    * separated — see [[StacFetch]]), write the successful items as
+    * monthly geoparquet, and RETURN the failed links (url, error) for
+    * accounting/retry — the (items, failed) contract of
+    * fetch.py:78–88.
+    */
+  def fetchAndWriteMonthly(
+      spark: SparkSession,
+      dest: String,
+      collectionId: String,
+      year: Int,
+      month: Int,
+      transport: StacFetch.Transport,
+      version: String = "0.1",
+      maxConcurrent: Int = 50): DataFrame = {
+    val links = readMonthlyLinks(spark, dest, collectionId, year, month)
+    val (items, failed) =
+      StacFetch.fetchItems(links, "stac_link", transport, maxConcurrent)
+    StacWrite.writeMonthly(spark, items, dest, version, collectionId,
+      year, month)
+    failed
+  }
+
   def writeMonthlyStacGeoparquet(
       spark: SparkSession,
       dest: String,

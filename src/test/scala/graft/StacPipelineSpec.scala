@@ -2,7 +2,27 @@ package graft
 
 import java.nio.file.Files
 
-import graft.stac.{StacPipeline, StacSynth}
+import graft.stac.{StacFetch, StacPipeline, StacSynth}
+
+/** In-memory transport: serves the catalog's own item_json per URL,
+  * throws for URLs in the fail set; counts per-netloc opens so reuse
+  * is assertable (executors share this JVM under local[N]).
+  */
+object MockTransport {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class MockTransport(bodies: Map[String, String], failing: Set[String])
+    extends StacFetch.Transport {
+  def open(scheme: String, netloc: String): String => Array[Byte] = {
+    MockTransport.opens.incrementAndGet()
+    url => {
+      if (failing(url)) throw new RuntimeException(s"503 on $url")
+      bodies.getOrElse(url,
+        throw new NoSuchElementException(s"404 $url")).getBytes("UTF-8")
+    }
+  }
+}
 
 class StacPipelineSpec extends SparkSpecBase {
   import spark.implicits._
@@ -97,5 +117,78 @@ class StacPipelineSpec extends SparkSpecBase {
     val allLinks = spark.read.parquet(
       s"$tmp/links/collection=$cid/year=1996/month=3/day=${days.head}")
     assert(bbLinks.count() <= allLinks.count())
+  }
+
+  test("fetch operator: success/failure separation, netloc reuse, bounded pool") {
+    import org.apache.spark.sql.functions._
+    val catalog = StacSynth.catalog(spark, sf).cache()
+    val bodies = catalog.select($"url_stac", $"item_json").as[(String, String)]
+      .collect().toMap
+    val failUrls = catalog.filter($"fetch_failed")
+      .select($"url_stac").as[String].collect().toSet
+    assert(failUrls.nonEmpty, "synth catalog plants fetch failures")
+    val links = catalog.select($"url_stac".as("stac_link")).repartition(4)
+    MockTransport.opens.set(0)
+    val (items, failed) = StacFetch.fetchItems(links, "stac_link",
+      new MockTransport(bodies, failUrls), maxConcurrent = 8)
+    val nItems = items.count(); val nFailed = failed.count()
+    // failures become rows, successes parse — together they partition
+    // the input exactly (fetch.py:78-88)
+    assert(nItems + nFailed === catalog.count())
+    assert(nFailed === failUrls.size)
+    assert(failed.filter($"error".contains("503")).count() === nFailed)
+    // one open per (partition × netloc): 4 partitions, 1 https netloc
+    assert(MockTransport.opens.get() <= 4,
+      s"expected ≤4 netloc opens, got ${MockTransport.opens.get()}")
+    // parsed fields round-trip the catalog's own values (columns
+    // renamed: items derives from catalog, so a direct self-join on
+    // shared names is ambiguous)
+    val cat2 = catalog.select($"url_stac".as("c_url"),
+      $"collection".as("c_col"), $"ts".as("c_ts"),
+      $"lon".as("c_lon"), $"lat".as("c_lat"))
+    val joined = items.join(cat2, $"url_stac" === $"c_url")
+      .filter($"collection" =!= $"c_col" || $"ts" =!= $"c_ts" ||
+        abs($"lon" - $"c_lon") > 1e-9 || abs($"lat" - $"c_lat") > 1e-9)
+    assert(joined.count() === 0, "fetched item fields must match catalog")
+    // malformed body joins the failed side, not an exception
+    val badLinks = Seq("https://data.example.com/bad.json")
+      .toDF("stac_link")
+    val bad = new MockTransport(
+      Map("https://data.example.com/bad.json" -> "not json at all"),
+      Set.empty)
+    val (bi, bfail) = StacFetch.fetchItems(badLinks, "stac_link", bad)
+    assert(bi.count() === 0 && bfail.count() === 1)
+    assert(bfail.head().getString(1).contains("Malformed"))
+  }
+
+  test("end-to-end with fetch: link cache → fetch → monthly geoparquet + failed") {
+    val tmp = Files.createTempDirectory("graft-fetch-pipe").toString
+    val catalog = StacSynth.catalog(spark, sf).cache()
+    val cid = "HLSL30_2.0"
+    val days = catalog
+      .filter($"collection" === cid)
+      .filter(org.apache.spark.sql.functions.date_format($"ts", "yyyy-MM") === "1996-03")
+      .select(org.apache.spark.sql.functions.dayofmonth($"ts"))
+      .distinct().as[Int].collect().sorted
+    assert(days.nonEmpty)
+    for (d <- days) {
+      StacPipeline.cacheDailyStacJsonLinks(spark, catalog, tmp, cid,
+        f"1996-03-$d%02d")
+    }
+    val bodies = catalog.select($"url_stac", $"item_json").as[(String, String)]
+      .collect().toMap
+    val failUrls = catalog.filter($"fetch_failed")
+      .select($"url_stac").as[String].collect().toSet
+    val failed = StacPipeline.fetchAndWriteMonthly(spark, tmp, cid, 1996, 3,
+      new MockTransport(bodies, failUrls)).cache()
+    val monthLinks = StacPipeline.readMonthlyLinks(spark, tmp, cid, 1996, 3)
+    val expectFailed = monthLinks
+      .filter($"stac_link".isin(failUrls.toSeq: _*)).count()
+    assert(failed.count() === expectFailed)
+    val out = spark.read.parquet(s"$tmp/v0.1/$cid")
+      .filter($"year" === 1996 && $"month" === 3)
+    assert(out.count() === monthLinks.count() - expectFailed)
+    // the geoparquet contract survives the fetch path
+    assert(out.columns.contains("geometry"))
   }
 }
