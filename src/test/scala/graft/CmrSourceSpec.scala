@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.get_json_object
+
+import graft.stac.CmrSource
+import graft.stac.CmrSource.{Page, PageFetcher}
+
+/** Serves `total` entries in pages, tokens "after-N"; records every
+  * (pageSize, token) request so the protocol sequence is assertable.
+  */
+class FakeCmr(total: Int) extends PageFetcher {
+  val calls = scala.collection.mutable.ArrayBuffer.empty[(Int, Option[String])]
+  def fetch(pageSize: Int, searchAfter: Option[String]): Page = {
+    calls += ((pageSize, searchAfter))
+    val from = searchAfter.map(_.stripPrefix("after-").toInt).getOrElse(0)
+    val until = math.min(from + pageSize, total)
+    val entries = (from until until).map { i =>
+      s"""{"id": "G$i", "links": [{"href": "https://ex.com/meta/$i.xml"}, {"href": "https://ex.com/$i/item_stac.json"}, {"href": "s3://bucket/$i/item_stac.json"}]}"""
+    }
+    Page(entries, if (until < total) Some(s"after-$until") else None)
+  }
+}
+
+class CmrSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("page size clamp matches cmr_api.py:56") {
+    assert(CmrSource.clampPageSize(5000) === 2000)
+    assert(CmrSource.clampPageSize(0) === 1)
+    assert(CmrSource.clampPageSize(-3) === 1)
+    assert(CmrSource.clampPageSize(500) === 500)
+  }
+
+  test("token loop pages to exhaustion and the fetcher sees the token chain") {
+    val dir = Files.createTempDirectory("graft-cmr").toString
+    val cmr = new FakeCmr(total = 25)
+    val res = CmrSource.spoolTo(spark, cmr, dir, pageSize = 10)
+    assert(res === CmrSource.SpoolResult(3, 25L, complete = true))
+    assert(cmr.calls.toSeq === Seq(
+      (10, None), (10, Some("after-10")), (10, Some("after-20"))))
+    assert(CmrSource.entries(spark, dir).count() === 25)
+    // completed sweep: further calls are no-ops
+    val again = CmrSource.spoolTo(spark, cmr, dir, pageSize = 10)
+    assert(again === CmrSource.SpoolResult(0, 0L, complete = true))
+    assert(cmr.calls.size === 3)
+  }
+
+  test("mid-stream resume continues from the committed token") {
+    val dir = Files.createTempDirectory("graft-cmr-resume").toString
+    val cmr = new FakeCmr(total = 45)
+    // first sweep dies after 2 of 5 pages
+    val partial = CmrSource.spoolTo(spark, cmr, dir, pageSize = 10, maxPages = 2)
+    assert(partial === CmrSource.SpoolResult(2, 20L, complete = false))
+    // a fresh process resumes from the token file, not from page 0
+    val cmr2 = new FakeCmr(total = 45)
+    val rest = CmrSource.spoolTo(spark, cmr2, dir, pageSize = 10)
+    assert(rest === CmrSource.SpoolResult(3, 25L, complete = true))
+    assert(cmr2.calls.head === ((10, Some("after-20"))))
+    // no page skipped, no page duplicated
+    val ids = CmrSource.entries(spark, dir)
+      .select(get_json_object($"entry_json", "$.id")).as[String].collect()
+    assert(ids.sorted.toSeq === (0 until 45).map(i => s"G$i").sortBy(identity))
+  }
+
+  test("requested page size reaches the fetcher clamped") {
+    val dir = Files.createTempDirectory("graft-cmr-clamp").toString
+    val cmr = new FakeCmr(total = 3)
+    CmrSource.spoolTo(spark, cmr, dir, pageSize = 99999)
+    assert(cmr.calls.head._1 === 2000)
+  }
+
+  test("stac link extraction: first protocol match, malformed rows skipped") {
+    val dir = Files.createTempDirectory("graft-cmr-links").toString
+    CmrSource.spoolTo(spark, new FakeCmr(total = 7), dir, pageSize = 3)
+    val links = CmrSource.stacJsonLinks(CmrSource.entries(spark, dir))
+    val rows = links.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length === 7)
+    assert(rows.forall { case (id, l) =>
+      l.startsWith("https") && l.endsWith("stac.json") })
+    // s3 protocol selects the s3 variant instead
+    val s3 = CmrSource.stacJsonLinks(CmrSource.entries(spark, dir), "s3")
+    assert(s3.count() === 7)
+    assert(s3.head().getString(1).startsWith("s3://"))
+    // linkless and malformed entries are skipped, not failures
+    val weird = Seq(
+      """{"id": "A", "links": "not-a-list"}""",
+      """{"id": "B"}""",
+      """not json""",
+      """{"id": "C", "links": [{"href": "https://ex.com/c_stac.json"}]}""")
+      .toDF("entry_json")
+    val ok = CmrSource.stacJsonLinks(weird).collect()
+    assert(ok.map(_.getString(0)).toSeq === Seq("C"))
+  }
+}
