@@ -14,10 +14,11 @@ object Bench {
     // executor startup + codegen compiler init (~8-10s otherwise)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // best-of-2 for stall suspects: transient machine stalls (GC,
-    // co-tenant IO) otherwise land on whichever query is running and
-    // dominate the total. Queries that finish fast the first time are
-    // not re-run, bounding total wall time.
+    // median-of-3 for stall suspects (>2s first run): transient
+    // machine stalls (GC, co-tenant IO) otherwise land on whichever
+    // query is running and dominate the total — and a best-of-2 can
+    // under-report a genuinely slow query. Queries that finish fast
+    // the first time are not re-run, bounding total wall time.
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -27,7 +28,11 @@ object Bench {
       val a = once()
       val best =
         if (a < 0) { val b = once(); math.max(a, b) }
-        else if (a > 2.0) { val b = once(); if (b < 0) a else math.min(a, b) }
+        else if (a > 2.0) {
+          val more = Seq(once(), once()).filter(_ >= 0)
+          val runs = (a +: more).sorted
+          runs(runs.length / 2)
+        }
         else a
       // per-query cache hygiene: operators that cache (LSH docs, IVF
       // vectors) must not squeeze later queries' execution memory
