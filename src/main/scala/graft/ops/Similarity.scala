@@ -218,34 +218,47 @@ object Similarity {
         ks, lloydIters)
     }
 
-    // encode: vector → m codes, exploded to (vec_id, s, code)
+    // encode: vector → m codes, ONE pass, no row multiplication
     val encoded = vecs.select($"vec_id" +:
         (0 until m).map(s => nearest(subCol(s), books(s)).as(s"c$s")): _*)
-      .select($"vec_id", posexplode(array(
-        (0 until m).map(s => col(s"c$s")): _*)).as(Seq("s", "code")))
 
-    // ADC lookup: numQueries × m × ks partial distances, broadcast
+    // ADC applied MAP-SIDE: the per-query m×ks partial-distance table
+    // is a flat literal (index s·ks+code), each vector row looks up
+    // its m codes per query and emits (query_id, adc) directly — no
+    // n×m explode, no join, no re-aggregation; summation order is
+    // fixed (s ascending), so the score is bit-deterministic
     val qRows = vecs.filter($"vec_id" < numQueries)
       .select($"vec_id", $"v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val lut = qRows.toSeq.flatMap { case (qid, qv) =>
+    val lutLit = typedLit(qRows.toSeq.map { case (_, qv) =>
       (0 until m).flatMap { s =>
         val q = qv.slice(s * subDim, (s + 1) * subDim)
-        books(s).map { case (code, cv) =>
-          (qid, s, code,
-            q.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        books(s).map { case (_, cv) =>
+          q.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
         }
       }
-    }.toDF("query_id", "s", "code", "pd")
-
-    val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
-    encoded.join(broadcast(lut), Seq("s", "code"))
+    })
+    val scored = encoded.select($"vec_id", posexplode(array(
+        qRows.toSeq.zipWithIndex.map { case ((qid, _), qi) =>
+          val lutRow = element_at(lutLit, qi + 1)
+          struct(lit(qid).as("query_id"),
+            (0 until m).map(s =>
+              element_at(lutRow, lit(s * ks + 1) + col(s"c$s")))
+              .reduce(_ + _).as("adc"))
+        }: _*)).as(Seq("qi", "qa")))
+      .select($"vec_id", $"qa.query_id".as("query_id"), $"qa.adc".as("adc"))
       .filter($"vec_id" =!= $"query_id")
-      .groupBy($"query_id", $"vec_id").agg(sum($"pd").as("adc"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter($"rnk" <= k)
-      .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"),
-        round($"adc", 6).as("adc_dist"))
+
+    // k-bounded partial-agg top-k (B37 machinery): ≤ queries×k rows
+    // per map partition reach the shuffle, not n×queries window input;
+    // negation turns the min-ADC search into TopKPairs' max ordering
+    // with the same (adc asc, vec_id asc) tiebreak
+    val topk = udaf(graft.expressions.TopKPairs(k))
+    scored.groupBy($"query_id")
+      .agg(topk(-$"adc", $"vec_id").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("idx", "p")))
+      .select($"query_id", ($"idx" + 1).cast("long").as("rnk"),
+        $"p._2".as("neighbor_id"), round(-$"p._1", 6).as("adc_dist"))
       .orderBy($"query_id", $"rnk")
   }
 
