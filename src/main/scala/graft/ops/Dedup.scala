@@ -165,32 +165,51 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
-    // Size-band pruning: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
-    // J ≥ 0.8 needs 5·min ≥ 4·max (exact integer arithmetic), i.e.
-    // log₁.₂₅ sizes within 1 → adjacent size buckets. Exploding each
-    // doc to buckets {k, k+1} turns the all-pairs comparison into an
-    // EQUI-join on bucket (hash join, shuffled — no nested loop), and
-    // `bucket = max(k_a, k_b)` keeps exactly one copy of each pair.
+    // Prefix-filtered exact similarity join (the AllPairs/PPJoin
+    // candidate rule): under ANY global element order, J(A,B) ≥ t
+    // forces an overlap of ≥ ⌈t·|x|⌉ shingles for each side (given
+    // the size band below), so the two docs must share an element
+    // within each one's first |x| − ⌈t·|x|⌉ + 1 ordered shingles.
+    // Ordering by ascending global frequency makes those prefixes the
+    // RAREST shingles — rare shingles collide rarely, so the prefix
+    // equi-join yields a candidate set near the true pair count
+    // instead of the size-band blowup (742k band candidates vs ~10²
+    // true pairs on this corpus). Survivors verify with exact-integer
+    // size-band + full Jaccard. All thresholds in integer arithmetic
+    // (t scaled by 10⁴) — no float rounding can drop a borderline
+    // pair. doc_id < 2500 keeps this quadratic-free baseline bounded
+    // at every SF; the unbounded path is C2.
+    val tNum = math.round(threshold * 10000).toInt
     val docs = withShingles(
       Tables.load(spark, dir, "documents").filter($"doc_id" < 2500))
       .select($"doc_id", $"sh", size($"sh").as("sz"))
-      .withColumn("k", floor(log($"sz".cast("double")) / math.log(1.25)).cast("int"))
-    val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"),
-      $"sz".as("sz_a"), $"k".as("k_a"),
-      explode(array($"k", $"k" + 1)).as("bucket"))
-    val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
-      $"sz".as("sz_b"), $"k".as("k_b"),
-      explode(array($"k", $"k" + 1)).as("bucket"))
-    // Broadcast the build side: with only ~log₁.₂₅(size-range) distinct
-    // buckets a shuffled join gets that few tasks; a broadcast hash
-    // join parallelizes across the (repartitioned) probe side instead.
-    // At 100 TB the probe side streams; the build side is the bounded
-    // candidate set.
-    a.repartition(a.sparkSession.sessionState.conf.numShufflePartitions)
-      .join(broadcast(b), Seq("bucket"))
-      .filter($"doc_a" < $"doc_b" &&
-        $"bucket" === greatest($"k_a", $"k_b") &&
-        least($"sz_a", $"sz_b") * 5 >= greatest($"sz_a", $"sz_b") * 4)
+    // global shingle frequency → rarity-first canonical order
+    val freq = docs.select(explode($"sh").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("f"))
+    // per-doc prefix: p = sz − ⌈t·sz⌉ + 1 rarest shingles (exact:
+    // ⌈t·sz⌉ = (tNum·sz + 9999) div 10000)
+    val prefixes = docs
+      .select($"doc_id", $"sz", explode($"sh").as("g"))
+      .join(freq, "g")
+      .groupBy($"doc_id", $"sz")
+      .agg(array_sort(collect_list(struct($"f", $"g"))).as("ord"))
+      .withColumn("p",
+        ($"sz" - floor(($"sz" * tNum + 9999L) / 10000L) + 1).cast("int"))
+      .select($"doc_id",
+        explode(array_distinct(transform(slice($"ord", lit(1), $"p"),
+          s => s.getField("g")))).as("g"))
+    val cand = prefixes.select($"g".as("ga"), $"doc_id".as("doc_a"))
+      .join(prefixes.select($"g".as("gb"), $"doc_id".as("doc_b")),
+        $"ga" === $"gb" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"),
+        $"sz".as("sz_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
+        $"sz".as("sz_b")), "doc_b")
+      // size band (J ≤ min/max): exact integers, 10⁴·min ≥ t·10⁴·max
+      .filter(least($"sz_a", $"sz_b") * 10000 >=
+        greatest($"sz_a", $"sz_b") * tNum)
       .withColumn("j", jaccard($"sh_a", $"sh_b"))
       .filter($"j" >= threshold)
       .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
