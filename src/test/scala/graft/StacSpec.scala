@@ -160,6 +160,41 @@ class StacSpec extends SparkSpecBase {
     assert(xy === ((row.getDouble(0), row.getDouble(1))))
   }
 
+  test("geoparquet reader prunes files by footer bbox, results stay exact") {
+    import graft.stac.GeoParquetRead
+    val tmp = Files.createTempDirectory("graft-georead").toString
+    val items = StacSynth.catalog(spark, sf)
+    StacWrite.writeMonthly(spark, items, tmp, "0.1", "HLSL30_2.0", 1996, 3,
+      spatialPartitions = 8)
+    val monthDir = s"$tmp/v0.1/HLSL30_2.0/year=1996/month=3"
+    val metas = GeoParquetRead.listFileGeo(spark, monthDir)
+    assert(metas.nonEmpty && metas.forall(_.bbox.isDefined))
+    // a quarter-hemisphere AOI: Hilbert clustering must let some
+    // files be skipped entirely, and the pruned read equals the
+    // full-scan filter row for row
+    val aoi = (-170.0, -80.0, -90.0, 0.0)
+    val (pruned, nRead, nTotal) = GeoParquetRead.readBbox(spark, monthDir, aoi)
+    assert(nTotal === metas.size)
+    assert(nRead < nTotal, s"expected pruning, read $nRead/$nTotal")
+    val full = spark.read.parquet(monthDir)
+      .filter($"lon" >= aoi._1 && $"lon" <= aoi._3 &&
+        $"lat" >= aoi._2 && $"lat" <= aoi._4)
+    assert(pruned.count() === full.count())
+    assert(pruned.select("granule_id").collect().map(_.getLong(0)).sorted
+      === full.select("granule_id").collect().map(_.getLong(0)).sorted)
+    // the whole world reads every file; a disjoint AOI reads none
+    val (world, wRead, _) =
+      GeoParquetRead.readBbox(spark, monthDir, (-180.0, -90.0, 180.0, 90.0))
+    assert(wRead === nTotal && world.count() === spark.read.parquet(monthDir).count())
+    val corner = (179.0, 89.0, 180.0, 90.0)
+    val (tiny, tRead, _) = GeoParquetRead.readBbox(spark, monthDir, corner)
+    val tinyFull = spark.read.parquet(monthDir)
+      .filter($"lon" >= corner._1 && $"lon" <= corner._3 &&
+        $"lat" >= corner._2 && $"lat" <= corner._4).count()
+    assert(tiny.count() === tinyFull)
+    assert(tRead <= nTotal)
+  }
+
   test("geoparquet format pins zstd level 6 on the writer job conf") {
     import org.apache.hadoop.mapreduce.Job
     import org.apache.spark.sql.types._
