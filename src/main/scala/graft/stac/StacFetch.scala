@@ -101,7 +101,28 @@ object StacFetch {
     */
   def fetchItems(links: DataFrame, urlCol: String, transport: Transport,
                  maxConcurrent: Int = 50): (DataFrame, DataFrame) = {
-    val spark = links.sparkSession
+    // items and failed both derive from raw — persist so each link is
+    // fetched exactly once (the reference gathers once, fetch.py:70-76)
+    val raw = fetchRaw(links, urlCol, transport, maxConcurrent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    splitItems(raw)
+  }
+
+  /** Scoped variant for repeated callers (micro-batches, retry
+    * loops): the fetch cache is unpersisted when `use` returns, so
+    * per-batch state never accumulates across invocations.
+    */
+  def fetchItemsScoped[T](links: DataFrame, urlCol: String,
+                          transport: Transport, maxConcurrent: Int = 50)
+                         (use: (DataFrame, DataFrame) => T): T = {
+    val raw = fetchRaw(links, urlCol, transport, maxConcurrent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { val (items, failed) = splitItems(raw); use(items, failed) }
+    finally raw.unpersist()
+  }
+
+  private def splitItems(raw: DataFrame): (DataFrame, DataFrame) = {
+    val spark = raw.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types._
     val itemSchema = StructType(Seq(
@@ -111,10 +132,6 @@ object StacFetch {
         StructType(Seq(StructField("datetime", StringType)))),
       StructField("grid", StructType(Seq(
         StructField("lon10", LongType), StructField("lat10", LongType))))))
-    // items and failed both derive from raw — persist so each link is
-    // fetched exactly once (the reference gathers once, fetch.py:70-76)
-    val raw = fetchRaw(links, urlCol, transport, maxConcurrent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val parsed = raw.filter($"error".isNull)
       .withColumn("item", from_json($"body", itemSchema))
     val items = parsed.filter($"item.id".isNotNull)

@@ -48,6 +48,32 @@ object StacStreams {
       .orderBy($"collection", $"day")
   }
 
+  /** G9 — streaming fetch: the link stream drives the A20 fetch
+    * operator per micro-batch through `foreachBatch` (the sanctioned
+    * hook for running an arbitrary batch transform inside a stream),
+    * appending parsed items and failed links to their sinks. This is
+    * continuous ingest: as new daily link caches land, their items
+    * are fetched with the same bounded-concurrency/netloc-reuse/
+    * failure-separation semantics as the batch path — the streaming
+    * complement of `StacPipeline.fetchAndWriteMonthly`.
+    */
+  def fetchLinkStream(links: DataFrame, urlCol: String,
+                      transport: graft.stac.StacFetch.Transport,
+                      itemsPath: String, failedPath: String,
+                      maxConcurrent: Int = 50): Unit = {
+    val q = links.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.stac.StacFetch.fetchItemsScoped(batch, urlCol, transport,
+          maxConcurrent) { (items, failed) =>
+          items.write.mode("append").parquet(itemsPath)
+          failed.write.mode("append").parquet(failedPath)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   val oracles: Map[String, String] = Map(
     "stream_stac_daily" -> (StacSynth.sqlCte +
       """SELECT collection, CAST(ts AS DATE) AS day, count(*) AS n_links

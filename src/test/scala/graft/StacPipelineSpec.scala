@@ -161,6 +161,34 @@ class StacPipelineSpec extends SparkSpecBase {
     assert(bfail.head().getString(1).contains("Malformed"))
   }
 
+  test("streaming fetch: micro-batched fetch equals the batch semantics") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-sfetch").toString
+    val catalog = StacSynth.catalog(spark, sf).cache()
+    val bodies = catalog.select($"url_stac", $"item_json").as[(String, String)]
+      .collect().toMap
+    val failUrls = catalog.filter($"fetch_failed")
+      .select($"url_stac").as[String].collect().toSet
+    // several micro-batches: one source file per trigger
+    catalog.select($"url_stac".as("stac_link")).repartition(4)
+      .write.parquet(s"$tmp/links-src")
+    val linkStream = spark.readStream
+      .schema("stac_link STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/links-src")
+    graft.streaming.StacStreams.fetchLinkStream(linkStream, "stac_link",
+      new MockTransport(bodies, failUrls), s"$tmp/items", s"$tmp/failed",
+      maxConcurrent = 8)
+    val items = spark.read.parquet(s"$tmp/items")
+    val failed = spark.read.parquet(s"$tmp/failed")
+    assert(items.count() + failed.count() === catalog.count())
+    assert(failed.count() === failUrls.size)
+    // item fields survive the streaming path identically
+    val cat2 = catalog.select($"url_stac".as("c_url"), $"ts".as("c_ts"))
+    assert(items.join(cat2, $"url_stac" === $"c_url")
+      .filter($"ts" =!= $"c_ts").count() === 0)
+  }
+
   test("end-to-end with fetch: link cache → fetch → monthly geoparquet + failed") {
     val tmp = Files.createTempDirectory("graft-fetch-pipe").toString
     val catalog = StacSynth.catalog(spark, sf).cache()
