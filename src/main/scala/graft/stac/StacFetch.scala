@@ -121,6 +121,31 @@ object StacFetch {
     finally raw.unpersist()
   }
 
+  /** Bounded retry over the failed side: transient failures (the
+    * reference just reports them, fetch.py:64-66, and its operator
+    * re-queues) are re-fetched up to `attempts` passes; the return is
+    * (all items, terminally failed). Each pass fetches ONLY the
+    * previous pass's failures, so the work shrinks geometrically with
+    * the transient-failure rate; per-pass caches are failure-sized,
+    * not corpus-sized.
+    */
+  def fetchWithRetries(links: DataFrame, urlCol: String,
+                       transport: Transport, attempts: Int = 3,
+                       maxConcurrent: Int = 50): (DataFrame, DataFrame) = {
+    require(attempts >= 1, "attempts must be >= 1")
+    var (items, failed) = fetchItems(links, urlCol, transport, maxConcurrent)
+    var pass = 1
+    while (pass < attempts && !failed.isEmpty) {
+      val (more, stillFailed) = fetchItems(
+        failed.select(org.apache.spark.sql.functions.col("url").as(urlCol)),
+        urlCol, transport, maxConcurrent)
+      items = items.unionByName(more)
+      failed = stillFailed
+      pass += 1
+    }
+    (items, failed)
+  }
+
   private def splitItems(raw: DataFrame): (DataFrame, DataFrame) = {
     val spark = raw.sparkSession
     import spark.implicits._

@@ -24,6 +24,23 @@ class MockTransport(bodies: Map[String, String], failing: Set[String])
   }
 }
 
+/** Fails `flaky` URLs on their first attempt only, `dead` URLs
+  * always — attempt counts shared per-JVM (local[N] executors).
+  */
+object FlakyTransport {
+  val seen = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}
+
+class FlakyTransport(bodies: Map[String, String], flaky: Set[String],
+                     dead: Set[String]) extends StacFetch.Transport {
+  def open(scheme: String, netloc: String): String => Array[Byte] = { url =>
+    val n = FlakyTransport.seen.merge(url, 1, (a, b) => a + b)
+    if (dead(url)) throw new RuntimeException(s"503 permanent $url")
+    if (flaky(url) && n <= 1) throw new RuntimeException(s"503 transient $url")
+    bodies(url).getBytes("UTF-8")
+  }
+}
+
 class StacPipelineSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -159,6 +176,35 @@ class StacPipelineSpec extends SparkSpecBase {
     val (bi, bfail) = StacFetch.fetchItems(badLinks, "stac_link", bad)
     assert(bi.count() === 0 && bfail.count() === 1)
     assert(bfail.head().getString(1).contains("Malformed"))
+  }
+
+  test("fetch retries recover transient failures, keep terminal ones") {
+    import org.apache.spark.sql.functions._
+    val catalog = StacSynth.catalog(spark, sf).cache()
+    val bodies = catalog.select($"url_stac", $"item_json").as[(String, String)]
+      .collect().toMap
+    // flaky: fail on first attempt only; dead: always fail
+    val flaky = catalog.filter($"granule_id" % 97 === 0)
+      .select($"url_stac").as[String].collect().toSet
+    val dead = catalog.filter($"granule_id" % 101 === 0)
+      .select($"url_stac").as[String].collect().toSet
+    assert(flaky.nonEmpty && dead.nonEmpty)
+    FlakyTransport.seen.clear()
+    val links = catalog.select($"url_stac".as("stac_link")).repartition(4)
+    val (items, failed) = graft.stac.StacFetch.fetchWithRetries(
+      links, "stac_link", new FlakyTransport(bodies, flaky, dead),
+      attempts = 3, maxConcurrent = 8)
+    val failedUrls = failed.select($"url").as[String].collect().toSet
+    // dead links exhaust retries; flaky ones recover on the 2nd pass
+    assert(failedUrls === dead)
+    assert(items.count() === catalog.count() - dead.size)
+    // one attempt only: flaky links fail too
+    FlakyTransport.seen.clear()
+    val (i1, f1) = graft.stac.StacFetch.fetchWithRetries(
+      links, "stac_link", new FlakyTransport(bodies, flaky, dead),
+      attempts = 1, maxConcurrent = 8)
+    assert(f1.count() === (flaky ++ dead).size.toLong)
+    assert(i1.count() === catalog.count() - (flaky ++ dead).size)
   }
 
   test("streaming fetch: micro-batched fetch equals the batch semantics") {
