@@ -127,6 +127,36 @@ object StacPipeline {
         $"year" === year && $"month" === month)
   }
 
+  /** The reference's daily verb from the live source (links.py:61-117
+    * composed from this repo's pieces): CMR page sweep (resumable
+    * spool, A21) → STAC link extraction (A2's rule over CMR entries)
+    * → daily link-cache write. Together with
+    * [[fetchAndWriteMonthly]] this is the whole reference pipeline —
+    * CMR → links → fetch → monthly geoparquet — with no dependence on
+    * a pre-materialized catalog.
+    */
+  def cacheDailyLinksFromCmr(
+      spark: SparkSession,
+      fetcher: CmrSource.PageFetcher,
+      spoolDir: String,
+      dest: String,
+      collectionId: String,
+      date: String,
+      protocol: String = "https",
+      pageSize: Int = 2000,
+      skipExisting: Boolean = false): Boolean = {
+    import spark.implicits._
+    val day = java.time.LocalDate.parse(date)
+    val outPath = s"${linksRoot(dest)}/collection=$collectionId/" +
+      s"year=${day.getYear}/month=${day.getMonthValue}/day=${day.getDayOfMonth}"
+    if (skipExisting && StacWrite.exists(spark, outPath)) return false
+    CmrSource.spoolTo(spark, fetcher, spoolDir, pageSize)
+    CmrSource.stacJsonLinks(CmrSource.entries(spark, spoolDir), protocol)
+      .select($"granule_ur", $"stac_link")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    true
+  }
+
   /** The reference's full runtime chain, link-cache → fetch → monthly
     * write (fetch.py feeding write.py:213–219): read the month's
     * cached links, fetch every STAC item through the injected

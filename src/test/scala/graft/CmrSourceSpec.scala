@@ -71,6 +71,52 @@ class CmrSourceSpec extends SparkSpecBase {
     assert(cmr.calls.head._1 === 2000)
   }
 
+  test("CMR → links → fetch → monthly geoparquet, no pre-built catalog") {
+    import org.apache.spark.sql.functions._
+    import graft.stac.{StacPipeline, StacSynth}
+    val tmp = Files.createTempDirectory("graft-cmr-e2e").toString
+    val catalog = StacSynth.catalog(spark, sf).cache()
+    val cid = "HLSL30_2.0"
+    val day = catalog.filter($"collection" === cid)
+      .filter(date_format($"ts", "yyyy-MM") === "1996-03")
+      .select(date_format($"ts", "yyyy-MM-dd")).orderBy($"ts")
+      .head().getString(0)
+    val dayUrls = catalog.filter($"collection" === cid)
+      .filter(date_format($"ts", "yyyy-MM-dd") === day)
+      .select($"url_stac").as[String].collect().sorted
+    assert(dayUrls.nonEmpty)
+    // CMR fetcher pages over that day's granules, 2 per page
+    val cmr = new CmrSource.PageFetcher {
+      def fetch(pageSize: Int, searchAfter: Option[String]): CmrSource.Page = {
+        val from = searchAfter.map(_.toInt).getOrElse(0)
+        val until = math.min(from + 2, dayUrls.length)
+        val entries = (from until until).map { i =>
+          s"""{"id": "G$i", "links": [{"href": "${dayUrls(i)}"}]}"""
+        }
+        CmrSource.Page(entries,
+          if (until < dayUrls.length) Some(until.toString) else None)
+      }
+    }
+    assert(StacPipeline.cacheDailyLinksFromCmr(spark, cmr, s"$tmp/spool",
+      tmp, cid, day))
+    val Array(y, m, d) = day.split("-").map(_.toInt)
+    val cached = spark.read.parquet(s"$tmp/links/collection=$cid/" +
+      s"year=$y/month=$m/day=$d")
+    assert(cached.count() === dayUrls.length.toLong)
+    // chain into fetch → monthly geoparquet using the catalog's bodies
+    val bodies = catalog.select($"url_stac", $"item_json").as[(String, String)]
+      .collect().toMap
+    val failUrls = catalog.filter($"fetch_failed")
+      .select($"url_stac").as[String].collect().toSet
+    val failed = StacPipeline.fetchAndWriteMonthly(spark, tmp, cid, y, m,
+      new MockTransport(bodies, failUrls)).cache()
+    val expectFailed = dayUrls.count(failUrls.contains).toLong
+    assert(failed.count() === expectFailed)
+    val out = spark.read.parquet(s"$tmp/v0.1/$cid")
+    assert(out.count() === dayUrls.length - expectFailed)
+    assert(out.columns.contains("geometry"))
+  }
+
   test("stac link extraction: first protocol match, malformed rows skipped") {
     val dir = Files.createTempDirectory("graft-cmr-links").toString
     CmrSource.spoolTo(spark, new FakeCmr(total = 7), dir, pageSize = 3)
