@@ -28,22 +28,37 @@ object GeoParquetRead {
   private val BboxRe = """"bbox":\[([^\]]+)\]""".r
 
   /** Per-file `geo` footer metadata under `dir` (recursive; skips
-    * non-parquet and footer-less files).
+    * non-parquet and footer-less files). Footers for more than
+    * `distributeAbove` files are read by EXECUTOR tasks — at archive
+    * scale the metadata pass is a cluster job like the scan itself,
+    * not a sequential driver loop; small directories stay driver-side
+    * to skip the job overhead.
     */
-  def listFileGeo(spark: SparkSession, dir: String): Seq[FileGeo] = {
+  def listFileGeo(spark: SparkSession, dir: String,
+                  distributeAbove: Int = 64): Seq[FileGeo] = {
     val root = new Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
     val files = collectParquetFiles(fs, root)
-    files.flatMap { p =>
-      readGeo(conf, p).map { geo =>
-        FileGeo(p.toString, BboxRe.findFirstMatchIn(geo).map { m =>
-          val b = m.group(1).split(',').map(_.trim.toDouble)
-          (b(0), b(1), b(2), b(3))
-        })
-      }
+    if (files.size <= distributeAbove) {
+      files.flatMap(p => readGeo(conf, p).map(toFileGeo(p.toString, _)))
+    } else {
+      val confF = org.apache.spark.sql.GraftBridge.confFactory(conf)
+      spark.sparkContext
+        .parallelize(files.map(_.toString), math.min(files.size, 256))
+        .mapPartitions { it =>
+          val c = confF()
+          it.flatMap(s => readGeo(c, new Path(s)).map(toFileGeo(s, _)))
+        }
+        .collect().toSeq
     }
   }
+
+  private def toFileGeo(path: String, geo: String): FileGeo =
+    FileGeo(path, BboxRe.findFirstMatchIn(geo).map { m =>
+      val b = m.group(1).split(',').map(_.trim.toDouble)
+      (b(0), b(1), b(2), b(3))
+    })
 
   private def collectParquetFiles(fs: FileSystem, p: Path): Seq[Path] = {
     val it = fs.listFiles(p, true)

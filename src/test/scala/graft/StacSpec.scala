@@ -169,6 +169,10 @@ class StacSpec extends SparkSpecBase {
     val monthDir = s"$tmp/v0.1/HLSL30_2.0/year=1996/month=3"
     val metas = GeoParquetRead.listFileGeo(spark, monthDir)
     assert(metas.nonEmpty && metas.forall(_.bbox.isDefined))
+    // the distributed (executor-side) footer pass returns the same set
+    val distributed = GeoParquetRead
+      .listFileGeo(spark, monthDir, distributeAbove = 0)
+    assert(distributed.sortBy(_.path) === metas.sortBy(_.path))
     // a quarter-hemisphere AOI: Hilbert clustering must let some
     // files be skipped entirely, and the pruned read equals the
     // full-scan filter row for row
