@@ -115,6 +115,7 @@ object SparkEntry {
     "text_unigram_logprob" -> wrap(TextAnalysis.unigramLogprob),
     "cms_heavy_hitters" -> wrap(TextAnalysis.cmsHeavyHitters(_, _)),
     "bpe_merge_seq" -> wrap(TextAnalysis.bpeMerges(_, _)),
+    "bpe_encode" -> wrap(TextAnalysis.bpeEncode(_, _)),
     "events_approx_percentiles" -> wrap(Events.approxPercentiles(_, _)),
     "corpus_budget_select" -> wrap(graft.ops.Curation.budgetSelect(_, _)),
     "curriculum_order" -> wrap(graft.ops.Curation.curriculumOrder),

@@ -497,6 +497,38 @@ object TextAnalysis {
       .orderBy($"step")
   }
 
+  /** E21 — BPE ENCODE: apply the E20-trained merge sequence
+    * corpus-wide and report per-document BPE token counts next to
+    * whitespace counts — the number that actually prices a document
+    * into a token budget (H8) once a real tokenizer exists. Encoding
+    * runs ONCE PER DISTINCT WORD (the E17/E20 vocabulary trick: the
+    * corpus token stream never re-tokenizes), and the encoded
+    * vocabulary broadcast-joins back to the doc stream, whose only
+    * shuffle stays doc_id-keyed. Per-word merge application is a
+    * Scala UDF over the vocabulary — E20's measured stance
+    * (interpreted HOFs 20–90× slower; input is vocabulary-sized).
+    * Merge order replays training order; rows-only + ≡-reference
+    * spec, like E20 (the merge list is data-derived, so no SQL
+    * oracle can re-state it declaratively).
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+                steps: Int = 6): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, dir, steps).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val nTokensUdf = udf((w: String) => BpeMerge.encodedLength(w, merges))
+    val vocab = tokens(spark, dir).select($"token").distinct()
+      .select($"token", nTokensUdf($"token").as("n_bpe"))
+    tokens(spark, dir)
+      .join(broadcast(vocab), "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum($"n_bpe").cast("long").as("n_bpe_tokens"))
+      .withColumn("compression",
+        floor($"n_bpe_tokens" * 1000000.0 / $"n_ws_tokens" + 0.5) / 1000000.0)
+      .orderBy($"doc_id")
+  }
+
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val IpPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   private val PhonePat = "\\+[0-9][0-9\\-]{5,14}[0-9]"
@@ -887,6 +919,20 @@ object TextAnalysis {
   * the classic BPE tokenizer-training semantics.
   */
 object BpeMerge {
+  /** Token count of `word` after replaying the merge sequence in
+    * training order (each merge one left-to-right pass, exactly like
+    * the training rewrite).
+    */
+  def encodedLength(word: String, merges: Array[(String, String)]): Int = {
+    var syms: Seq[String] = word.split("").toSeq
+    var i = 0
+    while (i < merges.length) {
+      syms = merge(syms, merges(i)._1, merges(i)._2)
+      i += 1
+    }
+    syms.length
+  }
+
   def merge(syms: Seq[String], a: String, b: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0

@@ -92,6 +92,26 @@ class SketchSpec extends SparkSpecBase {
     assert(got.toSeq === expected)
   }
 
+  test("bpe encode matches a serial replay of the trained merges") {
+    import spark.implicits._
+    val got = TextAnalysis.bpeEncode(spark, sf, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val merges = TextAnalysis.bpeMerges(spark, sf, steps = 4).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // serial reference: per-doc sum of replayed-merge word lengths
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        val bpe = ws.map(w => BpeMerge.encodedLength(w, merges).toLong).sum
+        (id, ws.length.toLong, bpe,
+          math.floor(bpe * 1000000.0 / ws.length + 0.5) / 1000000.0)
+      }.sortBy(_._1).toSeq
+    assert(got.toSeq === expected)
+    // merges strictly shrink or preserve every document
+    got.foreach { case (_, nWs, nBpe, _) => assert(nBpe >= nWs) }
+  }
+
   test("bpe first merge equals the bpe_pair_stats top pair") {
     val firstMerge = TextAnalysis.bpeMerges(spark, sf, steps = 1).head()
     val topPair = TextAnalysis.bpePairStats(spark, sf).head()
