@@ -156,7 +156,9 @@ object StacFetch {
       StructField("properties",
         StructType(Seq(StructField("datetime", StringType)))),
       StructField("grid", StructType(Seq(
-        StructField("lon10", LongType), StructField("lat10", LongType))))))
+        StructField("lon10", LongType), StructField("lat10", LongType)))),
+      StructField("assets", MapType(StringType,
+        StructType(Seq(StructField("href", StringType)))))))
     val parsed = raw.filter($"error".isNull)
       .withColumn("item", from_json($"body", itemSchema))
     val items = parsed.filter($"item.id".isNotNull)
@@ -167,7 +169,12 @@ object StacFetch {
         to_timestamp($"item.properties.datetime").as("ts"),
         // grid cell → centroid, the catalog's convention (StacSynth:78-81)
         ($"item.grid.lon10" / 10.0 - 180.0 + 0.05).as("lon"),
-        ($"item.grid.lat10" / 10.0 - 90.0 + 0.05).as("lat"))
+        ($"item.grid.lat10" / 10.0 - 90.0 + 0.05).as("lat"),
+        // per-band asset hrefs ride through to the geoparquet rows —
+        // the reference's output carries the full item's assets
+        // (write.py:219 rustac writes whole items)
+        transform_values($"item.assets", (_, v) => v.getField("href"))
+          .as("assets"))
     val failed = raw.filter($"error".isNotNull).select($"url", $"error")
       .unionByName(parsed.filter($"item.id".isNull)
         .select($"url", lit("MalformedItem: unparseable STAC JSON").as("error")))

@@ -262,7 +262,11 @@ class StacPipelineSpec extends SparkSpecBase {
     val out = spark.read.parquet(s"$tmp/v0.1/$cid")
       .filter($"year" === 1996 && $"month" === 3)
     assert(out.count() === monthLinks.count() - expectFailed)
-    // the geoparquet contract survives the fetch path
+    // the geoparquet contract survives the fetch path, assets included
     assert(out.columns.contains("geometry"))
+    assert(out.columns.contains("assets"))
+    val assets = out.select($"assets").head().getMap[String, String](0)
+    assert(Set("B04", "B05", "Fmask").subsetOf(assets.keySet.toSet))
+    assert(assets("B04").endsWith(".B04.tif"))
   }
 }
