@@ -44,7 +44,9 @@ object Main {
       rest match {
         case f :: tail if boolFlags(f) =>
           flags += (f -> "true"); rest = tail
-        case f :: v :: tail if f.startsWith("--") =>
+        // a flag token is never a VALUE — `--protocol --skip-existing`
+        // is a missing value, not protocol="--skip-existing"
+        case f :: v :: tail if f.startsWith("--") && !v.startsWith("--") =>
           flags += (f -> v); rest = tail
         case f :: _ if f.startsWith("--") =>
           throw new IllegalArgumentException(s"option $f requires a value")

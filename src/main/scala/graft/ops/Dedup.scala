@@ -52,10 +52,15 @@ object Dedup {
     * historical corpus is never re-shuffled — the bloom is built once
     * per ingest. The bloom is sized from the build side — a cheap
     * count-star (column-pruned parquet count) fixes expectedItems, and
-    * bits = 8×items keeps fpp ≈ 2% at ANY corpus size; a fixed
-    * capacity would saturate at real scale and funnel every row into
-    * the exact anti-join. Bloom expressions are Catalyst-internal on
-    * Spark 4, reached via the GraftBridge shim (see B24).
+    * bits = 8×items keeps fpp ≈ 2% — UP TO the session's bloom caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`,
+    * 4M items / 64Mbits by default): BloomFilterAggregate silently
+    * clamps beyond them, so the sizing clamps HERE too and a deployment
+    * building bigger filters must raise those confs. Past the cap the
+    * fpp degrades gracefully — more rows funnel into the exact
+    * anti-join, results stay exact. Bloom expressions are
+    * Catalyst-internal on Spark 4, reached via the GraftBridge shim
+    * (see B24).
     */
   def incremental(spark: SparkSession, dir: String,
                   expectedItems: Option[Long] = None): DataFrame = {
@@ -70,11 +75,19 @@ object Dedup {
     val cut = docs.agg(expr("max(doc_id) DIV 2")).head().getLong(0)
     val existing = docs.filter($"doc_id" < cut)
     val incoming = docs.filter($"doc_id" >= cut)
-    val items = math.max(64L, expectedItems.getOrElse(existing.count()))
+    val maxItems = spark.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    val maxBits = spark.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val items = math.min(maxItems,
+      math.max(64L, expectedItems.getOrElse(existing.count())))
+    val bits = math.min(maxBits, items * 8L)
     val bf = existing
       .agg(GraftBridge.column(new BloomFilterAggregate(
         GraftBridge.expression($"h64"),
-        Literal(items), Literal(items * 8L)).toAggregateExpression()).as("bf"))
+        Literal(items), Literal(bits)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val mightMatch = GraftBridge.column(BloomFilterMightContain(
       Literal(bf, org.apache.spark.sql.types.BinaryType),

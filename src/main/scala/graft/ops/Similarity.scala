@@ -57,20 +57,25 @@ object Similarity {
       .withColumn("cos", cosine($"qv", $"v")), k)
   }
 
-  /** Deterministic training sample: evenly strided vec_ids, at most
-    * `cap` vectors, collected in ONE job. Codebook/centroid quality
-    * depends on the sample distribution, not the corpus size — at
-    * 100 TB the training set is still `cap` vectors, so index build
-    * cost is decoupled from data volume (the round-4 scale defect:
-    * training used to re-scan the corpus once per subspace per Lloyd
-    * iteration, ~24 full passes for PQ defaults).
+  /** Deterministic training sample: at most `cap` vectors, collected
+    * in ONE job — ordering by a seeded 64-bit hash of vec_id is a
+    * deterministic pseudo-random permutation, so `limit(cap)` is a
+    * uniform sample and the plan is a TakeOrderedAndProject (partial
+    * per-partition top-cap, one driver merge; no count pass, no full
+    * sort). Codebook/centroid quality depends on the sample
+    * distribution, not the corpus size — at 100 TB the training set is
+    * still `cap` vectors, so index build cost is decoupled from data
+    * volume (the round-4 scale defect: training used to re-scan the
+    * corpus once per subspace per Lloyd iteration, ~24 full passes for
+    * PQ defaults).
     */
   private[graft] def sampleTrainingSet(vecs: DataFrame,
                                        cap: Int): Array[Array[Double]] = {
     import vecs.sparkSession.implicits._
-    val n = vecs.count()
-    val stride = math.max(1L, n / cap)
-    vecs.filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(cap)
+    vecs
+      .orderBy(graft.functions.hash64($"vec_id".cast("string"), 0x5EEDL).asc,
+        $"vec_id".asc)
+      .limit(cap)
       .select($"v").collect().map(_.getSeq[Double](0).toArray)
   }
 

@@ -75,8 +75,22 @@ object CmrSource {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = f.create(tmp, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    f.rename(tmp, p)
+    // atomic rename-overwrite where the FS supports it (posix local,
+    // HDFS via FileContext) — a delete-then-rename window would lose
+    // the resume state on a crash between the two ops
+    try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        // object-store fallback: non-atomic, but the worst case is an
+        // orphaned tmp or a lost state file — both recovered by the
+        // stale-page sweep in spoolTo, never a skipped page
+        if (f.exists(p)) f.delete(p, false)
+        if (!f.rename(tmp, p))
+          throw new java.io.IOException(s"rename $tmp -> $p failed")
+    }
   }
 
   /** Run the token loop, spooling each page under `dir` as
@@ -100,6 +114,19 @@ object CmrSource {
       .map(_.split("\n", 2))
     var pageNo = state.map(_(0).toInt).getOrElse(0)
     var token: Option[String] = state.flatMap(_.lift(1)).filter(_.nonEmpty)
+
+    // stale-page sweep: page files at/after the resume point are
+    // leftovers of a sweep whose state was lost or rolled back — if
+    // this (re)start yields fewer pages they would survive and
+    // duplicate rows in entries(), so they go first
+    val PageRe = "page-(\\d{6})\\.jsonl".r
+    val stat = f.listStatus(root)
+    stat.map(_.getPath).foreach { p =>
+      p.getName match {
+        case PageRe(idx) if idx.toInt >= pageNo => f.delete(p, false)
+        case _ =>
+      }
+    }
 
     var pages = 0
     var rows = 0L

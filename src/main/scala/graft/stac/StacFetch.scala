@@ -62,34 +62,46 @@ object StacFetch {
         val pool = Executors.newFixedThreadPool(maxConcurrent)
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutorService(pool)
-        try {
-          // store creation is sequential and lazy (first link wins),
-          // the gets themselves fan out on the bounded pool
-          val futures = part.map { url =>
-            val getter =
-              try {
-                val u = new URI(url)
-                Right(stores.getOrElseUpdate(
-                  (u.getScheme, u.getAuthority),
-                  transport.open(u.getScheme, u.getAuthority)))
-              } catch { case e: Exception => Left(e) }
-            getter match {
-              case Left(e) => Future.successful(
-                (url, null: String, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
-              case Right(get) => Future {
+        // the returned iterator is lazy — release the pool when the
+        // task ends (fully consumed, limited, or failed), not before
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) {
+          tc.addTaskCompletionListener[Unit](_ => pool.shutdown())
+        }
+        // store creation is sequential and lazy (first link wins),
+        // the gets themselves fan out on the bounded pool. Futures
+        // are launched and awaited in maxConcurrent-sized WINDOWS so
+        // per-partition memory is O(one window of bodies), not
+        // O(partition bytes) — the pool is window-sized anyway, so
+        // windowing costs no concurrency, only cross-window
+        // pipelining. `grouped` on the iterator is lazy: a window's
+        // gets start only when the downstream consumer reaches it.
+          part.grouped(maxConcurrent).flatMap { window =>
+            val futures = window.map { url =>
+              val getter =
                 try {
-                  (url, new String(get(url), java.nio.charset.StandardCharsets.UTF_8),
-                    null: String)
-                } catch {
-                  case e: Exception =>
-                    (url, null: String,
-                      s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                  val u = new URI(url)
+                  Right(stores.getOrElseUpdate(
+                    (u.getScheme, u.getAuthority),
+                    transport.open(u.getScheme, u.getAuthority)))
+                } catch { case e: Exception => Left(e) }
+              getter match {
+                case Left(e) => Future.successful(
+                  (url, null: String, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+                case Right(get) => Future {
+                  try {
+                    (url, new String(get(url), java.nio.charset.StandardCharsets.UTF_8),
+                      null: String)
+                  } catch {
+                    case e: Exception =>
+                      (url, null: String,
+                        s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                  }
                 }
               }
             }
-          }.toVector
-          futures.map(f => Await.result(f, Duration.Inf)).iterator
-        } finally pool.shutdown()
+            futures.map(f => Await.result(f, Duration.Inf))
+          } ++ { pool.shutdown(); Iterator.empty }
       }
     }.toDF("url", "body", "error")
   }
@@ -136,9 +148,16 @@ object StacFetch {
     var (items, failed) = fetchItems(links, urlCol, transport, maxConcurrent)
     var pass = 1
     while (pass < attempts && !failed.isEmpty) {
-      val (more, stillFailed) = fetchItems(
+      // retry passes are failure-sized, so each one materializes its
+      // (items, failed) via eager localCheckpoint inside the SCOPED
+      // fetch — the pass's raw-body cache is unpersisted before the
+      // next pass starts, so retries never stack corpus caches (only
+      // the first pass's item cache, the result, stays live)
+      val (more, stillFailed) = fetchItemsScoped(
         failed.select(org.apache.spark.sql.functions.col("url").as(urlCol)),
-        urlCol, transport, maxConcurrent)
+        urlCol, transport, maxConcurrent) { (m, f) =>
+        (m.localCheckpoint(true), f.localCheckpoint(true))
+      }
       items = items.unionByName(more)
       failed = stillFailed
       pass += 1
@@ -150,31 +169,44 @@ object StacFetch {
     val spark = raw.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types._
+    // The reference writes the WHOLE item into stac-geoparquet
+    // (write.py:219 via rustac) — properties real consumers filter on
+    // (eo:cloud_cover, sun geometry) and full asset objects, not just
+    // hrefs. The schema here mirrors that breadth.
     val itemSchema = StructType(Seq(
       StructField("id", StringType),
       StructField("collection", StringType),
       StructField("properties",
-        StructType(Seq(StructField("datetime", StringType)))),
+        StructType(Seq(
+          StructField("datetime", StringType),
+          StructField("eo:cloud_cover", LongType),
+          StructField("view:sun_azimuth", LongType),
+          StructField("view:sun_elevation", LongType)))),
       StructField("grid", StructType(Seq(
         StructField("lon10", LongType), StructField("lat10", LongType)))),
       StructField("assets", MapType(StringType,
-        StructType(Seq(StructField("href", StringType)))))))
+        StructType(Seq(
+          StructField("href", StringType),
+          StructField("type", StringType),
+          StructField("title", StringType)))))))
     val parsed = raw.filter($"error".isNull)
       .withColumn("item", from_json($"body", itemSchema))
+    val props = col("item").getField("properties")
     val items = parsed.filter($"item.id".isNotNull)
       .select(
         $"url".as("url_stac"),
         $"item.id".as("item_id"),
         $"item.collection".as("collection"),
-        to_timestamp($"item.properties.datetime").as("ts"),
+        to_timestamp(props.getField("datetime")).as("ts"),
+        props.getField("eo:cloud_cover").as("cloud_cover"),
+        props.getField("view:sun_azimuth").as("sun_azimuth"),
+        props.getField("view:sun_elevation").as("sun_elevation"),
         // grid cell → centroid, the catalog's convention (StacSynth:78-81)
         ($"item.grid.lon10" / 10.0 - 180.0 + 0.05).as("lon"),
         ($"item.grid.lat10" / 10.0 - 90.0 + 0.05).as("lat"),
-        // per-band asset hrefs ride through to the geoparquet rows —
-        // the reference's output carries the full item's assets
-        // (write.py:219 rustac writes whole items)
-        transform_values($"item.assets", (_, v) => v.getField("href"))
-          .as("assets"))
+        // full per-band asset structs (href/type/title) ride through to
+        // the geoparquet rows (write.py:219 rustac writes whole items)
+        $"item.assets".as("assets"))
     val failed = raw.filter($"error".isNotNull).select($"url", $"error")
       .unionByName(parsed.filter($"item.id".isNull)
         .select($"url", lit("MalformedItem: unparseable STAC JSON").as("error")))

@@ -27,16 +27,24 @@ object StacOps {
       StructField("id", StringType),
       StructField("collection", StringType),
       StructField("properties",
-        StructType(Seq(StructField("datetime", StringType)))),
+        StructType(Seq(
+          StructField("datetime", StringType),
+          StructField("eo:cloud_cover", LongType),
+          StructField("view:sun_azimuth", LongType),
+          StructField("view:sun_elevation", LongType)))),
       StructField("grid", StructType(Seq(
         StructField("lon10", LongType), StructField("lat10", LongType))))))
+    val props = col("item").getField("properties")
     catalog(spark, dir)
       .withColumn("item", from_json($"item_json", itemSchema))
       .select(
         $"granule_id",
         $"item.id".as("item_id"),
         $"item.collection".as("item_collection"),
-        $"item.properties.datetime".as("item_datetime"),
+        props.getField("datetime").as("item_datetime"),
+        props.getField("eo:cloud_cover").as("cloud_cover"),
+        props.getField("view:sun_azimuth").as("sun_azimuth"),
+        props.getField("view:sun_elevation").as("sun_elevation"),
         $"item.grid.lon10".as("lon10"),
         $"item.grid.lat10".as("lat10"))
       .orderBy($"granule_id")
@@ -282,8 +290,11 @@ object StacOps {
     import spark.implicits._
     catalog(spark, dir)
       .withColumn("b04_href", get_json_object($"assets_json", "$.B04.href"))
+      .withColumn("b04_type", get_json_object($"assets_json", "$.B04.type"))
+      .withColumn("b04_title", get_json_object($"assets_json", "$.B04.title"))
       .withColumn("fmask_href", get_json_object($"assets_json", "$.Fmask.href"))
-      .select($"granule_id", $"b04_href", $"fmask_href")
+      .select($"granule_id", $"b04_href", $"b04_type", $"b04_title",
+        $"fmask_href")
       .orderBy($"granule_id")
   }
 
@@ -295,6 +306,9 @@ object StacOps {
         |  json_extract_string(item_json, '$.id') AS item_id,
         |  json_extract_string(item_json, '$.collection') AS item_collection,
         |  json_extract_string(item_json, '$.properties.datetime') AS item_datetime,
+        |  CAST(json_extract(item_json, '$.properties."eo:cloud_cover"') AS BIGINT) AS cloud_cover,
+        |  CAST(json_extract(item_json, '$.properties."view:sun_azimuth"') AS BIGINT) AS sun_azimuth,
+        |  CAST(json_extract(item_json, '$.properties."view:sun_elevation"') AS BIGINT) AS sun_elevation,
         |  CAST(json_extract(item_json, '$.grid.lon10') AS BIGINT) AS lon10,
         |  CAST(json_extract(item_json, '$.grid.lat10') AS BIGINT) AS lat10
         |FROM stac ORDER BY granule_id""".stripMargin),
@@ -363,6 +377,8 @@ object StacOps {
     "stac_asset_access" -> (cte +
       """SELECT granule_id,
         |  json_extract_string(assets_json, '$.B04.href') AS b04_href,
+        |  json_extract_string(assets_json, '$.B04.type') AS b04_type,
+        |  json_extract_string(assets_json, '$.B04.title') AS b04_title,
         |  json_extract_string(assets_json, '$.Fmask.href') AS fmask_href
         |FROM stac ORDER BY granule_id""".stripMargin),
     // Hilbert xy→d re-derived in SQL: the standard rotate-and-flip loop

@@ -79,6 +79,12 @@ object StacSynth {
         ($"granule_id" % 3600).cast("double") / 10.0 - 180.0 + 0.05)
       .withColumn("lat",
         (($"granule_id" * 7) % 1800).cast("double") / 10.0 - 90.0 + 0.05)
+      // item properties a real HLS consumer filters on (eo:cloud_cover,
+      // sun geometry) — deterministic integers so the DuckDB CTE builds
+      // the identical JSON string
+      .withColumn("cloud_cover", ($"granule_id" * 13) % 101)
+      .withColumn("sun_azimuth", ($"granule_id" * 29) % 360)
+      .withColumn("sun_elevation", ($"granule_id" * 17) % 81)
       .withColumn("base",
         concat(lit("HLS."), $"sensor", lit(".T"), $"tile", lit("."),
           $"dt_str", lit(".v2.0")))
@@ -96,15 +102,18 @@ object StacSynth {
         concat(lit("https://data.example.com/thumb/"), $"base", lit(".jpg"))))
       .withColumn("assets_json",
         concat(lit("{\"B04\": {\"href\": \""), $"base",
-          lit(".B04.tif\"}, \"B05\": {\"href\": \""), $"base",
-          lit(".B05.tif\"}, \"Fmask\": {\"href\": \""), $"base",
-          lit(".Fmask.tif\"}}")))
+          lit(".B04.tif\", \"type\": \"image/tiff; application=geotiff\", \"title\": \"B04\"}, \"B05\": {\"href\": \""), $"base",
+          lit(".B05.tif\", \"type\": \"image/tiff; application=geotiff\", \"title\": \"B05\"}, \"Fmask\": {\"href\": \""), $"base",
+          lit(".Fmask.tif\", \"type\": \"image/tiff; application=geotiff\", \"title\": \"Fmask\"}}")))
       .withColumn("item_json",
         concat(lit("{\"id\": \""), $"base",
           lit("\", \"collection\": \""), $"collection",
           lit("\", \"properties\": {\"datetime\": \""),
           date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-          lit("\"}, \"grid\": {\"lon10\": "),
+          lit("\", \"eo:cloud_cover\": "), $"cloud_cover".cast("string"),
+          lit(", \"view:sun_azimuth\": "), $"sun_azimuth".cast("string"),
+          lit(", \"view:sun_elevation\": "), $"sun_elevation".cast("string"),
+          lit("}, \"grid\": {\"lon10\": "),
           ($"granule_id" % 3600).cast("string"),
           lit(", \"lat10\": "),
           (($"granule_id" * 7) % 1800).cast("string"),
@@ -128,6 +137,9 @@ object StacSynth {
        |    strftime(o_orderdate + to_seconds(o_orderkey % 86400), '%Y%jT%H%M%S') AS dt_str,
        |    CAST(o_orderkey % 3600 AS DOUBLE) / 10.0 - 180.0 + 0.05 AS lon,
        |    CAST((o_orderkey * 7) % 1800 AS DOUBLE) / 10.0 - 90.0 + 0.05 AS lat,
+       |    (o_orderkey * 13) % 101 AS cloud_cover,
+       |    (o_orderkey * 29) % 360 AS sun_azimuth,
+       |    (o_orderkey * 17) % 81 AS sun_elevation,
        |    o_orderkey % 97 = 0 AS fetch_failed
        |  FROM orders),
        |stac_built AS (
@@ -142,10 +154,13 @@ object StacSynth {
        |     'https://data.example.com/lp-prod-public/' || collection || '/' || base || '/' || base || '_stac.json',
        |     's3://lp-prod-public/' || collection || '/' || base || '/' || base || '_stac.json',
        |     'https://data.example.com/thumb/' || base || '.jpg'] AS links,
-       |    '{"B04": {"href": "' || base || '.B04.tif"}, "B05": {"href": "' || base || '.B05.tif"}, "Fmask": {"href": "' || base || '.Fmask.tif"}}' AS assets_json,
+       |    '{"B04": {"href": "' || base || '.B04.tif", "type": "image/tiff; application=geotiff", "title": "B04"}, "B05": {"href": "' || base || '.B05.tif", "type": "image/tiff; application=geotiff", "title": "B05"}, "Fmask": {"href": "' || base || '.Fmask.tif", "type": "image/tiff; application=geotiff", "title": "Fmask"}}' AS assets_json,
        |    '{"id": "' || base || '", "collection": "' || collection
        |      || '", "properties": {"datetime": "' || strftime(o_orderdate + to_seconds(o_orderkey % 86400), '%Y-%m-%dT%H:%M:%SZ')
-       |      || '"}, "grid": {"lon10": ' || CAST(o_orderkey % 3600 AS VARCHAR)
+       |      || '", "eo:cloud_cover": ' || CAST(cloud_cover AS VARCHAR)
+       |      || ', "view:sun_azimuth": ' || CAST(sun_azimuth AS VARCHAR)
+       |      || ', "view:sun_elevation": ' || CAST(sun_elevation AS VARCHAR)
+       |      || '}, "grid": {"lon10": ' || CAST(o_orderkey % 3600 AS VARCHAR)
        |      || ', "lat10": ' || CAST((o_orderkey * 7) % 1800 AS VARCHAR)
        |      || '}, "assets": ' || assets_json || '}' AS item_json
        |  FROM stac_built JOIN orders ON granule_id = o_orderkey)

@@ -51,11 +51,18 @@ object StacStreams {
   /** G9 — streaming fetch: the link stream drives the A20 fetch
     * operator per micro-batch through `foreachBatch` (the sanctioned
     * hook for running an arbitrary batch transform inside a stream),
-    * appending parsed items and failed links to their sinks. This is
+    * writing parsed items and failed links to their sinks. This is
     * continuous ingest: as new daily link caches land, their items
     * are fetched with the same bounded-concurrency/netloc-reuse/
     * failure-separation semantics as the batch path — the streaming
     * complement of `StacPipeline.fetchAndWriteMonthly`.
+    *
+    * Exactly-once to the sink: each micro-batch lands under its own
+    * `batch_id=` partition via dynamic partition OVERWRITE, so a batch
+    * replayed after a mid-write failure replaces its own partition
+    * instead of appending duplicates (foreachBatch alone is only
+    * at-least-once). The fetch itself may re-run on replay — fetches
+    * are idempotent reads, the reference re-gets on retry too.
     */
   def fetchLinkStream(links: DataFrame, urlCol: String,
                       transport: graft.stac.StacFetch.Transport,
@@ -63,11 +70,17 @@ object StacStreams {
                       maxConcurrent: Int = 50): Unit = {
     val q = links.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.stac.StacFetch.fetchItemsScoped(batch, urlCol, transport,
           maxConcurrent) { (items, failed) =>
-          items.write.mode("append").parquet(itemsPath)
-          failed.write.mode("append").parquet(failedPath)
+          def writeIdempotent(df: DataFrame, path: String): Unit =
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(path)
+          writeIdempotent(items, itemsPath)
+          writeIdempotent(failed, failedPath)
         }
       }
       .start()

@@ -32,15 +32,18 @@ import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
 class GeoParquetWriteSupport extends ParquetWriteSupport {
 
   private var geomIdx: Int = -1
+  private var geomCol: String = GeoParquetWriteSupport.DefaultGeometryColumn
   private var minX = Double.MaxValue
   private var minY = Double.MaxValue
   private var maxX = Double.MinValue
   private var maxY = Double.MinValue
   private var seen = 0L
+  // WKB geometry-type codes observed in this file (1=Point, 2=LineString…)
+  private val typeCodes = mutable.SortedSet.empty[Int]
 
   override def init(configuration: Configuration): WriteSupport.WriteContext = {
     val ctx = super.init(configuration)
-    val geomCol = configuration.get(
+    geomCol = configuration.get(
       GeoParquetWriteSupport.GeometryColumnKey,
       GeoParquetWriteSupport.DefaultGeometryColumn)
     val schemaJson = configuration.get(ParquetWriteSupport.SPARK_ROW_SCHEMA)
@@ -57,7 +60,9 @@ class GeoParquetWriteSupport extends ParquetWriteSupport {
 
   override def write(row: InternalRow): Unit = {
     if (geomIdx >= 0 && !row.isNullAt(geomIdx)) {
-      GeoParquetWriteSupport.wkbPointXY(row.getBinary(geomIdx)).foreach {
+      val wkb = row.getBinary(geomIdx)
+      GeoParquetWriteSupport.wkbGeometryType(wkb).foreach(typeCodes.add)
+      GeoParquetWriteSupport.wkbPointXY(wkb).foreach {
         case (x, y) =>
           if (x < minX) minX = x
           if (x > maxX) maxX = x
@@ -73,8 +78,15 @@ class GeoParquetWriteSupport extends ParquetWriteSupport {
     if (geomIdx < 0) new FinalizedWriteContext(java.util.Collections.emptyMap())
     else {
       val meta = new java.util.HashMap[String, String]()
+      // the bbox is exact only when every geometry was a decodable
+      // Point — any other type would make a point-derived bbox
+      // UNDER-cover the file and mislead footer-bbox pruners, so it is
+      // omitted in that case (geometry_types still reports what was seen)
+      val allPoints = typeCodes.forall(_ == 1) && seen > 0
       meta.put("geo", GeoParquetWriteSupport.geoMetadataJson(
-        "geometry", if (seen > 0) Some((minX, minY, maxX, maxY)) else None))
+        geomCol,
+        if (allPoints) Some((minX, minY, maxX, maxY)) else None,
+        typeCodes.toSeq))
       new FinalizedWriteContext(meta)
     }
   }
@@ -98,19 +110,54 @@ object GeoParquetWriteSupport {
     if (geomType != 1) None else Some((buf.getDouble(), buf.getDouble()))
   }
 
+  /** The base WKB geometry-type code (header only; Z/M/SRID flag bits
+    * masked off); None when the buffer is too short to carry one.
+    */
+  def wkbGeometryType(wkb: Array[Byte]): Option[Int] = {
+    if (wkb == null || wkb.length < 5) return None
+    val order =
+      if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val buf = ByteBuffer.wrap(wkb).order(order)
+    buf.get()
+    Some(buf.getInt() & 0xFF) // 1000/2000/3000 Z/M/ZM offsets → base code
+  }
+
+  private val TypeNames = Map(
+    1 -> "Point", 2 -> "LineString", 3 -> "Polygon", 4 -> "MultiPoint",
+    5 -> "MultiLineString", 6 -> "MultiPolygon", 7 -> "GeometryCollection")
+
+  /** PROJJSON for OGC:CRS84 (lon/lat WGS 84) — the GeoParquet spec's
+    * default CRS, emitted explicitly because rustac does (the
+    * reference's writer, write.py:219) and explicit beats implicit for
+    * external readers.
+    */
+  val Crs84ProjJson: String =
+    """{"type":"GeographicCRS","name":"WGS 84 (CRS84)",""" +
+      """"datum":{"type":"GeodeticReferenceFrame","name":"World Geodetic System 1984",""" +
+      """"ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}},""" +
+      """"coordinate_system":{"subtype":"ellipsoidal","axis":[""" +
+      """{"name":"Geodetic longitude","abbreviation":"Lon","direction":"east","unit":"degree"},""" +
+      """{"name":"Geodetic latitude","abbreviation":"Lat","direction":"north","unit":"degree"}]},""" +
+      """"id":{"authority":"OGC","code":"CRS84"}}"""
+
   /** The `geo` footer value per the GeoParquet 1.1.0 spec: version,
-    * primary_column, per-column encoding/types/bbox. `crs` omitted =
-    * OGC:CRS84 (lon/lat WGS84), which is what the reference's STAC
-    * geometries are in.
+    * primary_column, per-column encoding/types/bbox/crs. The
+    * geometry_types list reports the codes actually SEEN in the file
+    * (empty = unknown/mixed per spec); bbox only accompanies all-Point
+    * files where the running point bbox is exact.
     */
   def geoMetadataJson(
       primaryColumn: String,
-      bbox: Option[(Double, Double, Double, Double)]): String = {
+      bbox: Option[(Double, Double, Double, Double)],
+      seenTypeCodes: Seq[Int] = Seq(1)): String = {
     val sb = new mutable.StringBuilder()
     sb.append("{\"version\":\"").append(GeoParquetVersion).append("\",")
     sb.append("\"primary_column\":\"").append(primaryColumn).append("\",")
     sb.append("\"columns\":{\"").append(primaryColumn).append("\":{")
-    sb.append("\"encoding\":\"WKB\",\"geometry_types\":[\"Point\"]")
+    sb.append("\"encoding\":\"WKB\",\"geometry_types\":[")
+    sb.append(seenTypeCodes.flatMap(TypeNames.get)
+      .map("\"" + _ + "\"").mkString(","))
+    sb.append("],\"crs\":").append(Crs84ProjJson)
     bbox.foreach { case (x0, y0, x1, y1) =>
       sb.append(",\"bbox\":[")
         .append(x0).append(',').append(y0).append(',')

@@ -64,6 +64,26 @@ class CmrSourceSpec extends SparkSpecBase {
     assert(ids.sorted.toSeq === (0 until 45).map(i => s"G$i").sortBy(identity))
   }
 
+  test("lost resume state: restart sweeps stale page files, no duplicated rows") {
+    val dir = Files.createTempDirectory("graft-cmr-stale").toString
+    // first sweep lands 4 pages of 10 then dies mid-stream
+    CmrSource.spoolTo(spark, new FakeCmr(total = 60), dir,
+      pageSize = 10, maxPages = 4)
+    // simulate the resume state being lost (crash between delete and
+    // rename on a non-atomic FS — the window writeSmall now minimizes)
+    val state = new java.io.File(dir, "_search_after")
+    assert(state.exists()); assert(state.delete())
+    // the restarted source yields FEWER pages (bigger page size): the
+    // 4 stale page-files must not survive alongside the new 3
+    val res = CmrSource.spoolTo(spark, new FakeCmr(total = 60), dir,
+      pageSize = 20)
+    assert(res === CmrSource.SpoolResult(3, 60L, complete = true))
+    val ids = CmrSource.entries(spark, dir)
+      .select(get_json_object($"entry_json", "$.id")).as[String].collect()
+    assert(ids.length === 60, s"stale pages leaked: ${ids.length} rows")
+    assert(ids.distinct.length === 60)
+  }
+
   test("requested page size reaches the fetcher clamped") {
     val dir = Files.createTempDirectory("graft-cmr-clamp").toString
     val cmr = new FakeCmr(total = 3)

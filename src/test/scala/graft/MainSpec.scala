@@ -70,5 +70,15 @@ class MainSpec extends SparkSpecBase {
     assert(Main.run(Array("cache-daily-links", "HLSL30", day,
       s"$tmp/x", "--catalog-dir", sf, "--bounding-box", "1,2,3"),
       Some(spark)) === 2)
+    // a flag token is never consumed as a value: `--protocol
+    // --skip-existing` is a missing value (exit 2), not
+    // protocol="--skip-existing"
+    val err = new java.io.ByteArrayOutputStream()
+    val rc = Console.withErr(err) {
+      Main.run(Array("cache-daily-links", "HLSL30", day, s"$tmp/y",
+        "--catalog-dir", sf, "--protocol", "--skip-existing"), Some(spark))
+    }
+    assert(rc === 2)
+    assert(err.toString.contains("--protocol requires a value"))
   }
 }

@@ -262,11 +262,93 @@ class StacPipelineSpec extends SparkSpecBase {
     val out = spark.read.parquet(s"$tmp/v0.1/$cid")
       .filter($"year" === 1996 && $"month" === 3)
     assert(out.count() === monthLinks.count() - expectFailed)
-    // the geoparquet contract survives the fetch path, assets included
+    // the geoparquet contract survives the fetch path: full asset
+    // structs (href/type/title) and the filterable item properties
+    // (write.py:219 — rustac writes whole items)
     assert(out.columns.contains("geometry"))
     assert(out.columns.contains("assets"))
-    val assets = out.select($"assets").head().getMap[String, String](0)
+    assert(Set("cloud_cover", "sun_azimuth", "sun_elevation")
+      .subsetOf(out.columns.toSet))
+    val assets = out.select($"assets")
+      .head().getMap[String, org.apache.spark.sql.Row](0)
     assert(Set("B04", "B05", "Fmask").subsetOf(assets.keySet.toSet))
-    assert(assets("B04").endsWith(".B04.tif"))
+    assert(assets("B04").getAs[String]("href").endsWith(".B04.tif"))
+    assert(assets("B04").getAs[String]("type").startsWith("image/tiff"))
+    assert(assets("B04").getAs[String]("title") === "B04")
+    // properties round-trip the catalog's deterministic values
+    val cat3 = catalog.select($"url_stac".as("c_url"),
+      $"cloud_cover".as("c_cc"), $"sun_azimuth".as("c_az"),
+      $"sun_elevation".as("c_el"))
+    assert(out.join(cat3, $"url_stac" === $"c_url")
+      .filter($"cloud_cover" =!= $"c_cc" || $"sun_azimuth" =!= $"c_az" ||
+        $"sun_elevation" =!= $"c_el").count() === 0)
+  }
+
+  test("fetch windows bound per-partition memory: window w starts only after window w-1 completes") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val catalog = StacSynth.catalog(spark, sf).cache()
+    val bodies = catalog.select($"url_stac", $"item_json").as[(String, String)]
+      .collect().toMap
+    val links = catalog.select($"url_stac".as("stac_link"))
+      .limit(40).repartition(2)
+    WindowProbeTransport.reset()
+    val mc = 4
+    val raw = StacFetch.fetchRaw(links, "stac_link",
+      new WindowProbeTransport(bodies), maxConcurrent = mc)
+    assert(raw.count() === 40)
+    // For each partition, the j-th get to START (0-based) must observe
+    // at least floor(j/mc)*mc COMPLETED gets in its partition: awaiting
+    // in windows means a new window launches only after the previous
+    // one fully finished (the whole-partition materialization this
+    // replaces submits everything up front, so the (mc+1)-th start
+    // would observe ~1 completion, not mc).
+    val byPart = WindowProbeTransport.observations.asScala.toSeq
+      .groupBy(_._1).values
+    assert(byPart.nonEmpty)
+    byPart.foreach { obs =>
+      obs.sortBy(_._2).zipWithIndex.foreach { case ((_, _, doneAtStart), j) =>
+        assert(doneAtStart >= (j / mc) * mc,
+          s"get #$j started with only $doneAtStart completed; " +
+            s"window semantics require >= ${(j / mc) * mc}")
+      }
+    }
+  }
+}
+
+/** Records, per partition, each get's start ordinal and how many gets
+  * of that partition had COMPLETED when it started — the observable
+  * that distinguishes windowed awaits from whole-partition fan-out.
+  */
+object WindowProbeTransport {
+  import java.util.concurrent.atomic.AtomicInteger
+  import java.util.concurrent.ConcurrentHashMap
+  val started = new ConcurrentHashMap[Int, AtomicInteger]()
+  val done = new ConcurrentHashMap[Int, AtomicInteger]()
+  // (partitionId, startOrdinal, completedAtStart)
+  val observations =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Int)]()
+  def reset(): Unit = { started.clear(); done.clear(); observations.clear() }
+  private def ctr(m: ConcurrentHashMap[Int, AtomicInteger], p: Int) =
+    m.computeIfAbsent(p, _ => new AtomicInteger(0))
+  def onStart(p: Int): Unit =
+    observations.add((p, ctr(started, p).getAndIncrement(), ctr(done, p).get()))
+  def onDone(p: Int): Unit = { ctr(done, p).incrementAndGet(); () }
+}
+
+class WindowProbeTransport(bodies: Map[String, String])
+    extends StacFetch.Transport {
+  def open(scheme: String, netloc: String): String => Array[Byte] = {
+    // `open` runs on the task thread (store creation is sequential);
+    // the gets run on pool threads with no TaskContext, so the
+    // partition id must be captured HERE
+    val p = org.apache.spark.TaskContext.getPartitionId()
+    url => {
+      WindowProbeTransport.onStart(p)
+      try {
+        Thread.sleep(1) // widen the start/completion interleaving window
+        bodies(url).getBytes("UTF-8")
+      } finally WindowProbeTransport.onDone(p)
+    }
   }
 }

@@ -133,6 +133,11 @@ class StacSpec extends SparkSpecBase {
         assert(geo.contains("\"version\":\"1.1.0\""))
         assert(geo.contains("\"primary_column\":\"geometry\""))
         assert(geo.contains("\"encoding\":\"WKB\""))
+        // geometry_types reports what was actually written; crs is the
+        // explicit OGC:CRS84 PROJJSON (rustac emits it too)
+        assert(geo.contains("\"geometry_types\":[\"Point\"]"))
+        assert(geo.contains("\"crs\":{"))
+        assert(geo.contains("\"authority\":\"OGC\",\"code\":\"CRS84\""))
         // per-file bbox must equal the file's exact lon/lat extent
         val bbox = "\"bbox\":\\[([^\\]]+)\\]".r
           .findFirstMatchIn(geo).get.group(1).split(',').map(_.toDouble)
@@ -216,6 +221,48 @@ class StacSpec extends SparkSpecBase {
       Map("compression" -> "zstd", "zstdLevel" -> "9"), schema)
     assert(job2.getConfiguration.get(
       "parquet.compression.codec.zstd.level") === "9")
+  }
+
+  test("geoparquet footer honors renamed geometry column and non-Point WKB") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import java.nio.{ByteBuffer, ByteOrder}
+    def lineString(pts: Seq[(Double, Double)]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(9 + pts.size * 16)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(1.toByte).putInt(2).putInt(pts.size)
+      pts.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+      buf.array()
+    }
+    def point(x: Double, y: Double): Array[Byte] = {
+      val buf = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+      buf.array()
+    }
+    val tmp = Files.createTempDirectory("graft-geoline").toString
+    val rows = Seq(
+      (1L, lineString(Seq((0.0, 0.0), (10.0, 10.0)))),
+      (2L, point(5.0, 5.0)))
+    spark.createDataFrame(rows).toDF("id", "geom")
+      .coalesce(1).write.format("geoparquet").mode("overwrite")
+      .option("geometryColumn", "geom").save(tmp)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.toString), hc))
+    val geo =
+      try reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
+      finally reader.close()
+    assert(geo != null)
+    // the configured column name, not a hardcoded "geometry"
+    assert(geo.contains("\"primary_column\":\"geom\""))
+    // mixed types are reported, and the point-derived bbox is OMITTED —
+    // it would under-cover the LineString and mislead footer pruners
+    assert(geo.contains("\"geometry_types\":[\"Point\",\"LineString\"]") ||
+      geo.contains("\"geometry_types\":[\"LineString\",\"Point\"]"))
+    assert(!geo.contains("\"bbox\""))
   }
 
   test("collection registry mirrors reference constants") {
