@@ -122,8 +122,10 @@ object SparkEntry {
     "dedup_incremental" -> wrap(Dedup.incremental(_, _)),
     "events_hll_merge" -> wrap(Events.hllMergeUsers),
     "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _)),
+    "stac_cloud_filter" -> wrap(StacOps.cloudCoverFilter(_, _)),
     "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts),
     "knn_pq" -> wrap(Similarity.knnPq(_, _)),
+    "knn_ivfpq" -> wrap(Similarity.knnIvfPq(_, _)),
     "topk_orders_heap" -> wrap(Analytics.topkOrdersHeap(_, _)),
     "stream_cms_counters" -> wrap(graft.streaming.TextStreams.cmsCounters)
   )

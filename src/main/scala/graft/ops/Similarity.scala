@@ -267,6 +267,119 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** D6 — IVF-PQ, the production ANN composition (coarse quantizer ×
+    * product codes, the Faiss-IVFPQ shape): vectors are bucketed by
+    * their nearest IVF centroid and their RESIDUAL (v − centroid) is
+    * PQ-encoded — residuals concentrate around zero, so the same ks
+    * codebook entries quantize them far better than raw vectors. A
+    * query probes its `nprobe` nearest cells and ADC-scores only those
+    * cells' codes against a per-(query, cell) residual lookup table.
+    *
+    * Scale shape: ONE sampled collect trains both quantizers, ONE
+    * corpus pass assigns + encodes (m bytes/vector in the index), the
+    * probe tables (queries × nprobe × m × ks doubles) broadcast, the
+    * candidate set is the probed cells only (nprobe/cells of the
+    * corpus), and the B37 k-bounded partial top-k keeps the single
+    * shuffle at ≤ partitions × queries × k rows. Codebook floats are
+    * engine-specific → rows-only driver check + DedupSpec bounds
+    * (planted copies at rank 1, recall above chance, determinism).
+    */
+  def knnIvfPq(spark: SparkSession, dir: String,
+               k: Int = 5, numQueries: Int = 10,
+               cells: Int = 8, nprobe: Int = 4,
+               m: Int = 8, ks: Int = 16, lloydIters: Int = 2): DataFrame =
+    knnIvfPqOn(loadVecs(spark, dir), k, numQueries, cells, nprobe, m, ks,
+      lloydIters)
+
+  private[graft] def knnIvfPqOn(vecsIn: DataFrame, k: Int, numQueries: Int,
+                                cells: Int, nprobe: Int, m: Int, ks: Int,
+                                lloydIters: Int,
+                                trainSample: Int = 2048): DataFrame = {
+    val spark = vecsIn.sparkSession
+    import spark.implicits._
+    val vecs = vecsIn.cache()
+    val dim = 64
+    val subDim = dim / m
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe must be in [1, $cells]")
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+
+    // ONE sampled collect trains the coarse quantizer AND, on the
+    // sample's residuals, all m codebooks
+    val sample = sampleTrainingSet(vecs, trainSample)
+    val centroids = lloydTrain(sample, cells, lloydIters)
+    val centArr: Array[Array[Double]] = centroids.map(_._2.toArray)
+    def nearestCell(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (i <- centArr.indices) {
+        val d = d2(p, centArr(i))
+        if (d < bestD) { bestD = d; best = i }
+      }
+      best
+    }
+    val residualSample = sample.map { p =>
+      val c = centArr(nearestCell(p))
+      Array.tabulate(dim)(j => p(j) - c(j))
+    }
+    val books: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m) { s =>
+      lloydTrain(residualSample.map(_.slice(s * subDim, (s + 1) * subDim)),
+        ks, lloydIters)
+    }
+
+    // corpus: assign cell, take residual, encode m codes — ONE pass
+    def nearestCode(c: Column, cents: Array[(Int, Seq[Double])]): Column =
+      element_at(array_sort(array(cents.map { case (i, cv) =>
+        struct(graft.functions.squared_distance(c, typedLit(cv)).as("d"),
+          lit(i).as("code"))
+      }: _*)), 1).getField("code")
+    val centLit = typedLit(centArr.map(_.toSeq).toSeq)
+    val encoded = assignCells(vecs, centroids)
+      .withColumn("r",
+        zip_with($"v", element_at(centLit, $"cell" + 1), (a, b) => a - b))
+      .select($"vec_id" +: $"cell" +: (0 until m).map(s =>
+        nearestCode(slice($"r", s * subDim + 1, subDim), books(s))
+          .as(s"c$s")): _*)
+
+    // per-(query, probed cell) ADC tables over the query's residual IN
+    // THAT CELL — tiny (queries × nprobe rows), broadcast, equi-joined
+    // on cell so each corpus row meets only the queries probing it
+    val qRows = vecs.filter($"vec_id" < numQueries)
+      .select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows: Seq[(Long, Int, Seq[Double])] = qRows.toSeq.flatMap {
+      case (qid, qv) =>
+        val probed = centArr.indices
+          .map(i => (d2(qv, centArr(i)), i)).sorted.take(nprobe)
+        probed.map { case (_, cell) =>
+          val r = Array.tabulate(dim)(j => qv(j) - centArr(cell)(j))
+          val lut = (0 until m).flatMap { s =>
+            val rs = r.slice(s * subDim, (s + 1) * subDim)
+            books(s).map { case (_, cv) => d2(rs, cv.toArray) }
+          }
+          (qid, cell, lut)
+        }
+    }
+    val probes = probeRows.toDF("query_id", "cell", "lut")
+
+    val scored = encoded.join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adc", (0 until m).map(s =>
+        element_at($"lut", lit(s * ks + 1) + col(s"c$s"))).reduce(_ + _))
+
+    // same k-bounded partial top-k tail as knn_pq (B37 machinery)
+    val topk = udaf(graft.expressions.TopKPairs(k))
+    scored.groupBy($"query_id")
+      .agg(topk(-$"adc", $"vec_id").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("idx", "p")))
+      .select($"query_id", ($"idx" + 1).cast("long").as("rnk"),
+        $"p._2".as("neighbor_id"), round(-$"p._1", 6).as("adc_dist"))
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** D2b — LSH top-k for high-similarity regimes: 16 deterministic
     * hyperplane signs → bucket, probe own bucket + 1-bit flips.
     * Prunes hard; recall is meaningful when neighbors are angularly

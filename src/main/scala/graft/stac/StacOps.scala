@@ -285,6 +285,29 @@ object StacOps {
       .orderBy($"region_id")
   }
 
+  /** A24 — property-filtered catalog query: the search a real HLS
+    * consumer runs against the widened item schema (clear-ish scenes in
+    * an AOI with usable sun geometry — eo:cloud_cover is THE standard
+    * first filter on optical catalogs). All plain comparisons on
+    * top-level columns, so at scale every predicate reaches the
+    * parquet scan of a materialized catalog and row groups whose
+    * cloud-cover stats miss the cut are skipped without decoding.
+    */
+  def cloudCoverFilter(spark: SparkSession, dir: String,
+                       maxCloud: Long = 20, minSunElev: Long = 15,
+                       bbox: (Double, Double, Double, Double) =
+                         (-150.0, -50.0, -100.0, 50.0)): DataFrame = {
+    import spark.implicits._
+    val (w, s, e, n) = bbox
+    Validation.validateBbox(w, s, e, n)
+    catalog(spark, dir)
+      .filter($"cloud_cover" <= maxCloud && $"sun_elevation" >= minSunElev)
+      .filter($"lon" >= w && $"lon" <= e && $"lat" >= s && $"lat" <= n)
+      .select($"granule_id", $"cloud_cover", $"sun_azimuth",
+        $"sun_elevation", $"lon", $"lat")
+      .orderBy($"granule_id")
+  }
+
   /** A13 — asset access inside the item's assets object. */
   def assetAccess(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -374,6 +397,12 @@ object StacOps {
         |FROM stac JOIN regions
         |  ON lon >= w AND lon < e AND lat >= s AND lat < n
         |GROUP BY region_id ORDER BY region_id""".stripMargin),
+    "stac_cloud_filter" -> (cte +
+      """SELECT granule_id, cloud_cover, sun_azimuth, sun_elevation, lon, lat
+        |FROM stac
+        |WHERE cloud_cover <= 20 AND sun_elevation >= 15
+        |  AND lon >= -150.0 AND lon <= -100.0 AND lat >= -50.0 AND lat <= 50.0
+        |ORDER BY granule_id""".stripMargin),
     "stac_asset_access" -> (cte +
       """SELECT granule_id,
         |  json_extract_string(assets_json, '$.B04.href') AS b04_href,

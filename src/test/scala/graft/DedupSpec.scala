@@ -105,6 +105,43 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.1, s"PQ recall $recall not above chance")
   }
 
+  test("knn IVF-PQ: deterministic, planted copies at rank 1, recall above chance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val res = Similarity.knnIvfPq(spark, sf).collect()
+    assert(res.map(_.getLong(0)).distinct.length === 10)
+    // determinism: sampled training + seeded hash order, no RNG
+    assert(Similarity.knnIvfPq(spark, sf).collect().toSeq === res.toSeq)
+    // planted copies: an exact copy lands in the query's own cell with
+    // the query's own residual codes, so its ADC distance is the
+    // attainable minimum and it must surface at rank 1 even at nprobe=1
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val planted = vecs.union(
+      vecs.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 10000L))
+    val got = Similarity.knnIvfPqOn(planted, k = 1, numQueries = 5,
+      cells = 8, nprobe = 1, m = 8, ks = 16, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (q <- 0 until 5)
+      assert(got(q.toLong) === q + 10000L,
+        s"query $q must find its planted copy, got ${got(q.toLong)}")
+    // recall vs exact L2: near-isotropic corpus (see the PQ spec), so
+    // assert the pruned+quantized ordering still beats chance (≈0.01)
+    val arr = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = arr.filter(_._1 < 10).map { case (qid, qv) =>
+      qid -> arr.filter(_._1 != qid).map { case (id, v) => (d2(qv, v), id) }
+        .sortBy(t => (t._1, t._2)).take(5).map(_._2).toSet
+    }.toMap
+    val gotSets = res.groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recall = exact.map { case (q, ids) =>
+      ids.count(gotSets(q).contains).toDouble / ids.size
+    }.sum / exact.size
+    assert(recall >= 0.1, s"IVF-PQ recall $recall not above chance")
+  }
+
   test("knn LSH retrieves planted exact duplicates (its regime)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
