@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_simhash" -> wrap(Dedup.simhashPairs(_, _)),
     "dedup_embedding" -> wrap(Dedup.embeddingPairs(_, _)),
     "dedup_clusters" -> wrap(Dedup.clusters(_, _)),
+    "dedup_cluster_keepers" -> wrap(Dedup.clusterKeepers(_, _)),
     "knn_brute_force" -> wrap(Similarity.knnBruteForce(_, _)),
     "knn_ivf" -> wrap(Similarity.knnIvf(_, _)),
     "knn_lsh" -> wrap(Similarity.knnLsh(_, _)),

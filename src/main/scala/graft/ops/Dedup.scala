@@ -404,6 +404,48 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** C10 — cluster-representative selection, the step that turns C6's
+    * near-dup clusters into a deduplicated corpus: every document maps
+    * to its cluster (docs in no cluster are their own singleton) and
+    * ONE representative survives per cluster — the highest
+    * quality-score doc (E2's scorer), smallest doc_id on ties. This is
+    * the standard "keep best, drop rest" policy of production dedup
+    * pipelines (near-dup groups often mix a clean original with
+    * boilerplate-wrapped copies).
+    *
+    * Scale shape: both aggregations are partial-aggregable groupBys on
+    * cluster_id and the quality join is doc_id-keyed — everything is
+    * corpus-linear plus C6's cluster pass; no windows, no driver
+    * materialization. Emits one row per CLUSTER (keeper + size +
+    * quality), ordered by cluster id.
+    */
+  def clusterKeepers(spark: SparkSession, dir: String,
+                     threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val labels = clusters(spark, dir, threshold)
+      .select($"doc_id", $"cluster_id")
+    val quality = graft.ops.TextAnalysis.quality(spark, dir)
+      .select($"doc_id", $"quality")
+    // every doc participates: unclustered docs are their own cluster
+    val labeled = Tables.load(spark, dir, "documents")
+      .select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+      .join(quality, Seq("doc_id"))
+    // keeper = max quality, min doc_id on ties — quality is rounded to
+    // 4dp identically in both engines, so the tie set is well-defined
+    val agg1 = labeled.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max($"quality").as("keeper_quality"))
+    labeled.join(agg1, Seq("cluster_id"))
+      .filter($"quality" === $"keeper_quality")
+      .groupBy($"cluster_id", $"cluster_size", $"keeper_quality")
+      .agg(min($"doc_id").as("keeper_id"))
+      .select($"cluster_id", $"cluster_size", $"keeper_id",
+        $"keeper_quality")
+      .orderBy($"cluster_id")
+  }
+
   /** DuckDB re-derivation of the simhash pipeline (Hash64.fnv1a64 +
     * splitmix64 + per-bit vote), built from [[OracleU64]]'s helpers.
     * Chained CTEs keep each step evaluated once.
@@ -543,6 +585,53 @@ object Dedup {
         |SELECT c.doc_id, c.cluster_id, s.cluster_size
         |FROM comp c JOIN sized s ON c.cluster_id = s.cluster_id
         |ORDER BY c.doc_id""".stripMargin),
+    "dedup_cluster_keepers" -> (shingleCte
+      .replace("WITH toks", "WITH RECURSIVE toks")
+      .stripSuffix("\n") + ",\n" +
+      """pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, lab) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT e.doc_a, r.lab FROM reach r
+        |  JOIN edges e ON e.doc_b = r.doc_id),
+        |comp AS (
+        |  SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),
+        |qt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS qtoks, text
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |q AS (
+        |  SELECT doc_id, floor((
+        |      least(length(text)::DOUBLE / 500.0, 1.0)
+        |      + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |          / length(text)::DOUBLE)
+        |      + (1.0 - len(list_filter(qtoks, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+        |          / len(qtoks)::DOUBLE)
+        |      + len(list_distinct(qtoks))::DOUBLE / len(qtoks)::DOUBLE
+        |    ) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM qt),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |    q.quality
+        |  FROM documents d
+        |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |  JOIN q ON q.doc_id = d.doc_id),
+        |a1 AS (
+        |  SELECT cluster_id, count(*) AS cluster_size,
+        |    max(quality) AS keeper_quality
+        |  FROM lab GROUP BY cluster_id)
+        |SELECT a1.cluster_id, a1.cluster_size,
+        |  min(lab.doc_id) AS keeper_id, a1.keeper_quality
+        |FROM a1 JOIN lab ON lab.cluster_id = a1.cluster_id
+        |  AND lab.quality = a1.keeper_quality
+        |GROUP BY a1.cluster_id, a1.cluster_size, a1.keeper_quality
+        |ORDER BY a1.cluster_id""".stripMargin),
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -186,6 +186,35 @@ class DedupSpec extends SparkSpecBase {
     assert(multi >= 0.6, s"multi-table recall $multi below 0.6")
   }
 
+  test("cluster keepers: one per cluster, max quality, min-id tiebreak, corpus partition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val keepers = Dedup.clusterKeepers(spark, sf).cache()
+    val labels = Dedup.clusters(spark, sf)
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    // every doc lands in exactly one cluster: sizes sum to the corpus
+    assert(keepers.agg(sum($"cluster_size")).head().getLong(0) === nDocs)
+    // clustered docs keep exactly one representative from THEIR cluster
+    val k = keepers.select($"cluster_id", $"keeper_id", $"keeper_quality")
+    val q = graft.ops.TextAnalysis.quality(spark, sf)
+      .select($"doc_id", $"quality")
+    val joined = labels.select($"doc_id", $"cluster_id").join(q, "doc_id")
+      .join(k, "cluster_id")
+    // no cluster member outranks its keeper (higher quality, or equal
+    // quality with a smaller id)
+    assert(joined.filter($"quality" > $"keeper_quality" ||
+      ($"quality" === $"keeper_quality" && $"doc_id" < $"keeper_id"))
+      .count() === 0)
+    // keeper is a member of its own cluster (or the singleton itself)
+    val members = labels.select($"cluster_id", $"doc_id").union(
+      graft.Tables.load(spark, sf, "documents")
+        .select($"doc_id".as("cluster_id"), $"doc_id"))
+    assert(k.join(members,
+      k("cluster_id") === members("cluster_id") &&
+        k("keeper_id") === members("doc_id"), "left_anti").count() === 0)
+    keepers.unpersist()
+  }
+
   test("cluster labels are transitive minima over the pair graph") {
     val pairs = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
