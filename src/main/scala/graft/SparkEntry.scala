@@ -106,7 +106,20 @@ object SparkEntry {
     "events_daily_full_join" -> wrap(Events.dailyActivityJoin),
     "customer_max_order" -> wrap(Analytics.customerMaxOrder),
     "nation_set_ops" -> wrap(Analytics.nationSetOps),
+    "q2_min_cost_supplier" -> wrap(Analytics.q2MinCostSupplier(_, _)),
     "q4_late_orders" -> wrap(Analytics.q4LateOrders),
+    "q6_forecast_revenue" -> wrap(Analytics.q6ForecastRevenue(_, _)),
+    "q8_market_share" -> wrap(Analytics.q8MarketShare(_, _)),
+    "q9_product_profit" -> wrap(Analytics.q9ProductProfit(_, _)),
+    "q10_returned_items" -> wrap(Analytics.q10ReturnedItems(_, _)),
+    "q12_late_priority" -> wrap(Analytics.q12LatePriority),
+    "q13_order_distribution" -> wrap(Analytics.q13OrderDistribution),
+    "q14_promo_revenue" -> wrap(Analytics.q14PromoRevenue(_, _)),
+    "q15_top_supplier" -> wrap(Analytics.q15TopSupplier(_, _)),
+    "q17_small_qty_revenue" -> wrap(Analytics.q17SmallQtyRevenue(_, _)),
+    "q19_bracketed_revenue" -> wrap(Analytics.q19BracketedRevenue),
+    "q20_dominant_suppliers" -> wrap(Analytics.q20DominantSuppliers(_, _)),
+    "q21_waiting_suppliers" -> wrap(Analytics.q21WaitingSuppliers),
     "q7_nation_trade" -> wrap(Analytics.q7NationTrade(_, _)),
     "q11_part_value_share" -> wrap(Analytics.q11PartValueShare),
     "q16_brand_suppliers" -> wrap(Analytics.q16BrandSuppliers),
