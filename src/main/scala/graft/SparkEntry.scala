@@ -65,6 +65,7 @@ object SparkEntry {
     "knn_brute_force" -> wrap(Similarity.knnBruteForce(_, _)),
     "knn_ivf" -> wrap(Similarity.knnIvf(_, _)),
     "knn_lsh" -> wrap(Similarity.knnLsh(_, _)),
+    "knn_graph" -> wrap(Similarity.knnGraph(_, _)),
     "knn_lsh_multi" -> wrap(Similarity.knnLshMulti(_, _)),
     "embedding_quantize" -> wrap(Similarity.quantizeEmbeddings),
     "text_token_count" -> wrap(TextAnalysis.tokenCount),

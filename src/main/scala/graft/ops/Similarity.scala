@@ -390,8 +390,11 @@ object Similarity {
              k: Int = 5, numQueries: Int = 10, planes: Int = 16): DataFrame =
     knnLshOn(loadVecs(spark, dir), k, numQueries, planes)
 
-  private[graft] def knnLshOn(vecs: DataFrame, k: Int, numQueries: Int,
-                              planes: Int): DataFrame = {
+  /** Deterministic single-table hyperplane bucketing shared by D2b and
+    * D7: plane components are splitmix64-derived (seed p·64+j), the
+    * bucket is the sign bitmask — exactly re-derivable in DuckDB.
+    */
+  private def lshBucketsOn(vecs: DataFrame, planes: Int): DataFrame = {
     import vecs.sparkSession.implicits._
     val dim = 64
     def planeComponent(p: Int, j: Int): Double = {
@@ -400,8 +403,7 @@ object Similarity {
     }
     val planesArr = Array.tabulate(planes, dim)(planeComponent)
     val planesLit = typedLit(planesArr.map(_.toSeq).toSeq)
-
-    val bucketed = vecs
+    vecs
       .withColumn("planes", planesLit)
       .withColumn("bucket",
         (0 until planes).map { p =>
@@ -410,6 +412,12 @@ object Similarity {
             lit(1L << p)).otherwise(lit(0L))
         }.reduce(_.bitwiseOR(_)))
       .drop("planes")
+  }
+
+  private[graft] def knnLshOn(vecs: DataFrame, k: Int, numQueries: Int,
+                              planes: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val bucketed = lshBucketsOn(vecs, planes)
 
     val queries = bucketed.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket".as("qbucket"))
@@ -420,6 +428,48 @@ object Similarity {
     topK(bucketed.join(broadcast(queries),
         $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
       .withColumn("cos", cosine($"qv", $"v")), k)
+  }
+
+  /** D7 — corpus-wide kNN graph (every vector's top-k neighbors, the
+    * all-pairs companion to D1's query-vs-corpus form): the building
+    * block for near-dup graphs, diversity/coverage analysis, and
+    * graph-based clustering of a training corpus. Brute force is n² —
+    * a non-starter at corpus scale — so candidates come from the D2b
+    * LSH buckets: each vector probes its own bucket plus all 1-bit
+    * flips, scores only the vectors it collides with, and keeps top-k.
+    *
+    * Scale shape: bucketing is one projection pass; the probe side
+    * explodes to (planes+1)×n rows but the equi-join on bucket is a
+    * plain shuffle join whose candidate count LSH bounds (AQE splits
+    * any hot bucket); the B37 k-bounded heap partial-aggregates
+    * map-side, so the per-source rollup moves ≤ sources×k rows — never
+    * the candidate set. Edges are only as complete as the LSH recall —
+    * the high-similarity regime (near-dup neighbors) is exactly where
+    * sign-LSH recall concentrates, and the DuckDB oracle re-derives
+    * the same buckets bit-exactly, so the check is still exact.
+    */
+  def knnGraph(spark: SparkSession, dir: String,
+               k: Int = 5, planes: Int = 12): DataFrame =
+    knnGraphOn(loadVecs(spark, dir), k, planes)
+
+  private[graft] def knnGraphOn(vecs: DataFrame, k: Int,
+                                planes: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val bucketed = lshBucketsOn(vecs, planes)
+    val probes = lshBucketsOn(vecs, planes)
+      .select($"vec_id".as("src_id"), $"v".as("sv"), $"bucket".as("sbucket"))
+      .withColumn("probe", explode(array(
+        ($"sbucket" +: (0 until planes).map(p =>
+          $"sbucket".bitwiseXOR(lit(1L << p)))): _*)))
+    val topk = udaf(graft.expressions.TopKPairs(k))
+    bucketed.join(probes, $"bucket" === $"probe" && $"vec_id" =!= $"src_id")
+      .withColumn("cos", cosine($"sv", $"v"))
+      .groupBy($"src_id")
+      .agg(topk($"cos", $"vec_id").as("top"))
+      .select($"src_id", posexplode($"top").as(Seq("idx", "p")))
+      .select($"src_id".as("vec_id"), ($"idx" + 1).cast("long").as("rnk"),
+        $"p._2".as("neighbor_id"), round($"p._1", 6).as("cosine"))
+      .orderBy($"vec_id", $"rnk")
   }
 
   /** D2c — multi-table LSH: `tables` independent hyperplane sets of
@@ -585,6 +635,59 @@ object Similarity {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** D7 oracle: the single-table bucket derivation at 12 planes with
+    * EVERY vector as a source — bit-exact buckets, exact cosine rank.
+    */
+  private def lshGraphOracle: String = {
+    import OracleU64._
+    s"""WITH seeds AS (
+       |  SELECT p, j, (p * 64 + j)::HUGEINT AS x0
+       |  FROM (SELECT unnest(range(0, 12)) AS p),
+       |       (SELECT unnest(range(0, 64)) AS j)),
+       |m1 AS (SELECT p, j, ${mixStep1("x0")} AS x FROM seeds),
+       |m2 AS (SELECT p, j, ${mixStep2("x")} AS x FROM m1),
+       |m3 AS (SELECT p, j, ${mixStep3("x")} AS x FROM m2),
+       |m4 AS (SELECT p, j, ${mixStep4("x")} AS h FROM m3),
+       |comps AS (SELECT p, j,
+       |  ${shr("h", 11)}::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS comp
+       |  FROM m4),
+       |planes AS (
+       |  SELECT p, array_agg(comp ORDER BY j) AS pl FROM comps GROUP BY p),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p, list_reduce(
+       |    list_prepend(0.0::DOUBLE, [pl[i] * e[i] for i in range(1, 65)]),
+       |    (a, b) -> a + b) AS d
+       |  FROM v CROSS JOIN planes),
+       |buckets AS (
+       |  SELECT vec_id, CAST(coalesce(
+       |    sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) END), 0) AS BIGINT)
+       |    AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |q AS (
+       |  SELECT vec_id AS src_id, e AS qe, bucket AS qbucket
+       |  FROM v JOIN buckets USING (vec_id)),
+       |probes AS (
+       |  SELECT src_id, qe, qbucket AS probe FROM q
+       |  UNION ALL
+       |  SELECT src_id, qe, xor(qbucket, (1::BIGINT << p))
+       |  FROM q, (SELECT unnest(range(0, 12)) AS p)),
+       |cand AS (
+       |  SELECT pr.src_id, pr.qe, b.vec_id, v2.e
+       |  FROM probes pr
+       |  JOIN buckets b ON b.bucket = pr.probe AND b.vec_id <> pr.src_id
+       |  JOIN v v2 ON v2.vec_id = b.vec_id),
+       |scored AS (
+       |  SELECT src_id, vec_id AS neighbor_id,
+       |    list_cosine_similarity(qe, e) AS cos,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY list_cosine_similarity(qe, e) DESC, vec_id) AS rnk
+       |  FROM cand)
+       |SELECT src_id AS vec_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       |FROM scored WHERE rnk <= 5
+       |ORDER BY vec_id, rnk""".stripMargin
+  }
+
   /** Multi-table variant: 8 tables × 8 planes, seed ((t·31+p)·64+j)+1,
     * any-table collision, candidates deduped before scoring — exactly
     * [[knnLshMulti]]'s shape.
@@ -640,6 +743,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "knn_lsh" -> lshOracleSingle,
+    "knn_graph" -> lshGraphOracle,
     "knn_lsh_multi" -> lshOracleMulti,
     "embedding_centroids" ->
       """WITH x AS (

@@ -63,6 +63,31 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("B38 TPC-H plans: q6 pushes every predicate; no cartesian/BNLJ anywhere") {
+    // q6 is the pure scan-agg: all three predicates must reach the
+    // parquet scan, and only the 4 referenced columns are read
+    val q6 = Analytics.q6ForecastRevenue(spark, sf)
+    q6.collect()
+    val p6 = q6.queryExecution.executedPlan.toString
+    assert(p6.contains("PushedFilters:") &&
+      p6.contains("GreaterThanOrEqual(l_shipda"), s"q6 shipdate not pushed:\n$p6")
+    assert(p6.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate"), s"q6 reads extra columns:\n$p6")
+    // the join-heavy shapes must never degrade to per-row join strategies
+    for (name <- Seq("q2_min_cost_supplier", "q8_market_share",
+      "q13_order_distribution", "q15_top_supplier", "q17_small_qty_revenue",
+      "q20_dominant_suppliers", "q21_waiting_suppliers")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
+      // the only BNLJ allowed is a broadcast one-row scalar frame
+      // (q15's max subquery); anything joining two multi-row sides is a bug
+      if (!Set("q15_top_supplier").contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$plan")
+    }
+  }
+
   test("every queries key with an oracle is present") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

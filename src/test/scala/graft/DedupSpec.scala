@@ -159,6 +159,34 @@ class DedupSpec extends SparkSpecBase {
         s"query $q must find its planted copy, got ${res(q.toLong)}")
   }
 
+  test("knn graph: planted twins are mutual rank-1, edges sane, partial-agg plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"v")
+    val copies = vecs.filter($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 10000L)
+    val corpus = vecs.union(copies)
+    val df = Similarity.knnGraphOn(corpus, k = 3, planes = 12)
+    val rows = df.collect()
+    val rank1 = rows.filter(_.getLong(1) == 1L)
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // identical vectors share a bucket by construction → each twin is
+    // the other's rank-1 neighbor, in BOTH directions
+    for (q <- 0L until 5L) {
+      assert(rank1(q) === q + 10000L, s"src $q rank-1 is ${rank1(q)}")
+      assert(rank1(q + 10000L) === q, s"src ${q + 10000L} rank-1 is ${rank1(q + 10000L)}")
+    }
+    // no self edges, ranks within 1..k
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+    // the rollup must be the two-phase k-bounded heap, not a window sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
+    assert(!plan.contains("RunningWindowFunction"))
+  }
+
   test("multi-table LSH beats single-table in the mid-similarity band") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
