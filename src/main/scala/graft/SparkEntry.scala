@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_embedding" -> wrap(Dedup.embeddingPairs(_, _)),
     "dedup_clusters" -> wrap(Dedup.clusters(_, _)),
     "dedup_cluster_keepers" -> wrap(Dedup.clusterKeepers(_, _)),
+    "dedup_semantic" -> wrap(Dedup.semanticDedup(_, _)),
     "knn_brute_force" -> wrap(Similarity.knnBruteForce(_, _)),
     "knn_ivf" -> wrap(Similarity.knnIvf(_, _)),
     "knn_lsh" -> wrap(Similarity.knnLsh(_, _)),

@@ -446,6 +446,46 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
+  /** C11 — semantic dedup, the SemDeDup shape (embedding-cluster-
+    * bounded near-dup pruning): the scale path next to C5's exact n²
+    * baseline. Vectors are assigned to IVF cells (D2a's deterministic
+    * sampled-Lloyd centroids), candidate pairs are WITHIN-CELL only
+    * (near-duplicates co-assign almost surely — that is the
+    * SemDeDup approximation), and the greedy keep-lowest-id policy
+    * drops any vector with a lower-id near-dup above the cosine
+    * threshold. C6/C10 offer the transitive-cluster alternative;
+    * this is the one-pass greedy form production pipelines run.
+    *
+    * Scale shape: ONE sampled collect trains the centroids, ONE
+    * corpus pass assigns cells, the cell equi-join bounds pairs to
+    * cell sizes (cells scale with corpus — n²/cells per cell), and
+    * the drop set is a distinct projection joined back corpus-linear.
+    * Centroid floats are engine-specific → rows-only driver check +
+    * DedupSpec equivalence against an in-memory per-cell reference.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.45, cells: Int = 8,
+                    lloydIters: Int = 1): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"v")
+    val centroids = Similarity.lloydTrain(
+      Similarity.sampleTrainingSet(vecs, 2048), cells, lloydIters)
+    val assigned = Similarity.assignCells(vecs, centroids)
+    val a = assigned.select($"cell", $"vec_id".as("vec_a"), $"v".as("va"))
+    val b = assigned.select($"cell", $"vec_id".as("vec_b"), $"v".as("vb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos", Similarity.cosine($"va", $"vb"))
+      .filter($"cos" >= threshold)
+      .select($"vec_b".as("dropped")).distinct()
+    assigned.join(drops, $"vec_id" === $"dropped", "left")
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        $"dropped".isNull.as("kept"))
+      .orderBy($"vec_id")
+  }
+
   /** DuckDB re-derivation of the simhash pipeline (Hash64.fnv1a64 +
     * splitmix64 + per-bit vote), built from [[OracleU64]]'s helpers.
     * Chained CTEs keep each step evaluated once.

@@ -147,8 +147,8 @@ object Similarity {
     * Argmin via array_sort — linear expression size, unlike a
     * reduce(when) chain whose tree grows 3^cells (see [[knnPq]]).
     */
-  private def assignCells(vecs: DataFrame,
-                          centroids: Array[(Int, Seq[Double])]): DataFrame = {
+  private[graft] def assignCells(vecs: DataFrame,
+                                 centroids: Array[(Int, Seq[Double])]): DataFrame = {
     import vecs.sparkSession.implicits._
     def dist2(v: Column, c: Seq[Double]): Column =
       graft.functions.squared_distance(v, typedLit(c))

@@ -159,6 +159,38 @@ class DedupSpec extends SparkSpecBase {
         s"query $q must find its planted copy, got ${res(q.toLong)}")
   }
 
+  test("semantic dedup: greedy keep-lowest-id matches an in-memory per-cell reference") {
+    import spark.implicits._
+    val res = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+    val byId = res.toMap
+    // every vector appears exactly once with a kept verdict
+    assert(res.length === graft.Tables.load(spark, sf, "embeddings").count())
+    // re-derive the greedy drop set from the SAME cell assignment
+    // (collect cells + vectors, brute-force within-cell cosine)
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val byCell = byId.toSeq.groupBy(_._2._1)
+    for ((_, members) <- byCell) {
+      val ids = members.map(_._1).sorted
+      val expectedDropped = ids.filter(idB =>
+        ids.exists(idA => idA < idB && cos(vecs(idA), vecs(idB)) >= 0.45)).toSet
+      for (id <- ids)
+        assert(byId(id)._2 === !expectedDropped.contains(id),
+          s"vec $id kept=${byId(id)._2} disagrees with reference")
+    }
+    // determinism: a second run produces the identical verdict set
+    val again = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+    assert(again.toSeq === res.toSeq)
+  }
+
   test("knn graph: planted twins are mutual rank-1, edges sane, partial-agg plan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
