@@ -87,6 +87,7 @@ object SparkEntry {
     "pack_sequences" -> wrap(graft.ops.Curation.packSequences(_, _)),
     "contamination_check" -> wrap(graft.ops.Curation.contaminationCheck(_, _)),
     "lang_mix_weights" -> wrap(graft.ops.Curation.langMixWeights),
+    "lang_temperature_mix" -> wrap(graft.ops.Curation.langTemperatureMix(_, _)),
     "embedding_centroids" -> wrap(Similarity.labelCentroids),
     "events_range_join" -> wrap((s, d) => graft.ops.RangeJoin.busyWindows(s, d)),
     "events_latest_state" -> wrap(Events.latestState),
@@ -139,6 +140,7 @@ object SparkEntry {
     "events_hll_merge" -> wrap(Events.hllMergeUsers),
     "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _)),
     "stac_cloud_filter" -> wrap(StacOps.cloudCoverFilter(_, _)),
+    "stac_upsert_latest" -> wrap(StacOps.upsertLatest),
     "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts),
     "knn_pq" -> wrap(Similarity.knnPq(_, _)),
     "knn_ivfpq" -> wrap(Similarity.knnIvfPq(_, _)),

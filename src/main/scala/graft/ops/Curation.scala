@@ -96,6 +96,32 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** H10 — temperature-smoothed language sampling (the multilingual
+    * mixing recipe of mT5/XLM-R): p_l ∝ n_l^α with α < 1 flattens the
+    * language distribution — low-resource languages are upsampled,
+    * high-resource ones downsampled, α interpolating between
+    * proportional (α=1) and uniform (α=0). Emits each language's
+    * sampling probability and effective up/down-sampling factor
+    * (p_l·N/n_l) — the knobs a data loader consumes. The per-lang
+    * counts frame is vocabulary-sized, so the global window is over a
+    * handful of rows; the corpus contributes one partial-agg count.
+    */
+  def langTemperatureMix(spark: SparkSession, dir: String,
+                         alpha: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val all = Window.partitionBy()
+    Tables.load(spark, dir, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow($"n_docs", alpha))
+      .withColumn("p_sample",
+        floor($"w" / sum($"w").over(all) * 1000000.0 + 0.5) / 1000000.0)
+      .withColumn("up_factor",
+        floor($"w" / sum($"w").over(all) * sum($"n_docs").over(all)
+          / $"n_docs" * 1000000.0 + 0.5) / 1000000.0)
+      .select($"lang", $"n_docs", $"p_sample", $"up_factor")
+      .orderBy($"lang")
+  }
+
   /** H6 — deterministic stratified sampling: downsample every language
     * to (approximately) the rarest language's share by keeping a doc
     * iff its content-stable hash bucket falls under the language's
@@ -329,5 +355,16 @@ object Curation {
         |  round((SELECT count(*) FROM documents)::DOUBLE /
         |    ((SELECT count(DISTINCT lang) FROM documents) * count(*)),
         |    6) AS mix_weight
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "lang_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT sum(pow(n_docs, 0.3)) AS z, sum(n_docs) AS n FROM c)
+        |SELECT lang, n_docs,
+        |  floor(pow(n_docs, 0.3) / z * 1000000.0 + 0.5) / 1000000.0
+        |    AS p_sample,
+        |  floor(pow(n_docs, 0.3) / z * n / n_docs * 1000000.0 + 0.5)
+        |    / 1000000.0 AS up_factor
+        |FROM c, t ORDER BY lang""".stripMargin)
 }

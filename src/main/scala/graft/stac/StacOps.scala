@@ -321,6 +321,34 @@ object StacOps {
       .orderBy($"granule_id")
   }
 
+  /** A25 — catalog upsert, latest-version-wins (the ingest-merge a
+    * long-lived catalog runs on every CMR re-harvest: reprocessed
+    * granules overlay their previous versions). A deterministic
+    * reprocessing delta (every 7th granule re-emitted as v2.1, one
+    * hour later) is unioned with the base catalog and ONE
+    * partial-aggregable `max(struct(ts, version, payload))` argmax per
+    * granule keeps the newest row — no window over the catalog, no
+    * join: the merge is a single granule-keyed aggregate whose partial
+    * combine discards superseded versions map-side, exactly what an
+    * upsert at 100 TB wants (compare: row_number() would sort every
+    * version of every granule).
+    */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = catalog(spark, dir)
+      .select($"granule_id", $"ts", $"cloud_cover")
+    val v20 = cat.withColumn("version", lit("2.0"))
+    val v21 = cat.filter($"granule_id" % 7 === 0)
+      .withColumn("ts", $"ts" + expr("INTERVAL 1 HOUR"))
+      .withColumn("version", lit("2.1"))
+    v20.unionByName(v21)
+      .groupBy($"granule_id")
+      .agg(max(struct($"ts", $"version", $"cloud_cover")).as("s"))
+      .select($"granule_id", $"s.version".as("version"), $"s.ts".as("ts"),
+        $"s.cloud_cover".as("cloud_cover"))
+      .orderBy($"granule_id")
+  }
+
   private val cte = StacSynth.sqlCte
 
   val oracles: Map[String, String] = Map(
@@ -403,6 +431,20 @@ object StacOps {
         |WHERE cloud_cover <= 20 AND sun_elevation >= 15
         |  AND lon >= -150.0 AND lon <= -100.0 AND lat >= -50.0 AND lat <= 50.0
         |ORDER BY granule_id""".stripMargin),
+    "stac_upsert_latest" -> (cte +
+      """, v20 AS (
+        |  SELECT granule_id, '2.0' AS version, ts, cloud_cover FROM stac),
+        |v21 AS (
+        |  SELECT granule_id, '2.1' AS version, ts + INTERVAL 1 HOUR AS ts,
+        |    cloud_cover
+        |  FROM stac WHERE granule_id % 7 = 0),
+        |allv AS (SELECT * FROM v20 UNION ALL SELECT * FROM v21),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY granule_id
+        |    ORDER BY ts DESC, version DESC) AS rn
+        |  FROM allv)
+        |SELECT granule_id, version, ts, cloud_cover
+        |FROM r WHERE rn = 1 ORDER BY granule_id""".stripMargin),
     "stac_asset_access" -> (cte +
       """SELECT granule_id,
         |  json_extract_string(assets_json, '$.B04.href') AS b04_href,
