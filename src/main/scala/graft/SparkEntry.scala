@@ -74,6 +74,7 @@ object SparkEntry {
     "text_langid" -> wrap(TextAnalysis.langId),
     "text_fingerprint" -> wrap(TextAnalysis.fingerprint),
     "text_ngram_freq" -> wrap(TextAnalysis.ngramFreq(_, _)),
+    "text_novelty" -> wrap(TextAnalysis.novelty(_, _)),
     "text_clean" -> wrap(TextAnalysis.clean),
     "multimodal_meta" -> wrap(Multimodal.mediaMeta),
     "multimodal_frames" -> wrap(Multimodal.sampleFrames(_, _)),
@@ -142,6 +143,7 @@ object SparkEntry {
     "stac_cloud_filter" -> wrap(StacOps.cloudCoverFilter(_, _)),
     "stac_upsert_latest" -> wrap(StacOps.upsertLatest),
     "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts),
+    "stream_upsert_latest" -> wrap(graft.streaming.StacStreams.upsertLatest),
     "knn_pq" -> wrap(Similarity.knnPq(_, _)),
     "knn_ivfpq" -> wrap(Similarity.knnIvfPq(_, _)),
     "topk_orders_heap" -> wrap(Analytics.topkOrdersHeap(_, _)),

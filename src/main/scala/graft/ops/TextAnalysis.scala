@@ -137,6 +137,38 @@ object TextAnalysis {
       .orderBy($"lang", $"rnk")
   }
 
+  /** E22 — cross-corpus n-gram novelty: the fraction of a document's
+    * DISTINCT 8-grams that no other document contains — low novelty
+    * flags boilerplate/templated/near-memorized text that per-doc
+    * quality scores miss, and is the document-level form of the
+    * train-set-overlap signal behind H4's contamination check.
+    *
+    * Scale shape: one gram explode (per-doc deduped so the df rollup
+    * is doc frequency), one gram-keyed partial-agg count, one join
+    * back on gram, one doc-keyed rollup — all corpus-linear; no
+    * pairwise anything (the gram table plays the role C7's window
+    * hashes play for exact sub-document dedup).
+    */
+  def novelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", explode(array_distinct(transform(
+        sequence(lit(1), size($"toks") - (n - 1)),
+        i => concat_ws(" ", slice($"toks", i, lit(n)))))).as("gram"))
+    val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty",
+        floor((lit(1.0) - $"n_shared".cast("double") / $"n_grams")
+          * 1000000.0 + 0.5) / 1000000.0)
+      .select($"doc_id", $"n_grams", $"n_shared", $"novelty")
+      .orderBy($"doc_id")
+  }
+
   /** E6 — text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace. Emits a fingerprint + length (not the full
     * cleaned body) so the artifact stays narrow.
@@ -768,6 +800,24 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    "text_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g0 AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+        |    for i in range(1, len(toks) - 6)]) AS gram
+        |  FROM t),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        |p AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        |  FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_shared,
+        |  floor((1.0 - n_shared::DOUBLE / n_grams) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS novelty
+        |FROM p ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (
         |  SELECT lang, string_split(text, ' ') AS toks FROM documents

@@ -48,6 +48,35 @@ object StacStreams {
       .orderBy($"collection", $"day")
   }
 
+  /** G10 — streaming catalog upsert: A25's latest-version-wins merge
+    * as a continuously maintained aggregate. The reprocessing delta
+    * stream unions with the base catalog stream (both derive from the
+    * same source; every column is a scalar expression, so the batch
+    * plan runs unchanged under the streaming engine) and the SAME
+    * partial-aggregable `max(struct(ts, version, payload))` argmax
+    * keeps each granule's newest version — state is one struct per
+    * granule, updated in place as reprocessed versions arrive. Run to
+    * completion against the static fixture, the batch A25 SQL is the
+    * oracle; on a live feed the same plan IS the catalog's serving
+    * state.
+    */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = catalogStream(spark, dir)
+      .select($"granule_id", $"ts", $"cloud_cover")
+    val v20 = cat.withColumn("version", lit("2.0"))
+    val v21 = cat.filter($"granule_id" % 7 === 0)
+      .withColumn("ts", $"ts" + expr("INTERVAL 1 HOUR"))
+      .withColumn("version", lit("2.1"))
+    val merged = v20.unionByName(v21)
+      .groupBy($"granule_id")
+      .agg(max(struct($"ts", $"version", $"cloud_cover")).as("s"))
+    EventStreams.runToCompletion(merged, "graft_stream_upsert")
+      .select($"granule_id", $"s.version".as("version"), $"s.ts".as("ts"),
+        $"s.cloud_cover".as("cloud_cover"))
+      .orderBy($"granule_id")
+  }
+
   /** G9 — streaming fetch: the link stream drives the A20 fetch
     * operator per micro-batch through `foreachBatch` (the sanctioned
     * hook for running an arbitrary batch transform inside a stream),
@@ -91,5 +120,21 @@ object StacStreams {
     "stream_stac_daily" -> (StacSynth.sqlCte +
       """SELECT collection, CAST(ts AS DATE) AS day, count(*) AS n_links
         |FROM stac GROUP BY collection, CAST(ts AS DATE)
-        |ORDER BY collection, day""".stripMargin))
+        |ORDER BY collection, day""".stripMargin),
+    // the batch A25 formulation IS the oracle — the stream must
+    // converge to the same merged catalog
+    "stream_upsert_latest" -> (StacSynth.sqlCte +
+      """, v20 AS (
+        |  SELECT granule_id, '2.0' AS version, ts, cloud_cover FROM stac),
+        |v21 AS (
+        |  SELECT granule_id, '2.1' AS version, ts + INTERVAL 1 HOUR AS ts,
+        |    cloud_cover
+        |  FROM stac WHERE granule_id % 7 = 0),
+        |allv AS (SELECT * FROM v20 UNION ALL SELECT * FROM v21),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY granule_id
+        |    ORDER BY ts DESC, version DESC) AS rn
+        |  FROM allv)
+        |SELECT granule_id, version, ts, cloud_cover
+        |FROM r WHERE rn = 1 ORDER BY granule_id""".stripMargin))
 }
