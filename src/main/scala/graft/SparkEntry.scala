@@ -27,6 +27,7 @@ object SparkEntry {
     "topk_customers_per_nation" -> wrap(Analytics.topkCustomersPerNation),
     "monthly_revenue" -> wrap(Analytics.monthlyRevenue),
     "running_revenue" -> wrap(Analytics.runningRevenue),
+    "revenue_7day_avg" -> wrap(Analytics.revenue7DayAvg),
     "events_funnel" -> wrap(Analytics.eventsFunnel),
     "supplier_part_share" -> wrap(Analytics.supplierPartShare(_, _)),
     "discounted_orders" -> wrap(Analytics.discountedOrders),
@@ -78,6 +79,7 @@ object SparkEntry {
     "text_clean" -> wrap(TextAnalysis.clean),
     "multimodal_meta" -> wrap(Multimodal.mediaMeta),
     "multimodal_frames" -> wrap(Multimodal.sampleFrames(_, _)),
+    "multimodal_resize" -> wrap(Multimodal.resizePlan(_, _)),
     "stream_window_agg" -> wrap(graft.streaming.EventStreams.windowAgg),
     "stream_sessionize" -> wrap(graft.streaming.EventStreams.sessionize),
     "stream_dedup_count" -> wrap(graft.streaming.EventStreams.dedupCount),

@@ -395,6 +395,30 @@ object Analytics {
       .orderBy($"c_nationkey")
   }
 
+  /** B39 — trailing 7-day revenue (the RANGE-frame window shape, vs
+    * B9's unbounded-preceding cumsum): the corpus first collapses to
+    * a per-day aggregate — day count is calendar-bounded at ANY
+    * corpus size, so the subsequent global range-frame window runs
+    * over a frame that never grows with data volume; gaps in the
+    * calendar shrink the frame (range semantics, not rows).
+    */
+  def revenue7DayAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice").as("rev"))
+      .withColumn("dnum",
+        datediff($"day", lit("1995-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy($"dnum").rangeBetween(-6, 0)
+    daily
+      .withColumn("avg_7day",
+        floor(avg($"rev").over(w) * 100.0 + 0.5) / 100.0)
+      .withColumn("n_days_window", count(lit(1)).over(w))
+      .select($"day", (floor($"rev" * 100.0 + 0.5) / 100.0).as("revenue"),
+        $"avg_7day", $"n_days_window")
+      .orderBy($"day")
+  }
+
   // --- B38: the remaining TPC-H query shapes (22/22 coverage) ------
   // The testdata schema is TPC-H-ish but slimmed: no partsupp table
   // and no commitdate/receiptdate/shipmode columns. Queries that
@@ -784,6 +808,21 @@ object Analytics {
         |  WHERE l.l_orderkey = o.o_orderkey
         |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "revenue_7day_avg" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |n AS (
+        |  SELECT *, date_diff('day', DATE '1995-01-01', day)::BIGINT AS dnum
+        |  FROM d)
+        |SELECT day, floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
+        |  floor(avg(rev) OVER (ORDER BY dnum
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 100.0 + 0.5)
+        |    / 100.0 AS avg_7day,
+        |  count(*) OVER (ORDER BY dnum
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days_window
+        |FROM n ORDER BY day""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH supp AS (
         |  SELECT s_suppkey, s_name, n_name

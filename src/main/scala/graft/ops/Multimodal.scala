@@ -93,7 +93,51 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** F3 — resize planning (the metadata half of an image-resize
+    * stage): source dimensions come from the STUB decode (derived
+    * deterministically from doc_id — a real decoder would read them
+    * from the payload header), the aspect-preserving fit to a max
+    * edge is exact integer math (w·maxEdge DIV longest), and the
+    * output-byte estimate is what a downstream batcher packs against.
+    * Pure projection — one scan, no shuffle before the sort; the
+    * decode boundary is the only stubbed step, exactly as F1/F2.
+    */
+  def resizePlan(spark: SparkSession, dir: String,
+                 maxEdge: Int = 512): DataFrame = {
+    import spark.implicits._
+    withMedia(spark, dir)
+      .filter($"media_type" === "image/png")
+      .withColumn("width", lit(64) + ($"doc_id" * 37) % 1920)
+      .withColumn("height", lit(64) + ($"doc_id" * 53) % 1080)
+      .withColumn("longest", greatest($"width", $"height"))
+      .withColumn("out_w", when($"longest" <= maxEdge, $"width")
+        .otherwise(expr(s"width * $maxEdge DIV longest")))
+      .withColumn("out_h", when($"longest" <= maxEdge, $"height")
+        .otherwise(expr(s"height * $maxEdge DIV longest")))
+      .select($"doc_id", $"width", $"height", $"out_w", $"out_h",
+        ($"out_w" * $"out_h" * 3).as("out_bytes"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    64 + (doc_id * 37) % 1920 AS width,
+        |    64 + (doc_id * 53) % 1080 AS height
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT *, greatest(width, height) AS longest FROM img),
+        |r AS (
+        |  SELECT doc_id, width, height,
+        |    CASE WHEN longest <= 512 THEN width
+        |      ELSE width * 512 // longest END AS out_w,
+        |    CASE WHEN longest <= 512 THEN height
+        |      ELSE height * 512 // longest END AS out_h
+        |  FROM g)
+        |SELECT doc_id, width, height, out_w, out_h,
+        |  out_w * out_h * 3 AS out_bytes
+        |FROM r ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH v AS (
         |  SELECT doc_id, text,
