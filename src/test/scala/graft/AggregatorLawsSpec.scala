@@ -1,0 +1,65 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.TopKPairs
+
+/** Property-based laws for the custom aggregation buffers. Spark is
+  * free to partition input arbitrarily, partial-aggregate map-side,
+  * and merge buffers in ANY grouping/order — an aggregator whose
+  * merge isn't associative-commutative-with-identity returns
+  * partition-layout-dependent answers at scale and no example-based
+  * spec will reliably catch it. These laws are exactly the contract
+  * the B37/D5/D6/D7 top-k shuffle shape relies on.
+  */
+class AggregatorLawsSpec extends AnyFunSuite {
+
+  private val agg = TopKPairs(3)
+
+  private def assertHolds(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def reference(xs: List[(Double, Long)]): Seq[(Double, Long)] =
+    xs.sortBy { case (v, id) => (-v, id) }.take(3)
+
+  private val pair: Gen[(Double, Long)] = for {
+    v <- Gen.chooseNum(-100.0, 100.0)
+    id <- Gen.chooseNum(0L, 50L)
+  } yield (v, id)
+
+  private val pairs: Gen[List[(Double, Long)]] = Gen.listOf(pair)
+
+  private def fold(xs: List[(Double, Long)]): Seq[(Double, Long)] =
+    xs.foldLeft(agg.zero)(agg.reduce)
+
+  test("any partitioning + merge order equals the global sorted top-k") {
+    assertHolds(Prop.forAll(pairs, Gen.chooseNum(1, 5)) { (xs, nParts) =>
+      // split into nParts "map partitions", partial-reduce each, then
+      // merge the buffers left-to-right — the two-phase aggregate path
+      val parts =
+        if (xs.isEmpty) List(Nil)
+        else xs.grouped(math.max(1, xs.length / nParts)).toList
+      val merged = parts.map(fold).reduce(agg.merge)
+      agg.finish(merged) == reference(xs)
+    })
+  }
+
+  test("merge is commutative and associative on arbitrary buffers") {
+    assertHolds(Prop.forAll(pairs, pairs, pairs) { (a, b, c) =>
+      val (ba, bb, bc) = (fold(a), fold(b), fold(c))
+      agg.merge(ba, bb) == agg.merge(bb, ba) &&
+      agg.merge(agg.merge(ba, bb), bc) == agg.merge(ba, agg.merge(bb, bc))
+    })
+  }
+
+  test("zero is the merge identity") {
+    assertHolds(Prop.forAll(pairs) { xs =>
+      val b = fold(xs)
+      agg.merge(b, agg.zero) == b && agg.merge(agg.zero, b) == b
+    })
+  }
+}
