@@ -68,6 +68,7 @@ object SparkEntry {
     "knn_ivf" -> wrap(Similarity.knnIvf(_, _)),
     "knn_lsh" -> wrap(Similarity.knnLsh(_, _)),
     "knn_graph" -> wrap(Similarity.knnGraph(_, _)),
+    "knn_sq8" -> wrap(Similarity.knnSq8(_, _)),
     "knn_lsh_multi" -> wrap(Similarity.knnLshMulti(_, _)),
     "embedding_quantize" -> wrap(Similarity.quantizeEmbeddings),
     "text_token_count" -> wrap(TextAnalysis.tokenCount),

@@ -544,6 +544,51 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** D8 — two-stage SQ8 retrieval (scan int8, rescore float): the
+    * production memory/accuracy trade for flat indexes — the corpus
+    * is scanned as D3's int8 codes (4× smaller, integer dot products),
+    * the top k×rescoreFactor candidates per query come out of the B37
+    * k-bounded heap, and only that tiny candidate set is rescored
+    * with exact float cosine. Because the int8 dot product is EXACT
+    * integer arithmetic and the per-vector scales are deterministic,
+    * this approximate operator gets a full SQL oracle (the LSH/PQ
+    * paths can't say that — their codebooks are engine floats).
+    *
+    * Scale shape: quantization is one projection; stage 1 moves only
+    * queries × (k·rescoreFactor) rows per map partition through the
+    * heap's partial aggregate; stage 2 joins the candidate set (tiny)
+    * back to float vectors vec_id-keyed.
+    */
+  def knnSq8(spark: SparkSession, dir: String,
+             k: Int = 5, numQueries: Int = 10,
+             rescoreFactor: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir)
+    val quant = vecs
+      .withColumn("scale",
+        aggregate($"v", lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
+      .withColumn("codes",
+        transform($"v", x => floor(x / $"scale" + 0.5).cast("int")))
+    val queries = quant.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        $"scale".as("qscale"), $"codes".as("qcodes"))
+    val approx = quant.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("iprod",
+        aggregate(zip_with($"qcodes", $"codes", (a, b) => (a * b).cast("long")),
+          lit(0L), (s, x) => s + x))
+      .withColumn("approx", $"iprod".cast("double") * $"scale" * $"qscale")
+    val topc = udaf(graft.expressions.TopKPairs(k * rescoreFactor))
+    val cands = approx.groupBy($"query_id")
+      .agg(topc($"approx", $"vec_id").as("top"))
+      .select($"query_id", explode($"top").as("p"))
+      .select($"query_id", $"p._2".as("vec_id"))
+    val rescored = cands
+      .join(vecs, Seq("vec_id"))
+      .join(broadcast(queries.select($"query_id", $"qv")), Seq("query_id"))
+      .withColumn("cos", cosine($"qv", $"v"))
+    topK(rescored, k)
+  }
+
   /** Per-label centroids (class prototypes / one Lloyd step over given
     * assignments). Distributed shape: posexplode to (label, dim) rows
     * → partial-agg avg (map-side combine keeps the shuffle at
@@ -744,6 +789,47 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "knn_lsh" -> lshOracleSingle,
     "knn_graph" -> lshGraphOracle,
+    "knn_sq8" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q0 AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |  FROM v),
+        |qz AS (
+        |  SELECT vec_id, e, scale,
+        |    list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT))
+        |      AS codes
+        |  FROM q0),
+        |qq AS (
+        |  SELECT vec_id AS query_id, e AS qe, scale AS qscale,
+        |    codes AS qcodes
+        |  FROM qz WHERE vec_id < 10),
+        |s AS (
+        |  SELECT qq.query_id, z.vec_id, z.scale, qq.qscale,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [CAST(qq.qcodes[i] * z.codes[i] AS BIGINT)
+        |        for i in range(1, 65)]),
+        |      (a, b) -> a + b) AS iprod
+        |  FROM qq JOIN qz z ON z.vec_id <> qq.query_id),
+        |a AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY iprod::DOUBLE * scale * qscale DESC, vec_id) AS crnk
+        |  FROM s),
+        |cand AS (SELECT query_id, vec_id FROM a WHERE crnk <= 15),
+        |r AS (
+        |  SELECT c.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv.e, cv.e) AS cos
+        |  FROM cand c
+        |  JOIN v qv ON qv.vec_id = c.query_id
+        |  JOIN v cv ON cv.vec_id = c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM r)
+        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "knn_lsh_multi" -> lshOracleMulti,
     "embedding_centroids" ->
       """WITH x AS (

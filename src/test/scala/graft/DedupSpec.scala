@@ -191,6 +191,19 @@ class DedupSpec extends SparkSpecBase {
     assert(again.toSeq === res.toSeq)
   }
 
+  test("knn SQ8: rescored results track exact search at rank 1") {
+    import spark.implicits._
+    val exact = Similarity.knnBruteForce(spark, sf).filter($"rnk" === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val sq8 = Similarity.knnSq8(spark, sf).filter($"rnk" === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(sq8.keySet === exact.keySet)
+    // int8 quantization is mild (|err| <= scale/2 per dim) and stage 2
+    // rescores with exact floats — rank-1 should almost always agree
+    val agree = exact.keys.count(q => sq8(q) == exact(q))
+    assert(agree >= 8, s"rank-1 agreement $agree/10 below 8/10")
+  }
+
   test("knn graph: planted twins are mutual rank-1, edges sane, partial-agg plan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
