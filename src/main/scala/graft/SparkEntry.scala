@@ -145,6 +145,7 @@ object SparkEntry {
     "stac_bbox_wrapped" -> wrap(StacOps.bboxFilterWrapped(_, _)),
     "stac_cloud_filter" -> wrap(StacOps.cloudCoverFilter(_, _)),
     "stac_upsert_latest" -> wrap(StacOps.upsertLatest),
+    "stac_coverage_gaps" -> wrap(StacOps.coverageGaps),
     "stream_stac_daily" -> wrap(graft.streaming.StacStreams.dailyLinkCounts),
     "stream_upsert_latest" -> wrap(graft.streaming.StacStreams.upsertLatest),
     "knn_pq" -> wrap(Similarity.knnPq(_, _)),

@@ -349,6 +349,32 @@ object StacOps {
       .orderBy($"granule_id")
   }
 
+  /** A26 — coverage-gap detection (catalog QA: sensor outages and
+    * missed acquisitions show up as calendar gaps in a zone's
+    * observation cadence): distinct (collection, UTM zone, day)
+    * observations, lead() per (collection, zone) ordered by day, emit
+    * every gap longer than one day with its length. Scale shape: the
+    * distinct collapses the catalog to (groups × days) rows first, so
+    * the window partitions are calendar-bounded regardless of corpus
+    * size, and the partition key count grows with the grid — never a
+    * global window.
+    */
+  def coverageGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy($"collection", $"zone").orderBy($"day")
+    catalog(spark, dir)
+      .select($"collection", substring($"tile", 1, 2).as("zone"),
+        to_date($"ts").as("day"))
+      .distinct()
+      .withColumn("next_day", lead($"day", 1).over(w))
+      .filter($"next_day".isNotNull &&
+        datediff($"next_day", $"day") > 1)
+      .select($"collection", $"zone", $"day".as("last_seen"),
+        (datediff($"next_day", $"day").cast("long") - 1).as("gap_days"))
+      .orderBy($"collection", $"zone", $"last_seen")
+  }
+
   private val cte = StacSynth.sqlCte
 
   val oracles: Map[String, String] = Map(
@@ -431,6 +457,20 @@ object StacOps {
         |WHERE cloud_cover <= 20 AND sun_elevation >= 15
         |  AND lon >= -150.0 AND lon <= -100.0 AND lat >= -50.0 AND lat <= 50.0
         |ORDER BY granule_id""".stripMargin),
+    "stac_coverage_gaps" -> (cte +
+      """, g AS (
+        |  SELECT DISTINCT collection, substr(tile, 1, 2) AS zone,
+        |    CAST(ts AS DATE) AS day
+        |  FROM stac),
+        |w AS (
+        |  SELECT *, lead(day) OVER (PARTITION BY collection, zone
+        |    ORDER BY day) AS next_day
+        |  FROM g)
+        |SELECT collection, zone, day AS last_seen,
+        |  date_diff('day', day, next_day)::BIGINT - 1 AS gap_days
+        |FROM w
+        |WHERE next_day IS NOT NULL AND date_diff('day', day, next_day) > 1
+        |ORDER BY collection, zone, last_seen""".stripMargin),
     "stac_upsert_latest" -> (cte +
       """, v20 AS (
         |  SELECT granule_id, '2.0' AS version, ts, cloud_cover FROM stac),
