@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_clusters" -> wrap(Dedup.clusters(_, _)),
     "dedup_cluster_keepers" -> wrap(Dedup.clusterKeepers(_, _)),
     "dedup_semantic" -> wrap(Dedup.semanticDedup(_, _)),
+    "dedup_lang_retention" -> wrap(Dedup.dedupLangRetention(_, _)),
     "knn_brute_force" -> wrap(Similarity.knnBruteForce(_, _)),
     "knn_ivf" -> wrap(Similarity.knnIvf(_, _)),
     "knn_lsh" -> wrap(Similarity.knnLsh(_, _)),

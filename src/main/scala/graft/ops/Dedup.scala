@@ -446,6 +446,29 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
+  /** C12 — dedup impact report: per-language document counts before
+    * vs after C10's cluster-keeper dedup, with the retention ratio —
+    * the first diagnostic a curation run reports (is dedup eating one
+    * language disproportionately?). One left join against the keeper
+    * set + one lang rollup on top of the C10 pass; corpus-linear.
+    */
+  def dedupLangRetention(spark: SparkSession, dir: String,
+                         threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val keepers = clusterKeepers(spark, dir, threshold)
+      .select($"keeper_id")
+    Tables.load(spark, dir, "documents")
+      .join(keepers, $"doc_id" === $"keeper_id", "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keeper_id".isNotNull, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("retention",
+        floor($"n_kept".cast("double") / $"n_docs" * 1000000.0 + 0.5)
+          / 1000000.0)
+      .select($"lang", $"n_docs", $"n_kept", $"retention")
+      .orderBy($"lang")
+  }
+
   /** C11 — semantic dedup, the SemDeDup shape (embedding-cluster-
     * bounded near-dup pruning): the scale path next to C5's exact n²
     * baseline. Vectors are assigned to IVF cells (D2a's deterministic
@@ -625,9 +648,33 @@ object Dedup {
         |SELECT c.doc_id, c.cluster_id, s.cluster_size
         |FROM comp c JOIN sized s ON c.cluster_id = s.cluster_id
         |ORDER BY c.doc_id""".stripMargin),
-    "dedup_cluster_keepers" -> (shingleCte
-      .replace("WITH toks", "WITH RECURSIVE toks")
-      .stripSuffix("\n") + ",\n" +
+    "dedup_cluster_keepers" -> clusterKeepersOracle,
+    "dedup_lang_retention" ->
+      s"""SELECT d.lang, count(*) AS n_docs,
+         |  sum(CASE WHEN k.keeper_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_kept,
+         |  floor(sum(CASE WHEN k.keeper_id IS NOT NULL THEN 1 ELSE 0
+         |    END)::DOUBLE / count(*) * 1000000.0 + 0.5) / 1000000.0
+         |    AS retention
+         |FROM documents d
+         |LEFT JOIN (SELECT keeper_id FROM (
+         |$clusterKeepersOracle)) k ON d.doc_id = k.keeper_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** The C10 oracle (recursive-CTE clusters × the quality CTE) as a
+    * standalone builder so C12 can embed it as a subquery.
+    */
+  private def clusterKeepersOracle: String = (shingleCte
+    .replace("WITH toks", "WITH RECURSIVE toks")
+    .stripSuffix("\n") + ",\n" +
       """pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -671,15 +718,7 @@ object Dedup {
         |FROM a1 JOIN lab ON lab.cluster_id = a1.cluster_id
         |  AND lab.quality = a1.keeper_quality
         |GROUP BY a1.cluster_id, a1.cluster_size, a1.keeper_quality
-        |ORDER BY a1.cluster_id""".stripMargin),
-    "dedup_embedding" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |    b.embedding::DOUBLE[]), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-        |    b.embedding::DOUBLE[]) >= 0.45
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY a1.cluster_id""".stripMargin)
 }
 
 /** SQL-text builders for unsigned 64-bit arithmetic in DuckDB, used to
