@@ -85,7 +85,29 @@ object Bench {
     }
     val line = jsonLine(acc.toSeq, partial = false)
     writeOut(line)
-    println(line)
+    // The driver parses its bounded stdout tail (~4 KB) for the JSON
+    // line; with 130+ queries the full line overflows it and parses as
+    // null every round (BENCH_r01–r07). Print the full line only when
+    // it fits a conservative budget; otherwise print a compact line —
+    // same top-level metrics, the slowest queries that fit, and a
+    // pointer at the complete per-query file.
+    val budget = 2800
+    val out =
+      if (line.length <= budget) line
+      else {
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        var sz = 220 // header + trailer slack
+        acc.sortBy(-_._2).foreach { case kv @ (k, _) =>
+          val cost = k.length + 14
+          if (sz + cost <= budget) { kept += kv; sz += cost }
+        }
+        val qs = kept.map { case (k, v) => "\"" + k + "\":" + f(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${f(acc.map(_._2).sum)},"unit":"sec"""" +
+          s""","queries":$qs,"queries_elided":${acc.size - kept.size}""" +
+          s""","queries_full":"bench_out.json","sf":"$sfDir"}"""
+      }
+    println(out)
     spark.stop()
   }
 }

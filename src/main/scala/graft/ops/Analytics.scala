@@ -477,7 +477,8 @@ object Analytics {
         $"l_shipdate" < lit(f"${year + 1}-01-01").cast("timestamp") &&
         $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
         $"l_quantity" < 24)
-      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+      .agg((floor(sum($"l_extendedprice" * $"l_discount") * 100.0 + 0.5)
+        / 100.0).as("revenue"))
   }
 
   /** B38c — TPC-H Q8 shape (national market share): star join with
@@ -540,7 +541,7 @@ object Analytics {
         $"l_extendedprice" * (lit(1) - $"l_discount") -
           lit(0.6) * $"p_retailprice" * $"l_quantity")
       .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
-      .agg(round(sum($"profit"), 2).as("sum_profit"))
+      .agg((floor(sum($"profit") * 100.0 + 0.5) / 100.0).as("sum_profit"))
       .orderBy($"nation", $"o_year".desc)
   }
 
@@ -567,10 +568,10 @@ object Analytics {
       .join(orders, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
-        .as("revenue"))
+      .agg((floor(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
+        * 100.0 + 0.5) / 100.0).as("revenue"))
       .select($"c_custkey", $"c_name", $"revenue",
-        round($"c_acctbal", 2).as("c_acctbal"), $"n_name")
+        (floor($"c_acctbal" * 100.0 + 0.5) / 100.0).as("c_acctbal"), $"n_name")
       .orderBy($"revenue".desc, $"c_custkey")
       .limit(20)
   }
@@ -654,8 +655,8 @@ object Analytics {
       .filter($"l_shipdate" >= lit(since).cast("timestamp") &&
         $"l_shipdate" < lit(until).cast("timestamp"))
       .groupBy($"l_suppkey")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
-        .as("total_revenue"))
+      .agg((floor(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
+        * 100.0 + 0.5) / 100.0).as("total_revenue"))
     val top = revenue.agg(max($"total_revenue").as("max_rev"))
     revenue.crossJoin(broadcast(top))
       .filter($"total_revenue" === $"max_rev")
@@ -683,7 +684,8 @@ object Analytics {
       .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
       .join(broadcast(thresholds), $"l_partkey" === $"tp")
       .filter($"l_quantity" < $"qty_thresh")
-      .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+      .agg((floor(sum($"l_extendedprice") / 7.0 * 100.0 + 0.5) / 100.0)
+        .as("avg_yearly"))
   }
 
   /** B38k — TPC-H Q19 shape (bracketed disjunctive predicates): the
@@ -704,8 +706,8 @@ object Analytics {
             $"l_quantity".between(10, 20)) ||
           ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
             $"l_quantity".between(20, 30)))
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
-        .as("revenue"))
+      .agg((floor(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
+        * 100.0 + 0.5) / 100.0).as("revenue"))
   }
 
   /** B38l — TPC-H Q20 shape (excess-stock suppliers): partsupp
@@ -848,7 +850,8 @@ object Analytics {
         |FROM pick p JOIN supp s ON p.s_suppkey = s.s_suppkey
         |ORDER BY p.p_partkey""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT floor(sum(l_extendedprice * l_discount) * 100.0 + 0.5)
+        |    / 100.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -871,8 +874,9 @@ object Analytics {
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q9_product_profit" ->
       """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)
-        |    - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        |  floor(sum(l_extendedprice * (1 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity) * 100.0 + 0.5)
+        |    / 100.0 AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -882,8 +886,9 @@ object Analytics {
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |  round(c_acctbal, 2) AS c_acctbal, n_name
+        |  floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+        |    / 100.0 AS revenue,
+        |  floor(c_acctbal * 100.0 + 0.5) / 100.0 AS c_acctbal, n_name
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -922,7 +927,8 @@ object Analytics {
     "q15_top_supplier" ->
       """WITH r AS (
         |  SELECT l_suppkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |    floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+        |      / 100.0 AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -935,13 +941,15 @@ object Analytics {
       """WITH thr AS (
         |  SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_thresh
         |  FROM lineitem GROUP BY l_partkey)
-        |SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |SELECT floor(sum(l.l_extendedprice) / 7.0 * 100.0 + 0.5)
+        |  / 100.0 AS avg_yearly
         |FROM lineitem l
         |JOIN part ON l.l_partkey = p_partkey
         |JOIN thr ON l.l_partkey = thr.l_partkey
         |WHERE p_brand = 'Brand#23' AND l.l_quantity < qty_thresh""".stripMargin,
     "q19_bracketed_revenue" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+        |  / 100.0 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
         |    AND l_quantity BETWEEN 1 AND 11)

@@ -517,6 +517,20 @@ object Similarity {
     topK(candidates.withColumn("cos", cosine($"qv", $"v")), k)
   }
 
+  /** Shared SQ8 scale/codes over a frame carrying a double-array `v`
+    * column: per-vector scale = max|x|/127 CLAMPED to 1e-30 — an
+    * all-zero vector quantizes to all-zero codes instead of dividing
+    * by zero into NaN codes (a latent crash/garbage path for real
+    * corpora where zero vectors are common). The same clamp appears in
+    * both DuckDB oracles so the arithmetic stays engine-identical.
+    */
+  private[graft] def sq8Codes(df: DataFrame): DataFrame =
+    df.withColumn("scale", greatest(
+        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0,
+        lit(1e-30)))
+      .withColumn("codes",
+        transform(col("v"), x => floor(x / col("scale") + 0.5).cast("int")))
+
   /** E/D-support — int8 symmetric quantization of the embedding
     * column: per-vector scale = max|x|/127, stored codes ∈ [−127,127].
     * The 4× storage cut that makes billion-vector ANN shards fit in
@@ -526,12 +540,8 @@ object Similarity {
     */
   def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "embeddings")
-      .withColumn("v", transform($"embedding", x => x.cast("double")))
-      .withColumn("scale",
-        aggregate($"v", lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
-      .withColumn("codes",
-        transform($"v", x => floor(x / $"scale" + 0.5).cast("int")))
+    sq8Codes(Tables.load(spark, dir, "embeddings")
+        .withColumn("v", transform($"embedding", x => x.cast("double"))))
       .withColumn("max_err",
         aggregate(zip_with($"v", $"codes",
           (x, c) => abs(x - c.cast("double") * $"scale")),
@@ -564,11 +574,7 @@ object Similarity {
              rescoreFactor: Int = 3): DataFrame = {
     import spark.implicits._
     val vecs = loadVecs(spark, dir)
-    val quant = vecs
-      .withColumn("scale",
-        aggregate($"v", lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
-      .withColumn("codes",
-        transform($"v", x => floor(x / $"scale" + 0.5).cast("int")))
+    val quant = sq8Codes(vecs)
     val queries = quant.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"),
         $"scale".as("qscale"), $"codes".as("qcodes"))
@@ -793,7 +799,8 @@ object Similarity {
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |q0 AS (
         |  SELECT vec_id, e,
-        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |    greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+        |      1e-30) AS scale
         |  FROM v),
         |qz AS (
         |  SELECT vec_id, e, scale,
@@ -847,7 +854,8 @@ object Similarity {
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |q AS (
         |  SELECT vec_id, e,
-        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |    greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+        |      1e-30) AS scale
         |  FROM v),
         |c AS (
         |  SELECT vec_id, e, scale,

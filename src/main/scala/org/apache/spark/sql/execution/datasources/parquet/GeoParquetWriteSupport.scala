@@ -37,7 +37,8 @@ class GeoParquetWriteSupport extends ParquetWriteSupport {
   private var minY = Double.MaxValue
   private var maxX = Double.MinValue
   private var maxY = Double.MinValue
-  private var seen = 0L
+  private var decoded = 0L // geometries the bbox fold could decode
+  private var total = 0L   // all non-null geometries written
   // WKB geometry-type codes observed in this file (1=Point, 2=LineString…)
   private val typeCodes = mutable.SortedSet.empty[Int]
 
@@ -61,6 +62,7 @@ class GeoParquetWriteSupport extends ParquetWriteSupport {
   override def write(row: InternalRow): Unit = {
     if (geomIdx >= 0 && !row.isNullAt(geomIdx)) {
       val wkb = row.getBinary(geomIdx)
+      total += 1
       GeoParquetWriteSupport.wkbGeometryType(wkb).foreach(typeCodes.add)
       GeoParquetWriteSupport.wkbPointXY(wkb).foreach {
         case (x, y) =>
@@ -68,7 +70,7 @@ class GeoParquetWriteSupport extends ParquetWriteSupport {
           if (x > maxX) maxX = x
           if (y < minY) minY = y
           if (y > maxY) maxY = y
-          seen += 1
+          decoded += 1
       }
     }
     super.write(row)
@@ -78,11 +80,12 @@ class GeoParquetWriteSupport extends ParquetWriteSupport {
     if (geomIdx < 0) new FinalizedWriteContext(java.util.Collections.emptyMap())
     else {
       val meta = new java.util.HashMap[String, String]()
-      // the bbox is exact only when every geometry was a decodable
-      // Point — any other type would make a point-derived bbox
-      // UNDER-cover the file and mislead footer-bbox pruners, so it is
-      // omitted in that case (geometry_types still reports what was seen)
-      val allPoints = typeCodes.forall(_ == 1) && seen > 0
+      // the bbox is exact only when EVERY non-null geometry was
+      // decodable as a plain-XY Point — decoded-vs-written counts, not
+      // the masked type code, gate it, so an EWKB/ISO-Z point the fold
+      // skipped can never leave an under-covering bbox for the
+      // footer-bbox pruner (geometry_types still reports what was seen)
+      val allPoints = decoded > 0 && decoded == total
       meta.put("geo", GeoParquetWriteSupport.geoMetadataJson(
         geomCol,
         if (allPoints) Some((minX, minY, maxX, maxY)) else None,
@@ -110,8 +113,11 @@ object GeoParquetWriteSupport {
     if (geomType != 1) None else Some((buf.getDouble(), buf.getDouble()))
   }
 
-  /** The base WKB geometry-type code (header only; Z/M/SRID flag bits
-    * masked off); None when the buffer is too short to carry one.
+  /** The base WKB geometry-type code (header only); None when the
+    * buffer is too short to carry one. Both dialect encodings reduce
+    * to the base code: EWKB sets high flag bits (0x80000000 Z,
+    * 0x40000000 M, 0x20000000 SRID — masked off first), ISO adds
+    * 1000/2000/3000 Z/M/ZM offsets (removed mod 1000).
     */
   def wkbGeometryType(wkb: Array[Byte]): Option[Int] = {
     if (wkb == null || wkb.length < 5) return None
@@ -119,7 +125,8 @@ object GeoParquetWriteSupport {
       if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val buf = ByteBuffer.wrap(wkb).order(order)
     buf.get()
-    Some(buf.getInt() & 0xFF) // 1000/2000/3000 Z/M/ZM offsets → base code
+    val t = buf.getInt()
+    Some((t & 0x0FFFFFFF) % 1000)
   }
 
   private val TypeNames = Map(

@@ -204,6 +204,22 @@ class DedupSpec extends SparkSpecBase {
     assert(agree >= 8, s"rank-1 agreement $agree/10 below 8/10")
   }
 
+  test("sq8 quantization: all-zero vector yields zero codes, never NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array.fill(8)(0.0)),
+      (1L, Array.tabulate(8)(i => (i - 4) / 4.0))).toDF("vec_id", "v")
+    val rows = Similarity.sq8Codes(df).orderBy($"vec_id").collect()
+    val zero = rows(0)
+    assert(!zero.getDouble(zero.fieldIndex("scale")).isNaN)
+    assert(zero.getSeq[Int](zero.fieldIndex("codes")).forall(_ == 0))
+    val nonzero = rows(1)
+    val codes = nonzero.getSeq[Int](nonzero.fieldIndex("codes"))
+    // v = [-1, -0.75, …, 0.75]; floor(x*127 + 0.5): -1 → -127, 0.75 → 95
+    assert(codes.min === -127 && codes.max === 95)
+    assert(codes.forall(c => c >= -127 && c <= 127))
+  }
+
   test("knn graph: planted twins are mutual rank-1, edges sane, partial-agg plan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

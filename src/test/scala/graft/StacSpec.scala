@@ -265,6 +265,50 @@ class StacSpec extends SparkSpecBase {
     assert(!geo.contains("\"bbox\""))
   }
 
+  test("geoparquet footer: EWKB/ISO-flagged points disqualify the bbox") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.execution.datasources.parquet.GeoParquetWriteSupport
+    // type-code masking: EWKB flag bits and ISO Z/M/ZM offsets both
+    // reduce to the base code (1001 PointZ → 1, not 233; 0x20000001 → 1)
+    def header(code: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(1.toByte).putInt(code).putDouble(1.0).putDouble(2.0)
+      buf.array()
+    }
+    assert(GeoParquetWriteSupport.wkbGeometryType(header(1001)) === Some(1))
+    assert(GeoParquetWriteSupport.wkbGeometryType(header(0x20000001)) === Some(1))
+    assert(GeoParquetWriteSupport.wkbGeometryType(header(2002)) === Some(2))
+    assert(GeoParquetWriteSupport.wkbGeometryType(header(0xC0000003)) === Some(3))
+    // a file mixing plain and EWKB-flagged points: every type code masks
+    // to Point, but the flagged row is NOT folded into the running bbox —
+    // the decoded-vs-written count gate must therefore omit the bbox
+    def plainPoint(x: Double, y: Double): Array[Byte] = {
+      val buf = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+      buf.array()
+    }
+    val tmp = Files.createTempDirectory("graft-geoewkb").toString
+    val rows = Seq(
+      (1L, plainPoint(5.0, 5.0)),
+      (2L, header(0x20000001))) // EWKB Z-flagged point at (1,2)
+    spark.createDataFrame(rows).toDF("id", "geometry")
+      .coalesce(1).write.format("geoparquet").mode("overwrite").save(tmp)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.toString), hc))
+    val geo =
+      try reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
+      finally reader.close()
+    assert(geo != null)
+    assert(geo.contains("\"geometry_types\":[\"Point\"]"))
+    assert(!geo.contains("\"bbox\""))
+  }
+
   test("collection registry mirrors reference constants") {
     assert(HlsCollections.byName("HLSL30").conceptId === "C2021957657-LPCLOUD")
     assert(HlsCollections.byName("HLSS30").collectionId === "HLSS30_2.0")
