@@ -152,7 +152,10 @@ object SparkEntry {
     "knn_pq" -> wrap(Similarity.knnPq(_, _)),
     "knn_ivfpq" -> wrap(Similarity.knnIvfPq(_, _)),
     "topk_orders_heap" -> wrap(Analytics.topkOrdersHeap(_, _)),
-    "stream_cms_counters" -> wrap(graft.streaming.TextStreams.cmsCounters)
+    "stream_cms_counters" -> wrap(graft.streaming.TextStreams.cmsCounters),
+    "dedup_span_exact" -> wrap(Dedup.dupSpans(_, _)),
+    "knn_label_check" -> wrap(Similarity.knnLabelCheck(_, _)),
+    "importance_weights" -> wrap(graft.ops.Curation.importanceWeights(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -447,17 +447,22 @@ object Analytics {
       .select($"s_suppkey", $"s_name", $"n_name")
     val parts = Tables.load(spark, dir, "part")
       .filter($"p_size" === size).select($"p_partkey", $"p_name")
+    // broadcast joins BELOW the aggregate: the region filter keeps
+    // ~1/5 of suppliers and the size filter ~1/50 of parts, so joining
+    // first shrinks the (partkey, suppkey) shuffle ~250× — the filters
+    // are on group keys, so pre-filtering is semantics-preserving
     val offers = Tables.load(spark, dir, "lineitem")
-      .groupBy($"l_partkey", $"l_suppkey")
-      .agg(min($"l_extendedprice" / $"l_quantity").as("cost"))
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(supp.select($"s_suppkey")),
+        $"l_suppkey" === $"s_suppkey")
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey", $"p_partkey", $"p_name")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("cost"))
     val best = offers.groupBy($"l_partkey".as("bp"))
       .agg(min($"cost").as("best_cost"))
     offers
       .join(broadcast(best), $"l_partkey" === $"bp" && $"cost" === $"best_cost")
       .groupBy($"p_partkey", $"p_name", $"best_cost")
-      .agg(min($"s_suppkey").as("s_suppkey"))
+      .agg(min($"l_suppkey").as("s_suppkey"))
       .join(broadcast(supp.select($"s_suppkey", $"s_name", $"n_name")),
         Seq("s_suppkey"))
       .select($"p_partkey", $"p_name", $"s_suppkey", $"s_name", $"n_name",

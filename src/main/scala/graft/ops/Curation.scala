@@ -249,7 +249,82 @@ object Curation {
       .orderBy($"curriculum_rank")
   }
 
+  /** H11 — hashed-n-gram importance weights (the DSIR recipe shape:
+    * "Data Selection for Language Models via Importance Resampling",
+    * Xie et al. 2023): bigram features hash into `buckets` buckets;
+    * the target distribution is the `targetLang` sub-corpus, the raw
+    * distribution is the whole corpus; each document scores the mean
+    * log-ratio ln(p_target/p_raw) of its bigram buckets (Laplace
+    * +1-smoothed). Positive weight ⇒ the document looks more like the
+    * target domain than the corpus average — the resampling key for
+    * domain-matched data selection.
+    *
+    * Scale shape: one scan-side bigram explode feeds BOTH bucket
+    * aggregates (each a ≤`buckets`-row result with map-side partial
+    * agg); the per-bucket log-ratio table is broadcast back, so the
+    * scoring pass is scan-side too. Nothing corpus-sized ever sits on
+    * the driver; total shuffle traffic is two bucket-count exchanges.
+    */
+  def importanceWeights(spark: SparkSession, dir: String,
+                        targetLang: String = "en",
+                        buckets: Int = 256): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", $"lang", explode(transform(
+        sequence(lit(0), size($"t") - 2),
+        i => concat_ws(" ", slice($"t", i + 1, lit(2))))).as("bg"))
+      .withColumn("b",
+        conv(substring(md5($"bg".cast("binary")), 1, 2), 16, 10)
+          .cast("long"))
+    val raw = bg.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = bg.filter($"lang" === targetLang)
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val ratio = raw
+      .join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(raw.agg(sum($"cr").as("tr"))))
+      .crossJoin(broadcast(tgt.agg(coalesce(sum($"ct"), lit(0L)).as("tt"))))
+      .select($"b", log(
+        (($"ct" + 1).cast("double") / ($"tt" + buckets)) /
+          (($"cr" + 1).cast("double") / ($"tr" + buckets))).as("lr"))
+    bg.join(broadcast(ratio), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(avg($"lr") * 1000000.0 + 0.5).cast("double") / 1000000.0)
+          .as("weight"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    ((strpos('0123456789abcdef',
+        |        substring(md5(array_to_string(t[i:i+1], ' ')), 1, 1)) - 1)
+        |      * 16
+        |      + strpos('0123456789abcdef',
+        |        substring(md5(array_to_string(t[i:i+1], ' ')), 2, 1)) - 1
+        |      )::BIGINT AS bk
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u),
+        |raw AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
+        |tgt AS (
+        |  SELECT bk, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bk),
+        |trc AS (SELECT sum(cr) AS tr FROM raw),
+        |ttc AS (SELECT coalesce(sum(ct), 0) AS tt FROM tgt),
+        |ratio AS (
+        |  SELECT raw.bk,
+        |    ln(((coalesce(ct, 0) + 1)::DOUBLE / (tt + 256))
+        |      / ((cr + 1)::DOUBLE / (tr + 256))) AS lr
+        |  FROM raw LEFT JOIN tgt ON tgt.bk = raw.bk, trc, ttc)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor(avg(lr) * 1000000.0 + 0.5) / 1000000.0 AS weight
+        |FROM b JOIN ratio ON ratio.bk = b.bk
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "curriculum_order" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

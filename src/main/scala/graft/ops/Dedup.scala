@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -551,6 +552,55 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** C13 — exact-substring duplicate spans (the "dedup by repeated
+    * substring" shape from the training-data literature, re-expressed
+    * relationally): a span is a maximal run of token positions covered
+    * by n-token grams that occur in MORE than one document — the
+    * memorization-risk regions an exact-substring dedup pass would cut
+    * out of each document, with positions so callers can splice.
+    *
+    * Scale shape: gram extraction is scan-side (one posexplode,
+    * ~tokens rows, md5 computed in-plan so the shuffle key is fixed
+    * width); duplicated grams come out of ONE gram-keyed shuffle with
+    * map-side partial aggregation; the hit join shuffles on the same
+    * key; the interval-merge windows partition per document (bounded
+    * by doc length — never corpus-sized). No all-pairs anywhere: cost
+    * tracks corpus token count exactly like a tokenizer pass.
+    */
+  def dupSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), size($"toks") - n),
+        i => md5(concat_ws(" ", slice($"toks", i + 1, lit(n))).cast("binary"))))
+        .as(Seq("pos", "g")))
+    val dupGrams = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"g")
+    val hits = grams.join(dupGrams, "g").select($"doc_id", $"pos")
+    // gaps-and-islands interval merge: gram at pos covers
+    // [pos, pos+n-1]; a new island starts when the gram no longer
+    // overlaps-or-abuts the running furthest end
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("prev_end", max($"pos" + lit(n - 1)).over(wPrev))
+      .withColumn("brk",
+        when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"brk").over(wRun))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").cast("long").as("span_start"),
+        (max($"pos") + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select($"doc_id", $"span_start", $"span_end", $"n_grams")
+      .orderBy($"doc_id", $"span_start")
+  }
+
   /** DuckDB-side shingle CTE shared by the jaccard oracles. */
   private val shingleCte =
     """WITH toks AS (
@@ -563,6 +613,35 @@ object Dedup {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_span_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS g
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) u
+        |  WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hits),
+        |b AS (
+        |  SELECT doc_id, pos, CASE WHEN prev_end IS NULL
+        |    OR pos > prev_end + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM b)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + 7)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "dedup_incremental" ->
       """WITH cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
         |inc AS (

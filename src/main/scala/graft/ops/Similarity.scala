@@ -472,6 +472,44 @@ object Similarity {
       .orderBy($"vec_id", $"rnk")
   }
 
+  /** D9 — kNN label-consistency check (mislabel detection): each
+    * vector's label is compared against the majority label of its D7
+    * graph neighbors — the standard embedding-space QA pass for
+    * labeled training corpora (points whose neighborhood disagrees
+    * with their label are likely mislabeled or out-of-distribution).
+    * Majority = highest neighbor count, smallest label on ties.
+    *
+    * Scale shape: inherits D7's bucketed graph build; the label joins
+    * are vec_id-keyed corpus-linear shuffles (labels ride with the
+    * corpus, never collected); the majority window partitions per
+    * vector over ≤ k rows.
+    */
+  def knnLabelCheck(spark: SparkSession, dir: String,
+                    k: Int = 5, planes: Int = 12): DataFrame = {
+    import spark.implicits._
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label")
+    val edges = knnGraphOn(loadVecs(spark, dir), k, planes)
+      .select($"vec_id", $"neighbor_id")
+    val votes = edges
+      .join(labels.select($"vec_id".as("neighbor_id"),
+        $"label".as("nlabel")), Seq("neighbor_id"))
+      .groupBy($"vec_id", $"nlabel")
+      .agg(count(lit(1)).as("c"))
+    val tot = votes.groupBy($"vec_id").agg(sum($"c").as("nn"))
+    val wMaj = Window.partitionBy($"vec_id").orderBy($"c".desc, $"nlabel")
+    votes
+      .withColumn("r", row_number().over(wMaj))
+      .filter($"r" === 1)
+      .join(tot, "vec_id")
+      .join(labels, "vec_id")
+      .select($"vec_id", $"label", $"nlabel".as("neighbor_majority"),
+        (floor($"c".cast("double") / $"nn" * 1000000.0 + 0.5) / 1000000.0)
+          .as("majority_frac"),
+        when($"label" =!= $"nlabel", 1L).otherwise(0L).as("flagged"))
+      .orderBy($"vec_id")
+  }
+
   /** D2c — multi-table LSH: `tables` independent hyperplane sets of
     * `planes` bits each; a candidate collides in ANY table. Collision
     * probability 1−(1−p^planes)^tables keeps recall useful in the
@@ -689,7 +727,11 @@ object Similarity {
   /** D7 oracle: the single-table bucket derivation at 12 planes with
     * EVERY vector as a source — bit-exact buckets, exact cosine rank.
     */
-  private def lshGraphOracle: String = {
+  /** Shared CTE chain re-deriving [[knnGraphOn]]'s edges bit-exactly
+    * (splitmix64 planes → sign buckets → 1-bit probes → exact cosine
+    * rank); `scored` is the per-source ranked candidate list.
+    */
+  private def lshGraphCte: String = {
     import OracleU64._
     s"""WITH seeds AS (
        |  SELECT p, j, (p * 64 + j)::HUGEINT AS x0
@@ -733,11 +775,42 @@ object Similarity {
        |    list_cosine_similarity(qe, e) AS cos,
        |    row_number() OVER (PARTITION BY src_id
        |      ORDER BY list_cosine_similarity(qe, e) DESC, vec_id) AS rnk
-       |  FROM cand)
-       |SELECT src_id AS vec_id, rnk, neighbor_id, round(cos, 6) AS cosine
-       |FROM scored WHERE rnk <= 5
-       |ORDER BY vec_id, rnk""".stripMargin
+       |  FROM cand)""".stripMargin
   }
+
+  private def lshGraphOracle: String = lshGraphCte +
+    """
+      |SELECT src_id AS vec_id, rnk, neighbor_id, round(cos, 6) AS cosine
+      |FROM scored WHERE rnk <= 5
+      |ORDER BY vec_id, rnk""".stripMargin
+
+  /** D9 oracle: majority vote over the graph edges, smallest label on
+    * ties, fraction floor-rounded to 6dp — mirrors [[knnLabelCheck]].
+    */
+  private def labelCheckOracle: String = lshGraphCte +
+    """,
+      |edges AS (
+      |  SELECT src_id AS vec_id, neighbor_id FROM scored WHERE rnk <= 5),
+      |lbl AS (SELECT vec_id, label FROM embeddings),
+      |votes AS (
+      |  SELECT e.vec_id, l.label AS nlabel, count(*) AS c
+      |  FROM edges e JOIN lbl l ON l.vec_id = e.neighbor_id
+      |  GROUP BY e.vec_id, l.label),
+      |tot AS (SELECT vec_id, sum(c) AS nn FROM votes GROUP BY vec_id),
+      |maj AS (
+      |  SELECT vec_id, nlabel, c,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY c DESC, nlabel) AS r
+      |  FROM votes)
+      |SELECT m.vec_id, l.label, m.nlabel AS neighbor_majority,
+      |  floor(m.c::DOUBLE / t.nn * 1000000.0 + 0.5) / 1000000.0
+      |    AS majority_frac,
+      |  CASE WHEN l.label <> m.nlabel THEN 1 ELSE 0 END::BIGINT AS flagged
+      |FROM maj m
+      |JOIN lbl l ON l.vec_id = m.vec_id
+      |JOIN tot t ON t.vec_id = m.vec_id
+      |WHERE m.r = 1
+      |ORDER BY m.vec_id""".stripMargin
 
   /** Multi-table variant: 8 tables × 8 planes, seed ((t·31+p)·64+j)+1,
     * any-table collision, candidates deduped before scoring — exactly
@@ -795,6 +868,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "knn_lsh" -> lshOracleSingle,
     "knn_graph" -> lshGraphOracle,
+    "knn_label_check" -> labelCheckOracle,
     "knn_sq8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |q0 AS (

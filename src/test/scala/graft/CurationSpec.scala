@@ -167,4 +167,81 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._4) === (1L to got.length.toLong))
     assert(got.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
   }
+
+  test("importance weights: target-language docs score above the rest") {
+    import spark.implicits._
+    val w = graft.ops.Curation.importanceWeights(spark, sf)
+    val langs = Tables.load(spark, sf, "documents").select($"doc_id", $"lang")
+    val byLang = w.join(langs, "doc_id")
+      .groupBy($"lang" === "en").agg(avg($"weight").as("mw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the whole point of DSIR-style weights: ln(p_en/p_all) is higher
+    // on the en sub-corpus than on the rest, on average
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} !> other mean ${byLang(false)}")
+    // n_bigrams = token count - 1, checked on a sample
+    val docLens = Tables.load(spark, sf, "documents")
+      .select($"doc_id", (size(split($"text", " ")) - 1).cast("long").as("nb"))
+    val joined = w.join(docLens, "doc_id")
+      .filter($"n_bigrams" =!= $"nb").count()
+    assert(joined === 0)
+  }
+
+  test("duplicate spans cover text that truly recurs in another doc") {
+    import spark.implicits._
+    val n = 8
+    val spans = graft.ops.Dedup.dupSpans(spark, sf, n).collect()
+    assert(spans.nonEmpty)
+    val toks = Tables.load(spark, sf, "documents")
+      .select($"doc_id", split($"text", " ").as("t")).as[(Long, Seq[String])]
+      .collect().toMap
+    // per doc: spans are ≥ n tokens, in-bounds, disjoint with gaps
+    spans.groupBy(_.getLong(0)).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_.getLong(1))
+      sorted.foreach { s =>
+        assert(s.getLong(2) - s.getLong(1) + 1 >= n)
+        assert(s.getLong(2) < toks(doc).length)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(1) > a.getLong(2) + 1)
+        case _ =>
+      }
+    }
+    // every span's FIRST n-gram must appear verbatim in some other doc
+    val gramIndex = toks.toSeq.flatMap { case (doc, t) =>
+      t.sliding(n).filter(_.length == n).map(g => (g.mkString(" "), doc))
+    }.groupBy(_._1).map { case (g, ds) => g -> ds.map(_._2).toSet }
+    spans.foreach { s =>
+      val doc = s.getLong(0)
+      val start = s.getLong(1).toInt
+      val gram = toks(doc).slice(start, start + n).mkString(" ")
+      assert((gramIndex(gram) - doc).nonEmpty,
+        s"span head gram of doc $doc not shared: '$gram'")
+    }
+  }
+
+  test("knn label check: flags are consistent and majority is a real mode") {
+    import spark.implicits._
+    val checked = graft.ops.Similarity.knnLabelCheck(spark, sf).collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val frac = r.getDouble(3)
+      assert(frac > 0.0 && frac <= 1.0)
+      val flagged = r.getLong(4)
+      assert(flagged === (if (r.getInt(1) != r.getInt(2)) 1L else 0L))
+    }
+    // recompute the mode from the graph edges for a consistency check
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val edges = graft.ops.Similarity.knnGraph(spark, sf)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect()
+    val expected = edges.groupBy(_._1).map { case (v, es) =>
+      val counts = es.map(e => labels(e._2))
+        .groupBy(identity).map { case (l, o) => (l, o.size) }
+      v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+    }
+    checked.foreach { r =>
+      assert(r.getInt(2) === expected(r.getLong(0)))
+    }
+  }
 }
