@@ -155,7 +155,10 @@ object SparkEntry {
     "stream_cms_counters" -> wrap(graft.streaming.TextStreams.cmsCounters),
     "dedup_span_exact" -> wrap(Dedup.dupSpans(_, _)),
     "knn_label_check" -> wrap(Similarity.knnLabelCheck(_, _)),
-    "importance_weights" -> wrap(graft.ops.Curation.importanceWeights(_, _))
+    "importance_weights" -> wrap(graft.ops.Curation.importanceWeights(_, _)),
+    "split_leakage" -> wrap(graft.ops.Curation.splitLeakage(_, _)),
+    "embedding_kmeans" -> wrap(Similarity.embeddingKmeans(_, _)),
+    "dedup_containment" -> wrap(Dedup.containmentPairs(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -297,7 +297,59 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** H12 — split-leakage audit: near-duplicate pairs (C2's verified
+    * MinHash-LSH, jaccard ≥ threshold) whose members land in DIFFERENT
+    * H2 splits — eval answers sitting in train as near-copies, the
+    * leak an exact-match contamination check (H4) misses. Emits both
+    * doc ids, both splits, and the jaccard so triage can sort by
+    * severity.
+    *
+    * Scale shape: inherits C2's band-bucket join (the only
+    * corpus-scale shuffle); the split columns are scan-side md5
+    * projections joined doc_id-keyed onto the (tiny) verified pair
+    * set.
+    */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val splits = datasetSplit(spark, dir).select($"doc_id", $"split")
+    Dedup.minhashLsh(spark, dir, threshold)
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")),
+        "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")),
+        "doc_b")
+      .filter($"split_a" =!= $"split_b")
+      .select($"doc_a", $"split_a", $"doc_b", $"split_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val splitCaseSql =
+    """CASE WHEN strpos('0123456789abcdef',
+      |      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 12
+      |    THEN 'train'
+      |  WHEN strpos('0123456789abcdef',
+      |      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 14
+      |    THEN 'val'
+      |  ELSE 'test' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "split_leakage" -> (Dedup.shingleCte +
+      s""",
+        |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.8)
+        |SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b,
+        |  p.jaccard
+        |FROM pairs p
+        |JOIN sp sa ON sa.doc_id = p.doc_a
+        |JOIN sp sb ON sb.doc_id = p.doc_b
+        |WHERE sa.split <> sb.split
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "importance_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS t

@@ -230,6 +230,59 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** C14 — shingle CONTAINMENT pairs C(A,B) = |A∩B|/|A| ≥ t: the
+    * asymmetric subset-duplicate case (a short doc living inside a
+    * longer one — quote farms, boilerplate wrappers) that symmetric
+    * Jaccard misses because the union is dominated by the longer doc.
+    *
+    * Prefix rule (lossless, pigeonhole): B can miss at most
+    * |A| − ⌈t·|A|⌉ of A's shingles, so B must share one of ANY
+    * p = |A| − ⌈t·|A|⌉ + 1 shingles of A — rarity-ordering those
+    * prefixes (C4's trick) keeps the posting lists the prefix join
+    * touches short. Only the CONTAINED side needs a prefix; the
+    * container side joins with its full exploded shingles. Thresholds
+    * in exact integer arithmetic (t scaled by 10⁴). doc_id < 2500
+    * bounds the baseline like C4; the unbounded scale path composes
+    * C2's LSH with per-pair containment verify.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val tNum = math.round(threshold * 10000).toInt
+    val docs = withShingles(
+      Tables.load(spark, dir, "documents").filter($"doc_id" < 2500))
+      .select($"doc_id", $"sh", size($"sh").as("sz"))
+    val freq = docs.select(explode($"sh").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("f"))
+    val prefixes = docs
+      .select($"doc_id", $"sz", explode($"sh").as("g"))
+      .join(freq, "g")
+      .groupBy($"doc_id", $"sz")
+      .agg(array_sort(collect_list(struct($"f", $"g"))).as("ord"))
+      .withColumn("p",
+        ($"sz" - floor(($"sz" * tNum + 9999L) / 10000L) + 1).cast("int"))
+      .select($"doc_id".as("doc_a"),
+        explode(array_distinct(transform(slice($"ord", lit(1), $"p"),
+          s => s.getField("g")))).as("g"))
+    val postings = docs.select($"doc_id".as("doc_b"), explode($"sh").as("g"))
+    val cand = prefixes.join(postings, Seq("g"))
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"doc_a", $"doc_b").dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"),
+        $"sz".as("sz_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
+        $"sz".as("sz_b")), "doc_b")
+      // |A∩B| ≤ |B|, so |B|·10⁴ ≥ t·10⁴·|A| is a free pre-filter
+      .filter($"sz_b" * 10000 >= $"sz_a" * tNum)
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .filter($"inter" * 10000 >= $"sz_a" * tNum)
+      .select($"doc_a", $"doc_b",
+        (floor($"inter".cast("double") / $"sz_a" * 10000.0 + 0.5)
+          / 10000.0).as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** C2 — MinHash(128) + LSH(32 bands × 4 rows) near-dup pairs with
     * exact-Jaccard verification at 0.8.
     *
@@ -601,8 +654,10 @@ object Dedup {
       .orderBy($"doc_id", $"span_start")
   }
 
-  /** DuckDB-side shingle CTE shared by the jaccard oracles. */
-  private val shingleCte =
+  /** DuckDB-side shingle CTE shared by the jaccard oracles (and the
+    * H12 split-leakage oracle in [[Curation]]).
+    */
+  private[ops] val shingleCte =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
@@ -687,6 +742,14 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+    "dedup_containment" -> (shingleCte.replace("FROM documents",
+      "FROM documents WHERE doc_id < 2500") +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  floor(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)
+        |    * 10000.0 + 0.5) / 10000.0 AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 10000 >= len(a.s) * 9000
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_ngram_jaccard" -> (shingleCte.replace("FROM documents",
       "FROM documents WHERE doc_id < 2500") +
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -158,6 +158,67 @@ object Similarity {
       }: _*)), 1).getField("cell"))
   }
 
+  /** Nearest-centroid assignment carrying the winning distance too —
+    * the Lloyd-iteration kernel ([[embeddingKmeans]]).
+    */
+  private def assignWithDist(vecs: DataFrame,
+                             cents: Array[(Int, Seq[Double])]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    def dist2(v: Column, c: Seq[Double]): Column =
+      graft.functions.squared_distance(v, typedLit(c))
+    vecs.withColumn("best",
+      element_at(array_sort(array(cents.map { case (i, c) =>
+        struct(dist2($"v", c).as("d"), lit(i).as("cell"))
+      }: _*)), 1))
+      .select($"vec_id", $"v", $"best.cell".as("cell"), $"best.d".as("d"))
+  }
+
+  /** D10 — fully DISTRIBUTED Lloyd k-means (the un-sampled scale path
+    * next to D2a's sampled driver-side training — for when the corpus
+    * distribution must drive the centroids, e.g. domain clustering for
+    * data-mixing balance): deterministic strided seeding, then per
+    * iteration ONE corpus assignment pass (broadcast centroid
+    * literals, argmin via array_sort) and ONE posexplode →
+    * map-side-combined avg per (cell, dim) — the k×dim update frame is
+    * all that ever reaches the driver, exactly MLlib's shape. Empty
+    * clusters keep their previous centroid. Per-iteration
+    * localCheckpoint truncates the growing plan.
+    */
+  private[graft] def kmeansFit(vecs: DataFrame, k: Int, iters: Int)
+      : (Array[(Int, Seq[Double])], DataFrame, Seq[Double]) = {
+    import vecs.sparkSession.implicits._
+    val n = vecs.count()
+    val stride = math.max(1L, n / k)
+    var cents: Array[(Int, Seq[Double])] = vecs
+      .filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(k)
+      .select($"v").as[Seq[Double]].collect().zipWithIndex
+      .map { case (c, i) => (i, c) }
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to iters) {
+      val assigned = assignWithDist(vecs, cents).localCheckpoint()
+      inertias += assigned.agg(sum($"d")).as[Double].head
+      val updated = assigned
+        .select($"cell", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"cell", $"i").agg(avg($"x").as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
+          s => s.getField("m")).as("c"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.map { case (i, c) => (i, updated.getOrElse(i, c)) }
+    }
+    (cents, assignWithDist(vecs, cents), inertias.toSeq)
+  }
+
+  def embeddingKmeans(spark: SparkSession, dir: String,
+                      k: Int = 8, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (_, assigned, _) = kmeansFit(loadVecs(spark, dir), k, iters)
+    assigned.groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        (floor(sum($"d") * 100.0 + 0.5) / 100.0).as("inertia"))
+      .orderBy($"cell")
+  }
+
   /** Per-query nprobe nearest cells, exploded to (query, probe_cell). */
   private def probeCells(queries: DataFrame,
                          centroids: Array[(Int, Seq[Double])],

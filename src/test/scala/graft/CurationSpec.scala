@@ -220,6 +220,25 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("split leakage: exactly the cross-split subset of near-dup pairs") {
+    import spark.implicits._
+    val leaks = Curation.splitLeakage(spark, sf)
+      .as[(Long, String, Long, String, Double)].collect()
+    assert(leaks.nonEmpty)
+    leaks.foreach { case (_, sa, _, sb, j) =>
+      assert(sa != sb)
+      assert(j >= 0.8)
+    }
+    val splits = Curation.datasetSplit(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val allPairs = graft.ops.Dedup.minhashLsh(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val expected = allPairs.filter { case (a, b, _) =>
+      splits(a) != splits(b)
+    }.map { case (a, b, j) => (a, splits(a), b, splits(b), j) }.toSet
+    assert(leaks.toSet === expected)
+  }
+
   test("knn label check: flags are consistent and majority is a real mode") {
     import spark.implicits._
     val checked = graft.ops.Similarity.knnLabelCheck(spark, sf).collect()

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{size, split, transform}
+
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 class DedupSpec extends SparkSpecBase {
@@ -202,6 +204,55 @@ class DedupSpec extends SparkSpecBase {
     // rescores with exact floats — rank-1 should almost always agree
     val agree = exact.keys.count(q => sq8(q) == exact(q))
     assert(agree >= 8, s"rank-1 agreement $agree/10 below 8/10")
+  }
+
+  test("containment pairs: prefix filter is lossless vs brute force") {
+    import spark.implicits._
+    val got = Dedup.containmentPairs(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty)
+    // brute-force reference over the same bounded doc set
+    val sh = Tables.load(spark, sf, "documents")
+      .filter($"doc_id" < 2500)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) =>
+        id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+    val expected = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a != b
+      inter = (sa & sb).size if inter * 10000 >= sa.size * 9000
+    } yield (a, b,
+      math.floor(inter.toDouble / sa.size * 10000.0 + 0.5) / 10000.0)).toSet
+    assert(got === expected)
+    // asymmetry is real: at least one pair contained only one way
+    assert(got.exists { case (a, b, _) => !got.exists(p => p._1 == b && p._2 == a) })
+  }
+
+  test("distributed kmeans: inertia non-increasing, exact final argmin, full partition") {
+    import spark.implicits._
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"v")
+    val (cents, assigned, inertias) =
+      graft.ops.Similarity.kmeansFit(vecs, k = 8, iters = 3)
+    // Lloyd guarantee: each (assign, update) round can only lower inertia
+    assert(inertias.sliding(2).forall(p => p.length < 2 || p(1) <= p(0) + 1e-9),
+      s"inertia increased: $inertias")
+    val rows = assigned.select($"vec_id", $"v", $"cell")
+      .as[(Long, Seq[Double], Int)].collect()
+    assert(rows.length === vecs.count())
+    // every vector sits in its true nearest final centroid's cell
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.foreach { case (id, v, cell) =>
+      val best = cents.minBy { case (i, c) => (d2(v, c), i) }._1
+      assert(cell === best, s"vec $id in $cell, nearest is $best")
+    }
+    // registry artifact: one row per non-empty cluster, sizes sum to n
+    val out = graft.ops.Similarity.embeddingKmeans(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum === rows.length)
   }
 
   test("sq8 quantization: all-zero vector yields zero codes, never NaN") {
