@@ -158,7 +158,10 @@ object SparkEntry {
     "importance_weights" -> wrap(graft.ops.Curation.importanceWeights(_, _)),
     "split_leakage" -> wrap(graft.ops.Curation.splitLeakage(_, _)),
     "embedding_kmeans" -> wrap(Similarity.embeddingKmeans(_, _)),
-    "dedup_containment" -> wrap(Dedup.containmentPairs(_, _))
+    "dedup_containment" -> wrap(Dedup.containmentPairs(_, _)),
+    "multimodal_shards" -> wrap(Multimodal.shardPack(_, _)),
+    "events_mad_outliers" -> wrap(Events.madOutliers(_, _)),
+    "text_bigram_surprisal" -> wrap(TextAnalysis.bigramSurprisal(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -225,6 +225,42 @@ object Events {
     * compacts a 100 TB changelog. (ts, event_id) is unique, so the
     * trailing struct fields never decide the ordering.
     */
+  /** B40 — robust outlier detection via the modified z-score
+    * (Iglewicz–Hoaglin): per event type, median + MAD (median absolute
+    * deviation) of `value`, flag |0.6745·(v−med)/MAD| > cutoff. Means/
+    * stddevs break under the heavy tails event values actually have;
+    * the MAD estimator doesn't. The z is floor-rounded to 4dp BEFORE
+    * the cutoff compare so both engines threshold identical doubles
+    * (same guard the percentile ops use).
+    *
+    * Scale shape: two grouped exact-percentile passes (types-sized
+    * results, broadcast back) + one scan-side flag projection — the
+    * corpus shuffles only into the percentile aggregates.
+    */
+  def madOutliers(spark: SparkSession, dir: String,
+                  cutoff: Double = 3.5): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+    val med = events.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = events.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    events
+      .join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .filter($"mad" > 0)
+      .withColumn("rz",
+        floor(lit(0.6745) * ($"value" - $"med") / $"mad" * 10000.0 + 0.5)
+          .cast("double") / 10000.0)
+      .filter(abs($"rz") > cutoff)
+      .select($"event_id", $"event_type",
+        (floor($"value" * 10000.0 + 0.5).cast("double") / 10000.0)
+          .as("value"),
+        $"rz")
+      .orderBy($"event_id")
+  }
+
   def latestState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "events")
@@ -328,6 +364,27 @@ object Events {
         |  FROM events)
         |SELECT user_id, last_us, last_event_id, last_type, last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "events_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type),
+        |z AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    floor(0.6745 * (e.value - m.med) / d.mad * 10000.0 + 0.5)
+        |      / 10000.0 AS rz
+        |  FROM events e
+        |  JOIN med m USING (event_type)
+        |  JOIN mad d USING (event_type)
+        |  WHERE d.mad > 0)
+        |SELECT event_id, event_type,
+        |  floor(value * 10000.0 + 0.5) / 10000.0 AS value, rz
+        |FROM z WHERE abs(rz) > 3.5
+        |ORDER BY event_id""".stripMargin,
     "events_value_percentiles" ->
       """SELECT event_type,
         |  floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,

@@ -119,7 +119,63 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** F4 — shard packing (webdataset-style export planning): each
+    * modality's payloads pack contiguously in doc_id order into
+    * ~`shardBytes` shards; a doc belongs to the shard its STARTING
+    * byte offset falls in (exact integer rule any engine re-derives).
+    *
+    * Scale shape: the per-type running byte offset uses the H7/H8
+    * bucketed-offset trick — ≤64 doc_id-range buckets per type
+    * (bucket width derived from max doc_id, so the broadcast offsets
+    * frame is O(types×64) at ANY corpus size), per-bucket windows +
+    * broadcast bucket offsets compose the exact global cumsum; no
+    * single-partition window anywhere. Output is shard-count-sized.
+    */
+  def shardPack(spark: SparkSession, dir: String,
+                shardBytes: Long = 16384): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val media = withMedia(spark, dir)
+      .select($"doc_id", $"media_type", $"n_bytes")
+    val maxId = media.agg(max($"doc_id")).head().getLong(0)
+    val width = math.max(1L, (maxId + 64) / 64)
+    val b = media.withColumn("bkt", floor($"doc_id" / width).cast("int"))
+    val offsets = b.groupBy($"media_type", $"bkt")
+      .agg(sum($"n_bytes").as("bb"))
+      .withColumn("offset", coalesce(
+        sum($"bb").over(Window.partitionBy($"media_type").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"media_type", $"bkt", $"offset")
+    val w = Window.partitionBy($"media_type", $"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offsets), Seq("media_type", "bkt"))
+      .withColumn("cum", sum($"n_bytes").over(w) + $"offset")
+      .withColumn("shard_id",
+        expr(s"CAST((cum - n_bytes) DIV $shardBytes AS BIGINT)"))
+      .groupBy($"media_type", $"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bytes").as("shard_bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"media_type", $"shard_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_shards" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |      ELSE 'video/mp4' END AS media_type,
+        |    octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, media_type, n_bytes,
+        |    sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT media_type, ((cum - n_bytes) // 16384)::BIGINT AS shard_id,
+        |  count(*)::BIGINT AS n_docs, sum(n_bytes)::BIGINT AS shard_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY media_type, shard_id
+        |ORDER BY media_type, shard_id""".stripMargin,
     "multimodal_resize" ->
       """WITH img AS (
         |  SELECT doc_id,

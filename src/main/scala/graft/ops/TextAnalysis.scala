@@ -420,6 +420,53 @@ object TextAnalysis {
     * like E8/E11 the corpus token stream never shuffles on token, and
     * the global total is a one-row broadcast, not a driver round-trip.
     */
+  /** E23 — interpolated BIGRAM surprisal (Jelinek–Mercer smoothing,
+    * λ·p(w₂|w₁) + (1−λ)·p(w₂)): the next-token-predictability upgrade
+    * over E18's unigram surprisal — repeated formulaic text scores low,
+    * genuinely novel word sequences score high, which is the perplexity
+    * signal quality filters actually use. Probabilities are exact
+    * count ratios (corpus-derived, no training), so DuckDB re-derives
+    * them and the 6dp floor-rounded mean matches.
+    *
+    * Scale shape: unigram/bigram-start/bigram-pair counts are three
+    * map-side-combined aggregates (vocab / vocab²-bounded results);
+    * the scoring join is bigram-keyed (AQE broadcasts it when the
+    * vocabulary is small); per-doc means partial-aggregate. The corpus
+    * is never collected.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String,
+                      lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        filter(split($"text", " "), t => t =!= "").as("t"))
+      .filter(size($"t") >= 2)
+    val uni = docs.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw"))
+    val uniTotal = uni.agg(sum($"cw").as("tw"))
+    val bgr = docs.select($"doc_id", explode(transform(
+        sequence(lit(0), size($"t") - 2),
+        i => struct(element_at($"t", i + 1).as("w1"),
+          element_at($"t", i + 2).as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val first = bgr.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val pair = bgr.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val probs = pair
+      .join(first, "w1")
+      .join(uni.withColumnRenamed("w", "w2"), "w2")
+      .crossJoin(broadcast(uniTotal))
+      .select($"w1", $"w2",
+        log(lit(lambda) * ($"c12".cast("double") / $"c1") +
+          (lit(1.0) - lit(lambda)) * ($"cw".cast("double") / $"tw"))
+          .as("lp"))
+    bgr.join(probs, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(-avg($"lp") * 1000000.0 + 0.5).cast("double") / 1000000.0)
+          .as("avg_surprisal"))
+      .orderBy($"doc_id")
+  }
+
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = tokens(spark, dir)
@@ -598,6 +645,30 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_surprisal" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM d2, LATERAL (SELECT unnest(range(1, len(t))) AS i) u),
+        |uni AS (
+        |  SELECT w, count(*) AS cw
+        |  FROM (SELECT unnest(t) AS w FROM d2) GROUP BY w),
+        |tw AS (SELECT sum(cw) AS tw FROM uni),
+        |fst AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |pr AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |probs AS (
+        |  SELECT p.w1, p.w2,
+        |    ln(0.7 * (p.c12::DOUBLE / f.c1)
+        |      + (1 - 0.7) * (u.cw::DOUBLE / t.tw)) AS lp
+        |  FROM pr p JOIN fst f USING (w1) JOIN uni u ON u.w = p.w2, tw t)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor(-avg(lp) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
+        |FROM bg JOIN probs USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

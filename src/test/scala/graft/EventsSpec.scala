@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Events}
+import graft.ops.{Analytics, Events, TextAnalysis}
 
 class EventsSpec extends SparkSpecBase {
   import spark.implicits._
@@ -71,6 +71,82 @@ class EventsSpec extends SparkSpecBase {
       // with truth, within standard HLL error at lgK=12 (~1.6% rsd)
       assert(math.abs(merged - direct) <= 0.02 * exact)
       assert(math.abs(merged - exact) <= 0.05 * exact)
+    }
+  }
+
+  test("MAD outliers match an in-memory median/MAD recompute") {
+    import spark.implicits._
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val vals = Tables.load(spark, sf, "events")
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    val expected = vals.groupBy(_._2).flatMap { case (_, rows) =>
+      val med = median(rows.map(_._3).toSeq)
+      val mad = median(rows.map(r => math.abs(r._3 - med)).toSeq)
+      if (mad <= 0) Seq.empty[Long]
+      else rows.filter { r =>
+        val rz = math.floor(0.6745 * (r._3 - med) / mad * 10000.0 + 0.5) / 10000.0
+        math.abs(rz) > 3.5
+      }.map(_._1).toSeq
+    }.toSet
+    val got = Events.madOutliers(spark, sf)
+      .select($"event_id").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("shard packing: contiguous, byte-conserving, budget-bounded") {
+    import spark.implicits._
+    val budget = 16384L
+    val shards = graft.ops.Multimodal.shardPack(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val media = graft.ops.Multimodal.withMedia(spark, sf)
+      .select($"media_type", $"n_bytes").as[(String, Long)].collect()
+    val maxPayload = media.map(_._2).max
+    shards.groupBy(_._1).foreach { case (mt, ss) =>
+      val sorted = ss.sortBy(_._2)
+      // shard ids dense from 0; doc ranges strictly increasing
+      assert(sorted.map(_._2) === sorted.indices.map(_.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 > a._6)
+        case _ =>
+      }
+      // every shard starts before the budget boundary, so a shard can
+      // exceed the budget only by its final straddling payload
+      sorted.foreach { s => assert(s._4 < budget + maxPayload) }
+      assert(sorted.map(_._4).sum ===
+        media.filter(_._1 == mt).map(_._2).sum)
+      assert(sorted.map(_._3).sum === media.count(_._1 == mt))
+    }
+  }
+
+  test("bigram surprisal equals an in-memory Jelinek-Mercer recompute") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+      .filter(_._2.length >= 2)
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.size }
+    val tw = uni.values.sum.toDouble
+    val bgs = docs.flatMap { case (_, t) => t.sliding(2).map(p => (p(0), p(1))) }
+    val c1 = bgs.groupBy(_._1).map { case (w, o) => w -> o.size }
+    val c12 = bgs.groupBy(identity).map { case (p, o) => p -> o.size }
+    val expected = docs.map { case (id, t) =>
+      val lps = t.sliding(2).map { p =>
+        math.log(0.7 * (c12((p(0), p(1))).toDouble / c1(p(0))) +
+          0.3 * (uni(p(1)).toDouble / tw))
+      }.toSeq
+      id -> math.floor(-lps.sum / lps.length * 1000000.0 + 0.5) / 1000000.0
+    }.toMap
+    val got = TextAnalysis.bigramSurprisal(spark, sf)
+      .select($"doc_id", $"avg_surprisal").as[(Long, Double)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) <= 1e-6, s"doc $id: $s vs ${expected(id)}")
     }
   }
 }
