@@ -161,7 +161,8 @@ object SparkEntry {
     "dedup_containment" -> wrap(Dedup.containmentPairs(_, _)),
     "multimodal_shards" -> wrap(Multimodal.shardPack(_, _)),
     "events_mad_outliers" -> wrap(Events.madOutliers(_, _)),
-    "text_bigram_surprisal" -> wrap(TextAnalysis.bigramSurprisal(_, _))
+    "text_bigram_surprisal" -> wrap(TextAnalysis.bigramSurprisal(_, _)),
+    "stream_importance" -> wrap(graft.streaming.TextStreams.importanceScores)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

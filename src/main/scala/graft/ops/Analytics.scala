@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,14 @@ import graft.Tables
   */
 object Analytics {
 
+  /** Engine-identical half-up rounding: floor(x·10ⁿ + 0.5)/10ⁿ. Spark
+    * and DuckDB `round()` split on .x5 halfway doubles (testdata is
+    * regenerated every round, so any sum can land on one); every
+    * fractional aggregate output uses this on BOTH sides instead.
+    */
+  private def r2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
+  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
   /** TPC-H Q1 shape: scan-heavy partial agg. Only the 7 referenced
     * columns are read (column pruning) and the shipdate predicate is
     * pushed to the parquet scan.
@@ -23,13 +31,13 @@ object Analytics {
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_extendedprice"), 4).as("avg_price"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        r2(sum($"l_quantity")).as("sum_qty"),
+        r2(sum($"l_extendedprice")).as("sum_base_price"),
+        r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("sum_disc_price"),
+        r2(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"))).as("sum_charge"),
+        r4(avg($"l_quantity")).as("avg_qty"),
+        r4(avg($"l_extendedprice")).as("avg_price"),
+        r4(avg($"l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -51,7 +59,7 @@ object Analytics {
       .join(orders, $"l_orderkey" === $"o_orderkey")
       .join(customer, $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
       .select($"o_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
       .orderBy($"revenue".desc, $"o_orderkey")
       .limit(10)
@@ -77,7 +85,7 @@ object Analytics {
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
       .orderBy($"n_name")
   }
 
@@ -90,7 +98,7 @@ object Analytics {
     val rev = Tables.load(spark, dir, "customer")
       .join(Tables.load(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
       .groupBy($"c_custkey", $"c_name", $"c_nationkey")
-      .agg(round(sum($"o_totalprice"), 2).as("total_spent"))
+      .agg(r2(sum($"o_totalprice")).as("total_spent"))
     val w = Window.partitionBy($"c_nationkey")
       .orderBy($"total_spent".desc, $"c_custkey")
     rev.withColumn("rnk", row_number().over(w).cast("long"))
@@ -106,7 +114,7 @@ object Analytics {
     Tables.load(spark, dir, "orders")
       .groupBy(trunc($"o_orderdate", "month").as("month"))
       .agg(
-        round(sum($"o_totalprice"), 2).as("revenue"),
+        r2(sum($"o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy($"month")
   }
@@ -123,8 +131,8 @@ object Analytics {
     val w = Window.orderBy($"month")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly
-      .withColumn("cum_revenue", round(sum($"rev").over(w), 2))
-      .select($"month", round($"rev", 2).as("revenue"), $"cum_revenue")
+      .withColumn("cum_revenue", r2(sum($"rev").over(w)))
+      .select($"month", r2($"rev").as("revenue"), $"cum_revenue")
       .orderBy($"month")
   }
 
@@ -171,8 +179,8 @@ object Analytics {
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter($"rnk" <= topK)
       .select($"l_partkey", $"l_suppkey",
-        round($"rev", 2).as("revenue"),
-        round($"part_total", 2).as("part_total"), $"share", $"rnk")
+        r2($"rev").as("revenue"),
+        r2($"part_total").as("part_total"), $"share", $"rnk")
       .orderBy($"rnk")
   }
 
@@ -245,7 +253,7 @@ object Analytics {
       .withColumn("yr", year($"o_orderdate").cast("long"))
       .withColumn("mo", month($"o_orderdate").cast("long"))
       .rollup($"yr", $"mo")
-      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+      .agg(r2(sum($"o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy($"yr".asc_nulls_first, $"mo".asc_nulls_first)
   }
@@ -312,7 +320,7 @@ object Analytics {
       .filter($"supp_nation" =!= $"cust_nation")
       .groupBy($"supp_nation", $"cust_nation",
         year($"l_shipdate").cast("long").as("l_year"))
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+      .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount")))
         .as("revenue"))
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
@@ -331,7 +339,7 @@ object Analytics {
     val thresh = pv.agg((sum($"v") / count(lit(1)) * 1.5).as("thresh"))
     pv.crossJoin(broadcast(thresh))
       .filter($"v" > $"thresh")
-      .select($"l_partkey", round($"v", 2).as("value"))
+      .select($"l_partkey", r2($"v").as("value"))
       .orderBy($"value".desc, $"l_partkey")
   }
 
@@ -369,7 +377,7 @@ object Analytics {
       .join(big, $"o_orderkey" === $"l_orderkey")
       .join(Tables.load(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
       .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
-        $"o_totalprice", round($"qty", 2).as("total_qty"))
+        $"o_totalprice", r2($"qty").as("total_qty"))
       .orderBy($"total_qty".desc, $"o_orderkey")
   }
 
@@ -391,7 +399,7 @@ object Analytics {
       .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_nationkey")
       .agg(count(lit(1)).as("n_cust"),
-        round(sum($"c_acctbal"), 2).as("total_bal"))
+        r2(sum($"c_acctbal")).as("total_bal"))
       .orderBy($"c_nationkey")
   }
 
@@ -997,7 +1005,8 @@ object Analytics {
     "q7_nation_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate)::BIGINT AS l_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+        |    / 100.0 AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -1011,7 +1020,7 @@ object Analytics {
       """WITH pv AS (
         |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS v
         |  FROM lineitem GROUP BY l_partkey)
-        |SELECT l_partkey, round(v, 2) AS value FROM pv
+        |SELECT l_partkey, floor(v * 100.0 + 0.5) / 100.0 AS value FROM pv
         |WHERE v > (SELECT sum(v) / count(*) * 1.5 FROM pv)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q16_brand_suppliers" ->
@@ -1025,13 +1034,13 @@ object Analytics {
         |  SELECT l_orderkey, sum(l_quantity) AS qty
         |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
         |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-        |  round(qty, 2) AS total_qty
+        |  floor(qty * 100.0 + 0.5) / 100.0 AS total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
     "q22_idle_balance" ->
       """SELECT c_nationkey, count(*) AS n_cust,
-        |  round(sum(c_acctbal), 2) AS total_bal
+        |  floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS total_bal
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         |  AND NOT EXISTS (SELECT 1 FROM orders o
@@ -1078,7 +1087,7 @@ object Analytics {
     "revenue_rollup" ->
       """SELECT year(o_orderdate)::BIGINT AS yr,
         |  month(o_orderdate)::BIGINT AS mo,
-        |  round(sum(o_totalprice), 2) AS revenue,
+        |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY ROLLUP (year(o_orderdate)::BIGINT, month(o_orderdate)::BIGINT)
@@ -1088,9 +1097,9 @@ object Analytics {
         |  SELECT date_trunc('month', o_orderdate) AS month,
         |    sum(o_totalprice) AS rev
         |  FROM orders GROUP BY 1)
-        |SELECT month, round(rev, 2) AS revenue,
-        |  round(sum(rev) OVER (ORDER BY month
-        |    ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+        |SELECT month, floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
+        |  floor(sum(rev) OVER (ORDER BY month
+        |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
         |FROM m ORDER BY month""".stripMargin,
     "events_funnel" ->
       """WITH s AS (
@@ -1116,7 +1125,8 @@ object Analytics {
         |  FROM agg),
         |r AS (
         |  SELECT l_partkey, l_suppkey,
-        |    round(rev, 2) AS revenue, round(part_total, 2) AS part_total,
+        |    floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
+        |    floor(part_total * 100.0 + 0.5) / 100.0 AS part_total,
         |    floor(rev / part_total * 10000.0 + 0.5) / 10000.0 AS share,
         |    row_number() OVER (ORDER BY part_total DESC, l_partkey, l_suppkey) AS rnk
         |  FROM t)
@@ -1124,13 +1134,15 @@ object Analytics {
         |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        | floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0
+        |   AS sum_disc_price,
+        | floor(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) * 100.0 + 0.5)
+        |   / 100.0 AS sum_charge,
+        | floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        | floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        | floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1138,7 +1150,8 @@ object Analytics {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0
+        |   AS revenue,
         | o_orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -1151,7 +1164,8 @@ object Analytics {
         |LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0
+        |   AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1164,7 +1178,7 @@ object Analytics {
     "topk_customers_per_nation" ->
       """WITH rev AS (
         |  SELECT c_custkey, c_name, c_nationkey,
-        |    round(sum(o_totalprice),2) AS total_spent
+        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_spent
         |  FROM customer JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey, c_name, c_nationkey)
         |SELECT n_name, c_custkey, c_name, total_spent, rnk
@@ -1178,7 +1192,7 @@ object Analytics {
         |ORDER BY n_name, rnk""".stripMargin,
     "monthly_revenue" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
-        | round(sum(o_totalprice),2) AS revenue,
+        | floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue,
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY 1

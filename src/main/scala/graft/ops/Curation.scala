@@ -89,9 +89,10 @@ object Curation {
     val all = Window.partitionBy()
     Tables.load(spark, dir, "documents")
       .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
-      .withColumn("mix_weight", round(
+      .withColumn("mix_weight", floor(
         sum($"n_docs").over(all).cast("double") /
-          (count(lit(1)).over(all) * $"n_docs"), 6))
+          (count(lit(1)).over(all) * $"n_docs") * 1000000.0 + 0.5)
+        / 1000000.0)
       .select($"lang", $"n_docs", $"mix_weight")
       .orderBy($"lang")
   }
@@ -265,12 +266,13 @@ object Curation {
     * scoring pass is scan-side too. Nothing corpus-sized ever sits on
     * the driver; total shuffle traffic is two bucket-count exchanges.
     */
-  def importanceWeights(spark: SparkSession, dir: String,
-                        targetLang: String = "en",
-                        buckets: Int = 256): DataFrame = {
-    import spark.implicits._
-    val bg = Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"lang", split($"text", " ").as("t"))
+  /** Hashed-bigram explode over a documents frame (batch or stream):
+    * (doc_id, lang, bucket) — the feature stream both the trainer and
+    * the scorer consume.
+    */
+  private[graft] def bigramBuckets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"lang", split($"text", " ").as("t"))
       .filter(size($"t") >= 2)
       .select($"doc_id", $"lang", explode(transform(
         sequence(lit(0), size($"t") - 2),
@@ -278,10 +280,19 @@ object Curation {
       .withColumn("b",
         conv(substring(md5($"bg".cast("binary")), 1, 2), 16, 10)
           .cast("long"))
+  }
+
+  /** The trained artifact: per-bucket Laplace-smoothed log importance
+    * ratio ln(p_target/p_raw) — ≤`buckets` rows, broadcastable
+    * anywhere (including onto a stream).
+    */
+  private[graft] def bucketLogRatio(bg: DataFrame, targetLang: String,
+                                    buckets: Int): DataFrame = {
+    import bg.sparkSession.implicits._
     val raw = bg.groupBy($"b").agg(count(lit(1)).as("cr"))
     val tgt = bg.filter($"lang" === targetLang)
       .groupBy($"b").agg(count(lit(1)).as("ct"))
-    val ratio = raw
+    raw
       .join(tgt, Seq("b"), "left")
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(raw.agg(sum($"cr").as("tr"))))
@@ -289,6 +300,14 @@ object Curation {
       .select($"b", log(
         (($"ct" + 1).cast("double") / ($"tt" + buckets)) /
           (($"cr" + 1).cast("double") / ($"tr" + buckets))).as("lr"))
+  }
+
+  def importanceWeights(spark: SparkSession, dir: String,
+                        targetLang: String = "en",
+                        buckets: Int = 256): DataFrame = {
+    import spark.implicits._
+    val bg = bigramBuckets(Tables.load(spark, dir, "documents"))
+    val ratio = bucketLogRatio(bg, targetLang, buckets)
     bg.join(broadcast(ratio), "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -338,8 +357,9 @@ object Curation {
         |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |    floor(len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) * 10000.0 + 0.5)
+        |      / 10000.0 AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8)
@@ -479,9 +499,9 @@ object Curation {
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "lang_mix_weights" ->
       """SELECT lang, count(*) AS n_docs,
-        |  round((SELECT count(*) FROM documents)::DOUBLE /
-        |    ((SELECT count(DISTINCT lang) FROM documents) * count(*)),
-        |    6) AS mix_weight
+        |  floor((SELECT count(*) FROM documents)::DOUBLE /
+        |    ((SELECT count(DISTINCT lang) FROM documents) * count(*))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "lang_temperature_mix" ->
       """WITH c AS (

@@ -226,7 +226,7 @@ object Dedup {
         greatest($"sz_a", $"sz_b") * tNum)
       .withColumn("j", jaccard($"sh_a", $"sh_b"))
       .filter($"j" >= threshold)
-      .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
+      .select($"doc_a", $"doc_b", (floor($"j" * 10000.0 + 0.5) / 10000.0).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -302,7 +302,7 @@ object Dedup {
       .withColumn("sig", minhash($"sh", numHashes, seed = 42L))
       .cache()
     lshVerifiedPairs(docs, threshold, numHashes, bands)
-      .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
+      .select($"doc_a", $"doc_b", (floor($"j" * 10000.0 + 0.5) / 10000.0).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -387,7 +387,7 @@ object Dedup {
     a.join(b, $"vec_a" < $"vec_b")
       .withColumn("cos", Similarity.cosine($"va", $"vb"))
       .filter($"cos" >= threshold)
-      .select($"vec_a", $"vec_b", round($"cos", 6).as("cosine"))
+      .select($"vec_a", $"vec_b", (floor($"cos" * 1000000.0 + 0.5) / 1000000.0).as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -753,16 +753,18 @@ object Dedup {
     "dedup_ngram_jaccard" -> (shingleCte.replace("FROM documents",
       "FROM documents WHERE doc_id < 2500") +
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.s, b.s))::DOUBLE
-        |    / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |  floor(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(a.s || b.s)) * 10000.0 + 0.5)
+        |    / 10000.0 AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_minhash_lsh" -> (shingleCte +
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.s, b.s))::DOUBLE
-        |    / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |  floor(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(a.s || b.s)) * 10000.0 + 0.5)
+        |    / 10000.0 AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(a.s || b.s)) >= 0.8
@@ -804,8 +806,9 @@ object Dedup {
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |    b.embedding::DOUBLE[]), 6) AS cosine
+        |  floor(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         |    b.embedding::DOUBLE[]) >= 0.45

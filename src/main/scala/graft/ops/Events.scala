@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,6 +11,11 @@ import graft.Tables
   * Spark timestamps are explicit µs truncations.
   */
 object Events {
+
+  /** floor(x·100 + 0.5)/100 — engine-identical half-up rounding (Spark
+    * and DuckDB round() split on .x5 halfway doubles; see Analytics).
+    */
+  private def r2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
 
   /** Gap-based sessionization (gap > 30 min starts a new session):
     * one shuffle on user_id, two stacked window functions, then the
@@ -35,7 +40,7 @@ object Events {
         count(lit(1)).as("n_events"),
         min($"ts").as("start_us"),
         max($"ts").as("end_us"),
-        round(sum($"value"), 2).as("total_value"))
+        r2(sum($"value")).as("total_value"))
       .orderBy($"user_id", $"session_id")
   }
 
@@ -47,7 +52,7 @@ object Events {
     Tables.load(spark, dir, "events")
       .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
       .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), r2(sum($"value")).as("total_value"))
       .select($"w.start".cast("timestamp_ntz").as("hour_start"),
         $"event_type", $"n", $"total_value")
       .orderBy($"hour_start", $"event_type")
@@ -66,7 +71,7 @@ object Events {
       .groupBy($"event_type", $"salt")
       .agg(count(lit(1)).as("pn"), sum($"value").as("pv"))
       .groupBy($"event_type")
-      .agg(sum($"pn").as("n"), round(sum($"pv"), 2).as("total_value"))
+      .agg(sum($"pn").as("n"), r2(sum($"pv")).as("total_value"))
       .orderBy($"event_type")
   }
 
@@ -212,7 +217,7 @@ object Events {
     Tables.load(spark, dir, "events")
       .withColumn("user_bucket", ($"user_id" % 4).cast("long"))
       .cube($"event_type", $"user_bucket")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), r2(sum($"value")).as("total_value"))
       .orderBy($"event_type".asc_nulls_first, $"user_bucket".asc_nulls_first)
   }
 
@@ -301,7 +306,7 @@ object Events {
     fact.join(dimSalted.hint("shuffle_hash"), Seq("skew_key", "salt"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        round(sum($"value" * $"weight"), 2).as("weighted_value"))
+        r2(sum($"value" * $"weight")).as("weighted_value"))
       .orderBy($"event_type")
   }
 
@@ -351,7 +356,7 @@ object Events {
         |  SELECT range AS skew_key, (range * 7 + 3) % 11 AS weight
         |  FROM range(0, 50))
         |SELECT event_type, count(*) AS n,
-        |  round(sum(value * weight), 2) AS weighted_value
+        |  floor(sum(value * weight) * 100.0 + 0.5) / 100.0 AS weighted_value
         |FROM f JOIN d USING (skew_key)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_latest_state" ->
@@ -394,7 +399,8 @@ object Events {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_type_cube" ->
       """SELECT event_type, (user_id % 4)::BIGINT AS user_bucket,
-        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |  count(*) AS n,
+        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events
         |GROUP BY CUBE (event_type, (user_id % 4)::BIGINT)
         |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
@@ -424,7 +430,8 @@ object Events {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_salted_agg" ->
-      """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
+      """SELECT event_type, count(*) AS n,
+        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_sessionize" ->
       """WITH lagged AS (
@@ -442,12 +449,13 @@ object Events {
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
-        |  round(sum(value),2) AS total_value
+        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
-        |  count(*) AS n, round(sum(value),2) AS total_value
+        |  count(*) AS n,
+        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin)

@@ -40,7 +40,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= k)
       .select($"query_id", $"rnk", $"vec_id".as("neighbor_id"),
-        round($"cos", 6).as("cosine"))
+        (floor($"cos" * 1000000.0 + 0.5) / 1000000.0).as("cosine"))
       .orderBy($"query_id", $"rnk")
   }
 
@@ -324,7 +324,7 @@ object Similarity {
       .agg(topk(-$"adc", $"vec_id").as("top"))
       .select($"query_id", posexplode($"top").as(Seq("idx", "p")))
       .select($"query_id", ($"idx" + 1).cast("long").as("rnk"),
-        $"p._2".as("neighbor_id"), round(-$"p._1", 6).as("adc_dist"))
+        $"p._2".as("neighbor_id"), (floor(-$"p._1" * 1000000.0 + 0.5) / 1000000.0).as("adc_dist"))
       .orderBy($"query_id", $"rnk")
   }
 
@@ -437,7 +437,7 @@ object Similarity {
       .agg(topk(-$"adc", $"vec_id").as("top"))
       .select($"query_id", posexplode($"top").as(Seq("idx", "p")))
       .select($"query_id", ($"idx" + 1).cast("long").as("rnk"),
-        $"p._2".as("neighbor_id"), round(-$"p._1", 6).as("adc_dist"))
+        $"p._2".as("neighbor_id"), (floor(-$"p._1" * 1000000.0 + 0.5) / 1000000.0).as("adc_dist"))
       .orderBy($"query_id", $"rnk")
   }
 
@@ -529,7 +529,7 @@ object Similarity {
       .agg(topk($"cos", $"vec_id").as("top"))
       .select($"src_id", posexplode($"top").as(Seq("idx", "p")))
       .select($"src_id".as("vec_id"), ($"idx" + 1).cast("long").as("rnk"),
-        $"p._2".as("neighbor_id"), round($"p._1", 6).as("cosine"))
+        $"p._2".as("neighbor_id"), (floor($"p._1" * 1000000.0 + 0.5) / 1000000.0).as("cosine"))
       .orderBy($"vec_id", $"rnk")
   }
 
@@ -708,7 +708,7 @@ object Similarity {
     val dims = e.select($"label", posexplode($"embedding").as(Seq("i", "v")))
       .groupBy($"label", $"i")
       // + 0.0 squashes IEEE negative zero (DuckDB round keeps -0.0)
-      .agg((round(avg($"v".cast("double")), 4) + 0.0).as("centroid_v"))
+      .agg((floor(avg($"v".cast("double")) * 10000.0 + 0.5) / 10000.0 + 0.0).as("centroid_v"))
     e.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
       .join(dims, "label")
       .select($"label", $"i", $"centroid_v", $"n_vecs")
@@ -780,7 +780,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY list_cosine_similarity(qe, e) DESC, vec_id) AS rnk
        |  FROM cand)
-       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       |SELECT query_id, rnk, neighbor_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
        |FROM scored WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
   }
@@ -841,7 +841,7 @@ object Similarity {
 
   private def lshGraphOracle: String = lshGraphCte +
     """
-      |SELECT src_id AS vec_id, rnk, neighbor_id, round(cos, 6) AS cosine
+      |SELECT src_id AS vec_id, rnk, neighbor_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
       |FROM scored WHERE rnk <= 5
       |ORDER BY vec_id, rnk""".stripMargin
 
@@ -921,7 +921,7 @@ object Similarity {
        |  FROM cand c
        |  JOIN v vq ON vq.vec_id = c.query_id
        |  JOIN v vn ON vn.vec_id = c.vec_id)
-       |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+       |SELECT query_id, rnk, neighbor_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
        |FROM scored WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
   }
@@ -970,7 +970,7 @@ object Similarity {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, neighbor_id) AS rnk
         |  FROM r)
-        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+        |SELECT query_id, rnk, neighbor_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "knn_lsh_multi" -> lshOracleMulti,
     "embedding_centroids" ->
@@ -979,7 +979,7 @@ object Similarity {
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
         |c AS (
-        |  SELECT label, i - 1 AS i, round(avg(v), 4) + 0.0 AS centroid_v
+        |  SELECT label, i - 1 AS i, floor(avg(v) * 10000.0 + 0.5) / 10000.0 + 0.0 AS centroid_v
         |  FROM x GROUP BY label, i),
         |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
         |SELECT c.label, c.i, c.centroid_v, n.n_vecs
@@ -1011,7 +1011,7 @@ object Similarity {
         |    row_number() OVER (PARTITION BY q.query_id
         |      ORDER BY list_cosine_similarity(q.qe, v.e) DESC, v.vec_id) AS rnk
         |  FROM q JOIN v ON v.vec_id <> q.query_id)
-        |SELECT query_id, rnk, neighbor_id, round(cos, 6) AS cosine
+        |SELECT query_id, rnk, neighbor_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |FROM scored WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin)
 }

@@ -66,7 +66,7 @@ object EventStreams {
     import spark.implicits._
     val agg = eventStream(spark, dir)
       .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), (floor(sum($"value") * 100.0 + 0.5) / 100.0).as("total_value"))
     runToCompletion(agg, "graft_stream_window")
       .select($"w.start".cast("timestamp_ntz").as("hour_start"),
         $"event_type", $"n", $"total_value")
@@ -87,7 +87,7 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         min(unix_micros($"tsm")).as("start_us"),
         max(unix_micros($"tsm")).as("end_us"),
-        round(sum($"value"), 2).as("total_value"))
+        (floor(sum($"value") * 100.0 + 0.5) / 100.0).as("total_value"))
     val done = runToCompletion(agg, "graft_stream_session")
     val w = Window.partitionBy($"user_id").orderBy($"start_us")
     done
@@ -143,7 +143,7 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     // one input batch → one (final) update per user
     spark.table(name)
-      .select($"user_id", $"n", round($"total_value", 2).as("total_value"))
+      .select($"user_id", $"n", (floor($"total_value" * 100.0 + 0.5) / 100.0).as("total_value"))
       .orderBy($"user_id")
   }
 
@@ -172,7 +172,7 @@ object EventStreams {
       .select($"s_user".as("user_id"),
         unix_micros($"signup_tsm").as("signup_us"),
         unix_micros($"purchase_tsm").as("purchase_us"),
-        round($"value", 2).as("purchase_value"))
+        (floor($"value" * 100.0 + 0.5) / 100.0).as("purchase_value"))
       .orderBy($"user_id", $"signup_us", $"purchase_us")
   }
 
@@ -180,13 +180,13 @@ object EventStreams {
     "stream_join" ->
       """SELECT s.user_id, epoch_us(s.ts) AS signup_us,
         |  epoch_us(p.ts) AS purchase_us,
-        |  round(p.value, 2) AS purchase_value
+        |  floor(p.value * 100.0 + 0.5) / 100.0 AS purchase_value
         |FROM events s JOIN events p ON s.user_id = p.user_id
         |  AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 DAY
         |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
         |ORDER BY 1, 2, 3""".stripMargin,
     "stream_user_totals" ->
-      """SELECT user_id, count(*) AS n, round(sum(value),2) AS total_value
+      """SELECT user_id, count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup_count" ->
       """SELECT event_type, count(*) AS n_unique FROM (
@@ -196,7 +196,7 @@ object EventStreams {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
-        |  count(*) AS n, round(sum(value),2) AS total_value
+        |  count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
@@ -216,7 +216,7 @@ object EventStreams {
         |  FROM marked)
         |SELECT user_id, session_id AS session_seq, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
-        |  round(sum(value),2) AS total_value
+        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_seq""".stripMargin)
 }

@@ -42,7 +42,36 @@ object TextStreams {
       .orderBy($"r", $"bucket")
   }
 
+  /** G11 — streaming importance scoring: H11's trained per-bucket
+    * log-ratio table (an offline artifact, ≤256 rows) broadcast onto a
+    * live document stream — the production "train offline, score
+    * online" split for DSIR-style data selection at ingest time. The
+    * stream side is a stateless projection + per-doc aggregate; state
+    * is per-doc partial sums, never the corpus. Batch H11 (and its
+    * DuckDB oracle) is the equality check.
+    */
+  def importanceScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batchBg = graft.ops.Curation.bigramBuckets(
+      graft.Tables.load(spark, dir, "documents"))
+    val ratio = graft.ops.Curation.bucketLogRatio(batchBg, "en", 256)
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val scored = graft.ops.Curation.bigramBuckets(docs)
+      .join(broadcast(ratio), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg($"lr").as("mlr"))
+    EventStreams.runToCompletion(scored, "graft_stream_importance")
+      .select($"doc_id", $"n_bigrams",
+        (floor($"mlr" * 1000000.0 + 0.5).cast("double") / 1000000.0)
+          .as("weight"))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_importance" -> graft.ops.Curation.oracles("importance_weights"),
     "stream_cms_counters" -> (TextAnalysis.cmsBkCte +
       """SELECT CAST(r AS BIGINT) AS r, bucket, c FROM counters
         |ORDER BY r, bucket""".stripMargin))
