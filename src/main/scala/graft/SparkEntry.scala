@@ -162,7 +162,9 @@ object SparkEntry {
     "multimodal_shards" -> wrap(Multimodal.shardPack(_, _)),
     "events_mad_outliers" -> wrap(Events.madOutliers(_, _)),
     "text_bigram_surprisal" -> wrap(TextAnalysis.bigramSurprisal(_, _)),
-    "stream_importance" -> wrap(graft.streaming.TextStreams.importanceScores)
+    "stream_importance" -> wrap(graft.streaming.TextStreams.importanceScores),
+    "events_gap_fill" -> wrap(Events.dailyGapFill),
+    "text_zipf_fit" -> wrap((s, d) => TextAnalysis.zipfFit(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

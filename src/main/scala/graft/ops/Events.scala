@@ -230,6 +230,30 @@ object Events {
     * compacts a 100 TB changelog. (ts, event_id) is unique, so the
     * trailing struct fields never decide the ordering.
     */
+  /** B41 — calendar gap fill (time-series densification): per-type
+    * daily counts re-gridded onto the full min..max day calendar with
+    * zero backfill — the densify step every downstream window/trend
+    * computation assumes (a missing day must read as 0, not as an
+    * absent row). The corpus collapses to the types×days aggregate
+    * FIRST; the calendar grid is a cross join of two tiny frames
+    * (bounded by type count × calendar span at any corpus size), so
+    * the fill join never touches corpus-sized data.
+    */
+  def dailyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byDay = Tables.load(spark, dir, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val days = byDay.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    val types = byDay.select($"event_type").distinct()
+    types.crossJoin(days)
+      .join(byDay, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+      .select($"event_type", $"day", $"n")
+      .orderBy($"event_type", $"day")
+  }
+
   /** B40 — robust outlier detection via the modified z-score
     * (Iglewicz–Hoaglin): per event type, median + MAD (median absolute
     * deviation) of `value`, flag |0.6745·(v−med)/MAD| > cutoff. Means/
@@ -369,6 +393,21 @@ object Events {
         |  FROM events)
         |SELECT user_id, last_us, last_event_id, last_type, last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "events_gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |    AS day
+        |  FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e)
+        |SELECT t.event_type, days.day, coalesce(e.cnt, 0)::BIGINT AS n
+        |FROM t CROSS JOIN days
+        |LEFT JOIN e ON e.event_type = t.event_type AND e.day = days.day
+        |ORDER BY t.event_type, days.day""".stripMargin,
     "events_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -420,6 +420,39 @@ object TextAnalysis {
     * like E8/E11 the corpus token stream never shuffles on token, and
     * the global total is a one-row broadcast, not a driver round-trip.
     */
+  /** E24 — Zipf-law fit: least-squares slope of ln(freq) vs ln(rank)
+    * over the top-N vocabulary — the classic corpus-health diagnostic
+    * (natural language sits near slope −1; templated/synthetic text
+    * drifts off). The regression runs on closed-form sums, so DuckDB
+    * re-derives it exactly.
+    *
+    * Scale shape: the vocabulary aggregate is map-side combined; the
+    * top-N cut is a TakeOrderedAndProject (per-partition partial
+    * top-N, one driver merge — never a global sort), and the rank
+    * window spans only those N rows.
+    */
+  def zipfFit(spark: SparkSession, dir: String, topN: Int = 500): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokens(spark, dir)
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val top = tf.orderBy($"cnt".desc, $"token").limit(topN)
+    val pts = top
+      .withColumn("r", row_number().over(Window.orderBy($"cnt".desc, $"token")))
+      .select(log($"r".cast("double")).as("x"),
+        log($"cnt".cast("double")).as("y"))
+    pts
+      .agg(count(lit(1)).cast("double").as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .withColumn("slope_raw",
+        ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+      .select($"n".cast("long").as("n_points"),
+        (floor($"slope_raw" * 1000000.0 + 0.5) / 1000000.0).as("slope"),
+        (floor(($"sy" - $"slope_raw" * $"sx") / $"n" * 1000000.0 + 0.5)
+          / 1000000.0).as("intercept"))
+  }
+
   /** E23 — interpolated BIGRAM surprisal (Jelinek–Mercer smoothing,
     * λ·p(w₂|w₁) + (1−λ)·p(w₂)): the next-token-predictability upgrade
     * over E18's unigram surprisal — repeated formulaic text scores low,
@@ -645,6 +678,31 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents) u
+        |  WHERE token <> '' GROUP BY token),
+        |top AS (SELECT token, cnt FROM tf ORDER BY cnt DESC, token
+        |  LIMIT 500),
+        |rk AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r
+        |  FROM top),
+        |pts AS (SELECT ln(r::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM rk),
+        |s AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM pts),
+        |f AS (
+        |  SELECT n, sx, sy,
+        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope_raw
+        |  FROM s)
+        |SELECT n::BIGINT AS n_points,
+        |  floor(slope_raw * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor((sy - slope_raw*sx) / n * 1000000.0 + 0.5) / 1000000.0
+        |    AS intercept
+        |FROM f""".stripMargin,
     "text_bigram_surprisal" ->
       """WITH d2 AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '),

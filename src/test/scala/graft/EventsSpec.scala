@@ -74,6 +74,38 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("gap fill: full calendar per type, counts conserved, zeros present") {
+    import spark.implicits._
+    val rows = Events.dailyGapFill(spark, sf)
+      .as[(String, java.sql.Date, Long)].collect()
+    val byType = rows.groupBy(_._1)
+    val spans = byType.values.map(_.length).toSet
+    assert(spans.size === 1, s"types cover different calendars: $spans")
+    val total = Tables.load(spark, sf, "events").count()
+    assert(rows.map(_._3).sum === total)
+    byType.values.foreach { ds =>
+      val sorted = ds.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.getTime - a._2.getTime === 86400000L,
+            s"calendar gap between ${a._2} and ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("zipf fit: negative slope near -1 on natural-ish corpus") {
+    import spark.implicits._
+    val r = TextAnalysis.zipfFit(spark, sf).collect().head
+    val vocab = Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "").distinct().count()
+    assert(r.getLong(0) === math.min(500L, vocab))
+    val slope = r.getDouble(1)
+    assert(slope < 0.0, s"zipf slope $slope not negative")
+    assert(slope > -3.0 && slope < -0.1, s"zipf slope $slope implausible")
+  }
+
   test("MAD outliers match an in-memory median/MAD recompute") {
     import spark.implicits._
     def median(xs: Seq[Double]): Double = {
