@@ -164,7 +164,10 @@ object SparkEntry {
     "text_bigram_surprisal" -> wrap(TextAnalysis.bigramSurprisal(_, _)),
     "stream_importance" -> wrap(graft.streaming.TextStreams.importanceScores),
     "events_gap_fill" -> wrap(Events.dailyGapFill),
-    "text_zipf_fit" -> wrap((s, d) => TextAnalysis.zipfFit(s, d))
+    "text_zipf_fit" -> wrap((s, d) => TextAnalysis.zipfFit(s, d)),
+    "events_scd2" -> wrap(Events.scd2),
+    "events_transitions" -> wrap(Events.transitions),
+    "stream_transitions" -> wrap(graft.streaming.EventStreams.transitionCounts)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -230,6 +230,69 @@ object Events {
     * compacts a 100 TB changelog. (ts, event_id) is unique, so the
     * trailing struct fields never decide the ordering.
     */
+  /** B42 — SCD type-2 interval build: collapse each user's ordered
+    * event-type changelog into validity intervals [valid_from_us,
+    * valid_to_us) — consecutive same-type events merge into one run,
+    * the open (current) run has a NULL valid_to. This is the
+    * dimension-history build every warehouse pipeline runs over its
+    * changelogs.
+    *
+    * Scale shape: ONE shuffle on user_id feeds both stacked windows
+    * and the run rollup (same partitioning reused across stages); the
+    * second window runs over runs, not raw rows. (ts, event_id) is a
+    * unique ordering, so run boundaries are deterministic.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val runs = Tables.load(spark, dir, "events")
+      .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id",
+        $"event_type")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(byUser).isNull ||
+          lag($"event_type", 1).over(byUser) =!= $"event_type", 1L)
+          .otherwise(0L))
+      .withColumn("run_id",
+        sum($"chg").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"run_id")
+      .agg(first($"event_type").as("state"),
+        min($"us").as("valid_from_us"), count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy($"user_id").orderBy($"run_id")
+    runs
+      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(byRun))
+      .select($"user_id", $"run_id", $"state", $"valid_from_us",
+        $"valid_to_us",
+        when($"valid_to_us".isNull, 1).otherwise(0).as("is_current"),
+        $"n_events")
+      .orderBy($"user_id", $"run_id")
+  }
+
+  /** B43 — first-order Markov transition matrix over per-user event
+    * sequences: P(next_type | prev_type) from adjacent pairs in
+    * (ts, event_id) order — the behavioral-model building block next
+    * to B11's fixed funnel. Pair extraction is one user_id-keyed
+    * window pass; the matrix aggregate is map-side combined down to
+    * ≤ types² rows, and the row-normalizing window spans only those.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pairs = Tables.load(spark, dir, "events")
+      .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id",
+        $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy($"prev_type")
+    pairs
+      .withColumn("p",
+        floor($"n".cast("double") / sum($"n").over(byPrev) * 1000000.0
+          + 0.5) / 1000000.0)
+      .select($"prev_type", $"next_type", $"n", $"p")
+      .orderBy($"prev_type", $"next_type")
+  }
+
   /** B41 — calendar gap fill (time-series densification): per-type
     * daily counts re-gridded onto the full min..max day calendar with
     * zero backfill — the densify step every downstream window/trend
@@ -393,6 +456,45 @@ object Events {
         |  FROM events)
         |SELECT user_id, last_us, last_event_id, last_type, last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "events_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id)),
+        |r AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS run_id
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, run_id, min(event_type) AS state,
+        |    min(us) AS valid_from_us, count(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_id, state, valid_from_us,
+        |  lead(valid_from_us) OVER w2 AS valid_to_us,
+        |  CASE WHEN lead(valid_from_us) OVER w2 IS NULL
+        |    THEN 1 ELSE 0 END AS is_current,
+        |  n_events
+        |FROM g
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+        |ORDER BY user_id, run_id""".stripMargin,
+    "events_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |m AS (
+        |  SELECT prev_type, next_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  floor(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p
+        |FROM m ORDER BY prev_type, next_type""".stripMargin,
     "events_gap_fill" ->
       """WITH e AS (
         |  SELECT event_type, date_trunc('day', ts)::DATE AS day,

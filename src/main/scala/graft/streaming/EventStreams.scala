@@ -112,6 +112,52 @@ object EventStreams {
       .orderBy($"event_type")
   }
 
+  final case class TransitionPair(prev_type: String, next_type: String)
+
+  /** G12 — streaming Markov transition counts: B43's stateful sequence
+    * tracker as a live stream. `flatMapGroupsWithState` keeps each
+    * user's LAST event (µs, event_id, type) as state — one small row
+    * per user regardless of stream length. Each micro-batch sorts its
+    * new rows for the user into (ts, event_id) order (batch-local,
+    * bounded by per-user batch arrivals, the same bound G2's session
+    * state carries), chains them onto the carried state, and emits the
+    * adjacent-pair stream; a downstream streaming aggregate folds the
+    * pairs into the ≤ types² matrix. Equal to batch B43 (the oracle)
+    * because the file source replays in time order.
+    */
+  def transitionCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = eventStream(spark, dir)
+      .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)]
+    val pairs = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toVector.sortBy(r => (r._2, r._3))
+          var last = state.getOption
+          val out = Vector.newBuilder[TransitionPair]
+          sorted.foreach { r =>
+            last.foreach(l => out += TransitionPair(l._3, r._4))
+            last = Some((r._2, r._3, r._4))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+    val counts = pairs.groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val byPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy($"prev_type")
+    runToCompletion(counts, "graft_stream_trans")
+      .withColumn("p",
+        floor($"n".cast("double") / sum($"n").over(byPrev) * 1000000.0
+          + 0.5) / 1000000.0)
+      .select($"prev_type", $"next_type", $"n", $"p")
+      .orderBy($"prev_type", $"next_type")
+  }
+
   final case class UserTotals(user_id: Long, n: Long, total_value: Double)
 
   /** G4 — custom state machine via `mapGroupsWithState`: per-user
@@ -218,5 +264,7 @@ object EventStreams {
         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
         |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_seq""".stripMargin)
+        |ORDER BY user_id, session_seq""".stripMargin,
+    // G12 streamed ≡ batch B43 ≡ DuckDB: same matrix, same SQL.
+    "stream_transitions" -> graft.ops.Events.oracles("events_transitions"))
 }

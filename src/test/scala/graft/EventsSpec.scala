@@ -106,6 +106,51 @@ class EventsSpec extends SparkSpecBase {
     assert(slope > -3.0 && slope < -0.1, s"zipf slope $slope implausible")
   }
 
+  test("scd2: intervals tile each user's timeline, runs alternate state") {
+    import spark.implicits._
+    val rows = Events.scd2(spark, sf)
+      .select($"user_id", $"run_id", $"state", $"valid_from_us",
+        $"valid_to_us", $"is_current", $"n_events")
+      .collect()
+    val total = Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getLong(6)).sum === total, "runs must cover every event")
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.count(_.getInt(5) == 1) === 1)
+      assert(sorted.last.getInt(5) === 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // intervals chain: a.valid_to == b.valid_from, states change
+          assert(a.getLong(4) === b.getLong(3))
+          assert(a.getString(2) !== b.getString(2),
+            s"adjacent runs share state ${a.getString(2)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("transitions: probabilities sum to 1 per row, counts cover all pairs") {
+    import spark.implicits._
+    val rows = Events.transitions(spark, sf).collect()
+    val nPairs = rows.map(_.getLong(2)).sum
+    val nEvents = Tables.load(spark, sf, "events").count()
+    val nUsers = Tables.load(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(nPairs === nEvents - nUsers, "pairs = events - one per user")
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"row sums to $psum")
+    }
+  }
+
+  test("streaming transition counts equal the batch matrix") {
+    val batch = Events.transitions(spark, sf).collect().toSeq
+    val streamed = graft.streaming.EventStreams
+      .transitionCounts(spark, sf).collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("MAD outliers match an in-memory median/MAD recompute") {
     import spark.implicits._
     def median(xs: Seq[Double]): Double = {
