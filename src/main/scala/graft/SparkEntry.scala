@@ -167,7 +167,10 @@ object SparkEntry {
     "text_zipf_fit" -> wrap((s, d) => TextAnalysis.zipfFit(s, d)),
     "events_scd2" -> wrap(Events.scd2),
     "events_transitions" -> wrap(Events.transitions),
-    "stream_transitions" -> wrap(graft.streaming.EventStreams.transitionCounts)
+    "stream_transitions" -> wrap(graft.streaming.EventStreams.transitionCounts),
+    "text_kn_bigram" -> wrap((s, d) => TextAnalysis.knBigram(s, d)),
+    "text_mattr" -> wrap((s, d) => TextAnalysis.mattr(s, d)),
+    "text_burstiness" -> wrap((s, d) => TextAnalysis.burstiness(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -500,6 +500,133 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E25 — interpolated Kneser–Ney bigram surprisal (absolute
+    * discount D, continuation-probability backoff): the standard LM
+    * smoothing — where E23's Jelinek–Mercer backs off to raw unigram
+    * frequency, KN backs off to how many CONTEXTS a word completes
+    * (N1+(•w)/|bigram types|), which is what separates frequent-but-
+    * bound words from genuinely productive ones. Exact count ratios
+    * (no iterative training) → full oracle.
+    *
+    * Scale shape: same as E23 — map-side-combined count aggregates
+    * (vocab/vocab²-bounded), probability table joined back on the
+    * bigram key; the corpus stream tokenizes once per stage, never
+    * shuffles whole docs.
+    */
+  def knBigram(spark: SparkSession, dir: String,
+               discount: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        filter(split($"text", " "), t => t =!= "").as("t"))
+      .filter(size($"t") >= 2)
+    val bgr = docs.select($"doc_id", explode(transform(
+        sequence(lit(0), size($"t") - 2),
+        i => struct(element_at($"t", i + 1).as("w1"),
+          element_at($"t", i + 2).as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    // c(w1 •) and N1+(w1 •): total and distinct continuations of w1
+    val first = bgr.groupBy($"w1")
+      .agg(count(lit(1)).as("c1"), countDistinct($"w2").as("n1f"))
+    val types = bgr.select($"w1", $"w2").distinct()
+    // N1+(• w2): distinct contexts w2 completes; bt = |bigram types|
+    val contexts = types.groupBy($"w2").agg(count(lit(1)).as("n1p"))
+    val btypes = types.agg(count(lit(1)).as("bt"))
+    val pair = bgr.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val probs = pair
+      .join(first, "w1")
+      .join(contexts, "w2")
+      .crossJoin(broadcast(btypes))
+      .select($"w1", $"w2",
+        log(greatest($"c12".cast("double") - discount, lit(0.0)) / $"c1" +
+          lit(discount) / $"c1" * $"n1f" *
+            ($"n1p".cast("double") / $"bt")).as("lp"))
+    bgr.join(probs, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(-avg($"lp") * 1000000.0 + 0.5).cast("double") / 1000000.0)
+          .as("avg_kn_surprisal"))
+      .orderBy($"doc_id")
+  }
+
+  /** E26 — moving-average type-token ratio (MATTR, window w): the
+    * standard lexical-diversity metric that, unlike plain TTR, does
+    * not shrink with document length. Computed WITHOUT materializing
+    * windows: a token at position p is distinct in window start s iff
+    * its previous occurrence sits before s, so its contribution is a
+    * closed-form count of valid starts — one lag over (doc, token)
+    * occurrence lists replaces the O(n·w) slide. Docs shorter than w
+    * fall back to plain TTR.
+    *
+    * Scale shape: one (doc_id, token)-keyed window pass + one doc
+    * rollup, both corpus-linear; integer arithmetic end-to-end until
+    * the final division, so both engines agree bit-for-bit.
+    */
+  def mattr(spark: SparkSession, dir: String, w: Int = 25): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        filter(split($"text", " "), t => t =!= "").as("t"))
+      .filter(size($"t") >= 1)
+    val pos = docs
+      .select($"doc_id", size($"t").as("n"),
+        posexplode($"t").as(Seq("p0", "token")))
+      .withColumn("p", $"p0" + 1)
+    val byTok = W.partitionBy($"doc_id", $"token").orderBy($"p")
+    val contrib = pos
+      .withColumn("prev", coalesce(lag($"p", 1).over(byTok), lit(0)))
+      .withColumn("lo",
+        greatest($"prev" + 1, $"p" - lit(w - 1), lit(1)))
+      .withColumn("hi", least($"p", $"n" - lit(w - 1)))
+      .withColumn("c", greatest($"hi" - $"lo" + 1, lit(0)))
+    contrib.groupBy($"doc_id")
+      .agg(max($"n").as("n_tok"), countDistinct($"token").as("n_uniq"),
+        sum($"c").as("sc"))
+      .withColumn("mattr",
+        floor(when($"n_tok" >= w,
+            $"sc".cast("double") / (($"n_tok" - lit(w - 1)) * lit(w)))
+          .otherwise($"n_uniq".cast("double") / $"n_tok")
+          * 1000000.0 + 0.5).cast("double") / 1000000.0)
+      .select($"doc_id", $"n_tok".cast("long").as("n_tok"),
+        $"n_uniq", $"mattr")
+      .orderBy($"doc_id")
+  }
+
+  /** E27 — token burstiness (index of dispersion): for the top-N
+    * corpus tokens, the variance-to-mean ratio of the per-document
+    * count — content words cluster (dispersion ≫ 1), function words
+    * spread evenly (≈ uniform). The zero-count documents enter the
+    * moments in closed form (mean = Σc/D, E[x²] = Σc²/D), so the
+    * doc×token grid is never densified.
+    *
+    * Scale shape: two map-side-combined aggregates — (token, doc)
+    * then token — a TakeOrderedAndProject top-N cut, and a one-row
+    * broadcast for the corpus doc count.
+    */
+  def burstiness(spark: SparkSession, dir: String,
+                 topN: Int = 50): DataFrame = {
+    import spark.implicits._
+    val nDocs = Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("nd"))
+    val perDoc = tokens(spark, dir)
+      .groupBy($"token", $"doc_id").agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy($"token")
+      .agg(sum($"c").as("cnt"), sum($"c" * $"c").as("ss"),
+        count(lit(1)).as("df"))
+    stats.orderBy($"cnt".desc, $"token").limit(topN)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("mean", $"cnt".cast("double") / $"nd")
+      .withColumn("disp",
+        ($"ss".cast("double") / $"nd" - $"mean" * $"mean") / $"mean")
+      .select($"token", $"cnt", $"df",
+        (floor($"mean" * 1000000.0 + 0.5).cast("double") / 1000000.0)
+          .as("mean_per_doc"),
+        (floor($"disp" * 1000000.0 + 0.5).cast("double") / 1000000.0)
+          .as("dispersion"))
+      .orderBy($"cnt".desc, $"token")
+  }
+
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = tokens(spark, dir)
@@ -703,6 +830,80 @@ object TextAnalysis {
         |  floor((sy - slope_raw*sx) / n * 1000000.0 + 0.5) / 1000000.0
         |    AS intercept
         |FROM f""".stripMargin,
+    "text_kn_bigram" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM d2, LATERAL (SELECT unnest(range(1, len(t))) AS i) u),
+        |fst AS (
+        |  SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n1f
+        |  FROM bg GROUP BY w1),
+        |ty AS (SELECT DISTINCT w1, w2 FROM bg),
+        |ctx AS (SELECT w2, count(*) AS n1p FROM ty GROUP BY w2),
+        |btc AS (SELECT count(*) AS bt FROM ty),
+        |probs AS (
+        |  SELECT p.w1, p.w2,
+        |    ln(greatest(p.c12::DOUBLE - 0.75, 0.0) / f.c1
+        |      + 0.75 / f.c1 * f.n1f * (x.n1p::DOUBLE / b.bt)) AS lp
+        |  FROM (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2) p
+        |  JOIN fst f USING (w1) JOIN ctx x ON x.w2 = p.w2, btc b)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor(-avg(lp) * 1000000.0 + 0.5) / 1000000.0 AS avg_kn_surprisal
+        |FROM bg JOIN probs USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_mattr" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+        |pos AS (
+        |  SELECT doc_id, len(t) AS n, t[p] AS token, p
+        |  FROM d2, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p) u),
+        |lagd AS (
+        |  SELECT doc_id, n, token, p,
+        |    coalesce(lag(p) OVER (PARTITION BY doc_id, token ORDER BY p),
+        |      0) AS prev
+        |  FROM pos),
+        |c AS (
+        |  SELECT doc_id, n, token,
+        |    greatest(least(p, n - 24) - greatest(prev + 1, p - 24, 1) + 1,
+        |      0) AS c
+        |  FROM lagd),
+        |g AS (
+        |  SELECT doc_id, max(n) AS n_tok, count(DISTINCT token) AS n_uniq,
+        |    sum(c) AS sc
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tok::BIGINT AS n_tok, n_uniq,
+        |  floor((CASE WHEN n_tok >= 25
+        |      THEN sc::DOUBLE / ((n_tok - 24) * 25)
+        |      ELSE n_uniq::DOUBLE / n_tok END) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mattr
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "text_burstiness" ->
+      """WITH pd AS (
+        |  SELECT token, doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) u
+        |  WHERE token <> '' GROUP BY token, doc_id),
+        |st AS (
+        |  SELECT token, CAST(sum(c) AS BIGINT) AS cnt,
+        |    CAST(sum(c * c) AS BIGINT) AS ss, count(*) AS df
+        |  FROM pd GROUP BY token),
+        |top AS (SELECT * FROM st ORDER BY cnt DESC, token LIMIT 50),
+        |ndc AS (SELECT count(*) AS ndocs FROM documents),
+        |m AS (
+        |  SELECT token, cnt, df, ss, ndocs, cnt::DOUBLE / ndocs AS mean
+        |  FROM top, ndc)
+        |SELECT token, cnt, df,
+        |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS mean_per_doc,
+        |  floor((ss::DOUBLE / ndocs - mean * mean) / mean
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dispersion
+        |FROM m ORDER BY cnt DESC, token""".stripMargin,
     "text_bigram_surprisal" ->
       """WITH d2 AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '),

@@ -89,4 +89,72 @@ class TextQualitySpec extends SparkSpecBase {
       assert(!scrubbed.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"))
     }
   }
+
+  test("MATTR equals a brute-force sliding-window recompute") {
+    val w = 25
+    val got = TextAnalysis.mattr(spark, sf, w).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.nonEmpty) {
+        val expected =
+          if (toks.length >= w) {
+            val sums = toks.sliding(w).map(_.distinct.length.toLong).sum
+            sums.toDouble / ((toks.length - w + 1).toLong * w)
+          } else toks.distinct.length.toDouble / toks.length
+        val row = got(id)
+        assert(row.getLong(1) === toks.length.toLong)
+        assert(row.getLong(2) === toks.distinct.length.toLong)
+        assert(row.getDouble(3) === roundP(expected, 6),
+          s"doc $id: ${row.getDouble(3)} vs brute ${roundP(expected, 6)}")
+      }
+    }
+  }
+
+  test("Kneser-Ney bigram surprisal matches an in-memory recompute") {
+    val d = 0.75
+    val allBigrams = texts.values.toSeq.flatMap { t =>
+      val toks = t.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length >= 2) toks.sliding(2).map(p => (p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val c12 = allBigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val c1 = allBigrams.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val n1f = c12.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val n1p = c12.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val bt = c12.size
+    val got = TextAnalysis.knBigram(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length >= 2) {
+        val lps = toks.sliding(2).map { p =>
+          val (w1, w2) = (p(0), p(1))
+          math.log(math.max(c12((w1, w2)) - d, 0.0) / c1(w1) +
+            d / c1(w1) * n1f(w1) * (n1p(w2).toDouble / bt))
+        }.toSeq
+        val row = got(id)
+        assert(row.getLong(1) === lps.length.toLong)
+        val expected = roundP(-(lps.sum / lps.length), 6)
+        assert(math.abs(row.getDouble(2) - expected) < 2e-6,
+          s"doc $id: ${row.getDouble(2)} vs brute $expected")
+      }
+    }
+  }
+
+  test("burstiness: function-word dispersion below heavy content words") {
+    val rows = TextAnalysis.burstiness(spark, sf).collect()
+    val vocab = texts.values.toSeq
+      .flatMap(_.split(" ").filter(_.nonEmpty)).distinct.size
+    assert(rows.length === math.min(50, vocab))
+    rows.foreach { r =>
+      val (cnt, df) = (r.getLong(1), r.getLong(2))
+      val (mean, disp) = (r.getDouble(3), r.getDouble(4))
+      assert(disp >= 0.0, s"${r.getString(0)}: dispersion $disp < 0")
+      assert(mean > 0.0)
+      // a token appearing once per containing doc has disp = 1 - mean < 1;
+      // dispersion exceeding 1 requires within-doc repetition
+      if (disp > 1.0) assert(cnt > df, s"${r.getString(0)} can't be bursty")
+    }
+  }
 }
