@@ -57,6 +57,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The generated `events.ts` column has shipped as both
+    * TIMESTAMP(NANOS) (surfacing as epoch-ns BIGINT under
+    * `nanosAsLong`) and TIMESTAMP(MICROS) (surfacing as
+    * TIMESTAMP_NTZ). Canonicalize to epoch-ns BIGINT at load so every
+    * operator sees one type; the cast is a scan-side projection, so
+    * pushdown/pruning on the other columns is unaffected. The session
+    * time zone is pinned to UTC, so the NTZ→instant cast is the
+    * identity on the stored micros.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+            * 1000L)
+    }
 }

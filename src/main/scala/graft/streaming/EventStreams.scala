@@ -19,20 +19,20 @@ object EventStreams {
 
   private val counter = new AtomicInteger(0)
 
-  private val eventSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as ns BIGINT
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  private def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
+  /** The file source needs a declared schema; `ts` has shipped as both
+    * TIMESTAMP(NANOS) (ns BIGINT under `nanosAsLong`) and
+    * TIMESTAMP(MICROS), so take the schema from the file footer (one
+    * metadata read, no data scan) and canonicalize like the batch path.
+    */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    graft.Tables.normalizeEventTs(raw)
       .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Run a one-shot streaming query to completion into a memory sink.
     * Streaming state (aggregation / join / dedup) allocates one state
