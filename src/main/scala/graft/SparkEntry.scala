@@ -40,6 +40,7 @@ object SparkEntry {
     "events_props_extract" -> wrap(Events.propsExtract),
     "events_approx_users" -> wrap(Events.approxUsers(_, _)),
     "events_retention" -> wrap(Events.retention),
+    "events_cohort_retention" -> wrap(Events.cohortRetention),
     "events_type_pivot" -> wrap(Events.typePivot),
     "events_value_percentiles" -> wrap(Events.valuePercentiles),
     "events_type_cube" -> wrap(Events.typeBucketCube),
@@ -93,6 +94,7 @@ object SparkEntry {
     "contamination_check" -> wrap(graft.ops.Curation.contaminationCheck(_, _)),
     "lang_mix_weights" -> wrap(graft.ops.Curation.langMixWeights),
     "lang_temperature_mix" -> wrap(graft.ops.Curation.langTemperatureMix(_, _)),
+    "lang_epoch_plan" -> wrap(graft.ops.Curation.langEpochPlan(_, _)),
     "embedding_centroids" -> wrap(Similarity.labelCentroids),
     "events_range_join" -> wrap((s, d) => graft.ops.RangeJoin.busyWindows(s, d)),
     "events_latest_state" -> wrap(Events.latestState),
@@ -170,7 +172,8 @@ object SparkEntry {
     "stream_transitions" -> wrap(graft.streaming.EventStreams.transitionCounts),
     "text_kn_bigram" -> wrap((s, d) => TextAnalysis.knBigram(s, d)),
     "text_mattr" -> wrap((s, d) => TextAnalysis.mattr(s, d)),
-    "text_burstiness" -> wrap((s, d) => TextAnalysis.burstiness(s, d))
+    "text_burstiness" -> wrap((s, d) => TextAnalysis.burstiness(s, d)),
+    "text_readability" -> wrap(TextAnalysis.readability)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

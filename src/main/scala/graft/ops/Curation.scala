@@ -123,6 +123,44 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** H13 — epoch/repetition planner: turn H10's temperature weights
+    * into per-language EPOCH counts under a fixed token budget — the
+    * repetition schedule a multi-epoch training run actually consumes
+    * (how many times each language's corpus is traversed). Budget =
+    * the corpus's own token total (scale-free), redistributed by
+    * p_l ∝ n_l^α; epochs_l = min(budget·p_l / n_l, cap) so upsampling
+    * of low-resource languages is bounded (the "repeat small data at
+    * most `cap`×" rule), and the tokens the cap frees are reported so
+    * a caller can re-allocate them. Effective token counts floor to
+    * integers on both engines.
+    *
+    * Scale shape: the corpus contributes ONE map-side-combined
+    * (lang, token-count) aggregate; everything after runs on the
+    * languages-sized frame (global window over a handful of rows).
+    */
+  def langEpochPlan(spark: SparkSession, dir: String,
+                    alpha: Double = 0.3, cap: Double = 4.0): DataFrame = {
+    import spark.implicits._
+    val all = Window.partitionBy()
+    Tables.load(spark, dir, "documents")
+      .select($"lang",
+        size(filter(split($"text", " "), t => t =!= "")).cast("long")
+          .as("n_tok"))
+      .groupBy($"lang").agg(sum($"n_tok").as("n_tokens"))
+      .withColumn("w", pow($"n_tokens", alpha))
+      .withColumn("budget", sum($"n_tokens").over(all).cast("double"))
+      .withColumn("desired", $"w" / sum($"w").over(all) * $"budget")
+      .withColumn("epochs_raw", $"desired" / $"n_tokens")
+      .withColumn("epochs", least($"epochs_raw", lit(cap)))
+      .select($"lang", $"n_tokens",
+        (floor($"epochs" * 1000000.0 + 0.5).cast("double") / 1000000.0)
+          .as("epochs"),
+        floor($"epochs" * $"n_tokens").cast("long").as("eff_tokens"),
+        floor(($"epochs_raw" - $"epochs") * $"n_tokens").cast("long")
+          .as("freed_tokens"))
+      .orderBy($"lang")
+  }
+
   /** H6 — deterministic stratified sampling: downsample every language
     * to (approximately) the rarest language's share by keeping a doc
     * iff its content-stable hash bucket falls under the language's
@@ -503,6 +541,25 @@ object Curation {
         |    ((SELECT count(DISTINCT lang) FROM documents) * count(*))
         |    * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "lang_epoch_plan" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+        |      ::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT sum(pow(n_tokens, 0.3)) AS z,
+        |    sum(n_tokens)::DOUBLE AS b FROM c),
+        |p AS (
+        |  SELECT lang, n_tokens,
+        |    pow(n_tokens, 0.3) / z * b / n_tokens AS raw,
+        |    least(pow(n_tokens, 0.3) / z * b / n_tokens, 4.0) AS e
+        |  FROM c, t)
+        |SELECT lang, n_tokens,
+        |  floor(e * 1000000.0 + 0.5) / 1000000.0 AS epochs,
+        |  floor(e * n_tokens)::BIGINT AS eff_tokens,
+        |  floor((raw - e) * n_tokens)::BIGINT AS freed_tokens
+        |FROM p ORDER BY lang""".stripMargin,
     "lang_temperature_mix" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

@@ -152,6 +152,38 @@ object Events {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** B44 — weekly cohort retention MATRIX: B14's growth query
+    * completed into the full (cohort week × week offset) grid with
+    * retention RATES — the heat-map product analytics actually ships.
+    * Weeks are integer epoch-µs divisions (no calendar alignment
+    * needed for a retention grid; both engines floor the same
+    * non-negative integers).
+    *
+    * Scale shape: first-seen week and distinct (user, week) activity
+    * are both user_id-keyed corpus-linear aggregates; their join is
+    * co-partitioned on user_id (NO users-sized broadcast — B14's
+    * broadcast is fine for day-windows, a 100 TB cohort dim is not).
+    * The matrix itself is weeks²-bounded; cohort sizes broadcast back
+    * onto it.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wkUs = 7L * 86400L * 1000000L
+    val wk = Tables.load(spark, dir, "events")
+      .select($"user_id", expr(s"(ts DIV 1000) DIV $wkUs").as("w"))
+    val cohorts = wk.groupBy($"user_id").agg(min($"w").as("cw"))
+    val active = wk.distinct()
+    val matrix = active.join(cohorts, "user_id")
+      .groupBy($"cw", ($"w" - $"cw").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cohorts.groupBy($"cw").agg(count(lit(1)).as("cohort_size"))
+    matrix.join(broadcast(sizes), "cw")
+      .select($"cw".as("cohort_week"), $"week_offset", $"n_users",
+        (floor($"n_users".cast("double") / $"cohort_size" * 1000000.0 + 0.5)
+          .cast("double") / 1000000.0).as("retention"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   /** B15 — pivot/crosstab: event counts per type as columns keyed by
     * user cohort decile (`groupBy().pivot()` with an explicit value
     * list keeps the schema static — the scale-safe pivot form).
@@ -419,6 +451,20 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS w FROM events),
+        |coh AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, w FROM wk),
+        |mat AS (
+        |  SELECT cw, a.w - cw AS week_offset, count(*) AS n_users
+        |  FROM act a JOIN coh USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cw, count(*) AS cohort_size FROM coh GROUP BY cw)
+        |SELECT cw AS cohort_week, week_offset, n_users,
+        |  floor(n_users::DOUBLE / cohort_size * 1000000.0 + 0.5)
+        |    / 1000000.0 AS retention
+        |FROM mat JOIN sz USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "events_daily_full_join" ->
       """WITH s AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_signups

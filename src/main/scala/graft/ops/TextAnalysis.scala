@@ -627,6 +627,41 @@ object TextAnalysis {
       .orderBy($"cnt".desc, $"token")
   }
 
+  /** E28 — Flesch reading ease with a deterministic vowel-run syllable
+    * estimate (greatest(#[aeiouy]+ runs, 1) per token): the classic
+    * grade-level readability signal quality filters stack next to the
+    * statistical ones (E2/E18/E23) — formulaic short-sentence text
+    * scores high, dense long-clause text scores low. Sentences are
+    * non-blank `[.!?]+` segments (min 1); every count is a closed-form
+    * expression on both engines, so the 4-dp floor-rounded score is a
+    * full oracle.
+    *
+    * Scale shape: pure scan-side projection — no shuffle, no UDF; the
+    * per-token lambdas are Catalyst higher-order functions over the
+    * already-split array.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", filter(split(lower($"text"), " "), t => t =!= ""))
+      .filter(size($"toks") > 0)
+      .withColumn("n_words", size($"toks").cast("double"))
+      .withColumn("n_sents",
+        greatest(size(filter(split($"text", "[.!?]+"),
+          s => trim(s) =!= "")), lit(1)).cast("double"))
+      .withColumn("n_syll",
+        aggregate($"toks", lit(0L), (acc, t) =>
+          acc + greatest(regexp_count(t, lit("[aeiouy]+")), lit(1))
+            .cast("long")).cast("double"))
+      .select($"doc_id",
+        $"n_words".cast("long").as("n_words"),
+        $"n_sents".cast("long").as("n_sentences"),
+        $"n_syll".cast("long").as("n_syllables"),
+        roundP(lit(206.835) - lit(1.015) * ($"n_words" / $"n_sents")
+          - lit(84.6) * ($"n_syll" / $"n_words")).as("flesch"))
+      .orderBy($"doc_id")
+  }
+
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = tokens(spark, dir)
@@ -805,6 +840,29 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+        |      AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    len(toks)::DOUBLE AS n_words,
+        |    greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> trim(s) <> '')), 1)::DOUBLE AS n_sents,
+        |    list_sum(list_transform(toks, t ->
+        |      greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+        |      ::DOUBLE AS n_syll
+        |  FROM d WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  n_words::BIGINT AS n_words,
+        |  n_sents::BIGINT AS n_sentences,
+        |  n_syll::BIGINT AS n_syllables,
+        |  floor((206.835 - 1.015 * (n_words / n_sents)
+        |    - 84.6 * (n_syll / n_words)) * 10000.0 + 0.5) / 10000.0
+        |    AS flesch
+        |FROM base ORDER BY doc_id""".stripMargin,
     "text_zipf_fit" ->
       """WITH tf AS (
         |  SELECT token, count(*) AS cnt FROM (

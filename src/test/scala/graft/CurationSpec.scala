@@ -110,6 +110,35 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.sortBy(_._1).map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
   }
 
+  test("epoch plan: caps bind, budget conserved, rare langs upsampled") {
+    val cap = 4.0
+    val rows = Curation.langEpochPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // independent recompute from per-lang token totals
+    val counts = Tables.load(spark, sf, "documents")
+      .select($"lang", $"text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1).split(" ")
+        .count(_.nonEmpty).toLong).sum).toMap
+    val z = counts.values.map(n => math.pow(n.toDouble, 0.3)).sum
+    val budget = counts.values.sum.toDouble
+    rows.foreach { case (lang, nTok, epochs, eff, freed) =>
+      assert(nTok === counts(lang), s"$lang token total")
+      val raw = math.pow(nTok.toDouble, 0.3) / z * budget / nTok
+      val e = math.min(raw, cap)
+      assert(math.abs(epochs - e) < 1e-6, s"$lang epochs $epochs vs $e")
+      assert(epochs <= cap + 1e-9)
+      assert(math.abs(eff - math.floor(e * nTok)) <= 1,
+        s"$lang eff_tokens")
+      if (freed > 0) assert(epochs === cap, s"$lang freed without cap")
+    }
+    // temperature flattening: the rarest language gets the most epochs
+    val byTok = rows.sortBy(_._2)
+    assert(byTok.head._3 >= byTok.last._3)
+  }
+
   test("stratified sample keeps every language near the rarest share") {
     val docs = Tables.load(spark, sf, "documents")
     val minShare = docs.groupBy($"lang").count().agg(min($"count"))

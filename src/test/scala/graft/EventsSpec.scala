@@ -18,6 +18,34 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("cohort retention matrix equals an in-memory recompute") {
+    val wkUs = 7L * 86400L * 1000000L
+    val got = Events.cohortRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val userWeeks = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", s"(ts DIV 1000) DIV $wkUs AS w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cohorts = userWeeks.groupBy(_._1).view
+      .mapValues(_.map(_._2).min).toMap
+    val sizes = cohorts.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val expected = userWeeks.toSeq
+      .map { case (u, w) => (cohorts(u), w - cohorts(u)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k @ (cw, _), n) =>
+      assert(got(k)._1 === n, s"cell $k users")
+      val rate = math.floor(n.toDouble / sizes(cw) * 1000000.0 + 0.5) /
+        1000000.0
+      assert(got(k)._2 === rate, s"cell $k rate")
+    }
+    // offset 0 row of every cohort covers the whole cohort
+    sizes.keys.foreach { cw =>
+      assert(got((cw, 0L))._2 === 1.0, s"cohort $cw week-0 retention")
+    }
+  }
+
   test("funnel keeps users whose purchases all precede signup (edge case absent from corpus)") {
     // synthesize: user A converts, user B purchased only BEFORE signup,
     // user C never purchased

@@ -111,6 +111,30 @@ class TextQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("readability equals a per-doc Flesch recompute") {
+    val got = TextAnalysis.readability(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+      if (toks.nonEmpty) {
+        val words = toks.length.toDouble
+        val sents =
+          math.max(text.split("[.!?]+", -1).count(_.trim.nonEmpty), 1)
+            .toDouble
+        val syll = toks.map(t =>
+          math.max("[aeiouy]+".r.findAllIn(t).size, 1).toLong).sum.toDouble
+        val flesch = roundP(
+          206.835 - 1.015 * (words / sents) - 84.6 * (syll / words), 4)
+        val row = got(id)
+        assert(row.getLong(1) === words.toLong, s"doc $id words")
+        assert(row.getLong(2) === sents.toLong, s"doc $id sentences")
+        assert(row.getLong(3) === syll.toLong, s"doc $id syllables")
+        assert(row.getDouble(4) === flesch,
+          s"doc $id: ${row.getDouble(4)} vs recomputed $flesch")
+      }
+    }
+  }
+
   test("Kneser-Ney bigram surprisal matches an in-memory recompute") {
     val d = 0.75
     val allBigrams = texts.values.toSeq.flatMap { t =>
