@@ -173,7 +173,11 @@ object SparkEntry {
     "text_kn_bigram" -> wrap((s, d) => TextAnalysis.knBigram(s, d)),
     "text_mattr" -> wrap((s, d) => TextAnalysis.mattr(s, d)),
     "text_burstiness" -> wrap((s, d) => TextAnalysis.burstiness(s, d)),
-    "text_readability" -> wrap(TextAnalysis.readability)
+    "text_readability" -> wrap(TextAnalysis.readability),
+    "text_gopher_rules" -> wrap(TextAnalysis.gopherRules),
+    "events_attribution" -> wrap(Events.attribution(_, _)),
+    "knn_graph_pagerank" -> wrap(Similarity.knnGraphPagerank(_, _)),
+    "stream_centroid_assign" -> wrap(graft.streaming.EmbedStreams.centroidAssign)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +190,6 @@ object SparkEntry {
       graft.ops.TextPipeline.oracles ++ graft.ops.AsOf.oracles ++
       graft.ops.Curation.oracles ++ graft.ops.RangeJoin.oracles ++
       graft.streaming.StacStreams.oracles ++
-      graft.streaming.TextStreams.oracles
+      graft.streaming.TextStreams.oracles ++
+      graft.streaming.EmbedStreams.oracles
 }

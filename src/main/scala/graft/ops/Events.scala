@@ -385,6 +385,42 @@ object Events {
       .orderBy($"event_id")
   }
 
+  /** B44 — last-touch marketing attribution: every purchase is
+    * credited to the user's most recent prior touch event (click or
+    * view) within a lookback window; purchases with no in-window touch
+    * credit to 'direct'. The per-channel report (purchase count +
+    * attributed revenue) is the standard conversion-attribution shape.
+    *
+    * Scale shape: NO inequality join (the naive purchase×touch range
+    * join is quadratic per user) — one user_id-keyed shuffle, one
+    * window pass: `last(touch_struct, ignoreNulls)` over rows strictly
+    * before the current row in (ts, event_id) order carries the latest
+    * touch to each purchase, then a channels-sized rollup.
+    */
+  def attribution(spark: SparkSession, dir: String,
+                  lookbackDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val lookbackUs = lookbackDays * 86400L * 1000000L
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "events")
+      .filter($"event_type".isin("click", "view", "purchase"))
+      .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id",
+        $"event_type", $"value")
+      .withColumn("touch", last(
+        when($"event_type".isin("click", "view"),
+          struct($"us".as("tus"), $"event_type".as("channel"))),
+        ignoreNulls = true).over(byUser))
+      .filter($"event_type" === "purchase")
+      .withColumn("channel",
+        when($"touch".isNotNull && $"us" - $"touch.tus" <= lookbackUs,
+          $"touch.channel").otherwise(lit("direct")))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        r2(sum($"value")).as("attributed_revenue"))
+      .orderBy($"channel")
+  }
+
   def latestState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "events")
@@ -541,6 +577,28 @@ object Events {
         |  floor(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type)
         |    * 1000000.0 + 0.5) / 1000000.0 AS p
         |FROM m ORDER BY prev_type, next_type""".stripMargin,
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN us END IGNORE NULLS) OVER w AS tus,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER w AS tchannel
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT CASE WHEN tus IS NOT NULL
+        |      AND us - tus <= 604800000000::BIGINT
+        |    THEN tchannel ELSE 'direct' END AS channel, value
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT channel, count(*) AS n_purchases,
+        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS attributed_revenue
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
     "events_gap_fill" ->
       """WITH e AS (
         |  SELECT event_type, date_trunc('day', ts)::DATE AS day,

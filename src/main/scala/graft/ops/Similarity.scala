@@ -571,6 +571,54 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** D11 — PageRank over the D7 kNN graph (damping 0.85, fixed
+    * iteration count): graph centrality as a data-valuation signal —
+    * high-rank vectors sit in dense, well-connected neighborhoods
+    * (cluster cores), low-rank ones are outliers — the graph-based
+    * complement to H11's importance weights for corpus selection.
+    *
+    * Cross-engine exactness: ranks are SCALED BIGINTs (10^12 = mass
+    * 1.0) and every step is integer arithmetic — `r div od` per edge,
+    * exact BIGINT sums, `(17·s) div 20` damping, teleport
+    * `(3·SCALE) div (20·n)` — so summation order can't perturb a
+    * result bit anywhere and the unrolled-iteration DuckDB oracle
+    * hash-matches exactly (float PageRank would flake on engine
+    * summation order). Dangling mass (sources with no out-edges) leaks
+    * deterministically on both sides.
+    *
+    * Scale shape: the edge list is materialized once (localCheckpoint
+    * — same lineage-bounding the C6 components loop uses) and each
+    * iteration is two vec_id-keyed corpus-linear joins + one
+    * partial-agg sum; rank state is one row per vector. Iterations are
+    * a fixed constant, so the whole thing is O(iters · |E|) shuffle.
+    */
+  def knnGraphPagerank(spark: SparkSession, dir: String, k: Int = 5,
+                       planes: Int = 12, iters: Int = 6): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir)
+    val n = vecs.count()
+    val Scale = 1000000000000L
+    val teleport = 3L * Scale / (20L * n)
+    val edges = knnGraphOn(vecs, k, planes)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint()
+    val nodes = vecs.select($"vec_id")
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    var ranks = nodes.select($"vec_id", lit(Scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val sums = edges
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .join(outdeg, "src")
+        .select($"dst", expr("r div od").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("s"))
+      ranks = nodes.join(sums, nodes("vec_id") === sums("dst"), "left")
+        .select(nodes("vec_id"),
+          (lit(teleport) + expr("(17 * coalesce(s, 0)) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select($"vec_id", $"r".as("pr")).orderBy($"vec_id")
+  }
+
   /** D2c — multi-table LSH: `tables` independent hyperplane sets of
     * `planes` bits each; a candidate collides in ANY table. Collision
     * probability 1−(1−p^planes)^tables keeps recall useful in the
@@ -729,6 +777,70 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** Collected form of [[labelCentroidVectors]] for broadcast/literal
+    * use: labels × 4dp-rounded centroid arrays — an offline index
+    * artifact whose size (≤ labels×dims values) is independent of
+    * corpus size.
+    */
+  private[graft] def collectedCentroids(spark: SparkSession,
+                                        dir: String): Seq[(Int, Seq[Double])] =
+    labelCentroidVectors(spark, dir)
+      .select(col("label"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  /** Nearest-centroid assignment over a frame carrying (vec_id, v):
+    * per-row argmin by (squared L2, label). The distance is an
+    * index-ordered left fold — the same IEEE summation order as the
+    * oracle's list_reduce, so distances are bit-identical — and
+    * array_min over (d, label) structs is the exact tie-broken argmin.
+    * Stateless projection: works identically on a batch frame or a
+    * streaming one (G12 feeds it a readStream).
+    */
+  private[graft] def assignToCentroids(df: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import df.sparkSession.implicits._
+    val scored = array(cents.map { case (lbl, c) =>
+      struct(
+        aggregate(zip_with($"v", typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(lbl).as("label"))
+    }: _*)
+    df.withColumn("best", array_min(scored))
+      .select($"vec_id", $"best.label".as("assigned_label"),
+        (floor($"best.d" * 1000000.0 + 0.5) / 1000000.0).as("dist"))
+  }
+
+  /** G12 oracle: batch SQL form of the nearest-centroid assignment —
+    * the embedding_centroids 4dp centroid CTE reassembled into arrays,
+    * index-ordered list_reduce distances, (dist, label) argmin.
+    */
+  private[graft] def centroidAssignOracle: String =
+    """WITH x AS (
+      |  SELECT label, i, embedding[i]::DOUBLE AS v
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+      |c AS (
+      |  SELECT label, i, floor(avg(v) * 10000.0 + 0.5) / 10000.0 + 0.0 AS cv
+      |  FROM x GROUP BY label, i),
+      |cvec AS (
+      |  SELECT label, array_agg(cv ORDER BY i) AS cva FROM c GROUP BY label),
+      |ve AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |d AS (
+      |  SELECT vec_id, label, list_reduce(
+      |    list_prepend(0.0::DOUBLE,
+      |      [(e[i] - cva[i]) * (e[i] - cva[i]) for i in range(1, 65)]),
+      |    (a, b) -> a + b) AS dist
+      |  FROM ve CROSS JOIN cvec),
+      |r AS (
+      |  SELECT vec_id, label, dist, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY dist, label) AS rn
+      |  FROM d)
+      |SELECT vec_id, label AS assigned_label,
+      |  floor(dist * 1000000.0 + 0.5) / 1000000.0 AS dist
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** DuckDB re-derivation of the random-hyperplane LSH: the plane
     * components come from Hash64.splitmix64, which [[OracleU64]]
     * rebuilds in SQL; dot products use an index-ordered list_reduce so
@@ -873,6 +985,42 @@ object Similarity {
       |WHERE m.r = 1
       |ORDER BY m.vec_id""".stripMargin
 
+  /** D11 oracle: the D7 edge CTE + the power iteration UNROLLED (one
+    * CTE per iteration) in the same scaled-BIGINT integer arithmetic
+    * as [[knnGraphPagerank]] — DuckDB `//` ≡ Spark `div` on the
+    * all-positive ranks, so the match is exact, not approximate.
+    */
+  private def pagerankOracle: String = {
+    val iterCtes = (1 to 6).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT nodes.vec_id, CAST(
+         |    (3000000000000 // (20 * (SELECT n FROM nn)))
+         |    + (17 * coalesce(s.s, 0)) // 20 AS BIGINT) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS vec_id, CAST(sum(p.r // o.od) AS BIGINT) AS s
+         |    FROM edges e
+         |    JOIN $prev p ON p.vec_id = e.src
+         |    JOIN od o ON o.src = e.src
+         |    GROUP BY e.dst) s USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    lshGraphCte +
+      s""",
+         |edges AS (
+         |  SELECT src_id AS src, neighbor_id AS dst FROM scored
+         |  WHERE rnk <= 5),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT vec_id, CAST(1000000000000 // (SELECT n FROM nn)
+         |    AS BIGINT) AS r
+         |  FROM nodes),
+         |""".stripMargin + iterCtes +
+      """
+        |SELECT vec_id, r AS pr FROM r6 ORDER BY vec_id""".stripMargin
+  }
+
   /** Multi-table variant: 8 tables × 8 planes, seed ((t·31+p)·64+j)+1,
     * any-table collision, candidates deduped before scoring — exactly
     * [[knnLshMulti]]'s shape.
@@ -930,6 +1078,7 @@ object Similarity {
     "knn_lsh" -> lshOracleSingle,
     "knn_graph" -> lshGraphOracle,
     "knn_label_check" -> labelCheckOracle,
+    "knn_graph_pagerank" -> pagerankOracle,
     "knn_sq8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |q0 AS (

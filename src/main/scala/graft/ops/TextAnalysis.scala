@@ -77,6 +77,52 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E25 — Gopher/C4-style rule-based quality filter: the hard
+    * keep/drop gate (vs E2's soft score) used by production pretraining
+    * pipelines (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2). Per
+    * document: word count bounds, mean word length band, minimum
+    * distinct-stopword presence, and top-word coverage (the n=1 form
+    * of Gopher's top-n-gram fraction; high coverage = templated/
+    * repetitive text). `keep` is the conjunction.
+    *
+    * All stats are integer counts or a SINGLE integer/integer division
+    * rounded with the floor trick, so both engines produce identical
+    * doubles and the thresholds compare identically. Scale shape: one
+    * explode → (doc_id, word) partial-agg count → doc rollup; both
+    * shuffles corpus-linear, no corpus-sized state.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wc = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val frac6 = (num: Column, den: Column) =>
+      floor(num.cast("double") / den.cast("double") * 1000000.0 + 0.5)
+        .cast("double") / 1000000.0
+    wc.groupBy($"doc_id")
+      .agg(sum($"c").as("n_words"),
+        sum(length($"w") * $"c").as("sum_len"),
+        count(lit(1)).as("n_distinct"),
+        max($"c").as("top_c"),
+        sum(when($"w".isin(Stopwords: _*), 1L).otherwise(0L))
+          .as("n_stop_types"))
+      .withColumn("mean_word_len",
+        floor($"sum_len".cast("double") / $"n_words" * 10000.0 + 0.5)
+          .cast("double") / 10000.0)
+      .withColumn("top_word_frac", frac6($"top_c", $"n_words"))
+      .withColumn("dup_word_frac",
+        frac6($"n_words" - $"n_distinct", $"n_words"))
+      .withColumn("keep",
+        when($"n_words" >= 50 && $"n_words" <= 100000 &&
+          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+          $"n_stop_types" >= 2 && $"top_word_frac" <= 0.1, 1L)
+          .otherwise(0L))
+      .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop_types",
+        $"top_word_frac", $"dup_word_frac", $"keep")
+      .orderBy($"doc_id")
+  }
+
   /** E3 — heuristic language ID: per-language profile hit counts,
     * deterministic argmax (first language in declared order wins ties).
     */
@@ -840,6 +886,36 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      ("""WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM w WHERE w <> ''
+        |  GROUP BY doc_id, w),
+        |stats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(sum(length(w) * c) AS BIGINT) AS sum_len,
+        |    count(*) AS n_distinct, max(c) AS top_c,
+        |    count(*) FILTER (w IN ('""" + Stopwords.mkString("', '") +
+        """')) AS n_stop_types
+        |  FROM wc GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, n_words, n_stop_types,
+        |    floor(sum_len::DOUBLE / n_words * 10000.0 + 0.5) / 10000.0
+        |      AS mean_word_len,
+        |    floor(top_c::DOUBLE / n_words * 1000000.0 + 0.5) / 1000000.0
+        |      AS top_word_frac,
+        |    floor((n_words - n_distinct)::DOUBLE / n_words * 1000000.0
+        |      + 0.5) / 1000000.0 AS dup_word_frac
+        |  FROM stats)
+        |SELECT doc_id, n_words, mean_word_len, n_stop_types,
+        |  top_word_frac, dup_word_frac,
+        |  CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND n_stop_types >= 2 AND top_word_frac <= 0.1
+        |    THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM r ORDER BY doc_id""").stripMargin,
     "text_readability" ->
       """WITH d AS (
         |  SELECT doc_id, text,

@@ -292,4 +292,34 @@ class CurationSpec extends SparkSpecBase {
       assert(r.getInt(2) === expected(r.getLong(0)))
     }
   }
+
+  test("knn pagerank equals an in-memory integer power iteration") {
+    import spark.implicits._
+    val edges = graft.ops.Similarity.knnGraph(spark, sf)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect()
+    val nodes = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id").as[Long].collect().sorted
+    val n = nodes.length.toLong
+    val Scale = 1000000000000L
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val bySrc = edges.groupBy(_._1)
+    var r: Map[Long, Long] = nodes.map(_ -> Scale / n).toMap
+    val teleport = 3L * Scale / (20L * n)
+    for (_ <- 1 to 6) {
+      val in = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      bySrc.foreach { case (s, es) =>
+        val c = r(s) / outdeg(s)
+        es.foreach { case (_, d) => in(d) += c }
+      }
+      r = nodes.map(v => v -> (teleport + 17L * in(v) / 20L)).toMap
+    }
+    val got = graft.ops.Similarity.knnGraphPagerank(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(got.length === n)
+    got.foreach { case (v, pr) => assert(pr === r(v), s"vec $v") }
+    // mass sanity: everything positive, total ≤ 1.0 (dangling leak only)
+    assert(got.forall(_._2 > 0L))
+    assert(got.map(_._2).sum <= Scale)
+  }
 }

@@ -254,4 +254,40 @@ class EventsSpec extends SparkSpecBase {
       assert(math.abs(s - expected(id)) <= 1e-6, s"doc $id: $s vs ${expected(id)}")
     }
   }
+
+  test("last-touch attribution equals an in-memory recompute and conserves purchases") {
+    import spark.implicits._
+    val rows = Tables.load(spark, sf, "events")
+      .filter($"event_type".isin("click", "view", "purchase"))
+      .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id",
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val lookbackUs = 7L * 86400L * 1000000L
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      ordered.zipWithIndex.collect {
+        case ((_, us, _, "purchase", v), i) =>
+          val touch = ordered.take(i).reverse
+            .find(e => e._4 == "click" || e._4 == "view")
+          val ch = touch match {
+            case Some((_, tus, _, t, _)) if us - tus <= lookbackUs => t
+            case _ => "direct"
+          }
+          (ch, v)
+      }
+    }.groupBy(_._1).map { case (ch, vs) =>
+      (ch, vs.size.toLong,
+        math.floor(vs.map(_._2).sum * 100.0 + 0.5) / 100.0)
+    }
+    val got = Events.attribution(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.map(_._2).sum ===
+      rows.count(_._4 == "purchase").toLong) // every purchase attributed
+    assert(got.length === expected.size)
+    got.foreach { case (ch, n, rev) =>
+      val (_, en, erev) = expected.find(_._1 == ch).get
+      assert(n === en, s"channel $ch count")
+      assert(math.abs(rev - erev) <= 0.011, s"channel $ch revenue $rev vs $erev")
+    }
+  }
 }

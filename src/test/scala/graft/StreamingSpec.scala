@@ -106,4 +106,22 @@ class StreamingSpec extends SparkSpecBase {
       .collect().toSeq
     assert(streamed.nonEmpty && streamed === batch)
   }
+
+  test("streaming centroid assignment equals the batch projection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = graft.streaming.EmbedStreams.centroidAssign(spark, sf)
+      .collect().toSeq
+    val cents = graft.ops.Similarity.collectedCentroids(spark, sf)
+    val batchVecs = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"v")
+    val batch = graft.ops.Similarity.assignToCentroids(batchVecs, cents)
+      .orderBy($"vec_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // every vector assigned exactly once, to a real label
+    assert(streamed.map(_.getLong(0)).distinct.length === streamed.length)
+    val labels = cents.map(_._1).toSet
+    assert(streamed.forall(r => labels.contains(r.getInt(1))))
+  }
 }

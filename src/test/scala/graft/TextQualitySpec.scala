@@ -181,4 +181,33 @@ class TextQualitySpec extends SparkSpecBase {
       if (disp > 1.0) assert(cnt > df, s"${r.getString(0)} can't be bursty")
     }
   }
+
+  test("gopher rules equal an in-memory recompute; keep is the rule conjunction") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val stop = Set("the", "a", "of", "and", "to", "in", "is",
+      "on", "for", "with")
+    val expected = docs.map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val wc = ws.groupBy(identity).map { case (w, o) => w -> o.size }
+      val n = ws.length.toLong
+      val mean = math.floor(
+        ws.map(_.length.toLong).sum.toDouble / n * 10000.0 + 0.5) / 10000.0
+      val topF = math.floor(wc.values.max.toDouble / n * 1000000.0 + 0.5) / 1000000.0
+      val dupF = math.floor((n - wc.size).toDouble / n * 1000000.0 + 0.5) / 1000000.0
+      val nStop = wc.keySet.count(stop).toLong
+      val keep = if (n >= 50 && n <= 100000 && mean >= 3.0 && mean <= 10.0 &&
+        nStop >= 2 && topF <= 0.1) 1L else 0L
+      id -> ((n, mean, nStop, topF, dupF, keep))
+    }.toMap
+    val got = TextAnalysis.gopherRules(spark, sf)
+      .as[(Long, Long, Double, Long, Double, Double, Long)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, n, mean, nStop, topF, dupF, keep) =>
+      assert((n, mean, nStop, topF, dupF, keep) === expected(id), s"doc $id")
+    }
+    // thresholds actually discriminate on this corpus
+    assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L))
+  }
 }
