@@ -401,13 +401,9 @@ object Dedup {
     * one Spark job. The driver-side loop only reads a changed-count.
     */
   def clusters(spark: SparkSession, dir: String,
-               threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
+               threshold: Double = 0.8, maxIters: Int = 20,
+               driverCcMaxEdges: Long = 4000000L): DataFrame = {
     import spark.implicits._
-    // localCheckpoint — NOT cache — between iterations: cache keeps the
-    // full logical plan, and with `labels` referenced 3× per iteration
-    // Catalyst's analysis work triples every round (measured: tens of
-    // seconds by iteration 5). Checkpointing truncates the plan, so
-    // every iteration optimizes a constant-depth plan.
     val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh")
       .withColumn("sig", minhash($"sh", 128, seed = 42L))
@@ -415,6 +411,57 @@ object Dedup {
     val pairs = lshVerifiedPairs(docs, threshold, 128, 32)
       .select($"doc_a", $"doc_b").localCheckpoint()
     docs.unpersist()
+    // Adaptive execution, same gate style as Spark's broadcast-join
+    // threshold: the verified near-dup pair set is vastly smaller than
+    // the corpus (it's the DUPLICATES, not the documents). When it fits
+    // comfortably on the driver, an O(E·α) union-find replaces O(log d)
+    // full shuffle rounds (~12 jobs of fixed overhead); above the gate,
+    // the distributed min-label + pointer-jump loop below handles any
+    // edge volume. Both produce the identical min-doc_id-per-component
+    // labeling.
+    val labels: DataFrame =
+      if (pairs.count() <= driverCcMaxEdges) {
+        val es = pairs.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // min root wins every union ⇒ a root IS its component minimum
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        spark.createDataFrame(
+          parent.keys.toSeq.sorted.map(d => (d, find(d))))
+          .toDF("doc_id", "label")
+      } else distributedComponents(pairs, maxIters)
+
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** Distributed min-label propagation with pointer jumping over a
+    * symmetric-closed edge list — the above-the-gate path of
+    * [[clusters]]. localCheckpoint — NOT cache — between iterations:
+    * cache keeps the full logical plan, and with `labels` referenced
+    * 3× per iteration Catalyst's analysis work triples every round
+    * (measured: tens of seconds by iteration 5). Checkpointing
+    * truncates the plan, so every iteration optimizes a constant-depth
+    * plan. Plain propagation needs O(diameter) rounds; the jump halves
+    * the remaining diameter every round → O(log d) rounds.
+    */
+  private def distributedComponents(pairs: DataFrame,
+                                    maxIters: Int): DataFrame = {
+    import pairs.sparkSession.implicits._
     val edges = pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .localCheckpoint()
@@ -450,12 +497,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-
-    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
     labels
-      .join(sizes, "label")
-      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
-      .orderBy($"doc_id")
   }
 
   /** C10 — cluster-representative selection, the step that turns C6's

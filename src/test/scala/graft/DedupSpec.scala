@@ -374,6 +374,14 @@ class DedupSpec extends SparkSpecBase {
       "expected a transitive chain in the planted dups")
   }
 
+  test("driver union-find and distributed propagation produce identical clusters") {
+    val fast = Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val dist = Dedup.clusters(spark, sf, driverCcMaxEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(fast.nonEmpty && fast === dist)
+  }
+
   test("langid predicts mostly en on english-stopword corpus") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     val en = rows.count(_.getString(6) == "en")
