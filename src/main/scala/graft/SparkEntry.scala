@@ -177,7 +177,10 @@ object SparkEntry {
     "text_gopher_rules" -> wrap(TextAnalysis.gopherRules),
     "events_attribution" -> wrap(Events.attribution(_, _)),
     "knn_graph_pagerank" -> wrap(Similarity.knnGraphPagerank(_, _)),
-    "stream_centroid_assign" -> wrap(graft.streaming.EmbedStreams.centroidAssign)
+    "stream_centroid_assign" -> wrap(graft.streaming.EmbedStreams.centroidAssign),
+    "ann_recall_report" -> wrap((s, d) => Similarity.annRecallReport(s, d)),
+    "stream_gopher_filter" -> wrap(graft.streaming.TextStreams.gopherFilter),
+    "order_value_deciles" -> wrap(Analytics.orderValueDeciles)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

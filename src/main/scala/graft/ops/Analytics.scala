@@ -272,6 +272,38 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** B45 — equi-depth decile profile of order values WITHOUT a global
+    * sort: `ntile(10)` is the textbook spelling but plans as a
+    * single-partition window (every row through one task — dead at
+    * scale). Instead: one exact-percentile aggregate yields the 9
+    * boundaries (tiny driver artifact, same pattern as the ANN
+    * codebooks), then bucketing is a scan-side projection and the
+    * profile a 10-group rollup — fully distributed, two corpus passes.
+    * Boundaries are 4dp floor-rounded on BOTH engines before the
+    * compare so bucket edges are identical doubles.
+    */
+  def orderValueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val qs = (1 to 9).map(_ / 10.0)
+    val bounds = orders
+      .agg(expr(s"percentile(o_totalprice, array(${qs.mkString(",")}))")
+        .as("bs"))
+      .collect()(0).getSeq[Double](0)
+      .map(b => math.floor(b * 10000.0 + 0.5) / 10000.0)
+    val decile = bounds.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when($"o_totalprice" > b, 1L).otherwise(0L)
+    }
+    orders
+      .withColumn("decile", decile)
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_orders"),
+        r2(sum($"o_totalprice")).as("sum_value"),
+        r2(min($"o_totalprice")).as("min_value"),
+        r2(max($"o_totalprice")).as("max_value"))
+      .orderBy($"decile")
+  }
+
   /** B29 — TPC-H Q4 shape: EXISTS with a correlated date-arithmetic
     * predicate (lines shipped >60 days after the order date). Planned
     * as a `left_semi` join carrying the non-equi condition — the left
@@ -816,6 +848,25 @@ object Analytics {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) t
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "order_value_deciles" -> {
+      val bs = (1 to 9).map(i =>
+        s"floor(quantile_cont(o_totalprice, 0.${i}) * 10000.0 + 0.5)" +
+          s" / 10000.0 AS b$i").mkString(",\n    ")
+      val cmp = (1 to 9).map(i =>
+        s"(o_totalprice > b.b$i)::INT").mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT
+         |    $bs
+         |  FROM orders),
+         |d AS (
+         |  SELECT o_totalprice, 1 + $cmp AS decile
+         |  FROM orders CROSS JOIN b)
+         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+         |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_value,
+         |  floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS min_value,
+         |  floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_value
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+    },
     "q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_late_orders
         |FROM orders o

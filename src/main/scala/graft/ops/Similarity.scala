@@ -619,6 +619,42 @@ object Similarity {
     ranks.select($"vec_id", $"r".as("pr")).orderBy($"vec_id")
   }
 
+  /** D12 — ANN recall evaluation harness: recall@k of each approximate
+    * method (single-table LSH, multi-table LSH, SQ8 two-stage) against
+    * the D1 exact baseline, the accept/reject report every index
+    * configuration change needs before rollout. Counts are integers
+    * and recall is one division, so the report is exact cross-engine.
+    *
+    * Scale shape: each method's query path runs as built (bucketed /
+    * two-stage — never n²); the hit join is keyed on (query_id,
+    * neighbor_id) over ≤ methods×queries×k rows and the rollup is
+    * methods-sized.
+    */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = knnBruteForce(spark, dir)
+      .select($"query_id", $"neighbor_id")
+    val cand = Seq(
+      "lsh" -> knnLsh(spark, dir),
+      "lsh_multi" -> knnLshMulti(spark, dir),
+      "sq8" -> knnSq8(spark, dir))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), $"query_id", $"neighbor_id")
+      }.reduce(_ unionByName _)
+    val methods = Seq("lsh", "lsh_multi", "sq8").toDF("method")
+    val hits = cand.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy($"method").agg(count(lit(1)).as("n_hits"))
+    val tot = exact.agg(count(lit(1)).as("n_total"))
+    methods.join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"method",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        $"n_total",
+        (floor(coalesce($"n_hits", lit(0L)).cast("double") / $"n_total"
+          * 1000000.0 + 0.5) / 1000000.0).as("recall"))
+      .orderBy($"method")
+  }
+
   /** D2c — multi-table LSH: `tables` independent hyperplane sets of
     * `planes` bits each; a candidate collides in ANY table. Collision
     * probability 1−(1−p^planes)^tables keeps recall useful in the
@@ -1074,7 +1110,7 @@ object Similarity {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "knn_lsh" -> lshOracleSingle,
     "knn_graph" -> lshGraphOracle,
     "knn_label_check" -> labelCheckOracle,
@@ -1163,4 +1199,34 @@ object Similarity {
         |SELECT query_id, rnk, neighbor_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |FROM scored WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin)
+
+  /** D12 oracle: each method's existing exact oracle as a WITH-bearing
+    * subquery, hit-joined against the brute-force subquery — integer
+    * counts + one division, so the report is exact.
+    */
+  private def recallReportOracle: String = {
+    def sub(name: String) =
+      s"(SELECT query_id, neighbor_id FROM (${oraclesBase(name)}) t)"
+    s"""WITH exact AS (SELECT * FROM ${sub("knn_brute_force")}),
+       |cand AS (
+       |  SELECT 'lsh' AS method, * FROM ${sub("knn_lsh")}
+       |  UNION ALL SELECT 'lsh_multi' AS method, *
+       |    FROM ${sub("knn_lsh_multi")}
+       |  UNION ALL SELECT 'sq8' AS method, * FROM ${sub("knn_sq8")}),
+       |tot AS (SELECT count(*) AS n_total FROM exact),
+       |hits AS (
+       |  SELECT method, count(*) AS n_hits
+       |  FROM cand JOIN exact USING (query_id, neighbor_id)
+       |  GROUP BY method)
+       |SELECT m.method, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  t.n_total,
+       |  floor(coalesce(h.n_hits, 0)::DOUBLE / t.n_total * 1000000.0
+       |    + 0.5) / 1000000.0 AS recall
+       |FROM (VALUES ('lsh'), ('lsh_multi'), ('sq8')) m(method)
+       |LEFT JOIN hits h USING (method) CROSS JOIN tot t
+       |ORDER BY method""".stripMargin
+  }
+
+  val oracles: Map[String, String] =
+    oraclesBase + ("ann_recall_report" -> recallReportOracle)
 }

@@ -77,7 +77,7 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** E25 — Gopher/C4-style rule-based quality filter: the hard
+  /** E28 — Gopher/C4-style rule-based quality filter: the hard
     * keep/drop gate (vs E2's soft score) used by production pretraining
     * pipelines (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2). Per
     * document: word count bounds, mean word length band, minimum
@@ -121,6 +121,44 @@ object TextAnalysis {
       .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop_types",
         $"top_word_frac", $"dup_word_frac", $"keep")
       .orderBy($"doc_id")
+  }
+
+  /** Per-row form of [[gopherRules]] (identical output values): every
+    * stat folds over the token array inside one projection — no
+    * explode, no aggregation — so it runs STATELESS on a document
+    * stream (G14) where the explode→groupBy form would need chained
+    * streaming aggregations. top_c is O(distinct·n) per document —
+    * bounded by document length, independent of corpus size.
+    */
+  def gopherRulesOn(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val stopLit = typedLit(Stopwords)
+    val frac6 = (num: Column, den: Column) =>
+      floor(num.cast("double") / den.cast("double") * 1000000.0 + 0.5)
+        .cast("double") / 1000000.0
+    df.withColumn("toks", filter(split($"text", " "), _ =!= ""))
+      .filter(size($"toks") > 0)
+      .withColumn("n_words", size($"toks").cast("long"))
+      .withColumn("dtoks", array_distinct($"toks"))
+      .withColumn("sum_len",
+        aggregate($"toks", lit(0L), (s, w) => s + length(w)))
+      .withColumn("top_c", array_max(transform($"dtoks",
+        w => size(filter($"toks", t => t === w)).cast("long"))))
+      .withColumn("n_stop_types",
+        size(array_intersect($"dtoks", stopLit)).cast("long"))
+      .withColumn("mean_word_len",
+        floor($"sum_len".cast("double") / $"n_words" * 10000.0 + 0.5)
+          .cast("double") / 10000.0)
+      .withColumn("top_word_frac", frac6($"top_c", $"n_words"))
+      .withColumn("dup_word_frac",
+        frac6($"n_words" - size($"dtoks"), $"n_words"))
+      .withColumn("keep",
+        when($"n_words" >= 50 && $"n_words" <= 100000 &&
+          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+          $"n_stop_types" >= 2 && $"top_word_frac" <= 0.1, 1L)
+          .otherwise(0L))
+      .select($"doc_id", $"n_words", $"mean_word_len", $"n_stop_types",
+        $"top_word_frac", $"dup_word_frac", $"keep")
   }
 
   /** E3 — heuristic language ID: per-language profile hit counts,

@@ -16,7 +16,7 @@ object EmbedStreams {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  /** G12 — streaming nearest-centroid assignment: the per-label
+  /** G13 — streaming nearest-centroid assignment: the per-label
     * centroid table (D4's offline artifact, ≤ labels×dims values)
     * folded into a stateless streaming projection over the embedding
     * stream — the "train offline, assign online" split an ingest-time

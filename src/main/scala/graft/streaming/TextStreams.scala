@@ -70,7 +70,28 @@ object TextStreams {
       .orderBy($"doc_id")
   }
 
+  /** G14 — streaming Gopher-rule gate: E28's hard quality filter as a
+    * STATELESS stream projection (the per-row fold variant — the
+    * explode→groupBy batch plan would need chained streaming
+    * aggregations, which the engine rejects). This is the ingest-time
+    * placement production pipelines actually use: score and gate each
+    * document as it arrives, no state, unbounded throughput. The batch
+    * E28 SQL is the oracle, so streamed ≡ batch exactly.
+    */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    EventStreams.runToCompletion(
+      TextAnalysis.gopherRulesOn(docs), "graft_stream_gopher",
+      mode = "append")
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_gopher_filter" -> TextAnalysis.oracles("text_gopher_rules"),
     "stream_importance" -> graft.ops.Curation.oracles("importance_weights"),
     "stream_cms_counters" -> (TextAnalysis.cmsBkCte +
       """SELECT CAST(r AS BIGINT) AS r, bucket, c FROM counters

@@ -91,4 +91,22 @@ class AnalyticsSpec extends SparkSpecBase {
   test("every queries key with an oracle is present") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("order value deciles: full partition, approximately equi-depth, ordered edges") {
+    import spark.implicits._
+    val d = graft.ops.Analytics.orderValueDeciles(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(d.map(_._1).toSeq === (1L to 10L))
+    val total = graft.Tables.load(spark, sf, "orders").count()
+    assert(d.map(_._2).sum === total)
+    val ideal = total / 10.0
+    d.foreach { case (i, n, _, mn, mx) =>
+      assert(n >= ideal * 0.5 && n <= ideal * 1.5, s"decile $i depth $n")
+      assert(mn <= mx)
+    }
+    // decile ranges don't overlap: each max <= next min
+    d.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._4, s"deciles ${a._1}/${b._1} overlap")
+    }
+  }
 }

@@ -374,6 +374,23 @@ class DedupSpec extends SparkSpecBase {
       "expected a transitive chain in the planted dups")
   }
 
+  test("ann recall report: exact counts, sq8 dominates, totals = queries x k") {
+    import spark.implicits._
+    val rep = Similarity.annRecallReport(spark, sf)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rep.map(_._1).toSeq === Seq("lsh", "lsh_multi", "sq8"))
+    rep.foreach { case (m, hits, total, recall) =>
+      assert(total === 50L, s"$m total")
+      assert(hits >= 0L && hits <= total)
+      assert(math.abs(recall - math.floor(
+        hits.toDouble / total * 1000000.0 + 0.5) / 1000000.0) === 0.0)
+    }
+    val byM = rep.map(r => r._1 -> r._4).toMap
+    // multi-table LSH can only add candidate tables vs one table of
+    // more planes; rescored sq8 tracks exact search on this corpus
+    assert(byM("sq8") >= byM("lsh_multi"))
+  }
+
   test("driver union-find and distributed propagation produce identical clusters") {
     val fast = Dedup.clusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted

@@ -107,6 +107,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming gopher gate equals the batch explode-form operator") {
+    val streamed = graft.streaming.TextStreams.gopherFilter(spark, sf)
+      .collect().toSeq
+    val batch = graft.ops.TextAnalysis.gopherRules(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming centroid assignment equals the batch projection") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
