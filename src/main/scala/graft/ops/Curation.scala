@@ -138,6 +138,29 @@ object Curation {
     * (lang, token-count) aggregate; everything after runs on the
     * languages-sized frame (global window over a handful of rows).
     */
+  /** H14 — dedup-adjusted temperature mix (C12 × H10): the α-schedule
+    * recomputed on the per-language KEPT counts after C10's cluster-
+    * keeper dedup — the weights a run should actually sample with
+    * (pre-dedup counts overweight the very languages dedup shrinks
+    * most). Inherits C10/C12's corpus-linear cluster pass; the mix
+    * math runs on the languages-sized frame.
+    */
+  def dedupTemperatureMix(spark: SparkSession, dir: String,
+                          alpha: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val all = Window.partitionBy()
+    Dedup.dedupLangRetention(spark, dir)
+      .select($"lang", $"n_kept")
+      .withColumn("w", pow($"n_kept", alpha))
+      .withColumn("p_sample",
+        floor($"w" / sum($"w").over(all) * 1000000.0 + 0.5) / 1000000.0)
+      .withColumn("up_factor",
+        floor($"w" / sum($"w").over(all) * sum($"n_kept").over(all)
+          / $"n_kept" * 1000000.0 + 0.5) / 1000000.0)
+      .select($"lang", $"n_kept", $"p_sample", $"up_factor")
+      .orderBy($"lang")
+  }
+
   def langEpochPlan(spark: SparkSession, dir: String,
                     alpha: Double = 0.3, cap: Double = 4.0): DataFrame = {
     import spark.implicits._
@@ -560,6 +583,18 @@ object Curation {
         |  floor(e * n_tokens)::BIGINT AS eff_tokens,
         |  floor((raw - e) * n_tokens)::BIGINT AS freed_tokens
         |FROM p ORDER BY lang""".stripMargin,
+    "dedup_temperature_mix" -> {
+      s"""WITH k AS (
+         |  SELECT lang, n_kept
+         |  FROM (${Dedup.oracles("dedup_lang_retention")}) t),
+         |z AS (SELECT sum(pow(n_kept, 0.3)) AS z, sum(n_kept) AS n FROM k)
+         |SELECT lang, n_kept,
+         |  floor(pow(n_kept, 0.3) / z * 1000000.0 + 0.5) / 1000000.0
+         |    AS p_sample,
+         |  floor(pow(n_kept, 0.3) / z * n / n_kept * 1000000.0 + 0.5)
+         |    / 1000000.0 AS up_factor
+         |FROM k, z ORDER BY lang""".stripMargin
+    },
     "lang_temperature_mix" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

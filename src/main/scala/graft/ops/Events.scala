@@ -385,7 +385,7 @@ object Events {
       .orderBy($"event_id")
   }
 
-  /** B44 — last-touch marketing attribution: every purchase is
+  /** B46 — last-touch marketing attribution: every purchase is
     * credited to the user's most recent prior touch event (click or
     * view) within a lookback window; purchases with no in-window touch
     * credit to 'direct'. The per-channel report (purchase count +

@@ -158,7 +158,52 @@ object Multimodal {
       .orderBy($"media_type", $"shard_id")
   }
 
+  /** F5 — two-stage binary media dedup, signature → verify: candidate
+    * duplicate groups blocked on a CHEAP per-payload signature (a real
+    * pipeline uses a perceptual hash of the decoded content; the
+    * decode being stubbed like F1–F4, the signature is the md5 of the
+    * leading `chunkBytes` — near-dup payloads share it, byte-exact
+    * full-hash grouping finds nothing on this corpus), then the
+    * verify stat: distinct FULL payload hashes per group (1 = exact
+    * copies, >1 = near-dups needing content-level compare). Keeper =
+    * min doc_id; only actual collision groups are emitted — the
+    * removal worklist.
+    *
+    * Scale shape: both hashes are scan-side projections on the binary
+    * column; one partial-aggregable (media_type, signature) groupBy —
+    * corpus-linear, payloads never shuffle (only 16-byte hashes do).
+    */
+  def mediaDedup(spark: SparkSession, dir: String,
+                 chunkBytes: Int = 128): DataFrame = {
+    import spark.implicits._
+    withMedia(spark, dir)
+      .withColumn("sig", md5(substring($"payload", 1, chunkBytes)))
+      .withColumn("full_hash", md5($"payload"))
+      .groupBy($"media_type", $"sig")
+      .agg(count(lit(1)).as("n_copies"),
+        min($"doc_id").as("keeper_id"),
+        countDistinct($"full_hash").as("n_distinct_payloads"))
+      .filter($"n_copies" > 1)
+      .orderBy($"media_type", $"sig")
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |      ELSE 'video/mp4' END AS media_type,
+        |    md5(substring(text, 1, 128)) AS sig,
+        |    md5(text) AS full_hash
+        |  FROM documents),
+        |g AS (
+        |  SELECT media_type, sig, count(*) AS n_copies,
+        |    min(doc_id) AS keeper_id,
+        |    count(DISTINCT full_hash) AS n_distinct_payloads
+        |  FROM m GROUP BY media_type, sig)
+        |SELECT media_type, sig, n_copies, keeper_id, n_distinct_payloads
+        |FROM g WHERE n_copies > 1
+        |ORDER BY media_type, sig""".stripMargin,
     "multimodal_shards" ->
       """WITH m AS (
         |  SELECT doc_id,

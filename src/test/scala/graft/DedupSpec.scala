@@ -430,4 +430,53 @@ class DedupSpec extends SparkSpecBase {
     assert(feats.map(f => (f.doc_id, f.feature_norm)).toMap ===
       again.map(f => (f.doc_id, f.feature_norm)).toMap)
   }
+
+  test("media chunk-signature dedup equals an in-memory recompute, groups are real collisions") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val mtype = Map(0L -> "image/png", 1L -> "audio/wav", 2L -> "video/mp4")
+    val expected = docs
+      .map { case (id, t) =>
+        (mtype(id % 3), md5hex(t.take(128)), id, md5hex(t))
+      }
+      .groupBy(r => (r._1, r._2))
+      .collect { case ((m, sig), rows) if rows.length > 1 =>
+        (m, sig, rows.length.toLong, rows.map(_._3).min,
+          rows.map(_._4).distinct.length.toLong)
+      }.toSeq.sorted
+    val got = Multimodal.mediaDedup(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq.sorted
+    assert(got.nonEmpty && got === expected)
+    // the signature catches near-dups the full hash misses on this
+    // corpus: at least one group is not byte-identical
+    assert(got.exists(_._5 > 1L))
+  }
+
+  test("dedup-adjusted temperature mix recomputed from kept counts") {
+    import spark.implicits._
+    val kept = Dedup.dedupLangRetention(spark, sf)
+      .select($"lang", $"n_kept").as[(String, Long)].collect().toMap
+    val z = kept.values.map(n => math.pow(n.toDouble, 0.3)).sum
+    val tot = kept.values.sum.toDouble
+    val got = graft.ops.Curation.dedupTemperatureMix(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq === kept.keys.toSeq.sorted)
+    got.foreach { case (lang, n, p, up) =>
+      assert(n === kept(lang))
+      val w = math.pow(n.toDouble, 0.3)
+      assert(math.abs(p - w / z) <= 1e-5, s"$lang p_sample")
+      assert(math.abs(up - w / z * tot / n) <= 1e-5, s"$lang up_factor")
+    }
+    // temperature flattens: sampled share of the largest language is
+    // below its natural share, smallest above
+    val maxL = kept.maxBy(_._2)._1
+    val minL = kept.minBy(_._2)._1
+    val byLang = got.map(r => r._1 -> r._3).toMap
+    assert(byLang(maxL) < kept(maxL) / tot)
+    assert(byLang(minL) > kept(minL) / tot)
+  }
 }
