@@ -283,6 +283,121 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** C15 — dedup threshold sweep (the tuning report a dedup rollout
+    * runs first): for each candidate Jaccard threshold, how many
+    * near-dup pairs exist, how many documents sit in at least one
+    * pair, and how many would be dropped under the pairwise greedy
+    * keep-min-id rule? Too low a threshold eats genuine variety; too
+    * high leaves near-copies in — this emits the curve.
+    *
+    * ONE prefix-filtered pair pass at the LOWEST threshold does all
+    * the corpus work (the C4 AllPairs/PPJoin rule is lossless, and
+    * the candidate set at t_min contains the candidates of every
+    * higher threshold); each threshold then re-filters the tiny
+    * verified pair set with exact integer compares
+    * (|A∩B|·10⁴ ≥ t·10⁴·|A∪B|), so no float rounding can move a
+    * borderline pair between rows and the corpus is never re-scanned
+    * per threshold. n_docs_removed counts docs with a smaller-id
+    * partner (pairwise rule; the transitive-closure variant is C6).
+    * doc_id < 2500 bounds the baseline exactly like C4.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sweeps = Seq((0.7, 7000), (0.8, 8000), (0.9, 9000))
+    val tNum = sweeps.map(_._2).min
+    val docs = withShingles(
+      Tables.load(spark, dir, "documents").filter($"doc_id" < 2500))
+      .select($"doc_id", $"sh", size($"sh").as("sz"))
+    val freq = docs.select(explode($"sh").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("f"))
+    val prefixes = docs
+      .select($"doc_id", $"sz", explode($"sh").as("g"))
+      .join(freq, "g")
+      .groupBy($"doc_id", $"sz")
+      .agg(array_sort(collect_list(struct($"f", $"g"))).as("ord"))
+      .withColumn("p",
+        ($"sz" - floor(($"sz" * tNum + 9999L) / 10000L) + 1).cast("int"))
+      .select($"doc_id",
+        explode(array_distinct(transform(slice($"ord", lit(1), $"p"),
+          s => s.getField("g")))).as("g"))
+    val cand = prefixes.select($"g".as("ga"), $"doc_id".as("doc_a"))
+      .join(prefixes.select($"g".as("gb"), $"doc_id".as("doc_b")),
+        $"ga" === $"gb" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").dropDuplicates("doc_a", "doc_b")
+    val pairs = cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"),
+        $"sz".as("sz_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
+        $"sz".as("sz_b")), "doc_b")
+      .filter(least($"sz_a", $"sz_b") * 10000 >=
+        greatest($"sz_a", $"sz_b") * tNum)
+      .withColumn("i",
+        graft.functions.intersect_size($"sh_a", $"sh_b").cast("long"))
+      .withColumn("u", $"sz_a" + $"sz_b" - $"i")
+      .filter($"i" * 10000 >= $"u" * tNum)
+      .select($"doc_a", $"doc_b", $"i", $"u")
+    val th = sweeps.toDF("threshold", "tn")
+    val f = pairs.crossJoin(broadcast(th))
+      .filter($"i" * 10000 >= $"tn" * $"u")
+    val byPair = f.groupBy($"threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_b").as("n_docs_removed"))
+    val affected = f
+      .select($"threshold", explode(array($"doc_a", $"doc_b")).as("d"))
+      .groupBy($"threshold")
+      .agg(countDistinct($"d").as("n_docs_affected"))
+    byPair.join(affected, "threshold")
+      .select($"threshold", $"n_pairs", $"n_docs_affected",
+        $"n_docs_removed")
+      .orderBy($"threshold")
+  }
+
+  /** H15 — near-duplicate benchmark decontamination (C2 × H4): corpus
+    * documents that are near-copies (Jaccard ≥ t) of a held-out
+    * benchmark document — the leak H4's exact 8-gram check misses
+    * when the contaminated copy was lightly edited. This is the form
+    * decontamination actually ships (MinHash against the eval suites),
+    * because verbatim-overlap checks are trivially defeated by
+    * whitespace or synonym edits.
+    *
+    * Scale shape: the benchmark side is tiny by construction, so its
+    * banded signatures and shingle sets BROADCAST; the corpus streams
+    * through a map-side band-bucket probe (no corpus shuffle on the
+    * bucket key), and only surviving candidates — roughly the true
+    * contamination count — reach the exact-Jaccard verify join.
+    * Same recall argument as C2: P(miss | s≥0.8) ≈ 5·10⁻⁸.
+    */
+  def contaminationNearDup(spark: SparkSession, dir: String,
+                           benchBelow: Long = 50L,
+                           threshold: Double = 0.8,
+                           numHashes: Int = 128,
+                           bands: Int = 32): DataFrame = {
+    import spark.implicits._
+    val rows = numHashes / bands
+    val docs = withShingles(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"sh")
+      .withColumn("sig", minhash($"sh", numHashes, seed = 42L))
+    val banded = docs
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => slice($"sig", b * rows + 1, lit(rows))))
+        .as(Seq("band", "band_sig")))
+    val bench = banded.filter($"doc_id" < benchBelow)
+      .select($"band", $"band_sig", $"doc_id".as("bench_id"))
+    val cand = banded.filter($"doc_id" >= benchBelow)
+      .join(broadcast(bench), Seq("band", "band_sig"))
+      .select($"doc_id", $"bench_id").dropDuplicates("doc_id", "bench_id")
+    cand
+      .join(docs.select($"doc_id", $"sh"), "doc_id")
+      .join(broadcast(docs.filter($"doc_id" < benchBelow)
+        .select($"doc_id".as("bench_id"), $"sh".as("sh_b"))), "bench_id")
+      .withColumn("j", jaccard($"sh", $"sh_b"))
+      .filter($"j" >= threshold)
+      .select($"doc_id", $"bench_id",
+        (floor($"j" * 10000.0 + 0.5) / 10000.0).as("jaccard"))
+      .orderBy($"doc_id", $"bench_id")
+  }
+
   /** C2 — MinHash(128) + LSH(32 bands × 4 rows) near-dup pairs with
     * exact-Jaccard verification at 0.8.
     *
@@ -792,6 +907,34 @@ object Dedup {
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 10000 >= len(a.s) * 9000
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_threshold_sweep" -> (shingleCte.replace("FROM documents",
+      "FROM documents WHERE doc_id < 2500") +
+      """, p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |    len(list_intersect(a.s, b.s)) AS i,
+        |    len(list_distinct(a.s || b.s)) AS u
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |t AS (SELECT * FROM (VALUES (0.7, 7000), (0.8, 8000),
+        |  (0.9, 9000)) v(threshold, tn)),
+        |f AS (SELECT threshold, da, db FROM p, t
+        |  WHERE i * 10000 >= tn * u),
+        |a1 AS (SELECT threshold, count(*) AS n_pairs,
+        |  count(DISTINCT db) AS n_docs_removed FROM f GROUP BY threshold),
+        |a2 AS (SELECT threshold, count(DISTINCT d) AS n_docs_affected
+        |  FROM (SELECT threshold, unnest([da, db]) AS d FROM f)
+        |  GROUP BY threshold)
+        |SELECT CAST(threshold AS DOUBLE) AS threshold, n_pairs,
+        |  n_docs_affected, n_docs_removed
+        |FROM a1 JOIN a2 USING (threshold) ORDER BY threshold""".stripMargin),
+    "contamination_neardup" -> (shingleCte +
+      """SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+        |  floor(len(list_intersect(b.s, c.s))::DOUBLE
+        |    / len(list_distinct(b.s || c.s)) * 10000.0 + 0.5)
+        |    / 10000.0 AS jaccard
+        |FROM sh b JOIN sh c ON b.doc_id < 50 AND c.doc_id >= 50
+        |WHERE len(list_intersect(b.s, c.s))::DOUBLE
+        |    / len(list_distinct(b.s || c.s)) >= 0.8
+        |ORDER BY doc_id, bench_id""".stripMargin),
     "dedup_ngram_jaccard" -> (shingleCte.replace("FROM documents",
       "FROM documents WHERE doc_id < 2500") +
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -533,6 +533,34 @@ object Similarity {
       .orderBy($"vec_id", $"rnk")
   }
 
+  /** D13 — coverage-stratified diversity sample: ONE representative
+    * per LSH sign-bucket — the cheap, fully distributed stand-in for
+    * k-center / facility-location selection when a corpus must be
+    * downsampled WITHOUT collapsing its coverage of embedding space
+    * (each Hamming region of the hyperplane partition keeps exactly
+    * one exemplar; dense near-dup regions are collapsed hardest,
+    * sparse regions survive untouched — the opposite bias of uniform
+    * sampling). Representative = min vec_id (deterministic, retry-
+    * safe); the quality-ranked variant composes with C10's keeper
+    * rule. Greedy/sequential selectors (MMR, k-center) cannot
+    * distribute; the bucket partition is the scalable approximation.
+    *
+    * Scale shape: one scan-side bucket projection (the D2b/D7
+    * machinery) + one partial-aggregable groupBy — map-side combine
+    * reduces each partition to ≤ one row per bucket before the only
+    * shuffle, and the output is buckets-sized (≤ 2^planes) at any
+    * corpus size. Buckets re-derive bit-exactly in DuckDB → full
+    * oracle.
+    */
+  def diversitySample(spark: SparkSession, dir: String,
+                      planes: Int = 12): DataFrame = {
+    import spark.implicits._
+    lshBucketsOn(loadVecs(spark, dir), planes)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_members"), min($"vec_id").as("rep_vec_id"))
+      .orderBy($"bucket")
+  }
+
   /** D9 — kNN label-consistency check (mislabel detection): each
     * vector's label is compared against the majority label of its D7
     * graph neighbors — the standard embedding-space QA pass for
@@ -1112,6 +1140,10 @@ object Similarity {
 
   private val oraclesBase: Map[String, String] = Map(
     "knn_lsh" -> lshOracleSingle,
+    "diversity_sample" -> (lshGraphCte +
+      """
+        |SELECT bucket, count(*) AS n_members, min(vec_id) AS rep_vec_id
+        |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin),
     "knn_graph" -> lshGraphOracle,
     "knn_label_check" -> labelCheckOracle,
     "knn_graph_pagerank" -> pagerankOracle,

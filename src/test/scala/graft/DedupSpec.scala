@@ -479,4 +479,59 @@ class DedupSpec extends SparkSpecBase {
     assert(byLang(maxL) < kept(maxL) / tot)
     assert(byLang(minL) > kept(minL) / tot)
   }
+
+  test("threshold sweep: monotone counts, 0.8 row equals the C4 pair pass") {
+    import spark.implicits._
+    val rows = Dedup.thresholdSweep(spark, sf)
+      .as[(Double, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0.7, 0.8, 0.9))
+    // raising the threshold can only shrink every count
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3 && hi._4 <= lo._4)
+    case _ => }
+    // internal consistency: removed <= affected <= 2 * pairs
+    rows.foreach { case (_, p, aff, rem) =>
+      assert(rem <= aff && aff <= 2 * p && (p == 0 || rem >= 1))
+    }
+    // the 0.8 row is exactly the standalone C4 operator's pair count
+    val c4 = Dedup.ngramJaccard(spark, sf, threshold = 0.8).count()
+    assert(rows.find(_._1 == 0.8).get._2 === c4)
+  }
+
+  test("near-dup contamination equals brute force against the benchmark slice") {
+    import spark.implicits._
+    val got = Dedup.contaminationNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = Tables.load(spark, sf, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) =>
+        id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+    val (bench, corpus) = sh.partition(_._1 < 50L)
+    val expected = (for {
+      (b, sb) <- bench; (c, sc) <- corpus
+      inter = (sb & sc).size.toDouble
+      j = inter / (sb.size + sc.size - inter) if j >= 0.8
+    } yield (c, b, math.floor(j * 10000.0 + 0.5) / 10000.0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty) // the check is not vacuous on this corpus
+    got.foreach { case (c, b, j) =>
+      assert(c >= 50L && b < 50L && j >= 0.8)
+    }
+  }
+
+  test("diversity sample: buckets partition the corpus, rep is the min member") {
+    import spark.implicits._
+    val rows = graft.ops.Similarity.diversitySample(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum === n) // every vector in exactly one bucket
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // representatives are distinct vectors, one per bucket
+    assert(rows.map(_._3).distinct.length === rows.length)
+    // dense regions collapse: at least one bucket holds >1 member
+    assert(rows.exists(_._2 > 1L))
+  }
 }
