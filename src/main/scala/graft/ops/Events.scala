@@ -132,6 +132,38 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** B49 — rolling active users: DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio per day — the engagement triple on
+    * every product dashboard. A sliding-window COUNT DISTINCT does
+    * not decompose (distinct is not mergeable across overlapping
+    * windows), and the naive per-day self-join over a 7-day range
+    * re-scans history per day. Instead: CONTRIBUTION EXPLODE — the
+    * corpus first collapses to distinct (user, day) (corpus-linear,
+    * partial-agg), each active day then contributes its user to the
+    * 7 window days it can serve (a ×7 explode of the users×days
+    * frame, calendar-bounded — never corpus-scale), and a second
+    * distinct + count per window day yields the EXACT rolling
+    * distinct with no range join. Stickiness floor-rounds at 6dp on
+    * both engines.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val active = Tables.load(spark, dir, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+      .select($"user_id", $"day").distinct()
+    val dau = active.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = active
+      .select($"user_id", explode(sequence(lit(0), lit(6))).as("o"), $"day")
+      .select($"user_id", date_add($"day", $"o").as("day"))
+      .distinct()
+      .groupBy($"day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select($"day", $"dau", $"wau",
+        (floor($"dau".cast("double") / $"wau" * 1000000.0 + 0.5)
+          / 1000000.0).as("stickiness"))
+      .orderBy($"day")
+  }
+
   /** B14 — daily cohort retention: users grouped by first-seen day,
     * fraction still active N days later (the canonical growth query:
     * two self-referential aggregates, one broadcast-sized cohort dim).
@@ -487,6 +519,18 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_active_users" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM a GROUP BY day),
+        |w AS (
+        |  SELECT DISTINCT user_id, day + o::INT AS day
+        |  FROM a, (SELECT unnest(range(0, 7)) AS o) u),
+        |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY day)
+        |SELECT d.day, d.dau, w2.wau,
+        |  floor(d.dau::DOUBLE / w2.wau * 1000000.0 + 0.5)
+        |    / 1000000.0 AS stickiness
+        |FROM dau d JOIN wau w2 USING (day) ORDER BY day""".stripMargin,
     "events_cohort_retention" ->
       """WITH wk AS (
         |  SELECT user_id, epoch_us(ts) // 604800000000 AS w FROM events),

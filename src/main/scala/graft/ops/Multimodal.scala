@@ -119,6 +119,52 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** F6 — multimodal token-budget planner: estimated model-input
+    * tokens per modality — the number a multimodal training run
+    * budgets against (batch shapes, step counts, mixing ratios are
+    * all denominated in tokens, not bytes). Exact integer rules per
+    * modality, each the standard estimator shape: images cost
+    * ceil(h/16)·ceil(w/16) patches of the F3 resize-planned output;
+    * videos cost sampled-frames × a fixed 224² frame's 14² patches
+    * (the F2 sampling rule); audio costs one token per 320 payload
+    * bytes (a frame-hop proxy). Share of the corpus budget
+    * floor-rounds at 6dp on both engines.
+    *
+    * Scale shape: pure scan-side projection (the dims/frame-count
+    * rules are metadata arithmetic; a real pipeline reads them from
+    * headers in the same projection) + ONE partial-aggregable
+    * modality rollup; the share window runs over the modalities-sized
+    * frame. The corpus never shuffles.
+    */
+  def tokenBudget(spark: SparkSession, dir: String,
+                  maxEdge: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val all = Window.partitionBy()
+    val perDoc = withMedia(spark, dir)
+      .withColumn("width", lit(64) + ($"doc_id" * 37) % 1920)
+      .withColumn("height", lit(64) + ($"doc_id" * 53) % 1080)
+      .withColumn("longest", greatest($"width", $"height"))
+      .withColumn("out_w", when($"longest" <= maxEdge, $"width")
+        .otherwise(expr(s"width * $maxEdge DIV longest")))
+      .withColumn("out_h", when($"longest" <= maxEdge, $"height")
+        .otherwise(expr(s"height * $maxEdge DIV longest")))
+      .withColumn("est_tokens",
+        when($"media_type" === "image/png",
+          expr("((out_w + 15) DIV 16) * ((out_h + 15) DIV 16)"))
+          .when($"media_type" === "video/mp4",
+            (least(expr("(n_bytes - 1) DIV 256"), lit(3L)) + 1L) * 196L)
+          .otherwise(expr("(n_bytes + 319) DIV 320")))
+    perDoc.groupBy($"media_type")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"est_tokens").as("total_tokens"),
+        max($"est_tokens").as("max_doc_tokens"))
+      .withColumn("token_share",
+        floor($"total_tokens" / sum($"total_tokens").over(all)
+          * 1000000.0 + 0.5) / 1000000.0)
+      .orderBy($"media_type")
+  }
+
   /** F4 — shard packing (webdataset-style export planning): each
     * modality's payloads pack contiguously in doc_id order into
     * ~`shardBytes` shards; a doc belongs to the shard its STARTING
@@ -188,6 +234,39 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "multimodal_token_budget" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |      ELSE 'video/mp4' END AS media_type,
+        |    octet_length(encode(text))::BIGINT AS n_bytes,
+        |    64 + (doc_id * 37) % 1920 AS width,
+        |    64 + (doc_id * 53) % 1080 AS height
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, greatest(width, height) AS longest FROM m),
+        |d AS (
+        |  SELECT media_type,
+        |    CASE media_type
+        |      WHEN 'image/png' THEN
+        |        ((CASE WHEN longest <= 512 THEN width
+        |            ELSE width * 512 // longest END + 15) // 16)
+        |        * ((CASE WHEN longest <= 512 THEN height
+        |            ELSE height * 512 // longest END + 15) // 16)
+        |      WHEN 'video/mp4' THEN
+        |        (least((n_bytes - 1) // 256, 3) + 1) * 196
+        |      ELSE (n_bytes + 319) // 320
+        |    END::BIGINT AS est_tokens
+        |  FROM r),
+        |g AS (
+        |  SELECT media_type, count(*) AS n_docs,
+        |    sum(est_tokens)::BIGINT AS total_tokens,
+        |    max(est_tokens) AS max_doc_tokens
+        |  FROM d GROUP BY media_type)
+        |SELECT media_type, n_docs, total_tokens, max_doc_tokens,
+        |  floor(total_tokens::DOUBLE / (SELECT sum(total_tokens) FROM g)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS token_share
+        |FROM g ORDER BY media_type""".stripMargin,
     "multimodal_dedup" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -537,6 +537,41 @@ object TextAnalysis {
           / 1000000.0).as("intercept"))
   }
 
+  /** E31 — Heaps-law fit: least-squares slope of ln(distinct tokens)
+    * vs ln(total tokens) across documents — the vocabulary-growth
+    * exponent (natural text ≈ 0.4–0.7; templated/duplicated corpora
+    * drift low because longer samples stop contributing new types,
+    * synthetic token soups drift toward 1). The corpus-health
+    * companion to E24's Zipf slope: Zipf reads the frequency profile,
+    * Heaps reads the growth profile, and the two exponents are
+    * theoretically linked (β ≈ 1/α) — a corpus where they disagree
+    * badly was probably assembled from mismatched sources.
+    *
+    * Scale shape: per-doc (total, distinct) counts are one scan-side
+    * aggregate (doc_id-keyed, partial-agg); the regression sums are
+    * ONE map-side-combined global aggregate of five doubles —
+    * constant-size state at any corpus size, same shape as E24.
+    * Closed form end to end → full oracle at 6dp floor parity.
+    */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.load(spark, dir, "documents")
+      .withColumn("toks", filter(split($"text", " "), t => t =!= ""))
+      .filter(size($"toks") >= 1)
+      .select(log(size($"toks").cast("double")).as("x"),
+        log(size(array_distinct($"toks")).cast("double")).as("y"))
+    pts
+      .agg(count(lit(1)).cast("double").as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .withColumn("slope_raw",
+        ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+      .select($"n".cast("long").as("n_docs"),
+        (floor($"slope_raw" * 1000000.0 + 0.5) / 1000000.0).as("beta"),
+        (floor(($"sy" - $"slope_raw" * $"sx") / $"n" * 1000000.0 + 0.5)
+          / 1000000.0).as("intercept"))
+  }
+
   /** E23 — interpolated BIGRAM surprisal (Jelinek–Mercer smoothing,
     * λ·p(w₂|w₁) + (1−λ)·p(w₂)): the next-token-predictability upgrade
     * over E18's unigram surprisal — repeated formulaic text scores low,
@@ -977,6 +1012,27 @@ object TextAnalysis {
         |    - 84.6 * (n_syll / n_words)) * 10000.0 + 0.5) / 10000.0
         |    AS flesch
         |FROM base ORDER BY doc_id""".stripMargin,
+    "text_heaps_fit" ->
+      """WITH pts AS (
+        |  SELECT ln(len(t)::DOUBLE) AS x,
+        |    ln(len(list_distinct(t))::DOUBLE) AS y
+        |  FROM (
+        |    SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |    FROM documents) u
+        |  WHERE len(t) >= 1),
+        |s AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM pts),
+        |f AS (
+        |  SELECT n, sx, sy,
+        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope_raw
+        |  FROM s)
+        |SELECT n::BIGINT AS n_docs,
+        |  floor(slope_raw * 1000000.0 + 0.5) / 1000000.0 AS beta,
+        |  floor((sy - slope_raw*sx) / n * 1000000.0 + 0.5) / 1000000.0
+        |    AS intercept
+        |FROM f""".stripMargin,
     "text_zipf_fit" ->
       """WITH tf AS (
         |  SELECT token, count(*) AS cnt FROM (

@@ -112,6 +112,30 @@ object EventStreams {
       .orderBy($"event_type")
   }
 
+  /** G15 — streaming rolling active users (trailing-7-day WAU): the
+    * B49 contribution-explode trick streams STATELESS-then-dedup —
+    * each arriving event expands to the 7 window days its user can
+    * serve (a stateless projection), `dropDuplicates` keeps one
+    * (user, window day) contribution in state, and ONE downstream
+    * aggregate maintains the per-day rolling distinct. The naive
+    * formulation (per-day distinct over a 7-day range) would need a
+    * range join or chained distinct aggregations — both rejected or
+    * unbounded in streaming; this shape is the standard way to keep
+    * an exact sliding distinct live at ingest. State = one row per
+    * (user, window day), watermark-prunable in a production run.
+    */
+  def activeUsersWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventStream(spark, dir)
+      .withColumn("day", to_date($"tsm"))
+      .select($"user_id", explode(sequence(lit(0), lit(6))).as("o"), $"day")
+      .select($"user_id", date_add($"day", $"o").as("day"))
+      .dropDuplicates("user_id", "day")
+      .groupBy($"day").agg(count(lit(1)).as("wau"))
+    runToCompletion(agg, "graft_stream_wau")
+      .orderBy($"day")
+  }
+
   final case class TransitionPair(prev_type: String, next_type: String)
 
   /** G12 — streaming Markov transition counts: B43's stateful sequence
@@ -223,6 +247,14 @@ object EventStreams {
   }
 
   val oracles: Map[String, String] = Map(
+    "stream_active_users" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |w AS (
+        |  SELECT DISTINCT user_id, day + o::INT AS day
+        |  FROM a, (SELECT unnest(range(0, 7)) AS o) u)
+        |SELECT day, count(*) AS wau FROM w GROUP BY day
+        |ORDER BY day""".stripMargin,
     "stream_join" ->
       """SELECT s.user_id, epoch_us(s.ts) AS signup_us,
         |  epoch_us(p.ts) AS purchase_us,

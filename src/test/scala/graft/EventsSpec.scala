@@ -134,6 +134,48 @@ class EventsSpec extends SparkSpecBase {
     assert(slope > -3.0 && slope < -0.1, s"zipf slope $slope implausible")
   }
 
+  test("heaps fit: exponent in the sublinear band, matches serial recompute") {
+    import spark.implicits._
+    val r = TextAnalysis.heapsFit(spark, sf).collect().head
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"text").as[String].collect()
+      .map(_.split(" ").filter(_.nonEmpty)).filter(_.nonEmpty)
+    assert(r.getLong(0) === docs.length.toLong)
+    // serial closed-form recompute (same formula, serial sum order)
+    val pts = docs.map(t =>
+      (math.log(t.length.toDouble), math.log(t.distinct.length.toDouble)))
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(1) - slope) <= 1e-5)
+    // vocabulary growth is sublinear but real: 0 < beta < 1
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0,
+      s"heaps beta ${r.getDouble(1)} out of band")
+  }
+
+  test("token budget: modality rules exact, shares sum to one") {
+    val rows = graft.ops.Multimodal.tokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).sorted.toSeq ===
+      Seq("audio/wav", "image/png", "video/mp4"))
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum === n)
+    // shares partition the budget (6dp rounding slack)
+    assert(math.abs(rows.map(_._5).sum - 1.0) <= 3e-6)
+    // per-modality rule spot checks against first principles
+    val byType = rows.map(r => r._1 -> r).toMap
+    // video: frames capped at 4, 196 tokens per frame
+    assert(byType("video/mp4")._4 <= 4L * 196L)
+    // image: resize fit bounds patches by ceil(512/16)^2
+    assert(byType("image/png")._4 <= 32L * 32L)
+    rows.foreach { case (_, nd, tot, mx, _) =>
+      assert(mx <= tot && tot >= nd) // every doc costs >= 1 token
+    }
+  }
+
   test("scd2: intervals tile each user's timeline, runs alternate state") {
     import spark.implicits._
     val rows = Events.scd2(spark, sf)
@@ -288,6 +330,30 @@ class EventsSpec extends SparkSpecBase {
       val (_, en, erev) = expected.find(_._1 == ch).get
       assert(n === en, s"channel $ch count")
       assert(math.abs(rev - erev) <= 0.011, s"channel $ch revenue $rev vs $erev")
+    }
+  }
+
+  test("rolling DAU/WAU equals an in-memory sliding-window recompute") {
+    import spark.implicits._
+    val active = Tables.load(spark, sf, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+      .select($"user_id", $"day".cast("string")).distinct()
+      .as[(Long, String)].collect()
+      .map { case (u, d) => (u, java.time.LocalDate.parse(d)) }
+    val byDay = active.groupBy(_._2)
+    val got = Events.activeUsers(spark, sf).collect()
+      .map(r => (java.time.LocalDate.parse(r.getDate(0).toString),
+        r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length === byDay.size)
+    got.foreach { case (day, dau, wau, stick) =>
+      assert(dau === byDay(day).map(_._1).distinct.length.toLong)
+      val expWau = active.collect {
+        case (u, d) if !d.isAfter(day) && d.isAfter(day.minusDays(7)) => u
+      }.distinct.length.toLong
+      assert(wau === expWau, s"wau($day)")
+      assert(stick ===
+        math.floor(dau.toDouble / wau * 1000000.0 + 0.5) / 1000000.0)
+      assert(dau <= wau)
     }
   }
 }

@@ -132,4 +132,22 @@ class StreamingSpec extends SparkSpecBase {
     val labels = cents.map(_._1).toSet
     assert(streamed.forall(r => labels.contains(r.getInt(1))))
   }
+
+  test("streaming rolling WAU equals the batch contribution-explode form") {
+    import java.sql.Date
+    val streamed = graft.streaming.EventStreams.activeUsersWau(spark, sf)
+      .collect().toSeq.map(r => (r.getDate(0).toString, r.getLong(1)))
+    // batch reference: the WAU column of B49 covers only days with
+    // activity; the stream also carries the trailing run-out window
+    // days, so compare on the batch op's days and check the tail is
+    // monotone non-increasing (users age out of the window)
+    val batch = graft.ops.Events.activeUsers(spark, sf)
+      .collect().toSeq.map(r => (r.getDate(0).toString, r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    val (onActive, tail) = streamed.partition(d => batch.contains(d._1))
+    assert(onActive.map(d => d._1 -> d._2).toMap === batch)
+    assert(tail.length <= 6) // at most 6 run-out days past the last event
+    val lastActive = onActive.map(_._1).max
+    assert(tail.forall(_._1 > lastActive))
+  }
 }
