@@ -184,6 +184,65 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** H15 — deterministic weighted sampling without replacement
+    * (priority-sampling shape of Efraimidis–Spirakis): each doc gets
+    * an integer priority h/w where h is a 48-bit content-stable hash
+    * (first 12 hex digits of md5) and w its weight (here n_chars —
+    * longer docs are proportionally likelier to be kept); the sample
+    * is the n smallest priorities. All-integer arithmetic (hash,
+    * integer division) so any engine re-derives the identical sample —
+    * no float keys, no RNG state, stable under retries.
+    *
+    * Scale shape: a scan-side projection feeding a distributed top-n
+    * (TakeOrdered — per-partition heaps, one n-row merge on the
+    * driver); nothing is globally sorted.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+                     n: Int = 200): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("h",
+        conv(substring(md5(concat(lit("wsample:"), $"doc_id".cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long"))
+      .withColumn("priority", expr("h div greatest(n_chars, 1L)"))
+      .select($"doc_id", $"n_chars", $"priority")
+      .orderBy($"priority", $"doc_id")
+      .limit(n)
+      .orderBy($"doc_id")
+  }
+
+  /** H16 — corpus datasheet ("dataset card" stats): the per-source
+    * summary a data release ships — doc/lang counts, char and token
+    * totals, corpus share, and the exact-duplicate rate (1 −
+    * distinct(md5(text))/n). One pass over the corpus with map-side
+    * partial aggregation; the per-source frame is tiny, so the share
+    * window is broadcast-scale.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Window.partitionBy()
+    Tables.load(spark, dir, "documents")
+      .select($"source", $"lang", $"n_chars",
+        size(filter(split($"text", " "), t => t =!= "")).cast("long")
+          .as("n_tok"),
+        md5($"text".cast("binary")).as("th"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"n_tok").as("total_tokens"),
+        countDistinct($"th").as("n_uniq"))
+      .withColumn("pct_docs",
+        floor($"n_docs".cast("double") / sum($"n_docs").over(all)
+          * 1000000.0 + 0.5) / 1000000.0)
+      .withColumn("dup_rate",
+        floor((lit(1.0) - $"n_uniq".cast("double") / $"n_docs")
+          * 1000000.0 + 0.5) / 1000000.0)
+      .select($"source", $"n_docs", $"n_langs", $"total_chars",
+        $"total_tokens", $"pct_docs", $"dup_rate")
+      .orderBy($"source")
+  }
+
   /** H6 — deterministic stratified sampling: downsample every language
     * to (approximately) the rarest language's share by keeping a doc
     * iff its content-stable hash bucket falls under the language's
@@ -413,6 +472,34 @@ object Curation {
       |  ELSE 'test' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+        |      1, 12))::BIGINT // greatest(n_chars, 1) AS priority
+        |  FROM documents)
+        |SELECT doc_id, n_chars, priority FROM h
+        |ORDER BY priority, doc_id LIMIT 200""".stripMargin,
+    "dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS BIGINT) AS n_tok,
+        |    md5(text) AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT lang) AS n_langs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |    count(DISTINCT th) AS n_uniq
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, n_langs, total_chars, total_tokens,
+        |  floor(n_docs::DOUBLE / (sum(n_docs) OVER ()) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS pct_docs,
+        |  floor((1.0 - n_uniq::DOUBLE / n_docs) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS dup_rate
+        |FROM s ORDER BY source""".stripMargin,
     "split_leakage" -> (Dedup.shingleCte +
       s""",
         |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents),

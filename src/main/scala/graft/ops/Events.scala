@@ -518,7 +518,63 @@ object Events {
       .orderBy($"user_id", $"day")
   }
 
+  /** B49 — trailing-window anomaly detection: each (event_type, day)
+    * daily total z-scored against the previous ≤28 observed days
+    * (mean/std from windowed sum/sumsq — the same formulation on any
+    * engine), flagging |z| spikes. The monitoring query a pipeline
+    * runs over its own ingest volumes.
+    *
+    * Scale shape: the corpus contributes one map-side-combined daily
+    * aggregate; the window runs over the (type × day)-sized frame —
+    * thousands of rows at 100 TB — partitioned by type, so no global
+    * sort and no skew.
+    */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-28, -1)
+    Tables.load(spark, dir, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"value").as("v"))
+      .withColumn("n_prior", count($"v").over(win))
+      .withColumn("s1", sum($"v").over(win))
+      .withColumn("s2", sum($"v" * $"v").over(win))
+      .filter($"n_prior" >= 7)
+      .withColumn("z_score",
+        floor(($"v" - $"s1" / $"n_prior") /
+          sqrt(greatest(($"s2" - $"s1" * $"s1" / $"n_prior")
+            / ($"n_prior" - 1), lit(1e-12))) * 10000.0 + 0.5)
+          .cast("double") / 10000.0)
+      .select($"event_type", $"day",
+        r2($"v").as("daily_value"), $"n_prior", $"z_score",
+        ($"z_score" >= 3.0).cast("int").as("is_spike"))
+      .orderBy($"event_type", $"day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        |  FROM events GROUP BY event_type, day),
+        |w AS (
+        |  SELECT event_type, day, v,
+        |    count(v) OVER win AS n_prior,
+        |    sum(v) OVER win AS s1,
+        |    sum(v * v) OVER win AS s2
+        |  FROM d
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, day,
+        |    floor(v * 100.0 + 0.5) / 100.0 AS daily_value, n_prior,
+        |    floor((v - s1 / n_prior)
+        |      / sqrt(greatest((s2 - s1 * s1 / n_prior) / (n_prior - 1),
+        |        1e-12)) * 10000.0 + 0.5) / 10000.0 AS z_score
+        |  FROM w WHERE n_prior >= 7)
+        |SELECT event_type, day, daily_value, n_prior, z_score,
+        |  (z_score >= 3.0)::INT AS is_spike
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "events_active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -958,7 +958,83 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E30 — BM25 retrieval scoring (Okapi, k1=1.2 b=0.75) of the corpus
+    * against a fixed query-term set — the relevance-filtering shape a
+    * targeted-crawl pipeline runs ("keep pages that look like X").
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)); per-term scores sum per doc;
+    * top-n by 6-dp-rounded score (doc_id tiebreak) so ranking is
+    * engine-portable.
+    *
+    * Scale shape: term stats for the |Q|-sized query vocabulary are a
+    * broadcast; the corpus contributes one tokenize+filter scan and a
+    * doc_id-keyed partial-agg sum; the final cut is a distributed
+    * top-n (TakeOrdered), never a global sort.
+    */
+  def bm25(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    import spark.implicits._
+    val k1 = 1.2
+    val b = 0.75
+    val queryTerms = Seq("hash", "join", "vector", "spark")
+    val docs = Tables.load(spark, dir, "documents")
+    val nAvg = docs
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(size(filter(split($"text", " "), t => t =!= ""))).as("avgdl"))
+      .collect()(0)
+    val n = nAvg.getDouble(0)
+    val avgdl = nAvg.getDouble(1)
+    val toks = docs
+      .select($"doc_id",
+        size(filter(split($"text", " "), t => t =!= "")).cast("double")
+          .as("dl"),
+        explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(queryTerms: _*))
+    val tf = toks.groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("idf", log(lit(1.0) + (lit(n) - $"df" + 0.5) / ($"df" + 0.5)))
+    tf.join(broadcast(df.select($"term", $"idf")), "term")
+      .withColumn("s",
+        $"idf" * $"tf" * (k1 + 1.0) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / avgdl)))
+      .groupBy($"doc_id")
+      .agg(floor(sum($"s") * 1000000.0 + 0.5).cast("double")
+        ./(1000000.0).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(topN)
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS DOUBLE) AS dl,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM docs),
+        |t AS (
+        |  SELECT doc_id, dl, unnest(toks) AS term FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM t
+        |  WHERE term IN ('hash', 'join', 'vector', 'spark')
+        |  GROUP BY doc_id, dl, term),
+        |idf AS (
+        |  SELECT term,
+        |    ln(1.0 + (g.n - count(*)::DOUBLE + 0.5)
+        |      / (count(*)::DOUBLE + 0.5)) AS idf
+        |  FROM tf, g GROUP BY term, g.n),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    sum(idf.idf * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))) AS s,
+        |    count(*) AS n_terms
+        |  FROM tf JOIN idf USING (term), g
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, floor(s * 1000000.0 + 0.5) / 1000000.0 AS bm25,
+        |  n_terms
+        |FROM s ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
     "text_gopher_rules" ->
       ("""WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w

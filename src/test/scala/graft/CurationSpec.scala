@@ -322,4 +322,40 @@ class CurationSpec extends SparkSpecBase {
     assert(got.forall(_._2 > 0L))
     assert(got.map(_._2).sum <= Scale)
   }
+
+  test("weighted sample: exactly the n smallest integer priorities") {
+    import java.security.MessageDigest
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    def prio(id: Long, w: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"wsample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      java.lang.Long.parseLong(hex, 16) / math.max(w, 1L)
+    }
+    val expect = docs.map { case (id, w) => (id, prio(id, w)) }
+      .sortBy { case (id, p) => (p, id) }.take(200).map(_._1).toSet
+    val got = Curation.weightedSample(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === expect)
+    // the weighting is real: sampled docs skew long
+    val sampledMean = docs.filter(d => got(d._1)).map(_._2.toDouble).sum / 200
+    val corpusMean = docs.map(_._2.toDouble).sum / docs.length
+    assert(sampledMean > corpusMean)
+  }
+
+  test("dataset card: shares sum to 1, totals conserve the corpus") {
+    val card = Curation.datasetCard(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val nDocs = docs.count()
+    assert(card.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val pct = card.map(_.getAs[Double]("pct_docs")).sum
+    assert(math.abs(pct - 1.0) < 1e-3)
+    val chars = docs.agg(sum($"n_chars")).as[Long].collect()(0)
+    assert(card.map(_.getAs[Long]("total_chars")).sum === chars)
+    card.foreach { r =>
+      val d = r.getAs[Double]("dup_rate")
+      assert(d >= 0.0 && d < 1.0)
+    }
+  }
 }

@@ -356,4 +356,35 @@ class EventsSpec extends SparkSpecBase {
       assert(dau <= wau)
     }
   }
+
+  test("anomaly z-score equals an in-memory trailing-window recompute") {
+    import spark.implicits._
+    val daily = Tables.load(spark, sf, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+      .groupBy($"event_type", $"day").agg(sum($"value").as("v"))
+      .select($"event_type", $"day".cast("string"), $"v")
+      .as[(String, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expect = daily.toSeq.flatMap { case (t, rows) =>
+      rows.zipWithIndex.flatMap { case ((_, day, v), i) =>
+        val prior = rows.slice(math.max(0, i - 28), i).map(_._3)
+        if (prior.length < 7) None else {
+          val n = prior.length
+          val s1 = prior.sum
+          val s2 = prior.map(x => x * x).sum
+          val varr = math.max((s2 - s1 * s1 / n) / (n - 1), 1e-12)
+          val z = (v - s1 / n) / math.sqrt(varr)
+          Some((t, day) -> math.floor(z * 10000.0 + 0.5) / 10000.0)
+        }
+      }
+    }.toMap
+    val got = Events.anomalyZscore(spark, sf)
+      .select($"event_type", $"day".cast("string"), $"z_score", $"is_spike")
+      .as[(String, String, Double, Int)].collect()
+    assert(got.length === expect.size)
+    got.foreach { case (t, day, z, spike) =>
+      assert(math.abs(z - expect((t, day))) < 1e-9, s"($t,$day)")
+      assert(spike === (if (z >= 3.0) 1 else 0))
+    }
+  }
 }

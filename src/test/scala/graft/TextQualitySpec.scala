@@ -210,4 +210,38 @@ class TextQualitySpec extends SparkSpecBase {
     // thresholds actually discriminate on this corpus
     assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L))
   }
+
+  test("bm25 equals an in-memory Okapi recompute on the same corpus") {
+    import spark.implicits._
+    val terms = Set("hash", "join", "vector", "spark")
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      (id, t.split(" ", -1).filter(_.nonEmpty))
+    }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length.toDouble).sum / n
+    val df = terms.map(t =>
+      t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val idf = df.map { case (t, d) =>
+      t -> math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+    }
+    val scores = toks.flatMap { case (id, tk) =>
+      val dl = tk.length.toDouble
+      val s = terms.toSeq.flatMap { t =>
+        val tf = tk.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(idf(t) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      }
+      if (s.isEmpty) None
+      else Some(id -> math.floor(s.sum * 1e6 + 0.5) / 1e6)
+    }
+    val expect = scores.sortBy { case (id, s) => (-s, id) }.take(50).toMap
+    val got = TextAnalysis.bm25(spark, sf)
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect()
+    assert(got.length === expect.size)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expect(id)) < 1e-9, s"doc $id")
+    }
+  }
 }
