@@ -840,7 +840,85 @@ object Analytics {
       .orderBy($"o_custkey", $"rnk")
   }
 
+  /** B50 — RFM customer segmentation: per-customer recency (days since
+    * last order), frequency (order count), monetary (lifetime spend),
+    * each scored 1–4 by corpus quartile, rolled up to segment counts.
+    * Quartile boundaries are exact percentiles of the per-customer
+    * frame, 4-dp-rounded with strict `>` cuts so any engine derives
+    * the identical bucketing (the B45 deciles pattern).
+    *
+    * Scale shape: orders partial-aggregate to the customer-sized frame
+    * before anything else; the boundary collect is 9 doubles off a
+    * single-reduce aggregate, and scoring is a scan-side projection —
+    * no per-row window, no global sort.
+    */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_custkey", to_date($"o_orderdate").as("od"), $"o_totalprice")
+    val maxD = orders.agg(max($"od")).collect()(0).getDate(0)
+    val per = orders.groupBy($"o_custkey")
+      .agg(datediff(lit(maxD), max($"od")).cast("long").as("r_days"),
+        count(lit(1)).as("f_orders"),
+        sum($"o_totalprice").as("m_value"))
+    val qs = (1 to 3).map(_ / 4.0)
+    val row = per.agg(
+      expr(s"percentile(r_days, array(${qs.mkString(",")}))").as("rq"),
+      expr(s"percentile(f_orders, array(${qs.mkString(",")}))").as("fq"),
+      expr(s"percentile(m_value, array(${qs.mkString(",")}))").as("mq"))
+      .collect()(0)
+    def bounds(i: Int): Seq[Double] = row.getSeq[Double](i)
+      .map(b => math.floor(b * 10000.0 + 0.5) / 10000.0)
+    def score(c: Column, bs: Seq[Double]): Column =
+      bs.foldLeft(lit(1L)) { (acc, b) =>
+        acc + when(c > b, 1L).otherwise(0L)
+      }
+    per
+      .withColumn("r_score", lit(5L) - score($"r_days".cast("double"), bounds(0)))
+      .withColumn("f_score", score($"f_orders".cast("double"), bounds(1)))
+      .withColumn("m_score", score($"m_value", bounds(2)))
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        r2(avg($"r_days")).as("avg_recency"),
+        r4(avg($"f_orders")).as("avg_frequency"),
+        r2(sum($"m_value")).as("sum_value"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
   val oracles: Map[String, String] = Map(
+    "customer_rfm" -> {
+      val rb = (1 to 3).map(i =>
+        s"floor(quantile_cont(r_days, 0.${i * 25}) * 10000.0 + 0.5)" +
+          s" / 10000.0 AS r$i").mkString(", ")
+      val fb = (1 to 3).map(i =>
+        s"floor(quantile_cont(f_orders, 0.${i * 25}) * 10000.0 + 0.5)" +
+          s" / 10000.0 AS f$i").mkString(", ")
+      val mb = (1 to 3).map(i =>
+        s"floor(quantile_cont(m_value, 0.${i * 25}) * 10000.0 + 0.5)" +
+          s" / 10000.0 AS m$i").mkString(", ")
+      val rs = (1 to 3).map(i => s"(r_days > q.r$i)::INT").mkString(" + ")
+      val fs = (1 to 3).map(i => s"(f_orders > q.f$i)::INT").mkString(" + ")
+      val ms = (1 to 3).map(i => s"(m_value > q.m$i)::INT").mkString(" + ")
+      s"""WITH mx AS (SELECT max(o_orderdate::DATE) AS maxd FROM orders),
+         |per AS (
+         |  SELECT o_custkey,
+         |    CAST(mx.maxd - max(o_orderdate::DATE) AS BIGINT) AS r_days,
+         |    count(*) AS f_orders, sum(o_totalprice) AS m_value
+         |  FROM orders, mx GROUP BY o_custkey, mx.maxd),
+         |q AS (SELECT $rb, $fb, $mb FROM per),
+         |s AS (
+         |  SELECT CAST(5 - (1 + $rs) AS BIGINT) AS r_score,
+         |    CAST(1 + $fs AS BIGINT) AS f_score,
+         |    CAST(1 + $ms AS BIGINT) AS m_score,
+         |    r_days, f_orders, m_value
+         |  FROM per CROSS JOIN q)
+         |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+         |  floor(avg(r_days) * 100.0 + 0.5) / 100.0 AS avg_recency,
+         |  floor(avg(f_orders) * 10000.0 + 0.5) / 10000.0 AS avg_frequency,
+         |  floor(sum(m_value) * 100.0 + 0.5) / 100.0 AS sum_value
+         |FROM s GROUP BY r_score, f_score, m_score
+         |ORDER BY r_score, f_score, m_score""".stripMargin
+    },
     "topk_orders_heap" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -531,12 +531,23 @@ object Events {
     */
   def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    anomalyFinalize(
+      Tables.load(spark, dir, "events")
+        .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+        .groupBy($"event_type", $"day")
+        .agg(sum($"value").as("v")))
+  }
+
+  /** B49's z-score finalizer over an already-built (event_type, day, v)
+    * daily-total frame — shared with the G15 streaming twin, whose
+    * state maintains the daily totals incrementally and hands the
+    * compact (type × day) frame here.
+    */
+  private[graft] def anomalyFinalize(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
     val win = Window.partitionBy($"event_type").orderBy($"day")
       .rowsBetween(-28, -1)
-    Tables.load(spark, dir, "events")
-      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
-      .groupBy($"event_type", $"day")
-      .agg(sum($"value").as("v"))
+    daily
       .withColumn("n_prior", count($"v").over(win))
       .withColumn("s1", sum($"v").over(win))
       .withColumn("s2", sum($"v" * $"v").over(win))

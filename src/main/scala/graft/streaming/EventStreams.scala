@@ -246,7 +246,25 @@ object EventStreams {
       .orderBy($"user_id", $"signup_us", $"purchase_us")
   }
 
+  /** G15 — streaming anomaly monitor: B49's trailing z-score with the
+    * daily (event_type, day) totals maintained as STREAMING state (one
+    * row per type×day, regardless of stream length) and the z-score
+    * finalizer run over that compact frame when the stream drains —
+    * the "incremental ingest, tiny analytic finalize" split an ingest
+    * monitor actually deploys. Batch B49 (and its DuckDB oracle) is
+    * the equality check.
+    */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventStream(spark, dir)
+      .groupBy($"event_type", to_date($"tsm").as("day"))
+      .agg(sum($"value").as("v"))
+    graft.ops.Events.anomalyFinalize(
+      runToCompletion(agg, "graft_stream_anomaly"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_anomaly" -> graft.ops.Events.oracles("events_anomaly"),
     "stream_active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -109,4 +109,28 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(a._5 <= b._4, s"deciles ${a._1}/${b._1} overlap")
     }
   }
+
+  test("rfm segments: scores in 1..4, customers conserved, axes discriminate") {
+    import spark.implicits._
+    val seg = Analytics.customerRfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("n_customers"), r.getAs[Double]("avg_recency")))
+    assert(seg.nonEmpty)
+    seg.foreach { case (r, f, m, n, _) =>
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4)
+      assert(n > 0)
+    }
+    val nCustomers = graft.Tables.load(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(seg.map(_._4).sum === nCustomers)
+    // every quartile level of each axis is populated
+    assert(seg.map(_._1).distinct.length === 4)
+    assert(seg.map(_._3).distinct.length === 4)
+    // recency score is anti-monotone in actual recency: r=4 segments
+    // (most recent quartile) average fewer days-since than r=1 ones
+    val byR = seg.groupBy(_._1).view.mapValues { g =>
+      g.map(x => x._5 * x._4).sum / g.map(_._4).sum
+    }.toMap
+    assert(byR(4L) < byR(1L))
+  }
 }

@@ -150,4 +150,12 @@ class StreamingSpec extends SparkSpecBase {
     val lastActive = onActive.map(_._1).max
     assert(tail.forall(_._1 > lastActive))
   }
+
+  test("streaming anomaly z-scores equal the batch trailing-window op") {
+    val streamed = EventStreams.streamAnomaly(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = Events.anomalyZscore(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
 }
