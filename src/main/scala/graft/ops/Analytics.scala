@@ -840,6 +840,38 @@ object Analytics {
       .orderBy($"o_custkey", $"rnk")
   }
 
+  /** B51 — market-basket pair mining: co-ordered part pairs with
+    * support and lift (support·N / (f_a·f_b)) — the co-occurrence
+    * analysis recommender/affinity pipelines run. Pairs explode
+    * per-order (bounded: ≤C(7,2) per order since orders carry ≤7
+    * lines), so the self-join is co-partitioned on l_orderkey and the
+    * output stays order-linear; part frequencies join AFTER the top-n
+    * cut, so the lift lookup touches n rows.
+    */
+  def basketPairs(spark: SparkSession, dir: String,
+                  topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val items = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nOrders = items.select($"l_orderkey").distinct().count().toDouble
+    val freq = items.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("f"))
+    val top = items.select($"l_orderkey", $"l_partkey".as("part_a"))
+      .join(items.select($"l_orderkey", $"l_partkey".as("part_b")),
+        "l_orderkey")
+      .filter($"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc, $"part_a", $"part_b")
+      .limit(topN)
+    top
+      .join(freq.select($"l_partkey".as("part_a"), $"f".as("fa")), "part_a")
+      .join(freq.select($"l_partkey".as("part_b"), $"f".as("fb")), "part_b")
+      .select($"part_a", $"part_b", $"support",
+        r4($"support" * nOrders / ($"fa" * $"fb")).as("lift"))
+      .orderBy($"support".desc, $"part_a", $"part_b")
+  }
+
   /** B50 — RFM customer segmentation: per-customer recency (days since
     * last order), frequency (order count), monetary (lifetime spend),
     * each scored 1–4 by corpus quartile, rolled up to segment counts.
@@ -886,6 +918,27 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_orders
+        |  FROM items),
+        |freq AS (
+        |  SELECT l_partkey, count(*) AS f FROM items GROUP BY l_partkey),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS support
+        |  FROM items a JOIN items b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY a.l_partkey, b.l_partkey
+        |  ORDER BY support DESC, part_a, part_b LIMIT 20)
+        |SELECT part_a, part_b, support,
+        |  floor(support * n.n_orders / (fa.f * fb.f) * 10000.0 + 0.5)
+        |    / 10000.0 AS lift
+        |FROM pairs
+        |JOIN freq fa ON fa.l_partkey = part_a
+        |JOIN freq fb ON fb.l_partkey = part_b, n
+        |ORDER BY support DESC, part_a, part_b""".stripMargin,
     "customer_rfm" -> {
       val rb = (1 to 3).map(i =>
         s"floor(quantile_cont(r_days, 0.${i * 25}) * 10000.0 + 0.5)" +

@@ -184,7 +184,7 @@ object Curation {
       .orderBy($"lang")
   }
 
-  /** H15 — deterministic weighted sampling without replacement
+  /** H16 — deterministic weighted sampling without replacement
     * (priority-sampling shape of Efraimidis–Spirakis): each doc gets
     * an integer priority h/w where h is a 48-bit content-stable hash
     * (first 12 hex digits of md5) and w its weight (here n_chars —
@@ -211,7 +211,7 @@ object Curation {
       .orderBy($"doc_id")
   }
 
-  /** H16 — corpus datasheet ("dataset card" stats): the per-source
+  /** H17 — corpus datasheet ("dataset card" stats): the per-source
     * summary a data release ships — doc/lang counts, char and token
     * totals, corpus share, and the exact-duplicate rate (1 −
     * distinct(md5(text))/n). One pass over the corpus with map-side

@@ -518,7 +518,7 @@ object Events {
       .orderBy($"user_id", $"day")
   }
 
-  /** B49 — trailing-window anomaly detection: each (event_type, day)
+  /** B52 — trailing-window anomaly detection: each (event_type, day)
     * daily total z-scored against the previous ≤28 observed days
     * (mean/std from windowed sum/sumsq — the same formulation on any
     * engine), flagging |z| spikes. The monitoring query a pipeline
@@ -538,8 +538,8 @@ object Events {
         .agg(sum($"value").as("v")))
   }
 
-  /** B49's z-score finalizer over an already-built (event_type, day, v)
-    * daily-total frame — shared with the G15 streaming twin, whose
+  /** B52's z-score finalizer over an already-built (event_type, day, v)
+    * daily-total frame — shared with the G16 streaming twin, whose
     * state maintains the daily totals incrementally and hands the
     * compact (type × day) frame here.
     */

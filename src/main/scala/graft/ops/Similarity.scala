@@ -599,6 +599,49 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** D14 — semi-supervised label propagation over the D7 kNN graph:
+    * 20% of vectors (vec_id % 5 == 0) keep their true label as frozen
+    * seeds; every other node re-takes, for a fixed 3 rounds, the modal
+    * label of its currently-labeled neighbors (count desc, smallest
+    * label on ties — fully deterministic, so the unrolled DuckDB CTE
+    * chain is an exact oracle). The transductive labeling pass a
+    * weakly-supervised corpus-annotation pipeline runs.
+    *
+    * Scale shape: each round is one edges⋈labels hash join (edges are
+    * corpus×k, labels corpus-sized, both keyed on vec_id) + a
+    * partial-agg vote count; rounds are a FIXED small constant, so
+    * plan depth is bounded — no iterate-to-convergence lineage blowup.
+    */
+  def knnLabelProp(spark: SparkSession, dir: String,
+                   k: Int = 5, planes: Int = 12,
+                   iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val truth = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", ($"vec_id" % 5 === 0).as("is_seed"))
+    val edges = knnGraphOn(loadVecs(spark, dir), k, planes)
+      .select($"vec_id", $"neighbor_id")
+    val wMaj = Window.partitionBy($"vec_id").orderBy($"c".desc, $"lbl")
+    var labels = truth
+      .select($"vec_id", when($"is_seed", $"label").as("lbl"))
+    for (_ <- 1 to iters) {
+      val modal = edges
+        .join(labels.filter($"lbl".isNotNull)
+          .select($"vec_id".as("neighbor_id"), $"lbl"), "neighbor_id")
+        .groupBy($"vec_id", $"lbl").agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(wMaj))
+        .filter($"r" === 1)
+        .select($"vec_id", $"lbl".as("new_lbl"))
+      labels = truth.join(modal, Seq("vec_id"), "left")
+        .select($"vec_id",
+          when($"is_seed", $"label").otherwise($"new_lbl").as("lbl"))
+    }
+    truth.join(labels, "vec_id")
+      .select($"vec_id",
+        when($"is_seed", 1L).otherwise(0L).as("is_seed"),
+        coalesce($"lbl", lit(-1)).as("label"))
+      .orderBy($"vec_id")
+  }
+
   /** D11 — PageRank over the D7 kNN graph (damping 0.85, fixed
     * iteration count): graph centrality as a data-valuation signal —
     * high-rank vectors sit in dense, well-connected neighborhoods
@@ -1049,6 +1092,42 @@ object Similarity {
       |WHERE m.r = 1
       |ORDER BY m.vec_id""".stripMargin
 
+  /** D14 oracle: the D7 edge CTE + the 3 propagation rounds UNROLLED —
+    * each round is votes→deterministic-mode→frozen-seed overlay,
+    * mirroring [[knnLabelProp]] exactly.
+    */
+  private def labelPropOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = s"lp${i - 1}"
+      s"""vt$i AS (
+         |  SELECT e.vec_id, p.lbl, count(*) AS c
+         |  FROM edges e JOIN $prev p ON p.vec_id = e.neighbor_id
+         |  WHERE p.lbl IS NOT NULL GROUP BY e.vec_id, p.lbl),
+         |md$i AS (
+         |  SELECT vec_id, lbl FROM (
+         |    SELECT vec_id, lbl,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, lbl) AS r
+         |    FROM vt$i) WHERE r = 1),
+         |lp$i AS (
+         |  SELECT s.vec_id,
+         |    CASE WHEN s.vec_id % 5 = 0 THEN s.label ELSE m.lbl END AS lbl
+         |  FROM embeddings s LEFT JOIN md$i m USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    lshGraphCte +
+      s""",
+         |edges AS (
+         |  SELECT src_id AS vec_id, neighbor_id FROM scored WHERE rnk <= 5),
+         |lp0 AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN label END AS lbl
+         |  FROM embeddings),
+         |$rounds
+         |SELECT vec_id,
+         |  CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END::BIGINT AS is_seed,
+         |  coalesce(lbl, -1) AS label
+         |FROM lp3 ORDER BY vec_id""".stripMargin
+  }
+
   /** D11 oracle: the D7 edge CTE + the power iteration UNROLLED (one
     * CTE per iteration) in the same scaled-BIGINT integer arithmetic
     * as [[knnGraphPagerank]] — DuckDB `//` ≡ Spark `div` on the
@@ -1146,6 +1225,7 @@ object Similarity {
         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin),
     "knn_graph" -> lshGraphOracle,
     "knn_label_check" -> labelCheckOracle,
+    "knn_label_prop" -> labelPropOracle,
     "knn_graph_pagerank" -> pagerankOracle,
     "knn_sq8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -1005,7 +1005,71 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E32 — vocabulary coverage curve: how many distinct terms (in
+    * frequency rank order) cover 50/75/90/99% of all token
+    * occurrences — the Zipf-tail summary that sizes a tokenizer
+    * vocabulary. The global frequency rank and running coverage are
+    * computed WITHOUT a single-partition sort via H7's bucketed-offset
+    * trick: decimal-digit-count buckets split the count space into
+    * ordered ranges (integer-exact on any engine, unlike
+    * floor(log2(c))), per-bucket row_number/running-sum plus broadcast
+    * offsets are the global order. At a 100M-term vocabulary the
+    * per-bucket windows stay distributed; only the ~10-row offset
+    * frame is global.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", length($"c".cast("string")))
+    val off = W.orderBy($"bkt".desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = vocab.groupBy($"bkt")
+      .agg(count(lit(1)).as("bcnt"), sum($"c").as("btok"))
+      .withColumn("rank_off", coalesce(sum($"bcnt").over(off), lit(0L)))
+      .withColumn("cum_off", coalesce(sum($"btok").over(off), lit(0L)))
+      .select($"bkt", $"rank_off", $"cum_off")
+    val w = W.partitionBy($"bkt").orderBy($"c".desc, $"t")
+    val ranked = vocab.join(broadcast(offsets), "bkt")
+      .withColumn("rank", row_number().over(w).cast("long") + $"rank_off")
+      .withColumn("cum",
+        sum($"c").over(w.rowsBetween(W.unboundedPreceding, 0)) + $"cum_off")
+    val total = broadcast(ranked.agg(max($"cum").as("total")))
+    val th = broadcast(
+      Seq(0.5, 0.75, 0.9, 0.99).toDF("threshold"))
+    ranked.crossJoin(total).crossJoin(th)
+      .filter($"cum" >= $"threshold" * $"total")
+      .groupBy($"threshold")
+      .agg(min($"rank").as("n_terms"),
+        min_by($"cum", $"rank").as("covered_tokens"),
+        max($"total").as("total_tokens"))
+      .orderBy($"threshold")
+  }
+
   val oracles: Map[String, String] = Map(
+    "vocab_coverage" ->
+      """WITH v AS (
+        |  SELECT t, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY t),
+        |r AS (
+        |  SELECT t, c,
+        |    row_number() OVER (ORDER BY c DESC, t) AS rank,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, t ROWS UNBOUNDED
+        |      PRECEDING) AS BIGINT) AS cum
+        |  FROM v),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM v),
+        |th AS (SELECT unnest([0.5, 0.75, 0.9, 0.99])::DOUBLE AS threshold)
+        |SELECT th.threshold,
+        |  CAST(min(r.rank) AS BIGINT) AS n_terms,
+        |  arg_min(r.cum, r.rank) AS covered_tokens,
+        |  max(tot.total) AS total_tokens
+        |FROM th JOIN r ON r.cum >= th.threshold * (SELECT total FROM tot),
+        |  tot
+        |GROUP BY th.threshold ORDER BY th.threshold""".stripMargin,
     "text_bm25" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -246,12 +246,12 @@ object EventStreams {
       .orderBy($"user_id", $"signup_us", $"purchase_us")
   }
 
-  /** G15 — streaming anomaly monitor: B49's trailing z-score with the
+  /** G16 — streaming anomaly monitor: B52's trailing z-score with the
     * daily (event_type, day) totals maintained as STREAMING state (one
     * row per type×day, regardless of stream length) and the z-score
     * finalizer run over that compact frame when the stream drains —
     * the "incremental ingest, tiny analytic finalize" split an ingest
-    * monitor actually deploys. Batch B49 (and its DuckDB oracle) is
+    * monitor actually deploys. Batch B52 (and its DuckDB oracle) is
     * the equality check.
     */
   def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {

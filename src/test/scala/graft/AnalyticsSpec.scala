@@ -110,6 +110,31 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("basket pairs equal an in-memory co-occurrence recompute") {
+    import spark.implicits._
+    val items = graft.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .distinct
+    val nOrders = items.map(_._1).distinct.length.toDouble
+    val freq = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val support = items.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = support.toSeq
+      .sortBy { case ((a, b), s) => (-s, a, b) }.take(20).toMap
+    val got = Analytics.basketPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("lift")))
+    assert(got.length === math.min(20, support.size))
+    got.foreach { case (a, b, s, lift) =>
+      assert(s === expect((a, b)), s"pair ($a,$b)")
+      val l = s * nOrders / (freq(a) * freq(b)).toDouble
+      assert(math.abs(lift - math.floor(l * 1e4 + 0.5) / 1e4) < 1e-9)
+    }
+  }
+
   test("rfm segments: scores in 1..4, customers conserved, axes discriminate") {
     import spark.implicits._
     val seg = Analytics.customerRfm(spark, sf).collect()

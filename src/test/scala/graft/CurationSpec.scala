@@ -323,6 +323,38 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._2).sum <= Scale)
   }
 
+  test("label propagation equals an in-memory 3-round replay") {
+    import graft.ops.Similarity
+    val edges = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")))
+    val truth = graft.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val seeds = truth.keySet.filter(_ % 5 == 0)
+    var lbl: Map[Long, Option[Int]] =
+      truth.map { case (v, l) => v -> (if (seeds(v)) Some(l) else None) }
+    for (_ <- 1 to 3) {
+      val votes = edges.flatMap { case (v, n) => lbl(n).map(v -> _) }
+        .groupBy(_._1).view.mapValues { vs =>
+          vs.groupBy(_._2).view.mapValues(_.length).toSeq
+            .sortBy { case (l, c) => (-c, l) }.head._1
+        }.toMap
+      lbl = truth.map { case (v, l) =>
+        v -> (if (seeds(v)) Some(l) else votes.get(v).orElse(None))
+      }
+    }
+    val got = Similarity.knnLabelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length === truth.size)
+    got.foreach { case (v, isSeed, l) =>
+      assert(isSeed === (if (seeds(v)) 1L else 0L))
+      assert(l === lbl(v).getOrElse(-1), s"vec $v")
+      if (seeds(v)) assert(l === truth(v)) // seeds frozen
+    }
+    // propagation actually labels beyond the seed set
+    val labeledNonSeed = got.count(g => g._2 == 0L && g._3 != -1)
+    assert(labeledNonSeed > 0)
+  }
+
   test("weighted sample: exactly the n smallest integer priorities") {
     import java.security.MessageDigest
     val docs = graft.Tables.load(spark, sf, "documents")

@@ -211,6 +211,25 @@ class TextQualitySpec extends SparkSpecBase {
     assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L))
   }
 
+  test("vocab coverage: bucketed global rank equals a naive global sort") {
+    import spark.implicits._
+    val counts = Tables.load(spark, sf, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    val cums = counts.scanLeft(0L)(_ + _._2).drop(1)
+    val expect = Seq(0.5, 0.75, 0.9, 0.99).map { t =>
+      val i = cums.indexWhere(_ >= t * total)
+      t -> (i + 1L, cums(i), total)
+    }.toMap
+    val got = TextAnalysis.vocabCoverage(spark, sf).collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+  }
+
   test("bm25 equals an in-memory Okapi recompute on the same corpus") {
     import spark.implicits._
     val terms = Set("hash", "join", "vector", "spark")
