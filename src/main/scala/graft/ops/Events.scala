@@ -563,7 +563,69 @@ object Events {
       .orderBy($"event_type", $"day")
   }
 
+  /** B53 — Pareto value concentration (the "whale curve"): the share
+    * of total event value carried by the top 1/10/20/50% of users —
+    * the revenue-concentration report behind every "top X% of users
+    * drive Y%" statement. Per-user totals round to integer CENTS
+    * before ranking, so cumulative sums and shares are integer-exact
+    * on any engine; the global value-desc rank is computed with E32's
+    * digit-count-bucket trick (ordered ranges + broadcast offsets),
+    * never a single-partition sort.
+    */
+  def userValueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(floor(sum($"value") * 100.0 + 0.5).cast("long").as("v_cents"))
+      .withColumn("bkt", length($"v_cents".cast("string")))
+    val off = Window.orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = per.groupBy($"bkt")
+      .agg(count(lit(1)).as("bn"), sum($"v_cents").as("bv"))
+      .withColumn("rank_off", coalesce(sum($"bn").over(off), lit(0L)))
+      .withColumn("cum_off", coalesce(sum($"bv").over(off), lit(0L)))
+      .select($"bkt", $"rank_off", $"cum_off")
+    val w = Window.partitionBy($"bkt").orderBy($"v_cents".desc, $"user_id")
+    val ranked = per.join(broadcast(offsets), "bkt")
+      .withColumn("rank", row_number().over(w).cast("long") + $"rank_off")
+      .withColumn("cum",
+        sum($"v_cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+          + $"cum_off")
+    val totals = broadcast(ranked.agg(max($"rank").as("n_users"),
+      max($"cum").as("total_cents")))
+    val th = broadcast(Seq(0.01, 0.1, 0.2, 0.5).toDF("user_frac"))
+    ranked.crossJoin(totals).crossJoin(th)
+      .filter($"rank" <= ceil($"user_frac" * $"n_users"))
+      .groupBy($"user_frac")
+      .agg(max(ceil($"user_frac" * $"n_users")).cast("long").as("n_top"),
+        max($"cum").as("top_cents"),
+        (floor(max($"cum").cast("double") / max($"total_cents")
+          * 1000000.0 + 0.5) / 1000000.0).as("value_share"))
+      .orderBy($"user_frac")
+  }
+
   val oracles: Map[String, String] = Map(
+    "user_value_concentration" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS v_cents
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, v_cents,
+        |    row_number() OVER (ORDER BY v_cents DESC, user_id) AS rank,
+        |    CAST(sum(v_cents) OVER (ORDER BY v_cents DESC, user_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM per),
+        |tot AS (SELECT count(*) AS n_users,
+        |  CAST(sum(v_cents) AS BIGINT) AS total_cents FROM per),
+        |th AS (SELECT unnest([0.01, 0.1, 0.2, 0.5])::DOUBLE AS user_frac)
+        |SELECT th.user_frac,
+        |  CAST(max(ceil(th.user_frac * tot.n_users)) AS BIGINT) AS n_top,
+        |  max(r.cum) AS top_cents,
+        |  floor(max(r.cum)::DOUBLE / max(tot.total_cents) * 1000000.0
+        |    + 0.5) / 1000000.0 AS value_share
+        |FROM th, tot JOIN r ON r.rank <= ceil(th.user_frac * tot.n_users)
+        |GROUP BY th.user_frac ORDER BY th.user_frac""".stripMargin,
     "events_anomaly" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v

@@ -970,11 +970,17 @@ object TextAnalysis {
     * doc_id-keyed partial-agg sum; the final cut is a distributed
     * top-n (TakeOrdered), never a global sort.
     */
-  def bm25(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25QueryTerms: Seq[String] = Seq("hash", "join", "vector", "spark")
+
+  /** E30's offline artifacts — corpus size, average doc length, and the
+    * per-query-term idf frame — shared with the G17 streaming twin
+    * (the "train offline, score online" split).
+    */
+  private[graft] def bm25Artifacts(spark: SparkSession, dir: String)
+      : (Double, Double, DataFrame) = {
     import spark.implicits._
-    val k1 = 1.2
-    val b = 0.75
-    val queryTerms = Seq("hash", "join", "vector", "spark")
     val docs = Tables.load(spark, dir, "documents")
     val nAvg = docs
       .agg(count(lit(1)).cast("double").as("n"),
@@ -982,17 +988,30 @@ object TextAnalysis {
       .collect()(0)
     val n = nAvg.getDouble(0)
     val avgdl = nAvg.getDouble(1)
-    val toks = docs
+    val df = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(Bm25QueryTerms: _*))
+      .select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("idf", log(lit(1.0) + (lit(n) - $"df" + 0.5) / ($"df" + 0.5)))
+      .select($"term", $"idf")
+    (n, avgdl, df)
+  }
+
+  def bm25(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    import spark.implicits._
+    val k1 = Bm25K1
+    val b = Bm25B
+    val (_, avgdl, df) = bm25Artifacts(spark, dir)
+    val toks = Tables.load(spark, dir, "documents")
       .select($"doc_id",
         size(filter(split($"text", " "), t => t =!= "")).cast("double")
           .as("dl"),
         explode(split($"text", " ")).as("term"))
-      .filter($"term".isin(queryTerms: _*))
+      .filter($"term".isin(Bm25QueryTerms: _*))
     val tf = toks.groupBy($"doc_id", $"dl", $"term")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
-      .withColumn("idf", log(lit(1.0) + (lit(n) - $"df" + 0.5) / ($"df" + 0.5)))
-    tf.join(broadcast(df.select($"term", $"idf")), "term")
+    tf.join(broadcast(df), "term")
       .withColumn("s",
         $"idf" * $"tf" * (k1 + 1.0) /
           ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / avgdl)))

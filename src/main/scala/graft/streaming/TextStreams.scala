@@ -90,7 +90,56 @@ object TextStreams {
       .orderBy($"doc_id")
   }
 
+  /** G17 — streaming BM25 relevance scoring: E30's corpus artifacts
+    * (idf per query term, average doc length — tiny offline values)
+    * folded as literals into a STATELESS per-row fold over the
+    * document stream — per-doc term frequencies come from the token
+    * array in the row, so no streaming aggregation chain is needed;
+    * the top-n cut runs over the drained per-doc scores (the
+    * stream_anomaly "incremental ingest, tiny finalize" split). Batch
+    * E30's DuckDB oracle is the equality check.
+    */
+  def bm25Scores(spark: SparkSession, dir: String,
+                 topN: Int = 50): DataFrame = {
+    import spark.implicits._
+    val k1 = TextAnalysis.Bm25K1
+    val b = TextAnalysis.Bm25B
+    val (_, avgdl, dfFrame) = TextAnalysis.bm25Artifacts(spark, dir)
+    val idf = dfFrame.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("tk", filter(split($"text", " "), t => t =!= ""))
+      .withColumn("dl", size($"tk").cast("double"))
+    val termScores = TextAnalysis.Bm25QueryTerms.flatMap { t =>
+      idf.get(t).map { w =>
+        val tf = size(filter($"tk", x => x === t)).cast("double")
+        (when(tf > 0.0,
+          lit(w) * tf * (k1 + 1.0) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / avgdl)))
+          .otherwise(0.0),
+          when(tf > 0.0, 1L).otherwise(0L))
+      }
+    }
+    val scored = docs.select($"doc_id",
+      termScores.map(_._1).reduce(_ + _).as("s"),
+      termScores.map(_._2).reduce(_ + _).as("n_terms"))
+      .filter($"n_terms" > 0)
+    EventStreams.runToCompletion(scored, "graft_stream_bm25",
+      mode = "append")
+      .select($"doc_id",
+        (floor($"s" * 1000000.0 + 0.5).cast("double") / 1000000.0)
+          .as("bm25"),
+        $"n_terms")
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(topN)
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_bm25" -> TextAnalysis.oracles("text_bm25"),
     "stream_gopher_filter" -> TextAnalysis.oracles("text_gopher_rules"),
     "stream_importance" -> graft.ops.Curation.oracles("importance_weights"),
     "stream_cms_counters" -> (TextAnalysis.cmsBkCte +

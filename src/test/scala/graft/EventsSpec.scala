@@ -357,6 +357,31 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("value concentration: shares monotone, integer-exact vs naive sort") {
+    import spark.implicits._
+    val per = Tables.load(spark, sf, "events")
+      .groupBy($"user_id").agg(sum($"value").as("v"))
+      .select($"user_id", $"v").as[(Long, Double)].collect()
+      .map { case (u, v) => (u, math.floor(v * 100.0 + 0.5).toLong) }
+      .sortBy { case (u, c) => (-c, u) }
+    val total = per.map(_._2).sum
+    val cums = per.scanLeft(0L)(_ + _._2).drop(1)
+    val expect = Seq(0.01, 0.1, 0.2, 0.5).map { p =>
+      val nTop = math.ceil(p * per.length).toLong
+      val top = cums(nTop.toInt - 1)
+      p -> (nTop, top,
+        math.floor(top.toDouble / total * 1e6 + 0.5) / 1e6)
+    }.toMap
+    val got = Events.userValueConcentration(spark, sf).collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("value_share"))).toMap
+    assert(got === expect)
+    // Pareto shape: shares grow with user fraction, top-1% < 100%
+    val shares = Seq(0.01, 0.1, 0.2, 0.5).map(p => got(p)._3)
+    assert(shares === shares.sorted)
+    assert(shares.head > 0.0 && shares.last < 1.0)
+  }
+
   test("anomaly z-score equals an in-memory trailing-window recompute") {
     import spark.implicits._
     val daily = Tables.load(spark, sf, "events")

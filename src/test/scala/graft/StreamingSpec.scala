@@ -151,6 +151,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(tail.forall(_._1 > lastActive))
   }
 
+  test("streaming bm25 equals the batch operator") {
+    val streamed = graft.streaming.TextStreams.bm25Scores(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = graft.ops.TextAnalysis.bm25(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming anomaly z-scores equal the batch trailing-window op") {
     val streamed = EventStreams.streamAnomaly(spark, sf)
       .collect().map(_.toString).toSeq
