@@ -221,6 +221,50 @@ object TextAnalysis {
       .orderBy($"lang", $"rnk")
   }
 
+  /** E33 — PMI collocation mining: ranks adjacent token pairs by
+    * pointwise mutual information ln(P(ab) / (P(a)·P(b))) with a
+    * min-support cut — the classic collocation/multi-word-expression
+    * extractor (Church & Hanks 1990) a tokenizer-vocab or phrase-merge
+    * pass runs before BPE training.
+    *
+    * Scale shape: one token explode feeding TWO partial-agg counts
+    * (unigrams, vocab-sized by Heaps' law; bigrams, pair-vocab-sized);
+    * the corpus never materializes pairs beyond adjacent positions.
+    * The unigram side joins back BROADCAST (vocab ≪ corpus) and the
+    * totals are a one-row broadcast cross join, so the only shuffles
+    * are the two count aggregations — both map-side combined. The
+    * final top-k is a TakeOrderedAndProject over the pair-vocab frame.
+    * All probabilities are ratios of exact integer counts evaluated in
+    * the same IEEE order both engines, ln'd once, 4-dp floor-rounded.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Int = 5, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+    val uni = toks.select(explode($"toks").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val big = toks.select(explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", slice($"toks", i, lit(2))))).as("gram"))
+      .groupBy($"gram").agg(count(lit(1)).as("cab"))
+    val tot = uni.agg(sum($"c").cast("double").as("n_uni"))
+      .crossJoin(big.agg(sum($"cab").cast("double").as("n_big")))
+    big.filter($"cab" >= minCount)
+      .withColumn("a", split($"gram", " ", -1).getItem(0))
+      .withColumn("b", split($"gram", " ", -1).getItem(1))
+      .join(broadcast(uni.select($"t".as("a"), $"c".as("ca"))), "a")
+      .join(broadcast(uni.select($"t".as("b"), $"c".as("cb"))), "b")
+      .crossJoin(broadcast(tot))
+      .select($"gram", $"cab".as("support"),
+        roundP(log(($"cab".cast("double") / $"n_big") /
+          (($"ca".cast("double") / $"n_uni") *
+            ($"cb".cast("double") / $"n_uni")))).as("pmi"))
+      .orderBy($"pmi".desc, $"gram")
+      .limit(topK)
+  }
+
   /** E22 — cross-corpus n-gram novelty: the fraction of a document's
     * DISTINCT 8-grams that no other document contains — low novelty
     * flags boilerplate/templated/near-memorized text that per-doc
@@ -1069,6 +1113,34 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_pmi" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |big AS (
+        |  SELECT gram, count(*) AS cab FROM (
+        |    SELECT unnest([array_to_string(toks[i:i+1], ' ')
+        |      for i in range(1, len(toks))]) AS gram FROM t)
+        |  GROUP BY gram),
+        |tot AS (
+        |  SELECT (SELECT sum(c)::DOUBLE FROM uni) AS n_uni,
+        |         (SELECT sum(cab)::DOUBLE FROM big) AS n_big),
+        |f AS (
+        |  SELECT gram, cab,
+        |    string_split(gram, ' ')[1] AS a,
+        |    string_split(gram, ' ')[2] AS b
+        |  FROM big WHERE cab >= 5)
+        |SELECT f.gram, f.cab AS support,
+        |  floor(ln((f.cab::DOUBLE / tot.n_big) /
+        |    ((ua.c::DOUBLE / tot.n_uni) * (ub.c::DOUBLE / tot.n_uni)))
+        |    * 10000.0 + 0.5) / 10000.0 AS pmi
+        |FROM f
+        |JOIN uni ua ON ua.w = f.a
+        |JOIN uni ub ON ub.w = f.b, tot
+        |ORDER BY pmi DESC, gram LIMIT 50""".stripMargin,
     "vocab_coverage" ->
       """WITH v AS (
         |  SELECT t, count(*) AS c FROM (

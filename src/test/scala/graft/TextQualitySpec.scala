@@ -263,4 +263,28 @@ class TextQualitySpec extends SparkSpecBase {
       assert(math.abs(s - expect(id)) < 1e-9, s"doc $id")
     }
   }
+
+  test("pmi collocations match a serial recomputation") {
+    val docs = texts.values.toSeq
+      .map(_.split(" ", -1).toSeq).filter(_.length >= 2)
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { ts =>
+      ts.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1L)
+      ts.sliding(2).foreach { p =>
+        val g = p.mkString(" "); big(g) = big.getOrElse(g, 0L) + 1L
+      }
+    }
+    val nUni = uni.values.sum.toDouble
+    val nBig = big.values.sum.toDouble
+    val exp = big.toSeq.filter(_._2 >= 5).map { case (g, cab) =>
+      val parts = g.split(" ", -1)
+      val pmi = math.log((cab.toDouble / nBig) /
+        ((uni(parts(0)).toDouble / nUni) * (uni(parts(1)).toDouble / nUni)))
+      (g, cab, roundP(pmi, 4))
+    }.sortBy { case (g, _, p) => (-p, g) }.take(50)
+    val got = TextAnalysis.pmiCollocations(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === exp)
+  }
 }
