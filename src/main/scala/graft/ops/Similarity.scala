@@ -690,6 +690,50 @@ object Similarity {
     ranks.select($"vec_id", $"r".as("pr")).orderBy($"vec_id")
   }
 
+  /** D15 — triangle census + local clustering coefficient on the
+    * undirected kNN graph: the standard graph-quality diagnostic for
+    * an embedding space (high clustering = tight semantic neighborhoods;
+    * triangle-free hubs flag degenerate/noisy regions that poison
+    * label propagation and graph-based dedup).
+    *
+    * Each triangle {x<y<z} is enumerated exactly once via the
+    * canonical-edge 3-way join e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c
+    * (Suri & Vassilvitskii 2011's one-round MR form, declared
+    * relationally so Catalyst plans the joins). The edge table is
+    * n·k rows (out-degree fixed at k), so the wedge fan-out per node
+    * is degree² with degree ≈ 2k for all but hub nodes — AQE's skew
+    * split handles the hubs, and every join keys on a vertex id, so
+    * the whole census is edge-linear shuffle. Clustering coefficient
+    * is 2·tri/(deg·(deg−1)) — exact integers into one division,
+    * 6-dp floor-rounded.
+    */
+  def knnGraphTriangles(spark: SparkSession, dir: String, k: Int = 5,
+                        planes: Int = 12): DataFrame = {
+    import spark.implicits._
+    val edges = knnGraphOn(loadVecs(spark, dir), k, planes)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val wedges = edges.join(
+      edges.select($"a".as("b"), $"b".as("c")), "b")
+    val tris = wedges.join(
+      edges.select($"a".as("ta"), $"b".as("tc")),
+      $"a" === $"ta" && $"c" === $"tc")
+      .select($"a", $"b", $"c")
+    val perNode = tris
+      .select(explode(array($"a", $"b", $"c")).as("vec_id"))
+      .groupBy($"vec_id").agg(count(lit(1)).as("triangles"))
+    val deg = edges.select($"a".as("vec_id"))
+      .unionAll(edges.select($"b".as("vec_id")))
+      .groupBy($"vec_id").agg(count(lit(1)).as("degree"))
+    perNode.join(deg, "vec_id")
+      .select($"vec_id", $"degree", $"triangles",
+        (floor(lit(2.0) * $"triangles" / ($"degree" * ($"degree" - 1))
+          * 1000000.0 + 0.5) / 1000000.0).as("clustering"))
+      .orderBy($"triangles".desc, $"vec_id")
+  }
+
   /** D12 — ANN recall evaluation harness: recall@k of each approximate
     * method (single-table LSH, multi-table LSH, SQ8 two-stage) against
     * the D1 exact baseline, the accept/reject report every index
@@ -1058,6 +1102,36 @@ object Similarity {
        |  FROM cand)""".stripMargin
   }
 
+  /** D15 oracle: the D7 edge CTE canonicalized to undirected a<b
+    * edges, the same 3-way triangle join, per-node explode + degree.
+    */
+  private def trianglesOracle: String = lshGraphCte +
+    """,
+      |edges0 AS (
+      |  SELECT src_id AS s, neighbor_id AS d FROM scored WHERE rnk <= 5),
+      |tedges AS (
+      |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      |  FROM edges0),
+      |tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM tedges e1
+      |  JOIN tedges e2 ON e2.a = e1.b
+      |  JOIN tedges e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tnodes AS (
+      |  SELECT vec_id, count(*) AS triangles FROM (
+      |    SELECT unnest([a, b, c]) AS vec_id FROM tri)
+      |  GROUP BY vec_id),
+      |tdeg AS (
+      |  SELECT vec_id, count(*) AS degree FROM (
+      |    SELECT a AS vec_id FROM tedges
+      |    UNION ALL SELECT b FROM tedges)
+      |  GROUP BY vec_id)
+      |SELECT n.vec_id, d.degree, n.triangles,
+      |  floor(2.0 * n.triangles / (d.degree * (d.degree - 1))
+      |    * 1000000.0 + 0.5) / 1000000.0 AS clustering
+      |FROM tnodes n JOIN tdeg d USING (vec_id)
+      |ORDER BY triangles DESC, vec_id""".stripMargin
+
   private def lshGraphOracle: String = lshGraphCte +
     """
       |SELECT src_id AS vec_id, rnk, neighbor_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
@@ -1224,6 +1298,7 @@ object Similarity {
         |SELECT bucket, count(*) AS n_members, min(vec_id) AS rep_vec_id
         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin),
     "knn_graph" -> lshGraphOracle,
+    "knn_graph_triangles" -> trianglesOracle,
     "knn_label_check" -> labelCheckOracle,
     "knn_label_prop" -> labelPropOracle,
     "knn_graph_pagerank" -> pagerankOracle,
