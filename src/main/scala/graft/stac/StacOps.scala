@@ -349,6 +349,39 @@ object StacOps {
       .orderBy($"granule_id")
   }
 
+  /** A27 — catalog snapshot diff (the audit step between two harvest
+    * generations: what did the re-harvest add, drop, or reprocess?):
+    * two deterministic snapshots of the catalog (granule_id % 13 == 0
+    * absent from the old snapshot = "added"; % 11 == 5 absent from the
+    * new = "removed"; % 7 == 0 re-emitted with a bumped payload =
+    * "changed") FULL OUTER joined on granule_id, classified scan-side,
+    * unchanged rows dropped.
+    *
+    * Scale shape: ONE key-partitioned full-outer join (sort-merge on
+    * granule_id — co-partitions if both snapshots are bucketed by key,
+    * which a production catalog would be) and a scan-side CASE; no
+    * window, no second shuffle — the diff output is change-sized, not
+    * catalog-sized.
+    */
+  def catalogDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = catalog(spark, dir).select($"granule_id", $"cloud_cover")
+    val snapA = cat.filter($"granule_id" % 13 =!= 0)
+      .select($"granule_id", $"cloud_cover".as("old_cloud"))
+    val snapB = cat.filter($"granule_id" % 11 =!= 5)
+      .select($"granule_id",
+        when($"granule_id" % 7 === 0, $"cloud_cover" + 1)
+          .otherwise($"cloud_cover").as("new_cloud"))
+    snapA.join(snapB, Seq("granule_id"), "full_outer")
+      .withColumn("change",
+        when($"old_cloud".isNull, lit("added"))
+          .when($"new_cloud".isNull, lit("removed"))
+          .when($"old_cloud" =!= $"new_cloud", lit("changed")))
+      .filter($"change".isNotNull)
+      .select($"change", $"granule_id", $"old_cloud", $"new_cloud")
+      .orderBy($"change", $"granule_id")
+  }
+
   /** A26 — coverage-gap detection (catalog QA: sensor outages and
     * missed acquisitions show up as calendar gaps in a zone's
     * observation cadence): distinct (collection, UTM zone, day)
@@ -471,6 +504,27 @@ object StacOps {
         |FROM w
         |WHERE next_day IS NOT NULL AND date_diff('day', day, next_day) > 1
         |ORDER BY collection, zone, last_seen""".stripMargin),
+    "stac_catalog_diff" -> (cte +
+      """, snap_a AS (
+        |  SELECT granule_id, cloud_cover AS old_cloud FROM stac
+        |  WHERE granule_id % 13 <> 0),
+        |snap_b AS (
+        |  SELECT granule_id,
+        |    CASE WHEN granule_id % 7 = 0 THEN cloud_cover + 1
+        |         ELSE cloud_cover END AS new_cloud
+        |  FROM stac WHERE granule_id % 11 <> 5),
+        |d AS (
+        |  SELECT coalesce(a.granule_id, b.granule_id) AS granule_id,
+        |    a.old_cloud, b.new_cloud,
+        |    CASE WHEN a.granule_id IS NULL THEN 'added'
+        |         WHEN b.granule_id IS NULL THEN 'removed'
+        |         WHEN a.old_cloud <> b.new_cloud THEN 'changed'
+        |    END AS change
+        |  FROM snap_a a FULL OUTER JOIN snap_b b
+        |    ON a.granule_id = b.granule_id)
+        |SELECT change, granule_id, old_cloud, new_cloud
+        |FROM d WHERE change IS NOT NULL
+        |ORDER BY change, granule_id""".stripMargin),
     "stac_upsert_latest" -> (cte +
       """, v20 AS (
         |  SELECT granule_id, '2.0' AS version, ts, cloud_cover FROM stac),
