@@ -211,6 +211,37 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** H18 — consistent per-group bottom-k sample: each (lang, source)
+    * stratum keeps the k docs with the smallest keyed-md5 priority —
+    * the "consistent sampling" primitive (fixed hash, not RNG) that
+    * gives every pipeline run, resume, and downstream consumer the
+    * SAME audit sample of every stratum, and composes under corpus
+    * growth (a doc's membership never flips unless k fills up with
+    * smaller hashes).
+    *
+    * Scale shape: the selection runs through the B37 k-bounded heap
+    * aggregator, so partial aggregation trims to ≤k rows per group
+    * map-side and only groups×k rows reach the one shuffle — the
+    * row_number() window the oracle uses would sort every stratum in
+    * full. Priorities are 48-bit md5 prefixes (exact in a Double, so
+    * the heap's (-h, doc_id) order equals the oracle's (h, doc_id)).
+    */
+  def consistentSample(spark: SparkSession, dir: String,
+                       k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(graft.expressions.TopKPairs(k))
+    Tables.load(spark, dir, "documents")
+      .withColumn("h",
+        conv(substring(md5(concat(lit("csample:"), $"doc_id".cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long"))
+      .groupBy($"lang", $"source")
+      .agg(topk((-$"h").cast("double"), $"doc_id").as("top"))
+      .select($"lang", $"source", posexplode($"top").as(Seq("idx", "p")))
+      .select($"lang", $"source", ($"idx" + 1).cast("long").as("rnk"),
+        $"p._2".as("doc_id"), (-$"p._1").cast("long").as("h"))
+      .orderBy($"lang", $"source", $"rnk")
+  }
+
   /** H17 — corpus datasheet ("dataset card" stats): the per-source
     * summary a data release ships — doc/lang counts, char and token
     * totals, corpus share, and the exact-duplicate rate (1 −
@@ -472,6 +503,19 @@ object Curation {
       |  ELSE 'test' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_consistent" ->
+      """WITH h AS (
+        |  SELECT lang, source, doc_id,
+        |    ('0x' || substring(md5('csample:' || CAST(doc_id AS VARCHAR)),
+        |      1, 12))::BIGINT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, source, doc_id, h,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY h, doc_id) AS rnk
+        |  FROM h)
+        |SELECT lang, source, rnk, doc_id, h FROM r WHERE rnk <= 20
+        |ORDER BY lang, source, rnk""".stripMargin,
     "sample_weighted" ->
       """WITH h AS (
         |  SELECT doc_id, n_chars,
