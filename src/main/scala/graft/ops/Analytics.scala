@@ -162,6 +162,47 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** B54 — ordered multi-step funnel with a completion deadline:
+    * signup → first view strictly after it → first purchase strictly
+    * after that, chain complete iff the purchase lands within 7 days
+    * of the signup. The strict ordering (each step's earliest
+    * occurrence AFTER the previous step) is what distinguishes a real
+    * funnel from three independent mins — an early purchase must not
+    * satisfy step 3.
+    *
+    * Scale shape: three chained whole-partition conditional mins over
+    * the SAME user_id partitioning — Catalyst plans ONE exchange (plus
+    * one per-partition key sort) feeding all three Window operators
+    * back-to-back, and the per-user rollup that follows reuses the
+    * partitioning (partial+final HashAggregate with no new exchange),
+    * so the entire funnel is one shuffle of the events table. No
+    * joins, no per-step passes: the step-(i) column feeds
+    * step-(i+1)'s filter inside the same stage. (Verified with
+    * graft.Explain: the only other exchange is the presentation sort.)
+    */
+  def windowedFunnel(spark: SparkSession, dir: String,
+                     windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    val horizonUs = windowDays * 86400000000L
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", expr("ts DIV 1000").as("us"))
+      .withColumn("t1",
+        min(when($"event_type" === "signup", $"us")).over(w))
+      .withColumn("t2",
+        min(when($"event_type" === "view" && $"us" > $"t1", $"us")).over(w))
+      .withColumn("t3",
+        min(when($"event_type" === "purchase" && $"us" > $"t2", $"us")).over(w))
+      .groupBy($"user_id")
+      .agg(max($"t1").as("signup_us"), max($"t2").as("view_us"),
+        max($"t3").as("purchase_us"))
+      .filter($"signup_us".isNotNull)
+      .withColumn("completed",
+        $"purchase_us".isNotNull &&
+          $"purchase_us" - $"signup_us" <= horizonUs)
+      .orderBy($"user_id")
+  }
+
   /** Supplier share of each part's line revenue — fact self-aggregate
     * + window ratio, the classic market-share shape (Q8-like).
     */
@@ -1283,6 +1324,30 @@ object Analytics {
         |  floor(sum(rev) OVER (ORDER BY month
         |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
         |FROM m ORDER BY month""".stripMargin,
+    "events_windowed_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+        |    OVER (PARTITION BY user_id) AS t1
+        |  FROM ev),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND us > t1
+        |    THEN us END) OVER (PARTITION BY user_id) AS t2
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2
+        |    THEN us END) OVER (PARTITION BY user_id) AS t3
+        |  FROM w2),
+        |per AS (
+        |  SELECT user_id, max(t1) AS signup_us, max(t2) AS view_us,
+        |    max(t3) AS purchase_us
+        |  FROM w3 GROUP BY user_id)
+        |SELECT user_id, signup_us, view_us, purchase_us,
+        |  purchase_us IS NOT NULL AND
+        |    purchase_us - signup_us <= 604800000000 AS completed
+        |FROM per WHERE signup_us IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
     "events_funnel" ->
       """WITH s AS (
         |  SELECT user_id, min(epoch_us(ts)) AS signup_us FROM events
