@@ -16,6 +16,7 @@ object Events {
     * and DuckDB round() split on .x5 halfway doubles; see Analytics).
     */
   private def r2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
+  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
   /** Gap-based sessionization (gap > 30 min starts a new session):
     * one shuffle on user_id, two stacked window functions, then the
@@ -572,6 +573,44 @@ object Events {
     * digit-count-bucket trick (ordered ranges + broadcast offsets),
     * never a single-partition sort.
     */
+  /** B55 — Welch's unequal-variance t-test between every pair of
+    * event types on `value` — the A/B significance readout (t statistic
+    * + Welch–Satterthwaite df) every experiment dashboard computes.
+    * Group moments come from ONE partial-aggregable pass (n, Σv, Σv²);
+    * the pairing is a self-join of the TYPES-sized moment frame (5
+    * rows — broadcast-trivial at any corpus size), so the corpus is
+    * scanned exactly once and nothing row-sized ever shuffles. Means,
+    * t, and df are derived with the same IEEE expression order both
+    * engines and 4-dp floor-rounded.
+    */
+  def abTTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"value").as("s1"),
+        sum($"value" * $"value").as("s2"))
+      .select($"event_type", $"n",
+        ($"s1" / $"n").as("m"),
+        (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("v"))
+    val a = m.select($"event_type".as("type_a"), $"n".as("na"),
+      $"m".as("ma"), $"v".as("va"))
+    val b = m.select($"event_type".as("type_b"), $"n".as("nb"),
+      $"m".as("mb"), $"v".as("vb"))
+    val sea = $"va" / $"na"
+    val seb = $"vb" / $"nb"
+    val se2 = sea + seb
+    a.join(b, $"type_a" < $"type_b")
+      .select($"type_a", $"type_b",
+        $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+        r4($"ma").as("mean_a"), r4($"mb").as("mean_b"),
+        r4(($"ma" - $"mb") / sqrt(se2)).as("t_stat"),
+        r4(se2 * se2 /
+          (sea * sea / ($"na" - 1) + seb * seb / ($"nb" - 1)))
+          .as("df_welch"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   def userValueConcentration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.load(spark, dir, "events")
@@ -605,6 +644,27 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_ab_ttest" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*)::DOUBLE AS n, sum(value) AS s1,
+        |    sum(value * value) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, s1 / n AS m,
+        |    (s2 - s1 * s1 / n) / (n - 1) AS v
+        |  FROM g)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+        |  floor(a.m * 10000.0 + 0.5) / 10000.0 AS mean_a,
+        |  floor(b.m * 10000.0 + 0.5) / 10000.0 AS mean_b,
+        |  floor((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)
+        |    * 10000.0 + 0.5) / 10000.0 AS t_stat,
+        |  floor((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+        |    ((a.v / a.n) * (a.v / a.n) / (a.n - 1) +
+        |     (b.v / b.n) * (b.v / b.n) / (b.n - 1))
+        |    * 10000.0 + 0.5) / 10000.0 AS df_welch
+        |FROM m a JOIN m b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "user_value_concentration" ->
       """WITH per AS (
         |  SELECT user_id,
