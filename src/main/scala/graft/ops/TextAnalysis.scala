@@ -221,6 +221,89 @@ object TextAnalysis {
       .orderBy($"lang", $"rnk")
   }
 
+  /** E34 — distributed logistic-regression training for a surface-
+    * feature quality/language classifier (predict lang=="en" from
+    * token-count, word-length, and stopword-ratio features): full-batch
+    * gradient descent where EVERY iteration is one partial-aggregable
+    * corpus pass producing a 4-double gradient — the classic
+    * "aggregate-the-gradient" distributed-ML shape (map-side combine,
+    * one 4-value reduce to the driver, weights re-broadcast as
+    * literals in the next iteration's expression). Feature prep is
+    * computed once and localCheckpoint'd, so the 15 iterations never
+    * re-derive lineage; model state is O(features), independent of
+    * corpus size — this is exactly how a 100 TB corpus trains a tiny
+    * quality gate without leaving the engine.
+    *
+    * Output: trained weights, training accuracy, and log-loss
+    * (4-dp rounded). No SQL oracle — iterative aggregate-in-loop is
+    * not expressible in DuckDB's recursive CTEs — so correctness is
+    * the ScalaTest ≡-serial-replay spec (same float ops, same
+    * iteration count, on the collected feature matrix).
+    */
+  private[graft] def qualityLrFeatures(spark: SparkSession,
+                                       dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        ($"lang" === "en").cast("double").as("y"),
+        lit(1.0).as("x0"),
+        log(lit(1.0) + size(toks).cast("double")).as("x1"),
+        ($"n_chars".cast("double") / size(toks).cast("double")).as("x2"),
+        (size(filter(toks, t => Stopwords.map(t === _).reduce(_ || _)))
+          .cast("double") / size(toks).cast("double")).as("x3"))
+  }
+
+  def qualityLr(spark: SparkSession, dir: String,
+                iters: Int = 15, lr: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val raw = qualityLrFeatures(spark, dir).localCheckpoint()
+    // z-score the non-intercept features (one moment pass) — GD on
+    // unscaled features oscillates (step bound ~ 2/max eigenvalue of
+    // the feature Gram; standardization makes lr=1.0 safely inside it)
+    val st = raw.agg(
+      avg($"x1").as("m1"), avg($"x1" * $"x1").as("q1"),
+      avg($"x2").as("m2"), avg($"x2" * $"x2").as("q2"),
+      avg($"x3").as("m3"), avg($"x3" * $"x3").as("q3")).collect()(0)
+    def sd(m: Double, q: Double): Double =
+      math.sqrt(math.max(q - m * m, 1e-12))
+    val feats = raw.select($"doc_id", $"y", $"x0",
+      (($"x1" - st.getDouble(0)) / sd(st.getDouble(0), st.getDouble(1)))
+        .as("x1"),
+      (($"x2" - st.getDouble(2)) / sd(st.getDouble(2), st.getDouble(3)))
+        .as("x2"),
+      (($"x3" - st.getDouble(4)) / sd(st.getDouble(4), st.getDouble(5)))
+        .as("x3"))
+      .localCheckpoint()
+    val n = feats.count().toDouble
+    val w = Array.fill(4)(0.0)
+    def margin: Column =
+      lit(w(0)) * $"x0" + lit(w(1)) * $"x1" +
+        lit(w(2)) * $"x2" + lit(w(3)) * $"x3"
+    def prob: Column = lit(1.0) / (lit(1.0) + exp(-margin))
+    for (_ <- 1 to iters) {
+      val err = prob - $"y"
+      val g = feats.agg(
+        sum(err * $"x0").as("g0"), sum(err * $"x1").as("g1"),
+        sum(err * $"x2").as("g2"), sum(err * $"x3").as("g3"))
+        .collect()(0)
+      var j = 0
+      while (j < 4) { w(j) -= lr / n * g.getDouble(j); j += 1 }
+    }
+    val m = feats.agg(
+      avg((when(prob >= 0.5, 1.0).otherwise(0.0) === $"y")
+        .cast("double")).as("acc"),
+      avg(-($"y" * log(prob) +
+        (lit(1.0) - $"y") * log(lit(1.0) - prob))).as("ll"))
+      .collect()(0)
+    val rows = w.zipWithIndex.map { case (wt, j) => (s"w$j", wt) } ++
+      Seq(("n_docs", n), ("accuracy", m.getDouble(0)),
+        ("log_loss", m.getDouble(1)))
+    rows.toSeq.toDF("metric", "value")
+      .select($"metric", roundP($"value").as("value"))
+      .orderBy($"metric")
+  }
+
   /** E33 — PMI collocation mining: ranks adjacent token pairs by
     * pointwise mutual information ln(P(ab) / (P(a)·P(b))) with a
     * min-support cut — the classic collocation/multi-word-expression

@@ -287,4 +287,58 @@ class TextQualitySpec extends SparkSpecBase {
       .as[(String, Long, Double)].collect().toSeq
     assert(got === exp)
   }
+
+  test("logistic-regression training matches a serial replay") {
+    val rawFeats = TextAnalysis.qualityLrFeatures(spark, sf)
+      .select($"y", $"x0", $"x1", $"x2", $"x3")
+      .as[(Double, Double, Double, Double, Double)].collect()
+    val n = rawFeats.length.toDouble
+    def zscore(xs: Array[Double]): Array[Double] = {
+      val m = xs.sum / n
+      val q = xs.map(x => x * x).sum / n
+      val sd = math.sqrt(math.max(q - m * m, 1e-12))
+      xs.map(x => (x - m) / sd)
+    }
+    val z1 = zscore(rawFeats.map(_._3))
+    val z2 = zscore(rawFeats.map(_._4))
+    val z3 = zscore(rawFeats.map(_._5))
+    val feats = rawFeats.indices.map(i =>
+      (rawFeats(i)._1, rawFeats(i)._2, z1(i), z2(i), z3(i))).toArray
+    val w = Array.fill(4)(0.0)
+    val iters = 15
+    val lr = 1.0
+    for (_ <- 1 to iters) {
+      val g = Array.fill(4)(0.0)
+      feats.foreach { case (y, x0, x1, x2, x3) =>
+        val xs = Array(x0, x1, x2, x3)
+        val m = (0 until 4).map(j => w(j) * xs(j)).sum
+        val p = 1.0 / (1.0 + math.exp(-m))
+        (0 until 4).foreach(j => g(j) += (p - y) * xs(j))
+      }
+      (0 until 4).foreach(j => w(j) -= lr / n * g(j))
+    }
+    var acc = 0.0
+    var ll = 0.0
+    feats.foreach { case (y, x0, x1, x2, x3) =>
+      val xs = Array(x0, x1, x2, x3)
+      val m = (0 until 4).map(j => w(j) * xs(j)).sum
+      val p = 1.0 / (1.0 + math.exp(-m))
+      if ((if (p >= 0.5) 1.0 else 0.0) == y) acc += 1
+      ll += -(y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
+    }
+    acc /= n
+    ll /= n
+    val got = TextAnalysis.qualityLr(spark, sf)
+      .as[(String, Double)].collect().toMap
+    assert(got("n_docs") === n)
+    (0 until 4).foreach { j =>
+      assert(math.abs(got(s"w$j") - w(j)) < 1e-4, s"w$j: ${got(s"w$j")} vs ${w(j)}")
+    }
+    assert(math.abs(got("accuracy") - acc) < 1e-4)
+    assert(math.abs(got("log_loss") - ll) < 1e-4)
+    // the classifier must beat the majority-class baseline
+    val majority = math.max(feats.count(_._1 == 1.0), feats.count(_._1 == 0.0)) / n
+    assert(got("accuracy") >= majority - 1e-9,
+      s"accuracy ${got("accuracy")} below majority baseline $majority")
+  }
 }
