@@ -611,6 +611,28 @@ object Events {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** B56 — weekly seasonality profile: per (ISO weekday, event_type)
+    * volume, share of the type's total, and a seasonality index vs the
+    * uniform-weekday expectation (index > 1 = that weekday
+    * over-indexes) — the load-shaping/staffing view every event stream
+    * gets. One partial-aggregable groupBy to a ≤ 7×types frame; the
+    * per-type total is a window over that tiny frame, not the corpus.
+    */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    Tables.load(spark, dir, "events")
+      .select((weekday(timestamp_micros(expr("ts DIV 1000"))) + 1)
+        .cast("long").as("isodow"), $"event_type")
+      .groupBy($"isodow", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("type_total", sum($"n").over(w))
+      .select($"isodow", $"event_type", $"n",
+        r4($"n".cast("double") / $"type_total").as("share"),
+        r4($"n".cast("double") * 7.0 / $"type_total").as("idx"))
+      .orderBy($"isodow", $"event_type")
+  }
+
   def userValueConcentration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.load(spark, dir, "events")
@@ -644,6 +666,20 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_dow_profile" ->
+      """WITH g AS (
+        |  SELECT isodow(ts)::BIGINT AS isodow, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, sum(n) OVER (PARTITION BY event_type) AS type_total
+        |  FROM g)
+        |SELECT isodow, event_type, n,
+        |  floor(n::DOUBLE / type_total * 10000.0 + 0.5) / 10000.0
+        |    AS share,
+        |  floor(n::DOUBLE * 7.0 / type_total * 10000.0 + 0.5) / 10000.0
+        |    AS idx
+        |FROM t ORDER BY isodow, event_type""".stripMargin,
     "events_ab_ttest" ->
       """WITH g AS (
         |  SELECT event_type, count(*)::DOUBLE AS n, sum(value) AS s1,
