@@ -203,6 +203,46 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** B57 — Holt linear-trend forecast of daily order revenue
+    * (α=0.5, β=0.25, 7-day horizon): the one-line operational forecast
+    * every revenue dashboard carries. Exponential smoothing is
+    * inherently sequential, so the scalable decomposition is: (1) a
+    * partial-aggregable corpus pass to the CALENDAR-BOUNDED daily
+    * series (the only data-sized work), each daily sum 2-dp-rounded so
+    * the fold input is bit-identical on any engine/partitioning; (2)
+    * the smoothing recursion as an in-plan `aggregate()` fold over the
+    * sorted day array — O(days), one task, no driver loop, no UDF.
+    * Dyadic smoothing constants keep every fold step exact-identical
+    * to the oracle's recursive CTE.
+    */
+  def holtForecast(spark: SparkSession, dir: String,
+                   horizon: Int = 7): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(r2(sum($"o_totalprice")).as("rev"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct($"day", $"rev"))).as("s"))
+      .select(aggregate($"s",
+        struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(false).as("init")),
+        (st, x) => {
+          val y = x.getField("rev")
+          val newl = lit(0.5) * y +
+            lit(0.5) * (st.getField("l") + st.getField("b"))
+          when(!st.getField("init"),
+            struct(y.as("l"), lit(0.0).as("b"), lit(true).as("init")))
+            .otherwise(struct(newl.as("l"),
+              (lit(0.25) * (newl - st.getField("l")) +
+                lit(0.75) * st.getField("b")).as("b"),
+              lit(true).as("init")))
+        }).as("st"))
+    folded
+      .select(explode(sequence(lit(1), lit(horizon))).as("h"), $"st")
+      .select($"h".cast("long").as("h"),
+        r4($"st.l" + $"h" * $"st.b").as("forecast"))
+      .orderBy($"h")
+  }
+
   /** Supplier share of each part's line revenue — fact self-aggregate
     * + window ratio, the classic market-share shape (Q8-like).
     */
@@ -1324,6 +1364,26 @@ object Analytics {
         |  floor(sum(rev) OVER (ORDER BY month
         |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
         |FROM m ORDER BY month""".stripMargin,
+    "orders_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT day, rev, row_number() OVER (ORDER BY day) AS i
+        |  FROM daily),
+        |rec(i, l, b) AS (
+        |  SELECT 1::BIGINT, rev::DOUBLE, 0.0::DOUBLE FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.i, 0.5 * s.rev + 0.5 * (rec.l + rec.b),
+        |    0.25 * (0.5 * s.rev + 0.5 * (rec.l + rec.b) - rec.l)
+        |      + 0.75 * rec.b
+        |  FROM rec JOIN s ON s.i = rec.i + 1),
+        |fin AS (SELECT l, b FROM rec ORDER BY i DESC LIMIT 1),
+        |hs AS (SELECT unnest(range(1, 8)) AS h)
+        |SELECT h::BIGINT AS h,
+        |  floor((l + h * b) * 10000.0 + 0.5) / 10000.0 AS forecast
+        |FROM fin, hs ORDER BY h""".stripMargin,
     "events_windowed_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
