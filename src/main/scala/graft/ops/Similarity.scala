@@ -734,6 +734,60 @@ object Similarity {
       .orderBy($"triangles".desc, $"vec_id")
   }
 
+  /** D16 — top principal component of the embedding corpus by
+    * distributed power iteration: the whitening/drift diagnostic an
+    * embedding pipeline runs before indexing (a dominant component
+    * with high explained-variance signals anisotropy that wrecks
+    * cosine ANN recall).
+    *
+    * Scale shape: the mean and total variance come from ONE moment
+    * pass; each of the 5 power iterations is ONE corpus pass — the
+    * per-row scalar s = (x−μ)ᵀv is computed in-plan (zip_with +
+    * aggregate over the 64-dim arrays, no UDF), and the 64 partial
+    * sums Σ(x_j−μ_j)·s reduce through a posexplode + map-side-combined
+    * groupBy(dim) — so each iteration ships 64×partitions values, and
+    * model state (v) re-broadcasts as a 64-literal array. O(iters)
+    * corpus passes, O(d) driver state: the classic aggregate-the-
+    * matvec decomposition. Sign fixed by making the largest-|loading|
+    * dimension positive; eigenvalue = Rayleigh quotient from the final
+    * pass.
+    */
+  def embeddingPca(spark: SparkSession, dir: String,
+                   iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir).localCheckpoint()
+    val d = 64
+    val n = vecs.count().toDouble
+    def litArr(a: Array[Double]): Column = array(a.map(lit): _*)
+    // mean + E[x_j^2] in one pass via posexplode
+    val mom = vecs.select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(sum($"x").as("s1"), sum($"x" * $"x").as("s2"))
+      .orderBy($"dim").collect()
+    val mu = mom.map(r => r.getDouble(1) / n)
+    val totVar = mom.zipWithIndex
+      .map { case (r, j) => r.getDouble(2) / n - mu(j) * mu(j) }.sum
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val cCol = zip_with($"v", litArr(mu), (a, b) => a - b)
+      val sCol = aggregate(zip_with(cCol, litArr(v), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val sums = vecs.select(posexplode(cCol).as(Seq("dim", "c")), sCol.as("s"))
+        .groupBy($"dim").agg(sum($"c" * $"s").as("g"))
+        .orderBy($"dim").collect()
+      val av = sums.map(r => r.getDouble(1) / n)
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      lambda = av.zip(v).map { case (a, b) => a * b }.sum
+      v = av.map(_ / norm)
+    }
+    val flip = if (v(v.zipWithIndex.maxBy { case (x, _) => math.abs(x) }._2) < 0) -1.0 else 1.0
+    val rows = v.zipWithIndex.map { case (x, j) =>
+      (j.toLong, math.floor(flip * x * 1000000.0 + 0.5) / 1000000.0)
+    }.toSeq
+    val head = Seq((-1L, math.floor(lambda / totVar * 1000000.0 + 0.5) / 1000000.0))
+    (head ++ rows).toDF("dim", "value").orderBy($"dim")
+  }
+
   /** D12 — ANN recall evaluation harness: recall@k of each approximate
     * method (single-table LSH, multi-table LSH, SQ8 two-stage) against
     * the D1 exact baseline, the accept/reject report every index

@@ -534,4 +534,45 @@ class DedupSpec extends SparkSpecBase {
     // dense regions collapse: at least one bucket holds >1 member
     assert(rows.exists(_._2 > 1L))
   }
+
+  test("embedding PCA matches a serial power-iteration replay") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(transform($"embedding", x => x.cast("double")).as("v"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val d = 64
+    val n = vecs.length.toDouble
+    val mu = Array.tabulate(d)(j => vecs.map(_(j)).sum / n)
+    val totVar = (0 until d).map { j =>
+      vecs.map(x => x(j) * x(j)).sum / n - mu(j) * mu(j)
+    }.sum
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    for (_ <- 1 to 5) {
+      val av = Array.fill(d)(0.0)
+      vecs.foreach { x =>
+        val c = Array.tabulate(d)(j => x(j) - mu(j))
+        val s = (0 until d).map(j => c(j) * v(j)).sum
+        (0 until d).foreach(j => av(j) += c(j) * s)
+      }
+      (0 until d).foreach(j => av(j) /= n)
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      lambda = av.zip(v).map { case (a, b) => a * b }.sum
+      v = av.map(_ / norm)
+    }
+    val flip =
+      if (v(v.zipWithIndex.maxBy { case (x, _) => math.abs(x) }._2) < 0) -1.0
+      else 1.0
+    val expV = v.map(_ * flip)
+    val got = Similarity.embeddingPca(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val gotV = Array.tabulate(d)(j => got(j.toLong))
+    val cos = expV.zip(gotV).map { case (a, b) => a * b }.sum /
+      (math.sqrt(expV.map(x => x * x).sum) *
+        math.sqrt(gotV.map(x => x * x).sum))
+    assert(cos > 0.999999, s"component misaligned: cos=$cos")
+    val expRatio = lambda / totVar
+    assert(math.abs(got(-1L) - expRatio) < 1e-4,
+      s"explained-variance ratio ${got(-1L)} vs $expRatio")
+    assert(expRatio > 0.0 && expRatio <= 1.0 + 1e-9)
+  }
 }
