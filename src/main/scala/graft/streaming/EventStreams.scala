@@ -217,6 +217,71 @@ object EventStreams {
       .orderBy($"user_id")
   }
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelRow(user_id: Long, signup_us: Long,
+                             view_us: java.lang.Long,
+                             purchase_us: java.lang.Long,
+                             completed: Boolean)
+
+  /** G18 — streaming twin of the B54 ordered windowed funnel: per-user
+    * funnel progress (signup → first later view → first later
+    * purchase, complete within 7 days) as `mapGroupsWithState` — state
+    * is THREE longs per user, advanced monotonically, so a month-long
+    * stream holds O(users) fixed-width state and emits an updated
+    * funnel row per user per batch. Rows are folded in event-time
+    * order within each batch (the state machine is order-sensitive;
+    * per-user in-order delivery is the same watermark assumption the
+    * G4 running totals make). The one-shot run over the full table ≡
+    * the batch operator — asserted in StreamingSpec.
+    */
+  def streamFunnel(spark: SparkSession, dir: String,
+                   windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val horizonUs = windowDays * 86400000000L
+    val stream = eventStream(spark, dir)
+      .select($"user_id".as[Long], $"event_type".as[String],
+        expr("ts DIV 1000").as[Long])
+    val updated = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toSeq.sortBy { case (_, tpe, us) => (us, tpe) }.foreach {
+            case (_, tpe, us) =>
+              if (tpe == "signup" && st.t1 < 0)
+                st = st.copy(t1 = us)
+              else if (tpe == "view" && st.t1 >= 0 && st.t2 < 0 &&
+                us > st.t1)
+                st = st.copy(t2 = us)
+              else if (tpe == "purchase" && st.t2 >= 0 && st.t3 < 0 &&
+                us > st.t2)
+                st = st.copy(t3 = us)
+          }
+          state.update(st)
+          FunnelRow(user, st.t1,
+            if (st.t2 >= 0) st.t2 else null,
+            if (st.t3 >= 0) st.t3 else null,
+            st.t3 >= 0 && st.t3 - st.t1 <= horizonUs)
+      }
+    val name = s"graft_stream_funnel_${counter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = updated.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+      .filter($"signup_us" >= 0)
+      .select($"user_id", $"signup_us", $"view_us", $"purchase_us",
+        $"completed")
+      .orderBy($"user_id")
+  }
+
   /** G5 — stream-stream interval join: each purchase matched to every
     * signup of the same user in the preceding day. Both sides carry
     * watermarks and the join carries the time-range predicate — that
@@ -265,6 +330,8 @@ object EventStreams {
 
   val oracles: Map[String, String] = Map(
     "stream_anomaly" -> graft.ops.Events.oracles("events_anomaly"),
+    "stream_funnel" ->
+      graft.ops.Analytics.oracles("events_windowed_funnel"),
     "stream_active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

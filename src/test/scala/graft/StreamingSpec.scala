@@ -159,6 +159,13 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming funnel equals the batch windowed funnel") {
+    val stream = EventStreams.streamFunnel(spark, sf).collect()
+    val batch = graft.ops.Analytics.windowedFunnel(spark, sf).collect()
+    assert(stream.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming anomaly z-scores equal the batch trailing-window op") {
     val streamed = EventStreams.streamAnomaly(spark, sf)
       .collect().map(_.toString).toSeq
