@@ -186,6 +186,52 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E35 — language-ID confusion matrix: the E3 classifier evaluated
+    * against the labeled corpus as (true lang × predicted lang) cells
+    * with per-true-language recall shares — the model-eval rollup any
+    * classifier deployed over a corpus needs, computed without leaving
+    * the engine. The doc_id-keyed truth join is corpus-linear; the
+    * confusion frame is ≤ langs² rows so the share window is
+    * broadcast-scale.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val pred = langId(spark, dir).select($"doc_id", $"pred_lang")
+    val truth = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang")
+    val w = W.partitionBy($"lang")
+    pred.join(truth, "doc_id")
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum($"n").over(w))
+      .select($"lang", $"pred_lang", $"n",
+        roundP($"n".cast("double") / $"row_total").as("recall_share"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** E36 — per-language document-length profile: exact p10/p50/p90
+    * token-count percentiles + mean per language, the length-prior
+    * every chunking/packing/truncation decision reads off first. One
+    * tokenize projection feeding a per-lang exact percentile (grouped,
+    * not global — partitions bounded by the largest language, and the
+    * B35 sketch is the documented constant-memory fallback at corpus
+    * scale). Token counts are integers, so quantile interpolation
+    * matches cross-engine at 4 dp.
+    */
+  def docLengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def p(q: Double) =
+      floor(expr(s"percentile(n_tok, $q)") * 10000.0 + 0.5)
+        .cast("double") / 10000.0
+    Tables.load(spark, dir, "documents")
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), p(0.1).as("p10"), p(0.5).as("p50"),
+        p(0.9).as("p90"),
+        roundP(avg($"n_tok")).as("mean_tok"))
+      .orderBy($"lang")
+  }
+
   /** E4 — document fingerprint: polynomial rolling hash over
     * characters, mod 1e9+7 (order-sensitive, unlike the shingle ops).
     */
@@ -1740,6 +1786,44 @@ object TextAnalysis {
         |  floor((len_score + (1.0 - punct_ratio) + (1.0 - stop_ratio)
         |    + uniq_ratio) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "doc_length_profile" ->
+      """WITH d AS (
+        |  SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  floor(quantile_cont(n_tok, 0.1) * 10000.0 + 0.5) / 10000.0 AS p10,
+        |  floor(quantile_cont(n_tok, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor(quantile_cont(n_tok, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |  floor(avg(n_tok) * 10000.0 + 0.5) / 10000.0 AS mean_tok
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','nicht','das')))::BIGINT AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','is','with')))::BIGINT AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','que','los','una')))::BIGINT AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','des','est','une')))::BIGINT AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('de5','shi4','bu4','le5','zai4')))::BIGINT AS s_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT lang, CASE
+        |    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred_lang
+        |  FROM s),
+        |g AS (
+        |  SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, sum(n) OVER (PARTITION BY lang) AS row_total FROM g)
+        |SELECT lang, pred_lang, n,
+        |  floor(n::DOUBLE / row_total * 10000.0 + 0.5) / 10000.0
+        |    AS recall_share
+        |FROM w ORDER BY lang, pred_lang""".stripMargin,
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
