@@ -734,6 +734,28 @@ object Similarity {
       .orderBy($"triangles".desc, $"vec_id")
   }
 
+  /** D17 — mutual-kNN graph: keep only reciprocated edges (a in b's
+    * top-k AND b in a's top-k) — the standard robustification before
+    * graph clustering/label propagation, because hub nodes collect
+    * thousands of one-way in-edges that mutuality filters out (the
+    * same hubs D15 flags). One vertex-keyed self-join of the n·k edge
+    * list on the reversed pair — edge-linear shuffle, no new scoring
+    * pass (the ranked edge list is localCheckpoint'd and probed from
+    * both sides).
+    */
+  def knnMutualGraph(spark: SparkSession, dir: String, k: Int = 5,
+                     planes: Int = 12): DataFrame = {
+    import spark.implicits._
+    val g = knnGraphOn(loadVecs(spark, dir), k, planes).localCheckpoint()
+    val rev = g.select($"vec_id".as("b2"), $"neighbor_id".as("a2"),
+      $"rnk".as("rnk_ba"))
+    g.filter($"vec_id" < $"neighbor_id")
+      .join(rev, $"vec_id" === $"a2" && $"neighbor_id" === $"b2")
+      .select($"vec_id".as("vec_a"), $"neighbor_id".as("vec_b"),
+        $"rnk".as("rnk_ab"), $"rnk_ba", $"cosine")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** D16 — top principal component of the embedding corpus by
     * distributed power iteration: the whitening/drift diagnostic an
     * embedding pipeline runs before indexing (a dominant component
@@ -1353,6 +1375,18 @@ object Similarity {
         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin),
     "knn_graph" -> lshGraphOracle,
     "knn_graph_triangles" -> trianglesOracle,
+    "knn_mutual_graph" -> (lshGraphCte +
+      """,
+        |g AS (
+        |  SELECT src_id AS vec_id, rnk, neighbor_id,
+        |    floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |  FROM scored WHERE rnk <= 5)
+        |SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b,
+        |  a.rnk AS rnk_ab, b.rnk AS rnk_ba, a.cosine
+        |FROM g a JOIN g b
+        |  ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+        |WHERE a.vec_id < a.neighbor_id
+        |ORDER BY vec_a, vec_b""".stripMargin),
     "knn_label_check" -> labelCheckOracle,
     "knn_label_prop" -> labelPropOracle,
     "knn_graph_pagerank" -> pagerankOracle,
