@@ -285,6 +285,47 @@ object StacOps {
       .orderBy($"region_id")
   }
 
+  /** A28 — nearest-granule spatial join: each AOI centroid matched to
+    * its nearest catalog point among the 3×3 ring of 10° grid cells
+    * around it (flat lon/lat squared distance, documented planar
+    * approximation away from the antimeridian — A19 handles wrapped
+    * AOIs). The argmin is `min(struct(d2, granule_id))` — a
+    * partial-aggregable lexicographic min (ties to the smallest id),
+    * so candidates collapse map-side and no window or sort touches the
+    * catalog.
+    *
+    * Scale shape: the query side (centroids × 9 cells) broadcasts; the
+    * catalog joins on its scan-side cell key, so the only shuffle is
+    * the regions-sized argmin aggregate — the grid-bucketed kNN-join
+    * shape that replaces the quadratic point-to-point distance join.
+    */
+  def nearestJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = StacSynth.regions.toDF("region_id", "w", "s", "e", "n")
+      .select($"region_id",
+        (($"w" + $"e") / 2).as("qlon"), (($"s" + $"n") / 2).as("qlat"))
+      .withColumn("qcx", floor($"qlon" / 10).cast("int"))
+      .withColumn("qcy", floor($"qlat" / 10).cast("int"))
+      .withColumn("cx", explode(array((-1 to 1).map(d => $"qcx" + d): _*)))
+      .withColumn("cy", explode(array((-1 to 1).map(d => $"qcy" + d): _*)))
+      .select($"region_id", $"qlon", $"qlat", $"cx", $"cy")
+    val pts = catalog(spark, dir)
+      .select($"granule_id", $"lon", $"lat")
+      .withColumn("cx", floor($"lon" / 10).cast("int"))
+      .withColumn("cy", floor($"lat" / 10).cast("int"))
+    pts.join(broadcast(q), Seq("cx", "cy"))
+      .withColumn("d2",
+        ($"lon" - $"qlon") * ($"lon" - $"qlon") +
+          ($"lat" - $"qlat") * ($"lat" - $"qlat"))
+      .groupBy($"region_id")
+      .agg(min(struct($"d2", $"granule_id")).as("m"),
+        count(lit(1)).as("n_candidates"))
+      .select($"region_id", $"m.granule_id".as("nearest_granule"),
+        (floor($"m.d2" * 1000000.0 + 0.5) / 1000000.0).as("dist2"),
+        $"n_candidates")
+      .orderBy($"region_id")
+  }
+
   /** A24 — property-filtered catalog query: the search a real HLS
     * consumer runs against the widened item schema (clear-ish scenes in
     * an AOI with usable sun geometry — eo:cloud_cover is THE standard
@@ -484,6 +525,41 @@ object StacOps {
         |FROM stac JOIN regions
         |  ON lon >= w AND lon < e AND lat >= s AND lat < n
         |GROUP BY region_id ORDER BY region_id""".stripMargin),
+    "stac_nearest_join" -> (cte.stripSuffix("\n") + ",\n" +
+      s"""regions(region_id, w, s, e, n) AS (VALUES
+        |    ${StacSynth.regionsSqlValues}),
+        |q AS (
+        |  SELECT region_id, (w + e) / 2 AS qlon, (s + n) / 2 AS qlat,
+        |    floor(((w + e) / 2) / 10)::INT AS qcx,
+        |    floor(((s + n) / 2) / 10)::INT AS qcy
+        |  FROM regions),
+        |qc AS (
+        |  SELECT region_id, qlon, qlat,
+        |    qcx + dx AS cx, qcy + dy AS cy
+        |  FROM q,
+        |    (SELECT unnest([-1, 0, 1]) AS dx) a,
+        |    (SELECT unnest([-1, 0, 1]) AS dy) b),
+        |cand AS (
+        |  SELECT qc.region_id, qc.qlon, qc.qlat, p.granule_id,
+        |    p.lon, p.lat
+        |  FROM qc JOIN stac p
+        |    ON floor(p.lon / 10)::INT = qc.cx
+        |    AND floor(p.lat / 10)::INT = qc.cy),
+        |d AS (
+        |  SELECT region_id, granule_id,
+        |    (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)
+        |      AS d2
+        |  FROM cand),
+        |r AS (
+        |  SELECT region_id, granule_id, d2,
+        |    row_number() OVER (PARTITION BY region_id
+        |      ORDER BY d2, granule_id) AS rn,
+        |    count(*) OVER (PARTITION BY region_id) AS n_candidates
+        |  FROM d)
+        |SELECT region_id, granule_id AS nearest_granule,
+        |  floor(d2 * 1000000.0 + 0.5) / 1000000.0 AS dist2,
+        |  n_candidates
+        |FROM r WHERE rn = 1 ORDER BY region_id""".stripMargin),
     "stac_cloud_filter" -> (cte +
       """SELECT granule_id, cloud_cover, sun_azimuth, sun_elevation, lon, lat
         |FROM stac
