@@ -166,6 +166,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(stream.nonEmpty)
   }
 
+  test("watermark drops late data from an append-mode windowed aggregate") {
+    // G19 evidence: the state-expiry contract behind every windowed
+    // stream op — without the watermark dropping late rows, state
+    // grows without bound on an unbounded stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum, window => fwindow}
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val mem = MemoryStream[(java.sql.Timestamp, Long)]
+      def t(min: Int) = new java.sql.Timestamp(1500000000000L + min * 60000L)
+      val agg = mem.toDF().toDF("ts", "v")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(fwindow($"ts", "10 minutes"))
+        .agg(fcount(flit(1)).as("n"), fsum($"v").as("s"))
+        .select($"window.start".as("ws"), $"n", $"s")
+      val q = agg.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("graft_wm_test").start()
+      try {
+        mem.addData((t(0), 1L), (t(5), 2L)) // window [0,10)
+        q.processAllAvailable()
+        mem.addData((t(30), 3L)) // watermark → 20, [0,10) finalizes
+        q.processAllAvailable()
+        mem.addData((t(1), 100L)) // LATE: event time 1 < watermark 20
+        q.processAllAvailable()
+        mem.addData((t(60), 4L)) // watermark → 50, [30,40) finalizes
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("graft_wm_test")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1.getTime)
+      // two finalized windows; the late v=100 row contributed nowhere
+      assert(rows.toSeq === Seq((t(0), 2L, 3L), (t(30), 1L, 3L)),
+        s"got ${rows.toSeq}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("streaming anomaly z-scores equal the batch trailing-window op") {
     val streamed = EventStreams.streamAnomaly(spark, sf)
       .collect().map(_.toString).toSeq
