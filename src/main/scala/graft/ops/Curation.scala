@@ -242,6 +242,39 @@ object Curation {
       .orderBy($"lang", $"source", $"rnk")
   }
 
+  /** H19 — cross-source quality-score normalization: each document's
+    * E2 quality score mapped to its ventile WITHIN its source, so a
+    * single global cut ("keep the top half") keeps the same fraction
+    * of every source — an absolute threshold over a heterogeneous
+    * corpus silently over-selects whichever source scores easy, which
+    * skews the mix exactly like skipping H5's reweighting.
+    *
+    * Scale shape: per-source ventile boundaries come from ONE grouped
+    * exact-percentile aggregate (sources × 19 doubles — broadcast back;
+    * B35's sketch is the documented constant-memory stand-in at
+    * corpus scale); scoring is a scan-side array-filter fold against
+    * the 4-dp-rounded boundary list (the B50 strict-`>` cut), so no
+    * per-source window ever sorts the corpus.
+    */
+  def qualityNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalysis.quality(spark, dir)
+      .select($"doc_id", $"quality")
+      .join(Tables.load(spark, dir, "documents")
+        .select($"doc_id", $"source"), "doc_id")
+    val qs = (1 to 19).map(_ / 20.0)
+    val bounds = scored.groupBy($"source")
+      .agg(expr(s"percentile(quality, array(${qs.mkString(",")}))").as("bs"))
+      .withColumn("bs", transform($"bs",
+        b => floor(b * 10000.0 + 0.5).cast("double") / 10000.0))
+    scored.join(broadcast(bounds), "source")
+      .withColumn("ventile",
+        (size(filter($"bs", b => $"quality" > b)) + 1).cast("long"))
+      .select($"doc_id", $"source", $"quality", $"ventile",
+        ($"ventile" > 10).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** H17 — corpus datasheet ("dataset card" stats): the per-source
     * summary a data release ships — doc/lang counts, char and token
     * totals, corpus share, and the exact-duplicate rate (1 −
@@ -503,6 +536,40 @@ object Curation {
       |  ELSE 'test' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "quality_score_normalize" -> {
+      val qlist = (1 to 19).map(_ / 20.0).mkString(", ")
+      s"""WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |      / length(text)::DOUBLE AS punct_ratio,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+        |      / len(toks)::DOUBLE AS stop_ratio,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS uniq_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor((len_score + (1.0 - punct_ratio) + (1.0 - stop_ratio)
+        |      + uniq_ratio) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM m),
+        |s AS (
+        |  SELECT q.doc_id, d.source, q.quality
+        |  FROM q JOIN documents d USING (doc_id)),
+        |b AS (
+        |  SELECT source,
+        |    list_transform(quantile_cont(quality, [$qlist]),
+        |      x -> floor(x * 10000.0 + 0.5) / 10000.0) AS bs
+        |  FROM s GROUP BY source)
+        |SELECT s.doc_id, s.source, s.quality,
+        |  (len(list_filter(b.bs, x -> s.quality > x)) + 1)::BIGINT
+        |    AS ventile,
+        |  (len(list_filter(b.bs, x -> s.quality > x)) + 1) > 10 AS keep
+        |FROM s JOIN b USING (source)
+        |ORDER BY doc_id""".stripMargin
+    },
     "sample_consistent" ->
       """WITH h AS (
         |  SELECT lang, source, doc_id,
