@@ -45,6 +45,41 @@ object Events {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** B58 — session path mining: the top-20 most common 3-step
+    * event-type paths WITHIN a session (B6's 30-min gap sessions) —
+    * the "what do users actually do" sequence rollup behind funnel
+    * design; B54 tests one hypothesized path, this one discovers them.
+    *
+    * Scale shape: the session assignment + both leads share ONE
+    * user-keyed window partitioning (one shuffle of the events table);
+    * path counting is a partial-aggregable groupBy on the ≤ types³
+    * path vocabulary, and the top-20 cut is a TakeOrdered. Nothing
+    * session-sized ever sorts globally.
+    */
+  def sessionPaths(spark: SparkSession, dir: String,
+                   gapMinutes: Int = 30, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bySession = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"ts", $"event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("ts", expr("ts DIV 1000"))
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_ts".isNull || $"ts" - $"prev_ts" > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t2", lead($"event_type", 1).over(bySession))
+      .withColumn("t3", lead($"event_type", 2).over(bySession))
+      .filter($"t3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(topK)
+  }
+
   /** Tumbling-window aggregation via Spark's native `window()` on the
     * µs-converted timestamp; emitted bucket is the window start.
     */
@@ -666,6 +701,33 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_session_paths" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR ts_us - prev_us > 1800000000::BIGINT THEN 1 ELSE 0 END
+        |      AS is_new
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked),
+        |paths AS (
+        |  SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER w || '>' ||
+        |    lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM sess
+        |  WINDOW w AS (PARTITION BY user_id, session_id
+        |    ORDER BY ts_us, event_id))
+        |SELECT path, count(*) AS n FROM paths
+        |WHERE t3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "events_dow_profile" ->
       """WITH g AS (
         |  SELECT isodow(ts)::BIGINT AS isodow, event_type,
