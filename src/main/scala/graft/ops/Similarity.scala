@@ -756,6 +756,42 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** D18 — embedding outlier/drift scoring: 1 − cos(x, mean of x's
+    * kNN neighbors) — a vector far from its own neighborhood centroid
+    * is mislabeled/noisy/out-of-distribution (the embedding-space twin
+    * of E22's text-novelty signal); the top drifters are the audit
+    * queue a curation pass reviews first.
+    *
+    * Scale shape: the D7 edge list joins the vector table on the
+    * neighbor key (corpus-linear), the per-dimension neighbor mean is
+    * a map-side-combined groupBy over corpus×d rows, and the cosine
+    * reassembles from one more (vec, dim)-keyed join + rollup — every
+    * stage keys on vec_id or (vec_id, dim), nothing quadratic. Top-50
+    * is a TakeOrdered on the 6-dp-rounded score.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String, k: Int = 5,
+                     planes: Int = 12, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir).localCheckpoint()
+    val edges = knnGraphOn(vecs, k, planes)
+      .select($"vec_id", $"neighbor_id")
+    val nbrMean = edges
+      .join(vecs.select($"vec_id".as("neighbor_id"), $"v".as("nv")),
+        "neighbor_id")
+      .select($"vec_id", posexplode($"nv").as(Seq("dim", "x")))
+      .groupBy($"vec_id", $"dim").agg(avg($"x").as("m"))
+    val own = vecs.select($"vec_id", posexplode($"v").as(Seq("dim", "x")))
+    own.join(nbrMean, Seq("vec_id", "dim"))
+      .groupBy($"vec_id")
+      .agg(sum($"x" * $"m").as("xm"), sum($"x" * $"x").as("xx"),
+        sum($"m" * $"m").as("mm"))
+      .select($"vec_id",
+        (floor((lit(1.0) - $"xm" / (sqrt($"xx") * sqrt($"mm")))
+          * 1000000.0 + 0.5) / 1000000.0).as("drift"))
+      .orderBy($"drift".desc, $"vec_id")
+      .limit(topK)
+  }
+
   /** D16 — top principal component of the embedding corpus by
     * distributed power iteration: the whitening/drift diagnostic an
     * embedding pipeline runs before indexing (a dominant component
@@ -1375,6 +1411,27 @@ object Similarity {
         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin),
     "knn_graph" -> lshGraphOracle,
     "knn_graph_triangles" -> trianglesOracle,
+    "embedding_drift" -> (lshGraphCte +
+      """,
+        |dedges AS (
+        |  SELECT src_id AS vec_id, neighbor_id FROM scored WHERE rnk <= 5),
+        |dv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |nm AS (
+        |  SELECT de.vec_id, dims.dim, avg(nv.e[dims.dim]) AS m
+        |  FROM dedges de JOIN dv nv ON nv.vec_id = de.neighbor_id, dims
+        |  GROUP BY de.vec_id, dims.dim),
+        |own AS (
+        |  SELECT vec_id, dims.dim, e[dims.dim] AS x FROM dv, dims),
+        |dot AS (
+        |  SELECT o.vec_id, sum(o.x * nm.m) AS xm, sum(o.x * o.x) AS xx,
+        |    sum(nm.m * nm.m) AS mm
+        |  FROM own o JOIN nm ON nm.vec_id = o.vec_id AND nm.dim = o.dim
+        |  GROUP BY o.vec_id)
+        |SELECT vec_id,
+        |  floor((1.0 - xm / (sqrt(xx) * sqrt(mm))) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS drift
+        |FROM dot ORDER BY drift DESC, vec_id LIMIT 50""".stripMargin),
     "knn_mutual_graph" -> (lshGraphCte +
       """,
         |g AS (
