@@ -39,4 +39,25 @@ class TextPipelineSpec extends SparkSpecBase {
     val langs = curated.map(_.getString(1)).toSet
     assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")))
   }
+
+  test("JSONL ingestion parses good lines and accounts corrupt ones") {
+    import java.nio.file.{Files, Paths}
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    docs.coalesce(1).write.mode("overwrite").json(dir)
+    // plant malformed lines alongside the good shard
+    Files.writeString(Paths.get(dir, "part-corrupt.json"),
+      "{\"doc_id\": 1, \"text\": \"truncated\n" +
+        "not json at all\n" +
+        "{\"doc_id\": \"not-a-number\", \"text\": \"x\"}\n")
+    val (good, bad) = graft.ops.TextSources
+      .readDocumentsJsonl(spark, dir)
+    assert(good.count() === docs.count())
+    assert(bad.count() === 3L)
+    // full round-trip fidelity on the parsed side
+    val a = docs.orderBy("doc_id").collect().map(_.toString)
+    val b = good.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
 }
