@@ -615,6 +615,33 @@ object Dedup {
     labels
   }
 
+  /** C16 — near-dup cluster-size histogram: how many clusters of each
+    * size, plus the singleton count — the one-page "dedup impact"
+    * distribution (a heavy tail of giant clusters means boilerplate/
+    * templating; mostly pairs means true near-dups) that decides
+    * whether C2's thresholds need retuning before a full pass.
+    *
+    * Scale shape: C6's cluster pass, then one partial-aggregable
+    * rollup on cluster_size (histogram frame is ≤ distinct-sizes) and
+    * one doc_id-keyed left-anti join for the singletons — no new
+    * quadratic work.
+    */
+  def clusterSizeHistogram(spark: SparkSession, dir: String,
+                           threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val cl = clusters(spark, dir, threshold)
+    val hist = cl.groupBy($"cluster_size")
+      .agg(countDistinct($"cluster_id").as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+    val single = Tables.load(spark, dir, "documents")
+      .join(cl.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("cluster_size"), $"n".as("n_clusters"),
+        $"n".as("n_docs"))
+      .filter($"n_docs" > 0)
+    hist.unionByName(single).orderBy($"cluster_size")
+  }
+
   /** C10 — cluster-representative selection, the step that turns C6's
     * near-dup clusters into a deduplicated corpus: every document maps
     * to its cluster (docs in no cluster are their own singleton) and
@@ -978,6 +1005,40 @@ object Dedup {
         |FROM comp c JOIN sized s ON c.cluster_id = s.cluster_id
         |ORDER BY c.doc_id""".stripMargin),
     "dedup_cluster_keepers" -> clusterKeepersOracle,
+    "dedup_cluster_sizes" -> (shingleCte
+      .replace("WITH toks", "WITH RECURSIVE toks")
+      .stripSuffix("\n") + ",\n" +
+      """pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, lab) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT e.doc_a, r.lab FROM reach r
+        |  JOIN edges e ON e.doc_b = r.doc_id),
+        |comp AS (
+        |  SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),
+        |sized AS (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM comp
+        |  GROUP BY cluster_id),
+        |hist AS (
+        |  SELECT cluster_size, count(*) AS n_clusters,
+        |    CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |  FROM sized GROUP BY cluster_size),
+        |singles AS (
+        |  SELECT 1::BIGINT AS cluster_size, count(*) AS n_clusters,
+        |    count(*) AS n_docs
+        |  FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id))
+        |SELECT * FROM (
+        |  SELECT * FROM hist
+        |  UNION ALL SELECT * FROM singles WHERE n_docs > 0)
+        |ORDER BY cluster_size""".stripMargin),
     "dedup_lang_retention" ->
       s"""SELECT d.lang, count(*) AS n_docs,
          |  sum(CASE WHEN k.keeper_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
