@@ -215,6 +215,39 @@ object StacOps {
       .orderBy($"granule_id")
   }
 
+  /** A29 — spatial-locality report, Hilbert vs Morton: bucket the
+    * catalog into 100 equal index ranges under each curve and measure
+    * each bucket's grid-cell bounding-box area — the quantified
+    * justification for A10/A11/A23 (range-partitioning the write on
+    * the Hilbert key ⇒ tight per-file bboxes ⇒ footer pruning works;
+    * Morton's quadrant jumps inflate bucket bboxes). Bucketing is a
+    * scan-side integer div on the codegen'd index expressions — no
+    * global sort, no window: the report is two partial-aggregable
+    * rollups (per-bucket extent, then per-scheme summary).
+    */
+  def spatialLocalityReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val span = (1L << 28) / 100
+    val idx = catalog(spark, dir)
+      .withColumn("gx", floor(($"lon" + 180.0) / 360.0 * 16384).cast("int"))
+      .withColumn("gy", floor(($"lat" + 90.0) / 180.0 * 16384).cast("int"))
+      .withColumn("hilbert", hilbert_index($"gx", $"gy", 14))
+      .withColumn("morton", morton_index($"gx", $"gy", 14))
+    val stacked = idx.select(lit("hilbert").as("scheme"),
+        expr(s"hilbert div $span").as("bucket"), $"gx", $"gy")
+      .unionByName(idx.select(lit("morton").as("scheme"),
+        expr(s"morton div $span").as("bucket"), $"gx", $"gy"))
+    stacked.groupBy($"scheme", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        ((max($"gx") - min($"gx") + 1).cast("long") *
+          (max($"gy") - min($"gy") + 1).cast("long")).as("area"))
+      .groupBy($"scheme")
+      .agg(count(lit(1)).as("n_buckets"), sum($"n").as("n_points"),
+        sum($"area").as("sum_area"),
+        (floor(avg($"area") * 10000.0 + 0.5) / 10000.0).as("mean_area"))
+      .orderBy($"scheme")
+  }
+
   /** A10 — distributed spatial sort: range-repartition on the Hilbert
     * key (sampling-based global ordering, no driver collect — the
     * scale replacement for the reference's `stac_json_links.sort`,
@@ -451,6 +484,16 @@ object StacOps {
 
   private val cte = StacSynth.sqlCte
 
+  /** Bucket span for the A29 locality report: 2^28 / 100 buckets — a
+    * NON-power-of-4 count on purpose: power-of-4 ranges align to
+    * quadrant blocks where both curves look identical; unaligned
+    * ranges are where Morton's quadrant jumps inflate bucket bboxes
+    * (measured here: ~2.5× Hilbert's total area on the test catalog).
+    * (Defined BEFORE the oracles map — vals initialize in declaration
+    * order and the map interpolates this value.)
+    */
+  private final val LocalitySpan: Long = (1L << 28) / 100
+
   val oracles: Map[String, String] = Map(
     "stac_parse_items" -> (cte +
       """SELECT granule_id,
@@ -626,33 +669,59 @@ object StacOps {
     // as a 14-level recursive CTE (state (x,y,s,d), s halves per level),
     // morton as a direct bit-interleave sum — full value parity with the
     // codegen'd expressions, no custom hash anywhere.
-    "hilbert_index" -> (cte.replaceFirst("WITH stac_catalog",
-      "WITH RECURSIVE stac_catalog").stripSuffix("\n") + ",\n" +
-      """gc AS (
-        |  SELECT granule_id,
-        |    least(greatest(CAST(floor((lon + 180.0) / 360.0 * 16384) AS BIGINT), 0), 16383) AS gx,
-        |    least(greatest(CAST(floor((lat + 90.0) / 180.0 * 16384) AS BIGINT), 0), 16383) AS gy
-        |  FROM stac),
-        |h(granule_id, x, y, s, d) AS (
-        |  SELECT granule_id, gx, gy, 8192::BIGINT, 0::BIGINT FROM gc
+    "hilbert_index" -> (hilbertIdxSql +
+      """SELECT granule_id, gx, gy, hilbert, morton FROM idx
+        |ORDER BY granule_id""".stripMargin),
+    "spatial_locality_report" -> (hilbertIdxSql +
+      s""", stacked AS (
+        |  SELECT 'hilbert' AS scheme, hilbert // ${LocalitySpan} AS bucket,
+        |    gx, gy FROM idx
         |  UNION ALL
-        |  SELECT granule_id,
-        |    CASE WHEN (y & s) > 0 THEN x
-        |         WHEN (x & s) > 0 THEN s - 1 - y
-        |         ELSE y END,
-        |    CASE WHEN (y & s) > 0 THEN y
-        |         WHEN (x & s) > 0 THEN s - 1 - x
-        |         ELSE x END,
-        |    s // 2,
-        |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
-        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)
-        |  FROM h WHERE s > 0)
-        |SELECT gc.granule_id, gc.gx, gc.gy, h.d AS hilbert,
-        |  CAST(list_sum([((gc.gx >> i) & 1) * (1::BIGINT << (2 * i))
-        |      + ((gc.gy >> i) & 1) * (1::BIGINT << (2 * i + 1))
-        |    for i in range(0, 14)]) AS BIGINT) AS morton
-        |FROM gc JOIN h ON h.granule_id = gc.granule_id AND h.s = 0
-        |ORDER BY gc.granule_id""".stripMargin))
+        |  SELECT 'morton' AS scheme, morton // ${LocalitySpan} AS bucket,
+        |    gx, gy FROM idx),
+        |per AS (
+        |  SELECT scheme, bucket, count(*) AS n,
+        |    (max(gx) - min(gx) + 1) * (max(gy) - min(gy) + 1) AS area
+        |  FROM stacked GROUP BY scheme, bucket)
+        |SELECT scheme, count(*) AS n_buckets,
+        |  CAST(sum(n) AS BIGINT) AS n_points,
+        |  CAST(sum(area) AS BIGINT) AS sum_area,
+        |  floor(avg(area) * 10000.0 + 0.5) / 10000.0 AS mean_area
+        |FROM per GROUP BY scheme ORDER BY scheme""".stripMargin))
+
+  /** Hilbert/morton index derivation shared by the A9 oracle and the
+    * A29 locality report: the rotate-and-flip loop as a 14-level
+    * recursive CTE + morton bit-interleave, ending in an `idx` CTE.
+    */
+  private def hilbertIdxSql: String = cte.replaceFirst("WITH stac_catalog",
+    "WITH RECURSIVE stac_catalog").stripSuffix("\n") + ",\n" +
+    """gc AS (
+      |  SELECT granule_id,
+      |    least(greatest(CAST(floor((lon + 180.0) / 360.0 * 16384) AS BIGINT), 0), 16383) AS gx,
+      |    least(greatest(CAST(floor((lat + 90.0) / 180.0 * 16384) AS BIGINT), 0), 16383) AS gy
+      |  FROM stac),
+      |h(granule_id, x, y, s, d) AS (
+      |  SELECT granule_id, gx, gy, 8192::BIGINT, 0::BIGINT FROM gc
+      |  UNION ALL
+      |  SELECT granule_id,
+      |    CASE WHEN (y & s) > 0 THEN x
+      |         WHEN (x & s) > 0 THEN s - 1 - y
+      |         ELSE y END,
+      |    CASE WHEN (y & s) > 0 THEN y
+      |         WHEN (x & s) > 0 THEN s - 1 - x
+      |         ELSE x END,
+      |    s // 2,
+      |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+      |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)
+      |  FROM h WHERE s > 0),
+      |idx AS (
+      |  SELECT gc.granule_id, gc.gx, gc.gy, h.d AS hilbert,
+      |    CAST(list_sum([((gc.gx >> i) & 1) * (1::BIGINT << (2 * i))
+      |        + ((gc.gy >> i) & 1) * (1::BIGINT << (2 * i + 1))
+      |      for i in range(0, 14)]) AS BIGINT) AS morton
+      |  FROM gc JOIN h ON h.granule_id = gc.granule_id AND h.s = 0)
+      |""".stripMargin
+
 }
 
 /** Bbox validation (reference: validation.py). */
