@@ -540,6 +540,33 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** B59 — exact trailing 7-day rolling MEDIAN of daily revenue via
+    * contribution explode: each day's (2-dp-pinned) total contributes
+    * to the 7 target days [day, day+6], and the median aggregates per
+    * target day — medians don't decompose into running state the way
+    * B10's sums do, and an ordered range window (the B-block avg's
+    * form) is a GLOBAL single-partition sort at scale; the explode
+    * form is 7× the calendar-bounded daily frame, partial-aggregable,
+    * and needs no window at all (the same trick as G10's rolling WAU).
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg((floor(sum($"o_totalprice") * 100.0 + 0.5) / 100.0).as("rev"))
+    val contrib = daily
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(expr("date_add(day, off)").as("tday"), $"rev")
+    val med = contrib.groupBy($"tday")
+      .agg((floor(expr("percentile(rev, 0.5)") * 100.0 + 0.5) / 100.0)
+        .as("median_7day"),
+        count(lit(1)).as("n_days_window"))
+    daily.join(med, $"day" === $"tday")
+      .select($"day", $"rev".as("revenue"), $"median_7day",
+        $"n_days_window")
+      .orderBy($"day")
+  }
+
   // --- B38: the remaining TPC-H query shapes (22/22 coverage) ------
   // The testdata schema is TPC-H-ish but slimmed: no partsupp table
   // and no commitdate/receiptdate/shipmode columns. Queries that
@@ -1364,6 +1391,23 @@ object Analytics {
         |  floor(sum(rev) OVER (ORDER BY month
         |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
         |FROM m ORDER BY month""".stripMargin,
+    "orders_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |  FROM orders GROUP BY 1),
+        |contrib AS (
+        |  SELECT day + o::INT AS tday, rev
+        |  FROM daily, (SELECT unnest(range(0, 7)) AS o) u),
+        |med AS (
+        |  SELECT tday,
+        |    floor(quantile_cont(rev, 0.5) * 100.0 + 0.5) / 100.0
+        |      AS median_7day,
+        |    count(*) AS n_days_window
+        |  FROM contrib GROUP BY tday)
+        |SELECT d.day, d.rev AS revenue, m.median_7day, m.n_days_window
+        |FROM daily d JOIN med m ON m.tday = d.day
+        |ORDER BY d.day""".stripMargin,
     "orders_holt_forecast" ->
       """WITH RECURSIVE daily AS (
         |  SELECT o_orderdate::DATE AS day,
