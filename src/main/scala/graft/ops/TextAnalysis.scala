@@ -186,6 +186,56 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** E38 — sparse TF-IDF kNN via inverted-index join: top-k most
+    * similar documents per query doc under l2-normalized tf-idf cosine
+    * — the text-side similarity search that needs no embedding model
+    * (the retrieval half of BM25, D1's dense twin). The join is
+    * TERM-keyed (the inverted index as a relational join): only
+    * documents SHARING a term with the query ever meet it. On a real
+    * Zipf-distributed vocabulary the production lever is `dfCutFrac`
+    * (prune head terms with df > frac·N — the classic stopword/impact
+    * cut bounding posting-list fan-out); it defaults OFF here because
+    * the synthetic vocab is uniform (every term's df ≈ 0.8·N, so any
+    * cut empties the index rather than trimming a head).
+    *
+    * Scale shape: tf/df/norms are corpus-linear partial-agg passes
+    * (df joins back BROADCAST, vocab-sized); the score join shuffles
+    * on term with posting lists bounded by the df cut; per-query top-k
+    * goes through the B37 k-bounded heap — queries×k rows past the
+    * final shuffle, no window sort.
+    */
+  def sparseKnn(spark: SparkSession, dir: String, k: Int = 5,
+                nQueries: Int = 5, dfCutFrac: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.count().toDouble
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .filter($"df".cast("double") <= lit(dfCutFrac) * lit(n))
+    val w = tf.join(broadcast(df), "term")
+      .select($"doc_id", $"term",
+        ($"tf" * log(lit(n) / $"df")).as("w"))
+    val norm = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
+    val wn = w.join(norm, "doc_id")
+      .select($"doc_id", $"term", ($"w" / $"nrm").as("wn"))
+    val q = wn.filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), $"term", $"wn".as("qw"))
+    val scores = wn.join(q, "term")
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"wn" * $"qw").as("cos"))
+    val topk = udaf(graft.expressions.TopKPairs(k))
+    scores.groupBy($"query_id")
+      .agg(topk($"cos", $"doc_id").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("idx", "p")))
+      .select($"query_id", ($"idx" + 1).cast("long").as("rnk"),
+        $"p._2".as("doc_id"),
+        (floor($"p._1" * 1000000.0 + 0.5) / 1000000.0).as("cosine"))
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** E35 — language-ID confusion matrix: the E3 classifier evaluated
     * against the labeled corpus as (true lang × predicted lang) cells
     * with per-true-language recall shares — the model-eval rollup any
@@ -1786,6 +1836,41 @@ object TextAnalysis {
         |  floor((len_score + (1.0 - punct_ratio) + (1.0 - stop_ratio)
         |    + uniq_ratio) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_knn_sparse" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |dff AS (
+        |  SELECT term, df FROM dfq, nn WHERE df::DOUBLE <= 1.0 * nn.n),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(nn.n / dff.df) AS w
+        |  FROM tf JOIN dff USING (term), nn),
+        |nrm AS (
+        |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        |wn AS (
+        |  SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn
+        |  FROM w JOIN nrm USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id AS query_id, term, wn AS qw FROM wn
+        |  WHERE doc_id < 5),
+        |s AS (
+        |  SELECT q.query_id, wn.doc_id, sum(wn.wn * q.qw) AS cos
+        |  FROM wn JOIN q USING (term)
+        |  WHERE wn.doc_id <> q.query_id
+        |  GROUP BY q.query_id, wn.doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, rnk, doc_id,
+        |  floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
     "doc_length_profile" ->
       """WITH d AS (
         |  SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tok
