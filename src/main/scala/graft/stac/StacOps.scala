@@ -215,6 +215,32 @@ object StacOps {
       .orderBy($"granule_id")
   }
 
+  /** A30 — best-scene selection for monthly mosaic compositing: per
+    * (tile, month), the granule with the LOWEST cloud cover (latest
+    * acquisition, then smallest id on ties) — the scene-selection
+    * query every EO compositing pipeline runs before building a
+    * mosaic. The argmin is ONE partial-aggregable
+    * `min(struct(cloud_cover, -epoch, granule_id))` per group —
+    * superseded candidates discard map-side (the A25 upsert shape),
+    * no window sorts the catalog.
+    */
+  def bestScene(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    catalog(spark, dir)
+      .select($"tile", trunc($"ts", "month").as("month"),
+        $"granule_id", $"cloud_cover",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"))
+      .groupBy($"tile", $"month")
+      .agg(count(lit(1)).as("n_scenes"),
+        min(struct($"cloud_cover", (-$"ts_us").as("neg_ts"),
+          $"granule_id")).as("m"))
+      .select($"tile", $"month", $"n_scenes",
+        $"m.granule_id".as("best_granule"),
+        $"m.cloud_cover".as("best_cloud"),
+        (-$"m.neg_ts").as("best_ts_us"))
+      .orderBy($"tile", $"month")
+  }
+
   /** A29 — spatial-locality report, Hilbert vs Morton: bucket the
     * catalog into 100 equal index ranges under each curve and measure
     * each bucket's grid-cell bounding-box area — the quantified
@@ -568,6 +594,21 @@ object StacOps {
         |FROM stac JOIN regions
         |  ON lon >= w AND lon < e AND lat >= s AND lat < n
         |GROUP BY region_id ORDER BY region_id""".stripMargin),
+    "stac_best_scene" -> (cte +
+      """, r AS (
+        |  SELECT tile, date_trunc('month', ts)::DATE AS month,
+        |    granule_id, cloud_cover, epoch_us(ts) AS ts_us,
+        |    count(*) OVER (PARTITION BY tile, date_trunc('month', ts))
+        |      AS n_scenes,
+        |    row_number() OVER (
+        |      PARTITION BY tile, date_trunc('month', ts)
+        |      ORDER BY cloud_cover, epoch_us(ts) DESC, granule_id) AS rn
+        |  FROM stac)
+        |SELECT tile, month, n_scenes::BIGINT AS n_scenes,
+        |  granule_id AS best_granule, cloud_cover AS best_cloud,
+        |  ts_us AS best_ts_us
+        |FROM r WHERE rn = 1
+        |ORDER BY tile, month""".stripMargin),
     "stac_nearest_join" -> (cte.stripSuffix("\n") + ",\n" +
       s"""regions(region_id, w, s, e, n) AS (VALUES
         |    ${StacSynth.regionsSqlValues}),
