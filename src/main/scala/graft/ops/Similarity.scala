@@ -756,6 +756,36 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** D19 — IVF index-health report: per-cell population statistics
+    * (count, share) plus the summary every index rollout review reads
+    * — imbalance factor (max cell / mean cell: high = hot cells that
+    * serialize probes), empty-cell count (wasted probe budget), and
+    * assigned-total (must equal the corpus). Cell assignment is the
+    * D2a machinery (sampled deterministic training + scan-side argmin
+    * projection); the stats are one partial-aggregable groupBy(cell)
+    * over a cells-sized frame.
+    *
+    * No SQL oracle (cells come from iterative sampled k-means); the
+    * invariants are spec-asserted and the driver records rows-only.
+    */
+  def ivfCellStats(spark: SparkSession, dir: String,
+                   cells: Int = 16): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir)
+    val centroids = lloydTrain(sampleTrainingSet(vecs, 2048), cells, 5)
+    val assigned = assignCells(vecs, centroids)
+    val per = assigned.groupBy($"cell".cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum($"n").cast("double").as("total"),
+      count(lit(1)).cast("double").as("nonempty"))
+    per.crossJoin(broadcast(tot))
+      .select($"cell", $"n",
+        (floor($"n" / $"total" * 10000.0 + 0.5) / 10000.0).as("share"),
+        (floor($"n" * $"nonempty" / $"total" * 10000.0 + 0.5) / 10000.0)
+          .as("imbalance"))
+      .orderBy($"cell")
+  }
+
   /** D18 — embedding outlier/drift scoring: 1 − cos(x, mean of x's
     * kNN neighbors) — a vector far from its own neighborhood centroid
     * is mislabeled/noisy/out-of-distribution (the embedding-space twin

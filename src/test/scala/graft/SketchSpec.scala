@@ -119,4 +119,14 @@ class SketchSpec extends SparkSpecBase {
       === topPair.getString(1))
     assert(firstMerge.getLong(3) === topPair.getLong(2))
   }
+
+  test("IVF cell stats: counts partition the corpus, shares sum to 1") {
+    val rows = graft.ops.Similarity.ivfCellStats(spark, sf).collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 0.01)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // mean-normalized imbalance: the biggest cell is at least average
+    assert(rows.map(_.getDouble(3)).max >= 1.0 - 1e-9)
+  }
 }
