@@ -756,6 +756,48 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** D20 — neighbor-set Jaccard link prediction on the undirected kNN
+    * graph: for node pairs that share ≥1 neighbor but are NOT already
+    * connected, score |N(a)∩N(b)| / |N(a)∪N(b)| and emit the top
+    * predictions — the transitive-candidate discovery pass that
+    * recovers near-dup pairs ANN bucketing missed (if a~x and b~x,
+    * a~b is worth an exact check even when no LSH bucket put a,b
+    * together).
+    *
+    * Scale shape: common-neighbor counting is the D15 wedge join
+    * (edge⋈edge on the shared endpoint — fan-out deg², deg ≈ 2k);
+    * degrees and the already-connected anti-join are edge-linear;
+    * jaccard = c / (da + db − c) from exact integers, one division,
+    * 6-dp floor-rounded; top-50 is TakeOrdered.
+    */
+  def knnLinkPrediction(spark: SparkSession, dir: String, k: Int = 5,
+                        planes: Int = 12, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val edges = knnGraphOn(loadVecs(spark, dir), k, planes)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+      .localCheckpoint()
+    // undirected adjacency (both directions) for wedge counting
+    val adj = edges.select($"a".as("u"), $"b".as("v"))
+      .unionAll(edges.select($"b".as("u"), $"a".as("v")))
+    val deg = adj.groupBy($"u").agg(count(lit(1)).as("d"))
+    val common = adj.select($"v".as("w"), $"u".as("x"))
+      .join(adj.select($"v".as("w"), $"u".as("y")), "w")
+      .filter($"x" < $"y")
+      .groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+    val candidates = common
+      .join(edges, $"x" === $"a" && $"y" === $"b", "left_anti")
+    candidates
+      .join(deg.select($"u".as("x"), $"d".as("dx")), "x")
+      .join(deg.select($"u".as("y"), $"d".as("dy")), "y")
+      .select($"x".as("vec_a"), $"y".as("vec_b"), $"c".as("common"),
+        (floor($"c".cast("double") / ($"dx" + $"dy" - $"c")
+          * 1000000.0 + 0.5) / 1000000.0).as("jaccard"))
+      .orderBy($"jaccard".desc, $"vec_a", $"vec_b")
+      .limit(topK)
+  }
+
   /** D19 — IVF index-health report: per-cell population statistics
     * (count, share) plus the summary every index rollout review reads
     * — imbalance factor (max cell / mean cell: high = hot cells that
@@ -1441,6 +1483,31 @@ object Similarity {
         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin),
     "knn_graph" -> lshGraphOracle,
     "knn_graph_triangles" -> trianglesOracle,
+    "knn_link_prediction" -> (lshGraphCte +
+      """,
+        |le AS (
+        |  SELECT DISTINCT least(src_id, neighbor_id) AS a,
+        |    greatest(src_id, neighbor_id) AS b
+        |  FROM scored WHERE rnk <= 5),
+        |adj AS (
+        |  SELECT a AS u, b AS v FROM le
+        |  UNION ALL SELECT b, a FROM le),
+        |ldeg AS (SELECT u, count(*) AS d FROM adj GROUP BY u),
+        |com AS (
+        |  SELECT p.u AS x, q.u AS y, count(*) AS c
+        |  FROM adj p JOIN adj q ON p.v = q.v AND p.u < q.u
+        |  GROUP BY p.u, q.u),
+        |lpc AS (
+        |  SELECT com.x, com.y, com.c FROM com
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM le WHERE le.a = com.x AND le.b = com.y))
+        |SELECT lpc.x AS vec_a, lpc.y AS vec_b, lpc.c AS common,
+        |  floor(lpc.c::DOUBLE / (dx.d + dy.d - lpc.c)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM lpc
+        |JOIN ldeg dx ON dx.u = lpc.x
+        |JOIN ldeg dy ON dy.u = lpc.y
+        |ORDER BY jaccard DESC, vec_a, vec_b LIMIT 50""".stripMargin),
     "embedding_drift" -> (lshGraphCte +
       """,
         |dedges AS (
