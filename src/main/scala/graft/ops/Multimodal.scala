@@ -93,6 +93,25 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** F7 — cross-video duplicate-frame detection: F2's frame hashes
+    * grouped corpus-wide; any hash appearing in MORE than one video is
+    * shared content (intros, watermark cards, re-uploads) — the
+    * frame-granular dedup signal file-level hashing (F6) can't see.
+    * One frame explode (the F2 shape) + one hash-keyed
+    * partial-aggregable groupBy — content-linear, the C1 exact-dedup
+    * shape applied at frame granularity.
+    */
+  def frameDupes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(spark, dir)
+      .groupBy($"frame_hash")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct($"doc_id").as("n_videos"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_videos" > 1)
+      .orderBy($"n_frames".desc, $"frame_hash")
+  }
+
   /** F3 — resize planning (the metadata half of an image-resize
     * stage): source dimensions come from the STUB decode (derived
     * deterministically from doc_id — a real decoder would read them
@@ -331,6 +350,25 @@ object Multimodal {
         |  (frame_idx * 256)::BIGINT AS byte_offset,
         |  md5(substring(text, (frame_idx * 256 + 1)::INT, 256)) AS frame_hash
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_frame_dupes" ->
+      """WITH v AS (
+        |  SELECT doc_id, text,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, least((n_bytes - 1) // 256 + 1, 4))) AS frame_idx
+        |  FROM v),
+        |h AS (
+        |  SELECT doc_id,
+        |    md5(substring(text, (frame_idx * 256 + 1)::INT, 256))
+        |      AS frame_hash
+        |  FROM f)
+        |SELECT frame_hash, count(*) AS n_frames,
+        |  count(DISTINCT doc_id) AS n_videos,
+        |  min(doc_id) AS first_doc
+        |FROM h GROUP BY frame_hash HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY n_frames DESC, frame_hash""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
