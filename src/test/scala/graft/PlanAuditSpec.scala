@@ -1,0 +1,63 @@
+package graft
+
+/** Executable plan audits for the round-8 operators: every scale claim
+  * made in an operator's scaladoc ("broadcasts", "one shuffle",
+  * "partial-aggregable", "no nested loop") asserted against the
+  * actually-executed physical plan — the `.explain` discipline as
+  * regression tests.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("stac_nearest_join: query side broadcasts, no nested loop") {
+    val plan = executedPlan("stac_nearest_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("events_windowed_funnel: one data shuffle feeds all three windows") {
+    val plan = executedPlan("events_windowed_funnel")
+    // three Window operators, and only two exchanges in the final
+    // plan: the user_id hash partitioning + the presentation sort
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.substring(0, cut) else plan
+    assert("(?s)Window".r.findAllIn(finalPlan).size >= 3, finalPlan)
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(finalPlan).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) <= 1,
+      s"expected a single hash exchange:\n$finalPlan")
+  }
+
+  test("text_pmi: unigram joins broadcast, totals broadcast") {
+    val plan = executedPlan("text_pmi")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"pair-vocab joins must not sort-merge:\n$plan")
+  }
+
+  test("sample_consistent: heap aggregation is two-phase (partial + final)") {
+    val plan = executedPlan("sample_consistent")
+    // typed k-bounded heap runs as ObjectHashAggregate partial+final
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("stac_best_scene: argmin is an aggregate, not a window sort") {
+    val plan = executedPlan("stac_best_scene")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    // struct-min plans as SortAggregate — still two-phase partial/final
+    assert("(Sort|Hash)Aggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("events_ab_ttest: one corpus scan, moment frame self-join broadcasts") {
+    val plan = executedPlan("events_ab_ttest")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 5-row moment frames meet via broadcast
+    assert(plan.contains("Broadcast"), plan)
+  }
+}
