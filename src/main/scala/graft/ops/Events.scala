@@ -17,6 +17,8 @@ object Events {
     */
   private def r2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
   private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  private def r6(c: Column): Column =
+    floor(c * 1000000.0 + 0.5) / 1000000.0
 
   /** Gap-based sessionization (gap > 30 min starts a new session):
     * one shuffle on user_id, two stacked window functions, then the
@@ -218,6 +220,61 @@ object Events {
       .groupBy($"cohort_day", $"day_offset")
       .agg(countDistinct($"user_id").as("active_users"))
       .orderBy($"cohort_day", $"day_offset")
+  }
+
+  /** B61 — exponential retention-decay fit: pooled day-offset
+    * retention rates (right-censoring-corrected — a user only counts
+    * in offset d's denominator if their cohort is old enough to have
+    * reached d) fitted by closed-form OLS on (d, ln r) — slope ⇒
+    * churn half-life, the one-number retention summary next to B14's
+    * raw counts and B44's matrix.
+    *
+    * Scale shape: cohort sizes and activity offsets are corpus-linear
+    * partial aggregates; the fit runs over the ≤14-point offset frame
+    * (a broadcast cross join of one aggregate row), so the regression
+    * costs nothing at any corpus size. All sums are exact integers
+    * until the single ln/ratio step; identical IEEE order both
+    * engines, 6-dp floor-rounded.
+    */
+  def retentionFit(spark: SparkSession, dir: String,
+                   maxOffset: Int = 14): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+    val cohorts = events.groupBy($"user_id")
+      .agg(min($"day").as("cohort_day"))
+    val maxDay = events.agg(max($"day").as("max_day"))
+    val sizes = cohorts.groupBy($"cohort_day").agg(count(lit(1)).as("sz"))
+    val denom = sizes
+      .withColumn("off", explode(sequence(lit(1), lit(maxOffset))))
+      .withColumn("day_offset", $"off".cast("long"))
+      .crossJoin(broadcast(maxDay))
+      .filter(expr("date_add(cohort_day, cast(day_offset as int))") <=
+        $"max_day")
+      .groupBy($"day_offset").agg(sum($"sz").as("n_eligible"))
+    val active = events.select($"user_id", $"day").distinct()
+      .join(broadcast(cohorts), "user_id")
+      .withColumn("day_offset", datediff($"day", $"cohort_day").cast("long"))
+      .filter($"day_offset" >= 1 && $"day_offset" <= maxOffset)
+      .groupBy($"day_offset").agg(countDistinct($"user_id").as("n_active"))
+    val pts = denom.join(active, Seq("day_offset"))
+      .withColumn("rate", $"n_active".cast("double") / $"n_eligible")
+      .withColumn("d", $"day_offset".cast("double"))
+      .withColumn("lr", log($"rate"))
+    val f = pts.agg(count(lit(1)).cast("double").as("np"),
+      sum($"d").as("sx"), sum($"lr").as("sy"),
+      sum($"d" * $"lr").as("sxy"), sum($"d" * $"d").as("sxx"))
+      .select($"np", $"sx", $"sy",
+        (($"np" * $"sxy" - $"sx" * $"sy") /
+          ($"np" * $"sxx" - $"sx" * $"sx")).as("slope"))
+      .select($"np", $"slope",
+        (($"sy" - $"slope" * $"sx") / $"np").as("intercept"))
+    pts.crossJoin(broadcast(f))
+      .select($"day_offset", $"n_eligible", $"n_active",
+        r6($"rate").as("rate"),
+        r6(exp($"intercept" + $"slope" * $"d")).as("fit_rate"),
+        r6(log(lit(2.0)) / -$"slope").as("half_life_days"))
+      .orderBy($"day_offset")
   }
 
   /** B44 — weekly cohort retention MATRIX: B14's growth query
@@ -701,6 +758,51 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_retention_fit" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |mx AS (SELECT max(day) AS max_day FROM e),
+        |sizes AS (
+        |  SELECT cohort_day, count(*) AS sz FROM cohorts
+        |  GROUP BY cohort_day),
+        |denom AS (
+        |  SELECT o::BIGINT AS day_offset,
+        |    CAST(sum(sz) AS BIGINT) AS n_eligible
+        |  FROM sizes, (SELECT unnest(range(1, 15)) AS o) u, mx
+        |  WHERE cohort_day + o::INT <= mx.max_day
+        |  GROUP BY o),
+        |act AS (
+        |  SELECT (a.day - c.cohort_day)::BIGINT AS day_offset,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM (SELECT DISTINCT user_id, day FROM e) a
+        |  JOIN cohorts c USING (user_id)
+        |  WHERE (a.day - c.cohort_day) BETWEEN 1 AND 14
+        |  GROUP BY 1),
+        |pts AS (
+        |  SELECT d.day_offset, d.n_eligible, a.n_active,
+        |    a.n_active::DOUBLE / d.n_eligible AS rate,
+        |    d.day_offset::DOUBLE AS dd,
+        |    ln(a.n_active::DOUBLE / d.n_eligible) AS lr
+        |  FROM denom d JOIN act a USING (day_offset)),
+        |f AS (
+        |  SELECT count(*)::DOUBLE AS np, sum(dd) AS sx, sum(lr) AS sy,
+        |    sum(dd * lr) AS sxy, sum(dd * dd) AS sxx
+        |  FROM pts),
+        |g AS (
+        |  SELECT np, sx, sy,
+        |    (np * sxy - sx * sy) / (np * sxx - sx * sx) AS slope
+        |  FROM f),
+        |h AS (
+        |  SELECT np, slope, (sy - slope * sx) / np AS intercept FROM g)
+        |SELECT p.day_offset, p.n_eligible, p.n_active,
+        |  floor(p.rate * 1000000.0 + 0.5) / 1000000.0 AS rate,
+        |  floor(exp(h.intercept + h.slope * p.dd) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS fit_rate,
+        |  floor(ln(2.0) / -h.slope * 1000000.0 + 0.5) / 1000000.0
+        |    AS half_life_days
+        |FROM pts p, h ORDER BY p.day_offset""".stripMargin,
     "events_session_paths" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
