@@ -707,6 +707,51 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  /** C17 — token-frequency shift under dedup: the top tokens whose
+    * corpus frequency SHARE moves most between the full corpus and
+    * C10's kept-keepers corpus — the distribution-shift audit behind
+    * "did dedup change what the model will see?" (near-dup clusters
+    * concentrate boilerplate tokens; their removal should deflate
+    * exactly those shares, and an unexpected mover flags a dedup
+    * bug or a content class being eaten).
+    *
+    * Scale shape: two token-count passes (full + kept — the kept side
+    * is one broadcast-keeper semi-join ahead of the explode), both
+    * partial-aggregable to vocab-sized frames; the share math and
+    * top-k run on the joined vocab frame — nothing corpus-sized past
+    * the counts.
+    */
+  def tokenShift(spark: SparkSession, dir: String,
+                 threshold: Double = 0.8, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val keepers = clusterKeepers(spark, dir, threshold)
+      .select($"keeper_id".as("doc_id"))
+    def counts(d: DataFrame): DataFrame = d
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val full = counts(docs)
+    val kept = counts(docs.join(broadcast(keepers), Seq("doc_id"),
+      "left_semi"))
+    val nf = full.agg(sum($"c").cast("double").as("nf"))
+    val nk = kept.agg(sum($"c").cast("double").as("nk"))
+    full.join(kept.select($"t", $"c".as("ck")), Seq("t"), "left")
+      .na.fill(0L, Seq("ck"))
+      .crossJoin(broadcast(nf)).crossJoin(broadcast(nk))
+      .select($"t".as("token"), $"c".as("n_full"), $"ck".as("n_kept"),
+        (floor($"c" / $"nf" * 1000000.0 + 0.5) / 1000000.0)
+          .as("share_full"),
+        (floor($"ck" / $"nk" * 1000000.0 + 0.5) / 1000000.0)
+          .as("share_kept"),
+        (floor(($"ck" / $"nk" - $"c" / $"nf") * 1000000.0 + 0.5)
+          / 1000000.0).as("delta"))
+      .withColumn("absd", abs($"delta"))
+      .orderBy($"absd".desc, $"token")
+      .limit(topK)
+      .select($"token", $"n_full", $"n_kept", $"share_full",
+        $"share_kept", $"delta")
+  }
+
   /** C11 — semantic dedup, the SemDeDup shape (embedding-cluster-
     * bounded near-dup pruning): the scale path next to C5's exact n²
     * baseline. Vectors are assigned to IVF cells (D2a's deterministic
@@ -1050,6 +1095,32 @@ object Dedup {
          |LEFT JOIN (SELECT keeper_id FROM (
          |$clusterKeepersOracle)) k ON d.doc_id = k.keeper_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "dedup_token_shift" ->
+      s"""WITH full_c AS (
+         |  SELECT t, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  GROUP BY t),
+         |keepdocs AS (
+         |  SELECT keeper_id FROM ($clusterKeepersOracle)),
+         |kept_c AS (
+         |  SELECT t, count(*) AS c FROM (
+         |    SELECT unnest(string_split(d.text, ' ')) AS t
+         |    FROM documents d JOIN keepdocs k ON d.doc_id = k.keeper_id)
+         |  GROUP BY t),
+         |nf AS (SELECT sum(c)::DOUBLE AS nf FROM full_c),
+         |nk AS (SELECT sum(c)::DOUBLE AS nk FROM kept_c),
+         |j AS (
+         |  SELECT f.t AS token, f.c AS n_full,
+         |    coalesce(k.c, 0) AS n_kept,
+         |    floor(f.c / nf.nf * 1000000.0 + 0.5) / 1000000.0
+         |      AS share_full,
+         |    floor(coalesce(k.c, 0) / nk.nk * 1000000.0 + 0.5)
+         |      / 1000000.0 AS share_kept,
+         |    floor((coalesce(k.c, 0) / nk.nk - f.c / nf.nf)
+         |      * 1000000.0 + 0.5) / 1000000.0 AS delta
+         |  FROM full_c f LEFT JOIN kept_c k ON k.t = f.t, nf, nk)
+         |SELECT token, n_full, n_kept, share_full, share_kept, delta
+         |FROM j ORDER BY abs(delta) DESC, token LIMIT 20""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  floor(list_cosine_similarity(a.embedding::DOUBLE[],
