@@ -275,6 +275,29 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** H20 — corpus manifest: an order-independent content fingerprint
+    * per source (doc count, commutative sum of keyed 48-bit md5
+    * prefixes over doc_id+text, min/max doc_id) — two pipeline runs
+    * (or a resume, or a migration) produced THE SAME corpus iff their
+    * manifests match, without ever sorting or diffing the corpora.
+    * Commutativity is the point: the sum is partition-order-invariant,
+    * so it partial-aggregates map-side and reduces to one row per
+    * source regardless of layout. (At extreme corpus sizes the sum is
+    * taken mod 2^63 by Long wraparound — still a valid fingerprint;
+    * the oracle models the same wrap in HUGEINT.)
+    */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("h",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+          $"text").cast("binary")), 1, 12), 16, 10).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"h").as("content_sum"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"source")
+  }
+
   /** H17 — corpus datasheet ("dataset card" stats): the per-source
     * summary a data release ships — doc/lang counts, char and token
     * totals, corpus share, and the exact-duplicate rate (1 −
@@ -536,6 +559,16 @@ object Curation {
       |  ELSE 'test' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_manifest" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+        |      1, 12))::BIGINT AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(h) AS BIGINT) AS content_sum,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "quality_score_normalize" -> {
       val qlist = (1 to 19).map(_ / 20.0).mkString(", ")
       s"""WITH t AS (
