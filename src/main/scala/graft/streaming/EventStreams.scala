@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  private val counter = new AtomicInteger(0)
+  private[streaming] val counter = new AtomicInteger(0)
 
   /** The file source needs a declared schema; `ts` has shipped as both
     * TIMESTAMP(NANOS) (ns BIGINT under `nanosAsLong`) and

@@ -138,7 +138,63 @@ object TextStreams {
       .orderBy($"doc_id")
   }
 
+  final case class SampleRow(lang: String, source: String, rnk: Long,
+                             doc_id: Long, h: Long)
+
+  /** G20 — streaming twin of the H18 consistent sampler: each
+    * (lang, source) stratum's bottom-k-by-keyed-md5 sample maintained
+    * as `flatMapGroupsWithState` — state is a k-bounded (priority, id)
+    * heap per stratum (fixed width on an unbounded stream; the B37
+    * buffer as streaming state), and because membership is a pure
+    * function of the hash ORDER, the maintained sample equals the
+    * batch sample after any prefix of the stream that contains the
+    * same documents. One-shot run ≡ batch H18 (same oracle).
+    */
+  def consistentSample(spark: SparkSession, dir: String,
+                       k: Int = 20): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("csample:"), $"doc_id".cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long"))
+      .select($"lang".as[String], $"source".as[String],
+        $"doc_id".as[Long], $"h".as[Long])
+    val updated = docs.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Long, Long)],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(r => (r._4, r._3)))
+            .sortBy { case (h, id) => (h, id) }.take(k)
+          state.update(merged)
+          merged.zipWithIndex.iterator.map { case ((h, id), i) =>
+            SampleRow(key._1, key._2, (i + 1).toLong, id, h)
+          }
+      }
+    val name = s"graft_stream_csample_${EventStreams.counter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = updated.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+      .select($"lang", $"source", $"rnk", $"doc_id", $"h")
+      .orderBy($"lang", $"source", $"rnk")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_consistent_sample" ->
+      graft.ops.Curation.oracles("sample_consistent"),
     "stream_bm25" -> TextAnalysis.oracles("text_bm25"),
     "stream_gopher_filter" -> TextAnalysis.oracles("text_gopher_rules"),
     "stream_importance" -> graft.ops.Curation.oracles("importance_weights"),
