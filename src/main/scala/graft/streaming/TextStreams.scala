@@ -192,7 +192,35 @@ object TextStreams {
       .orderBy($"lang", $"source", $"rnk")
   }
 
+  /** G21 — streaming corpus manifest: H20's order-independent content
+    * fingerprint maintained as a plain streaming aggregate — the
+    * commutative hash-sum is EXACTLY what makes the manifest
+    * streamable (any arrival order, any batch boundaries, same
+    * fingerprint), so an ingest job can publish a per-source manifest
+    * continuously and a consumer can verify a snapshot against it.
+    * State is one row per source. One-shot run ≡ batch H20 (same
+    * oracle).
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val agg = docs
+      .withColumn("h",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+          $"text").cast("binary")), 1, 12), 16, 10).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"h").as("content_sum"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    EventStreams.runToCompletion(agg, "graft_stream_manifest")
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_manifest" ->
+      graft.ops.Curation.oracles("corpus_manifest"),
     "stream_consistent_sample" ->
       graft.ops.Curation.oracles("sample_consistent"),
     "stream_bm25" -> TextAnalysis.oracles("text_bm25"),
