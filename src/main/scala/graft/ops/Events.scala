@@ -222,6 +222,37 @@ object Events {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** B62 — join-key skew report: the pre-flight diagnostic before any
+    * user_id-keyed join/agg — per-key frequency profile summarized as
+    * total keys/rows, mean rows per key, the max key's share, the
+    * skew factor (max/mean — the number that decides between a plain
+    * shuffle join, B22's salting, or B25's AQE split), and the top-5
+    * heaviest keys. One partial-aggregable key count; every summary
+    * statistic reduces from the keys-sized frame (second aggregate +
+    * a keys-frame TakeOrdered) — the corpus is scanned once.
+    */
+  def skewReport(spark: SparkSession, dir: String,
+                 topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+    val summary = per.agg(count(lit(1)).as("n_keys"),
+      sum($"c").as("n_rows"), max($"c").as("max_rows"))
+      .select(lit(0L).as("rank"), lit(null).cast("long").as("user_id"),
+        $"n_keys", $"n_rows", $"max_rows",
+        r4($"n_rows".cast("double") / $"n_keys").as("mean_rows"),
+        r4($"max_rows".cast("double") * $"n_keys" / $"n_rows")
+          .as("skew_factor"))
+    val top = per.orderBy($"c".desc, $"user_id").limit(topK)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"c".desc, $"user_id")).cast("long").as("rank"),
+        $"user_id", lit(null).cast("long").as("n_keys"),
+        $"c".as("n_rows"), lit(null).cast("long").as("max_rows"),
+        lit(null).cast("double").as("mean_rows"),
+        lit(null).cast("double").as("skew_factor"))
+    summary.unionByName(top).orderBy($"rank")
+  }
+
   /** B61 — exponential retention-decay fit: pooled day-offset
     * retention rates (right-censoring-corrected — a user only counts
     * in offset d's denominator if their cohort is old enough to have
@@ -758,6 +789,29 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_skew_report" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    max(c) AS max_rows
+        |  FROM per),
+        |srow AS (
+        |  SELECT 0::BIGINT AS rank, NULL::BIGINT AS user_id, n_keys,
+        |    n_rows, max_rows,
+        |    floor(n_rows::DOUBLE / n_keys * 10000.0 + 0.5) / 10000.0
+        |      AS mean_rows,
+        |    floor(max_rows::DOUBLE * n_keys / n_rows * 10000.0 + 0.5)
+        |      / 10000.0 AS skew_factor
+        |  FROM s),
+        |t AS (
+        |  SELECT row_number() OVER (ORDER BY c DESC, user_id) AS rank,
+        |    user_id, NULL::BIGINT AS n_keys, c AS n_rows,
+        |    NULL::BIGINT AS max_rows, NULL::DOUBLE AS mean_rows,
+        |    NULL::DOUBLE AS skew_factor
+        |  FROM per ORDER BY c DESC, user_id LIMIT 5)
+        |SELECT * FROM srow UNION ALL SELECT * FROM t
+        |ORDER BY rank""".stripMargin,
     "events_retention_fit" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
