@@ -236,6 +236,54 @@ object TextAnalysis {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** E39 — self-trained char-trigram language classifier, evaluated
+    * on a held-out split: per-language top-20 character trigrams are
+    * LEARNED from the H2 train split (md5 bucket < 12), test docs are
+    * scored by profile-hit count (argmax, smallest lang on ties), and
+    * the output is the test-split confusion matrix — the full
+    * train-on-A/evaluate-on-B loop of a corpus-native classifier,
+    * entirely in-engine (contrast E3's fixed word lists).
+    *
+    * Scale shape: profile training is one trigram explode over the
+    * train split partial-aggregated to (langs × vocab) and cut to
+    * langs×20 rows — broadcast; scoring joins each test doc's DISTINCT
+    * trigrams against that broadcast profile and rolls up per (doc,
+    * lang) then argmax per doc — all corpus-linear, no pairwise
+    * anything. Integer counts end-to-end → exact oracle.
+    */
+  def langidTrigram(spark: SparkSession, dir: String,
+                    profileK: Int = 20): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 32, 1),
+          16, 10).cast("long"))
+    val tri = docs
+      .filter(length($"text") >= 3)
+      .select($"doc_id", $"lang", $"bucket",
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3))")).as("g"))
+    val profile = tri.filter($"bucket" < 12)
+      .groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
+    val w = W.partitionBy($"lang").orderBy($"c".desc, $"g")
+    val top = profile.withColumn("r", row_number().over(w))
+      .filter($"r" <= profileK)
+      .select($"lang".as("plang"), $"g")
+    val hits = tri.filter($"bucket" >= 12)
+      .select($"doc_id", $"lang", $"g").distinct()
+      .join(broadcast(top), "g")
+      .groupBy($"doc_id", $"lang", $"plang")
+      .agg(count(lit(1)).as("hits"))
+    val dw = W.partitionBy($"doc_id").orderBy($"hits".desc, $"plang")
+    hits.withColumn("r", row_number().over(dw))
+      .filter($"r" === 1)
+      .groupBy($"lang", $"plang".as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
   /** E35 — language-ID confusion matrix: the E3 classifier evaluated
     * against the labeled corpus as (true lang × predicted lang) cells
     * with per-true-language recall shares — the model-eval rollup any
@@ -1881,6 +1929,40 @@ object TextAnalysis {
         |  floor(quantile_cont(n_tok, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
         |  floor(avg(n_tok) * 10000.0 + 0.5) / 10000.0 AS mean_tok
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "langid_trigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang,
+        |    strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1
+        |      AS bucket
+        |  FROM documents WHERE length(text) >= 3),
+        |tri AS (
+        |  SELECT doc_id, lang, bucket,
+        |    unnest([substring(text, i, 3)
+        |      for i in range(1, length(text) - 1)]) AS g
+        |  FROM d),
+        |prof AS (
+        |  SELECT lang, g, count(*) AS c FROM tri WHERE bucket < 12
+        |  GROUP BY lang, g),
+        |topg AS (
+        |  SELECT lang AS plang, g FROM (
+        |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, g) AS r
+        |    FROM prof) WHERE r <= 20),
+        |h AS (
+        |  SELECT t.doc_id, t.lang, topg.plang, count(*) AS hits
+        |  FROM (SELECT DISTINCT doc_id, lang, g FROM tri
+        |        WHERE bucket >= 12) t
+        |  JOIN topg ON topg.g = t.g
+        |  GROUP BY t.doc_id, t.lang, topg.plang),
+        |pred AS (
+        |  SELECT doc_id, lang, plang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, plang) AS r
+        |    FROM h) WHERE r = 1)
+        |SELECT lang, plang AS pred_lang, count(*) AS n
+        |FROM pred GROUP BY lang, plang
+        |ORDER BY lang, pred_lang""".stripMargin,
     "langid_confusion" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks
