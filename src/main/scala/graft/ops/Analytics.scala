@@ -567,6 +567,49 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** B63 — customer spend-quintile migration: each customer's
+    * total-spend quintile in the FIRST half of the timeline vs the
+    * SECOND (quintile 0 = inactive that half), rolled up to the 6×6
+    * migration matrix — the customer-mobility view (who's rising,
+    * churning, newly acquired) that RFM snapshots (B50) can't show.
+    *
+    * Scale shape: two per-customer partial aggregates (one scan each
+    * side of the midpoint — in production one scan with a pivot);
+    * quintile boundaries are ONE single-reduce exact-percentile
+    * aggregate per half (4-dp-rounded strict-`>` cuts, the B50
+    * pattern — no ntile window over customers); the matrix is a
+    * FULL OUTER customer join + a ≤36-row rollup.
+    */
+  def decileMigration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_totalprice",
+        unix_micros($"o_orderdate".cast("timestamp")).as("us"))
+    val mm = orders.agg(min($"us").as("lo"), max($"us").as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid")).collect()(0).getLong(0)
+    def perCust(half: DataFrame): DataFrame =
+      half.groupBy($"o_custkey").agg(sum($"o_totalprice").as("v"))
+    val p1 = perCust(orders.filter($"us" < mm))
+    val p2 = perCust(orders.filter($"us" >= mm))
+    val qs = (1 to 4).map(_ / 5.0)
+    def bounds(per: DataFrame): Seq[Double] =
+      per.agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("b"))
+        .collect()(0).getSeq[Double](0)
+        .map(b => math.floor(b * 10000.0 + 0.5) / 10000.0)
+    def score(c: Column, bs: Seq[Double]): Column =
+      bs.foldLeft(lit(1L)) { (acc, b) =>
+        acc + when(c > b, 1L).otherwise(0L)
+      }
+    val b1 = bounds(p1)
+    val b2 = bounds(p2)
+    p1.select($"o_custkey", score($"v", b1).as("q1"))
+      .join(p2.select($"o_custkey", score($"v", b2).as("q2")),
+        Seq("o_custkey"), "full_outer")
+      .na.fill(0L, Seq("q1", "q2"))
+      .groupBy($"q1", $"q2").agg(count(lit(1)).as("n_customers"))
+      .orderBy($"q1", $"q2")
+  }
+
   // --- B38: the remaining TPC-H query shapes (22/22 coverage) ------
   // The testdata schema is TPC-H-ish but slimmed: no partsupp table
   // and no commitdate/receiptdate/shipmode columns. Queries that
@@ -1391,6 +1434,38 @@ object Analytics {
         |  floor(sum(rev) OVER (ORDER BY month
         |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
         |FROM m ORDER BY month""".stripMargin,
+    "customer_decile_migration" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_totalprice, epoch_us(o_orderdate) AS us
+        |  FROM orders),
+        |mm AS (SELECT (min(us) + max(us)) // 2 AS mid FROM o),
+        |p1 AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS v FROM o, mm
+        |  WHERE us < mid GROUP BY o_custkey),
+        |p2 AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS v FROM o, mm
+        |  WHERE us >= mid GROUP BY o_custkey),
+        |b1 AS (
+        |  SELECT list_transform(quantile_cont(v, [0.2, 0.4, 0.6, 0.8]),
+        |    x -> floor(x * 10000.0 + 0.5) / 10000.0) AS bs
+        |  FROM p1),
+        |b2 AS (
+        |  SELECT list_transform(quantile_cont(v, [0.2, 0.4, 0.6, 0.8]),
+        |    x -> floor(x * 10000.0 + 0.5) / 10000.0) AS bs
+        |  FROM p2),
+        |s1 AS (
+        |  SELECT o_custkey,
+        |    (1 + len(list_filter(b1.bs, b -> p1.v > b)))::BIGINT AS q1
+        |  FROM p1, b1),
+        |s2 AS (
+        |  SELECT o_custkey,
+        |    (1 + len(list_filter(b2.bs, b -> p2.v > b)))::BIGINT AS q2
+        |  FROM p2, b2),
+        |j AS (
+        |  SELECT coalesce(s1.q1, 0) AS q1, coalesce(s2.q2, 0) AS q2
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey)
+        |SELECT q1, q2, count(*) AS n_customers FROM j
+        |GROUP BY q1, q2 ORDER BY q1, q2""".stripMargin,
     "orders_rolling_median" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day,
