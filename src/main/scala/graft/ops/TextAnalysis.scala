@@ -236,6 +236,42 @@ object TextAnalysis {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** E40 — source-vocabulary overlap matrix: pairwise Jaccard of the
+    * DISTINCT token vocabularies of every source pair — the source-
+    * redundancy audit of a corpus acquisition plan (two sources with
+    * near-identical vocabularies probably crawl the same universe;
+    * merging them buys tokens, not coverage — the corpus-level cousin
+    * of C4's per-document Jaccard).
+    *
+    * Scale shape: one tokenize pass partial-aggregated to the
+    * (source, token) DISTINCT frame (vocab-bounded by Heaps' law);
+    * intersections come from the token-keyed self-join of that frame
+    * (each token contributes its source-pair combinations — bounded by
+    * sources², never corpus-sized); per-source vocab sizes broadcast
+    * back. Exact integers into one division, 6-dp rounded.
+    */
+  def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = Tables.load(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+      .distinct()
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("v"))
+    val inter = st.select($"source".as("src_a"), $"t")
+      .join(st.select($"source".as("src_b"), $"t"), "t")
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("common"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"v".as("va"))),
+        "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"v".as("vb"))),
+        "src_b")
+      .select($"src_a", $"src_b", $"va", $"vb", $"common",
+        (floor($"common".cast("double") / ($"va" + $"vb" - $"common")
+          * 1000000.0 + 0.5) / 1000000.0).as("jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** E39 — self-trained char-trigram language classifier, evaluated
     * on a held-out split: per-language top-20 character trigrams are
     * LEARNED from the H2 train split (md5 bucket < 12), test docs are
@@ -1929,6 +1965,26 @@ object TextAnalysis {
         |  floor(quantile_cont(n_tok, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
         |  floor(avg(n_tok) * 10000.0 + 0.5) / 10000.0 AS mean_tok
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "source_vocab_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, t FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''),
+        |sizes AS (
+        |  SELECT source, count(*) AS v FROM st GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS common
+        |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT i.src_a, i.src_b, sa.v AS va, sb.v AS vb, i.common,
+        |  floor(i.common::DOUBLE / (sa.v + sb.v - i.common)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.source = i.src_a
+        |JOIN sizes sb ON sb.source = i.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "langid_trigram" ->
       """WITH d AS (
         |  SELECT doc_id, text, lang,
