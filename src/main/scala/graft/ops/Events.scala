@@ -222,6 +222,36 @@ object Events {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** B64 — behavioral-entropy profile: Shannon entropy of each user's
+    * event-type distribution, rolled up to an entropy histogram
+    * (0.25-bit bins) — low-entropy users are single-action bots/
+    * scrapers, the behavioral analogue of E13's character-entropy
+    * gibberish filter. Per-user type counts partial-aggregate; the
+    * entropy fold is a scan-side expression over each user's ≤ types
+    * rows (grouped collect of a SORTED 5-element list so the float
+    * fold order is deterministic on both engines, no window); the
+    * histogram is a second tiny rollup. Counts are exact integers into
+    * ln; bins are quarter-bit integer floors → engine-portable.
+    */
+  def behaviorEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, dir, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n"), sort_array(collect_list($"c")).as("cs"))
+      .select($"user_id",
+        aggregate($"cs", lit(0.0), (acc, c) =>
+          acc - c.cast("double") / $"n" *
+            log(c.cast("double") / $"n")) .as("h_nats"))
+      .select($"user_id",
+        ($"h_nats" / log(lit(2.0))).as("h_bits"))
+    per.select(floor($"h_bits" * 4.0).cast("long").as("qbin"))
+      .groupBy($"qbin").agg(count(lit(1)).as("n_users"))
+      .select(($"qbin".cast("double") / 4.0).as("entropy_bin"),
+        $"n_users")
+      .orderBy($"entropy_bin")
+  }
+
   /** B62 — join-key skew report: the pre-flight diagnostic before any
     * user_id-keyed join/agg — per-key frequency profile summarized as
     * total keys/rows, mean rows per key, the max key's share, the
@@ -789,6 +819,23 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_behavior_entropy" ->
+      """WITH pc AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events
+        |  GROUP BY 1, 2),
+        |pu AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    list_sort(list(c)) AS cs
+        |  FROM pc GROUP BY user_id),
+        |eh AS (
+        |  SELECT user_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(cs, x -> x::DOUBLE)),
+        |      (acc, c) -> acc - c / n * ln(c / n)) / ln(2.0) AS h_bits
+        |  FROM pu),
+        |b AS (SELECT floor(h_bits * 4.0)::BIGINT AS qbin FROM eh)
+        |SELECT qbin::DOUBLE / 4.0 AS entropy_bin, count(*) AS n_users
+        |FROM b GROUP BY qbin ORDER BY entropy_bin""".stripMargin,
     "events_skew_report" ->
       """WITH per AS (
         |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
