@@ -707,6 +707,34 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  /** C18 — cross-source duplication matrix: C2's verified near-dup
+    * pairs mapped to their documents' sources and rolled up per
+    * (source_a ≤ source_b) — the provenance audit that shows WHICH
+    * acquisition channels copy from each other (high off-diagonal
+    * cells = mirrored/syndicated feeds; buy one, not both), the
+    * pair-level complement of E40's vocabulary overlap.
+    *
+    * Scale shape: C2's bucketed LSH pass produces the pair set (never
+    * all-pairs); the source mapping is two broadcast-scale doc_id
+    * joins against the PAIR table (duplicates-sized, not
+    * corpus-sized); the matrix rollup is ≤ sources².
+    */
+  def crossSourceDupes(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir, threshold)
+      .select($"doc_a", $"doc_b")
+    val src = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("src_a"),
+        greatest($"sa", $"sb").as("src_b"))
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** C17 — token-frequency shift under dedup: the top tokens whose
     * corpus frequency SHARE moves most between the full corpus and
     * C10's kept-keepers corpus — the distribution-shift audit behind
@@ -1026,6 +1054,20 @@ object Dedup {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_cross_source" -> (shingleCte +
+      """, np AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.8),
+        |m AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |    greatest(da.source, db.source) AS src_b
+        |  FROM np
+        |  JOIN documents da ON da.doc_id = np.doc_a
+        |  JOIN documents db ON db.doc_id = np.doc_b)
+        |SELECT src_a, src_b, count(*) AS n_pairs FROM m
+        |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin),
     "dedup_clusters" -> (shingleCte
       .replace("WITH toks", "WITH RECURSIVE toks")
       .stripSuffix("\n") + ",\n" +
