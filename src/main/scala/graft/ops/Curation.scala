@@ -275,6 +275,47 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** H21 — split-balance audit: per-(split, lang) shares vs the
+    * overall language mix, with the absolute deviation — the "is my
+    * split stratified or biased?" check next to H2 (the split itself)
+    * and H12 (leakage). A deterministic hash split is unbiased only
+    * in expectation; per-language deviation is what tells you whether
+    * an 18%-of-corpus language ended up 25% of val. Two
+    * partial-aggregable rollups (corpus-linear) and a broadcast-scale
+    * join of the ≤ splits×langs frames; exact integers into one
+    * division, 6-dp rounded.
+    */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 32, 1),
+          16, 10).cast("long"))
+      .withColumn("split",
+        when($"bucket" < 12, "train")
+          .when($"bucket" < 14, "val")
+          .otherwise("test"))
+    val perSplit = docs.groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n"))
+    val splitTot = perSplit.groupBy($"split").agg(sum($"n").as("ns"))
+    val overall = docs.groupBy($"lang").agg(count(lit(1)).as("no"))
+      .crossJoin(broadcast(
+        docs.agg(count(lit(1)).cast("double").as("ntot"))))
+      .select($"lang",
+        (floor($"no" / $"ntot" * 1000000.0 + 0.5) / 1000000.0)
+          .as("overall_share"))
+    perSplit.join(broadcast(splitTot), "split")
+      .join(broadcast(overall), "lang")
+      .select($"split", $"lang", $"n",
+        (floor($"n".cast("double") / $"ns" * 1000000.0 + 0.5)
+          / 1000000.0).as("share"),
+        $"overall_share")
+      .withColumn("abs_dev",
+        (floor(abs($"share" - $"overall_share") * 1000000.0 + 0.5)
+          / 1000000.0))
+      .orderBy($"split", $"lang")
+  }
+
   /** H20 — corpus manifest: an order-independent content fingerprint
     * per source (doc count, commutative sum of keyed 48-bit md5
     * prefixes over doc_id+text, min/max doc_id) — two pipeline runs
@@ -559,6 +600,36 @@ object Curation {
       |  ELSE 'test' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "split_balance" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 12
+        |      THEN 'train'
+        |    WHEN strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 14
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents),
+        |ps AS (SELECT split, lang, count(*) AS n FROM d GROUP BY 1, 2),
+        |st AS (SELECT split, CAST(sum(n) AS BIGINT) AS ns FROM ps
+        |       GROUP BY split),
+        |ov AS (
+        |  SELECT lang,
+        |    floor(count(*) / (SELECT count(*)::DOUBLE FROM d)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS overall_share
+        |  FROM d GROUP BY lang),
+        |j AS (
+        |  SELECT ps.split, ps.lang, ps.n,
+        |    floor(ps.n::DOUBLE / st.ns * 1000000.0 + 0.5) / 1000000.0
+        |      AS share,
+        |    ov.overall_share
+        |  FROM ps JOIN st ON st.split = ps.split
+        |  JOIN ov ON ov.lang = ps.lang)
+        |SELECT split, lang, n, share, overall_share,
+        |  floor(abs(share - overall_share) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS abs_dev
+        |FROM j ORDER BY split, lang""".stripMargin,
     "corpus_manifest" ->
       """WITH h AS (
         |  SELECT source, doc_id,
