@@ -610,6 +610,40 @@ object Analytics {
       .orderBy($"q1", $"q2")
   }
 
+  /** B65 — classical seasonal decomposition of monthly revenue
+    * (trend = textbook 2×12 centered moving average, seasonal = mean
+    * monthly deviation from trend, residual = the rest) — the
+    * decomposition behind "is December really up, or is that just
+    * seasonality?". The global window runs over the CALENDAR-BOUNDED
+    * monthly frame (the B10/B43 stance: ~tens of rows at any corpus
+    * size — the corpus-sized work is the one partial-aggregable
+    * monthly rollup), with 2-dp-pinned inputs so every downstream
+    * float op is engine-identical.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.load(spark, dir, "orders")
+      .groupBy(trunc($"o_orderdate", "month").as("month"))
+      .agg(r2(sum($"o_totalprice")).as("rev"))
+    val w = Window.orderBy($"month")
+    val wr = w.rowsBetween(-5, 5)
+    val t = m
+      .withColumn("rm6", lag($"rev", 6).over(w))
+      .withColumn("lm6", lead($"rev", 6).over(w))
+      .withColumn("s11", sum($"rev").over(wr))
+      .withColumn("n11", count(lit(1)).over(wr))
+      .filter($"rm6".isNotNull && $"lm6".isNotNull && $"n11" === 11)
+      .select($"month", $"rev",
+        r4((lit(0.5) * $"rm6" + $"s11" + lit(0.5) * $"lm6") / 12.0)
+          .as("trend"))
+    val s = t.groupBy(month($"month").cast("long").as("moy"))
+      .agg(r4(avg($"rev" - $"trend")).as("seasonal"))
+    t.join(broadcast(s), month($"month").cast("long") === $"moy")
+      .select($"month", $"rev", $"trend", $"seasonal",
+        r4($"rev" - $"trend" - $"seasonal").as("residual"))
+      .orderBy($"month")
+  }
+
   // --- B38: the remaining TPC-H query shapes (22/22 coverage) ------
   // The testdata schema is TPC-H-ish but slimmed: no partsupp table
   // and no commitdate/receiptdate/shipmode columns. Queries that
@@ -1434,6 +1468,36 @@ object Analytics {
         |  floor(sum(rev) OVER (ORDER BY month
         |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
         |FROM m ORDER BY month""".stripMargin,
+    "orders_seasonal_decompose" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (
+        |  SELECT month, rev,
+        |    lag(rev, 6) OVER (ORDER BY month) AS rm6,
+        |    lead(rev, 6) OVER (ORDER BY month) AS lm6,
+        |    sum(rev) OVER (ORDER BY month
+        |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11,
+        |    count(*) OVER (ORDER BY month
+        |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS n11
+        |  FROM m),
+        |t AS (
+        |  SELECT month, rev,
+        |    floor((0.5 * rm6 + s11 + 0.5 * lm6) / 12.0
+        |      * 10000.0 + 0.5) / 10000.0 AS trend
+        |  FROM o
+        |  WHERE rm6 IS NOT NULL AND lm6 IS NOT NULL AND n11 = 11),
+        |sx AS (
+        |  SELECT month(month)::BIGINT AS moy,
+        |    floor(avg(rev - trend) * 10000.0 + 0.5) / 10000.0
+        |      AS seasonal
+        |  FROM t GROUP BY 1)
+        |SELECT t.month, t.rev, t.trend, sx.seasonal,
+        |  floor((t.rev - t.trend - sx.seasonal) * 10000.0 + 0.5)
+        |    / 10000.0 AS residual
+        |FROM t JOIN sx ON month(t.month)::BIGINT = sx.moy
+        |ORDER BY t.month""".stripMargin,
     "customer_decile_migration" ->
       """WITH o AS (
         |  SELECT o_custkey, o_totalprice, epoch_us(o_orderdate) AS us
