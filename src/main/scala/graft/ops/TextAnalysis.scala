@@ -236,6 +236,64 @@ object TextAnalysis {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** E41 — RAKE keyphrase extraction (Rose et al. 2010), relationally:
+    * candidate phrases are maximal stopword-free token runs (segmented
+    * with the B6 sessionize trick — a running count of stopword
+    * "boundaries" over token positions), word scores are deg/freq over
+    * the phrase corpus (deg = Σ phrase length over a word's
+    * occurrences), and a phrase scores the sum of its words' scores —
+    * the classic unsupervised keyphrase extractor, as joins and
+    * aggregates.
+    *
+    * Scale shape: segmentation is one posexplode + a doc-partitioned
+    * running sum (doc-length-bounded windows); word stats are a
+    * vocab-sized partial agg joined back BROADCAST; the per-phrase
+    * score folds over a SORTED score list so the float sum order is
+    * engine-identical; the top-20 cut is TakeOrdered on the 6-dp
+    * score. Nothing pairwise, everything token-linear.
+    */
+  def rakeKeyphrases(spark: SparkSession, dir: String,
+                     topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val stop = Stopwords.map(lit(_))
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " "))
+        .as(Seq("pos", "tok")))
+      .withColumn("is_stop",
+        ($"tok" === "" || stop.map($"tok" === _).reduce(_ || _))
+          .cast("long"))
+    val w = W.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val phrases = toks
+      .withColumn("run", sum($"is_stop").over(w))
+      .filter($"is_stop" === 0)
+      .groupBy($"doc_id", $"run")
+      .agg(sort_array(collect_list(struct($"pos", $"tok"))).as("pt"))
+      .select($"doc_id", $"run",
+        transform($"pt", p => p.getField("tok")).as("ws"))
+      .withColumn("plen", size($"ws").cast("long"))
+      .withColumn("phrase", concat_ws(" ", $"ws"))
+    val wordStats = phrases
+      .select(explode($"ws").as("wd"), $"plen")
+      .groupBy($"wd")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+      .select($"wd", ($"deg".cast("double") / $"freq").as("wscore"))
+    val scored = phrases
+      .select($"doc_id", $"run", $"phrase", explode($"ws").as("wd"))
+      .join(broadcast(wordStats), "wd")
+      .groupBy($"doc_id", $"run", $"phrase")
+      .agg(sort_array(collect_list($"wscore")).as("ss"))
+      .select($"phrase",
+        aggregate($"ss", lit(0.0), (acc, x) => acc + x).as("score"))
+    scored.groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max($"score").as("score"))
+      .select($"phrase", $"n_occurrences",
+        (floor($"score" * 1000000.0 + 0.5) / 1000000.0).as("score"))
+      .orderBy($"score".desc, $"phrase")
+      .limit(topK)
+  }
+
   /** E40 — source-vocabulary overlap matrix: pairwise Jaccard of the
     * DISTINCT token vocabularies of every source pair — the source-
     * redundancy audit of a corpus acquisition plan (two sources with
@@ -1965,6 +2023,45 @@ object TextAnalysis {
         |  floor(quantile_cont(n_tok, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
         |  floor(avg(n_tok) * 10000.0 + 0.5) / 10000.0 AS mean_tok
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_rake_keyphrases" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tk AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok,
+        |    CASE WHEN u.tok = '' OR u.tok IN
+        |      ('the','a','of','and','to','in','is','on','for','with')
+        |      THEN 1 ELSE 0 END AS is_stop
+        |  FROM (SELECT doc_id,
+        |    unnest([{'pos': i, 'tok': toks[i]}
+        |      for i in range(1, len(toks) + 1)]) AS u
+        |    FROM t0)),
+        |tk2 AS (
+        |  SELECT *, CAST(sum(is_stop) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM tk),
+        |phr AS (
+        |  SELECT doc_id, run,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS plen,
+        |    list(tok ORDER BY pos) AS ws
+        |  FROM tk2 WHERE is_stop = 0 GROUP BY doc_id, run),
+        |wstat AS (
+        |  SELECT wd, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM (SELECT unnest(ws) AS wd, plen FROM phr) GROUP BY wd),
+        |wsc AS (SELECT wd, deg::DOUBLE / freq AS wscore FROM wstat),
+        |psc AS (
+        |  SELECT p.doc_id, p.run, p.phrase,
+        |    list_reduce(list_prepend(0.0, list_sort(list(w.wscore))),
+        |      (a, b) -> a + b) AS score
+        |  FROM (SELECT doc_id, run, phrase, unnest(ws) AS wd FROM phr) p
+        |  JOIN wsc w ON w.wd = p.wd
+        |  GROUP BY p.doc_id, p.run, p.phrase),
+        |pagg AS (
+        |  SELECT phrase, count(*) AS n_occurrences, max(score) AS score
+        |  FROM psc GROUP BY phrase)
+        |SELECT phrase, n_occurrences,
+        |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+        |FROM pagg ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
     "source_vocab_overlap" ->
       """WITH st AS (
         |  SELECT DISTINCT source, t FROM (
