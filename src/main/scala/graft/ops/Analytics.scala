@@ -610,6 +610,36 @@ object Analytics {
       .orderBy($"q1", $"q2")
   }
 
+  /** B66 — purchase-cadence profile: per-customer order inter-arrival
+    * gaps (lag over each customer's order dates) rolled up to a
+    * week-binned histogram plus exact p50/p90 — the replenishment-
+    * cycle view behind reorder nudges and churn-risk windows (a
+    * customer 3× past their own median gap is drifting). The lag
+    * window partitions per customer (order-count-bounded); gaps are
+    * integer days, so the histogram and percentiles are exact
+    * cross-engine; both rollups partial-aggregate.
+    */
+  def interarrivalProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"day", $"o_orderkey")
+    val gaps = Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("day"))
+      .withColumn("prev", lag($"day", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select(datediff($"day", $"prev").cast("long").as("gap_days"))
+    val hist = gaps
+      .groupBy(expr("gap_days div 7").as("week_bin"))
+      .agg(count(lit(1)).as("n_gaps"))
+    val pct = gaps.agg(
+      (floor(expr("percentile(gap_days, 0.5)") * 10000.0 + 0.5) / 10000.0)
+        .as("p50"),
+      (floor(expr("percentile(gap_days, 0.9)") * 10000.0 + 0.5) / 10000.0)
+        .as("p90"))
+    hist.crossJoin(broadcast(pct))
+      .select($"week_bin", $"n_gaps", $"p50", $"p90")
+      .orderBy($"week_bin")
+  }
+
   /** B65 — classical seasonal decomposition of monthly revenue
     * (trend = textbook 2×12 centered moving average, seasonal = mean
     * monthly deviation from trend, residual = the rest) — the
@@ -1468,6 +1498,27 @@ object Analytics {
         |  floor(sum(rev) OVER (ORDER BY month
         |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
         |FROM m ORDER BY month""".stripMargin,
+    "orders_interarrival" ->
+      """WITH g0 AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate::DATE AS day,
+        |    lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate::DATE, o_orderkey) AS prev
+        |  FROM orders),
+        |g AS (
+        |  SELECT (day - prev)::BIGINT AS gap_days FROM g0
+        |  WHERE prev IS NOT NULL),
+        |hist AS (
+        |  SELECT gap_days // 7 AS week_bin, count(*) AS n_gaps
+        |  FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    floor(quantile_cont(gap_days, 0.5) * 10000.0 + 0.5)
+        |      / 10000.0 AS p50,
+        |    floor(quantile_cont(gap_days, 0.9) * 10000.0 + 0.5)
+        |      / 10000.0 AS p90
+        |  FROM g)
+        |SELECT week_bin, n_gaps, p.p50, p.p90 FROM hist, p
+        |ORDER BY week_bin""".stripMargin,
     "orders_seasonal_decompose" ->
       """WITH m AS (
         |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
