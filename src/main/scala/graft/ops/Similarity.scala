@@ -798,6 +798,42 @@ object Similarity {
       .limit(topK)
   }
 
+  /** D21 — PQ quantization-distortion report: per-subspace mean
+    * squared reconstruction error (distance from each subvector to its
+    * nearest codeword) — the index-quality number that decides ks/m
+    * before a PQ rollout (distortion caps achievable recall; a
+    * subspace with outsized MSE wants more codewords or a rotation).
+    * Training is D5's deterministic sampled Lloyd; the measurement is
+    * ONE scan-side pass (the argmin distance evaluates in-plan per
+    * subspace) into a single m-value aggregate — corpus-linear,
+    * nothing iterative at measure time.
+    */
+  def pqDistortion(spark: SparkSession, dir: String, m: Int = 8,
+                   ks: Int = 16, lloydIters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir).localCheckpoint()
+    val dim = 64
+    val subDim = dim / m
+    def subCol(s: Int): Column = slice($"v", s * subDim + 1, subDim)
+    val sample = sampleTrainingSet(vecs, 2048)
+    val books: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m) { s =>
+      lloydTrain(sample.map(_.slice(s * subDim, (s + 1) * subDim)),
+        ks, lloydIters)
+    }
+    def minD(c: Column, cents: Array[(Int, Seq[Double])]): Column =
+      element_at(array_sort(array(cents.map { case (i, cv) =>
+        struct(graft.functions.squared_distance(c, typedLit(cv)).as("d"),
+          lit(i).as("code"))
+      }: _*)), 1).getField("d")
+    val per = vecs.select(
+      (0 until m).map(s => minD(subCol(s), books(s)).as(s"d$s")): _*)
+    val aggs = (0 until m).map(s => avg(col(s"d$s")).as(s"m$s"))
+    val r = per.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (0 until m).map { s =>
+      (s.toLong, math.floor(r.getDouble(s) * 1000000.0 + 0.5) / 1000000.0)
+    }.toDF("subspace", "mse").orderBy($"subspace")
+  }
+
   /** D19 — IVF index-health report: per-cell population statistics
     * (count, share) plus the summary every index rollout review reads
     * — imbalance factor (max cell / mean cell: high = hot cells that

@@ -129,4 +129,16 @@ class SketchSpec extends SparkSpecBase {
     // mean-normalized imbalance: the biggest cell is at least average
     assert(rows.map(_.getDouble(3)).max >= 1.0 - 1e-9)
   }
+
+  test("PQ distortion: positive, and more codewords means less error") {
+    val fine = graft.ops.Similarity.pqDistortion(spark, sf, ks = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val coarse = graft.ops.Similarity.pqDistortion(spark, sf, ks = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fine.size === 8 && coarse.size === 8)
+    assert(fine.values.forall(_ > 0.0))
+    // summed over subspaces, a 16-word codebook reconstructs better
+    assert(fine.values.sum <= coarse.values.sum + 1e-9,
+      s"fine ${fine.values.sum} vs coarse ${coarse.values.sum}")
+  }
 }
