@@ -215,6 +215,40 @@ object StacOps {
       .orderBy($"granule_id")
   }
 
+  /** A31 — revisit-cadence report: per-collection distribution of the
+    * day gaps between successive acquisitions of the same UTM zone
+    * (A26's grouping — per-tile acquisitions are unique in this
+    * catalog) — the
+    * acquisition-QA number an HLS-like mission tracks against its
+    * nominal revisit (a fattening gap histogram means lost scenes;
+    * A26 finds individual outages, this is the fleet-wide cadence
+    * view). The lag window partitions per (collection, tile) —
+    * acquisition-count-bounded; integer-day gaps make the histogram
+    * and exact median engine-portable; both rollups partial-aggregate.
+    */
+  def revisitCadence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy($"collection", $"zone")
+      .orderBy($"day", $"granule_id")
+    val gaps = catalog(spark, dir)
+      .select($"collection", substring($"tile", 1, 2).as("zone"),
+        $"granule_id", to_date($"ts").as("day"))
+      .distinct()
+      .withColumn("prev", lag($"day", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"collection",
+        datediff($"day", $"prev").cast("long").as("gap_days"))
+    val hist = gaps.groupBy($"collection", $"gap_days")
+      .agg(count(lit(1)).as("n"))
+    val med = gaps.groupBy($"collection")
+      .agg((floor(expr("percentile(gap_days, 0.5)") * 10000.0 + 0.5)
+        / 10000.0).as("median_gap"))
+    hist.join(broadcast(med), "collection")
+      .select($"collection", $"gap_days", $"n", $"median_gap")
+      .orderBy($"collection", $"gap_days")
+  }
+
   /** A30 — best-scene selection for monthly mosaic compositing: per
     * (tile, month), the granule with the LOWEST cloud cover (latest
     * acquisition, then smallest id on ties) — the scene-selection
@@ -594,6 +628,29 @@ object StacOps {
         |FROM stac JOIN regions
         |  ON lon >= w AND lon < e AND lat >= s AND lat < n
         |GROUP BY region_id ORDER BY region_id""".stripMargin),
+    "stac_revisit_cadence" -> (cte +
+      """, rc0 AS (
+        |  SELECT DISTINCT collection, substr(tile, 1, 2) AS zone,
+        |    granule_id, CAST(ts AS DATE) AS day
+        |  FROM stac),
+        |rc1 AS (
+        |  SELECT collection,
+        |    (day - lag(day) OVER (PARTITION BY collection, zone
+        |      ORDER BY day, granule_id))::BIGINT AS gap_days
+        |  FROM rc0),
+        |rg AS (SELECT collection, gap_days FROM rc1
+        |       WHERE gap_days IS NOT NULL),
+        |rhist AS (
+        |  SELECT collection, gap_days, count(*) AS n FROM rg
+        |  GROUP BY 1, 2),
+        |rmed AS (
+        |  SELECT collection,
+        |    floor(quantile_cont(gap_days, 0.5) * 10000.0 + 0.5)
+        |      / 10000.0 AS median_gap
+        |  FROM rg GROUP BY collection)
+        |SELECT h.collection, h.gap_days, h.n, m.median_gap
+        |FROM rhist h JOIN rmed m ON m.collection = h.collection
+        |ORDER BY h.collection, h.gap_days""".stripMargin),
     "stac_best_scene" -> (cte +
       """, r AS (
         |  SELECT tile, date_trunc('month', ts)::DATE AS month,
