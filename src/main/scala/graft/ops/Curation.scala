@@ -242,6 +242,31 @@ object Curation {
       .orderBy($"lang", $"source", $"rnk")
   }
 
+  /** H22 — packing-efficiency report: per-(lang, pack) token fill of
+    * H3's budget-packed sequences rolled to a per-lang summary (packs,
+    * mean fill, underfilled-pack share) — the utilization number that
+    * says whether the packing budget wastes training FLOPs (every
+    * sub-budget pack pads to context length). Same one-shuffle window
+    * as H3, then two partial-aggregable rollups over the packs frame;
+    * integer token counts → exact shares, 4-dp rounded.
+    */
+  def packEfficiency(spark: SparkSession, dir: String,
+                     budget: Int = 512): DataFrame = {
+    import spark.implicits._
+    val packs = packSequences(spark, dir, budget)
+      .groupBy($"lang", $"pack_id")
+      .agg(sum($"n_tokens").as("tok"))
+    packs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_packs"),
+        sum($"tok").as("n_tokens"),
+        (floor(avg($"tok".cast("double") / budget) * 10000.0 + 0.5)
+          / 10000.0).as("mean_fill"),
+        (floor(sum(when($"tok" < budget, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) * 10000.0 + 0.5) / 10000.0)
+          .as("underfill_share"))
+      .orderBy($"lang")
+  }
+
   /** H19 — cross-source quality-score normalization: each document's
     * E2 quality score mapped to its ventile WITHIN its source, so a
     * single global cut ("keep the top half") keeps the same fraction
@@ -833,6 +858,27 @@ object Curation {
         |    THEN 'val'
         |  ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |pk AS (
+        |  SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT)
+        |    AS pack_id, CAST(sum(n_tokens) AS BIGINT) AS tok
+        |  FROM c GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_packs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  floor(avg(tok::DOUBLE / 512) * 10000.0 + 0.5) / 10000.0
+        |    AS mean_fill,
+        |  floor(sum(CASE WHEN tok < 512 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*) * 10000.0 + 0.5) / 10000.0 AS underfill_share
+        |FROM pk GROUP BY lang ORDER BY lang""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
