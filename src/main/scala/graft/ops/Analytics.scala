@@ -610,6 +610,38 @@ object Analytics {
       .orderBy($"q1", $"q2")
   }
 
+  /** B67 — cohort LTV curve: cumulative revenue per acquisition-month
+    * cohort by months-since-first-order — the lifetime-value ramp that
+    * payback-period decisions read (B14/B44 count retained USERS; this
+    * accumulates their VALUE). Cohorts from a per-customer min-date
+    * partial agg; the (cohort × age) grid is calendar-bounded, so the
+    * running sum's window partitions are ≤ months wide; per-cell sums
+    * are 2-dp-pinned BEFORE the cumulation so the running totals are
+    * engine-exact.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_totalprice",
+        trunc($"o_orderdate", "month").as("om"))
+    val cohorts = orders.groupBy($"o_custkey")
+      .agg(min($"om").as("cm"))
+    val grid = orders.join(broadcast(cohorts), "o_custkey")
+      .withColumn("age",
+        (months_between($"om", $"cm")).cast("long"))
+      .groupBy($"cm".as("cohort_month"), $"age")
+      .agg((floor(sum($"o_totalprice") * 100.0 + 0.5) / 100.0)
+        .as("rev"),
+        countDistinct($"o_custkey").as("n_active"))
+    val w = Window.partitionBy($"cohort_month").orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum_rev",
+        floor(sum($"rev").over(w) * 100.0 + 0.5) / 100.0)
+      .select($"cohort_month", $"age", $"n_active", $"rev", $"cum_rev")
+      .orderBy($"cohort_month", $"age")
+  }
+
   /** B66 — purchase-cadence profile: per-customer order inter-arrival
     * gaps (lag over each customer's order dates) rolled up to a
     * week-binned histogram plus exact p50/p90 — the replenishment-
@@ -1498,6 +1530,25 @@ object Analytics {
         |  floor(sum(rev) OVER (ORDER BY month
         |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
         |FROM m ORDER BY month""".stripMargin,
+    "orders_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    date_trunc('month', o_orderdate)::DATE AS om
+        |  FROM orders),
+        |ch AS (SELECT o_custkey, min(om) AS cm FROM o
+        |       GROUP BY o_custkey),
+        |g AS (
+        |  SELECT ch.cm AS cohort_month,
+        |    datediff('month', ch.cm, o.om)::BIGINT AS age,
+        |    floor(sum(o.o_totalprice) * 100.0 + 0.5) / 100.0 AS rev,
+        |    count(DISTINCT o.o_custkey) AS n_active
+        |  FROM o JOIN ch ON ch.o_custkey = o.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT cohort_month, age, n_active, rev,
+        |  floor(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age
+        |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0
+        |    AS cum_rev
+        |FROM g ORDER BY cohort_month, age""".stripMargin,
     "orders_interarrival" ->
       """WITH g0 AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate::DATE AS day,
