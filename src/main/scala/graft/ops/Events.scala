@@ -222,6 +222,53 @@ object Events {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** B65b (B68) — PSI value-drift monitor: Population Stability Index
+    * of `value` between the first and second halves of the stream —
+    * THE standard drift gate before trusting a model/threshold trained
+    * on the earlier window (PSI < 0.1 stable, > 0.25 retrain). Decile
+    * boundaries come from the REFERENCE half only (one single-reduce
+    * exact percentile, 4-dp strict-`>` cuts — the B45/B50 pattern);
+    * both halves bucket scan-side, shares are exact integer ratios,
+    * and the PSI terms (p2−p1)·ln(p2/p1) evaluate in identical IEEE
+    * order both engines, 6-dp rounded. Output: per-bucket shares +
+    * term, with the total PSI on every row.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"value", expr("ts DIV 1000").as("us"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("m"))
+      .collect()(0).getLong(0)
+    val ref = ev.filter($"us" < mid)
+    val cur = ev.filter($"us" >= mid)
+    val qs = (1 to 9).map(_ / 10.0)
+    val bounds = ref
+      .agg(expr(s"percentile(value, array(${qs.mkString(",")}))").as("b"))
+      .collect()(0).getSeq[Double](0)
+      .map(b => math.floor(b * 10000.0 + 0.5) / 10000.0)
+    def bucket(c: Column): Column =
+      bounds.foldLeft(lit(1L)) { (acc, b) =>
+        acc + when(c > b, 1L).otherwise(0L)
+      }
+    def shares(d: DataFrame, nm: String): DataFrame = {
+      val tot = d.count().toDouble
+      d.groupBy(bucket($"value").as("bucket"))
+        .agg((count(lit(1)) / tot).as(nm))
+    }
+    val j = shares(ref, "p_ref").join(shares(cur, "p_cur"), "bucket")
+      .withColumn("term",
+        ($"p_cur" - $"p_ref") * log($"p_cur" / $"p_ref"))
+    val psi = j.agg(
+      (floor(sum($"term") * 1000000.0 + 0.5) / 1000000.0).as("psi"))
+    j.crossJoin(broadcast(psi))
+      .select($"bucket",
+        (floor($"p_ref" * 1000000.0 + 0.5) / 1000000.0).as("p_ref"),
+        (floor($"p_cur" * 1000000.0 + 0.5) / 1000000.0).as("p_cur"),
+        (floor($"term" * 1000000.0 + 0.5) / 1000000.0).as("term"),
+        $"psi")
+      .orderBy($"bucket")
+  }
+
   /** B64 — behavioral-entropy profile: Shannon entropy of each user's
     * event-type distribution, rolled up to an entropy histogram
     * (0.25-bit bins) — low-entropy users are single-action bots/
@@ -819,6 +866,47 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_psi_drift" -> {
+      val qlist = (1 to 9).map(_ / 10.0).mkString(", ")
+      s"""WITH e AS (
+        |  SELECT value, epoch_us(ts) AS us FROM events),
+        |mm AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |refh AS (SELECT value FROM e, mm WHERE us < mid),
+        |curh AS (SELECT value FROM e, mm WHERE us >= mid),
+        |bs AS (
+        |  SELECT list_transform(quantile_cont(value, [$qlist]),
+        |    x -> floor(x * 10000.0 + 0.5) / 10000.0) AS b
+        |  FROM refh),
+        |rb AS (
+        |  SELECT (1 + len(list_filter(bs.b, x -> r.value > x)))::BIGINT
+        |    AS bucket
+        |  FROM refh r, bs),
+        |cb AS (
+        |  SELECT (1 + len(list_filter(bs.b, x -> c.value > x)))::BIGINT
+        |    AS bucket
+        |  FROM curh c, bs),
+        |rs AS (
+        |  SELECT bucket,
+        |    count(*)::DOUBLE / (SELECT count(*) FROM refh) AS p_ref
+        |  FROM rb GROUP BY bucket),
+        |cs AS (
+        |  SELECT bucket,
+        |    count(*)::DOUBLE / (SELECT count(*) FROM curh) AS p_cur
+        |  FROM cb GROUP BY bucket),
+        |j AS (
+        |  SELECT rs.bucket, rs.p_ref, cs.p_cur,
+        |    (cs.p_cur - rs.p_ref) * ln(cs.p_cur / rs.p_ref) AS term
+        |  FROM rs JOIN cs ON cs.bucket = rs.bucket),
+        |tot AS (
+        |  SELECT floor(sum(term) * 1000000.0 + 0.5) / 1000000.0 AS psi
+        |  FROM j)
+        |SELECT j.bucket,
+        |  floor(j.p_ref * 1000000.0 + 0.5) / 1000000.0 AS p_ref,
+        |  floor(j.p_cur * 1000000.0 + 0.5) / 1000000.0 AS p_cur,
+        |  floor(j.term * 1000000.0 + 0.5) / 1000000.0 AS term,
+        |  tot.psi
+        |FROM j, tot ORDER BY j.bucket""".stripMargin
+    },
     "events_behavior_entropy" ->
       """WITH pc AS (
         |  SELECT user_id, event_type, count(*) AS c FROM events
