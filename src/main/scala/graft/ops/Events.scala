@@ -865,7 +865,57 @@ object Events {
       .orderBy($"user_frac")
   }
 
+  /** B69 — Gini coefficient of per-user value (the single-number
+    * inequality summary next to B53's Pareto curve): computed from
+    * the rank formula G = 2((n+1)T − Σ rank·v)/(nT) − (n+1)/n over
+    * integer cents, so everything is EXACT integer arithmetic until
+    * one final division. Global ranks come from the H7 bucketed-
+    * offset machinery (digit-count buckets + broadcast offsets) — no
+    * single-partition window over users; the oracle's naive
+    * row_number formulation proves the bucketed ranks equal a global
+    * sort's.
+    */
+  def giniIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(floor(sum($"value") * 100.0 + 0.5).cast("long").as("v_cents"))
+      .withColumn("bkt", length($"v_cents".cast("string")))
+    val off = Window.orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = per.groupBy($"bkt")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("rank_off", coalesce(sum($"bn").over(off), lit(0L)))
+      .select($"bkt", $"rank_off")
+    val w = Window.partitionBy($"bkt").orderBy($"v_cents".desc, $"user_id")
+    val ranked = per.join(broadcast(offsets), "bkt")
+      .withColumn("rank", row_number().over(w).cast("long") + $"rank_off")
+    ranked.agg(count(lit(1)).as("n"), sum($"v_cents").as("t"),
+      sum($"rank" * $"v_cents").as("srv"))
+      .select($"n",
+        (floor(((lit(2.0) * (($"n" + 1) * $"t" - $"srv")) / ($"n" * $"t")
+          - ($"n" + 1).cast("double") / $"n") * 1000000.0 + 0.5)
+          / 1000000.0).as("gini"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_gini" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v DESC, user_id)
+        |    AS rank
+        |  FROM per),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n, CAST(sum(v) AS BIGINT) AS t,
+        |    CAST(sum(rank * v) AS BIGINT) AS srv
+        |  FROM r)
+        |SELECT n, floor(((2.0 * ((n + 1) * t - srv)) / (n * t)
+        |  - (n + 1)::DOUBLE / n) * 1000000.0 + 0.5) / 1000000.0
+        |  AS gini
+        |FROM a""".stripMargin,
     "events_psi_drift" -> {
       val qlist = (1 to 9).map(_ / 10.0).mkString(", ")
       s"""WITH e AS (
