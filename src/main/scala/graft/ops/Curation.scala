@@ -242,6 +242,47 @@ object Curation {
       .orderBy($"lang", $"source", $"rnk")
   }
 
+  /** H23 — cross-split n-gram coverage: the fraction of the TEST
+    * split's distinct 8-grams already present in TRAIN, per language —
+    * the generalization-gap floor (a high-coverage test split mostly
+    * measures memorization, not generalization; the aggregate
+    * complement of H4's per-item contamination check). One gram
+    * explode with scan-side split tags, per-split distinct frames, a
+    * gram-keyed left join of the test frame against train, and a
+    * langs-sized rollup — gram-linear, the C7/E22 machinery pointed at
+    * split hygiene.
+    */
+  def splitNgramOverlap(spark: SparkSession, dir: String,
+                        n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 32, 1),
+          16, 10).cast("long"))
+      .withColumn("split",
+        when($"bucket" < 12, "train").when($"bucket" < 14, "val")
+          .otherwise("test"))
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= n)
+      .select($"lang", $"split", explode(transform(
+        sequence(lit(1), size($"toks") - (n - 1)),
+        i => concat_ws(" ", slice($"toks", i, lit(n))))).as("g"))
+      .distinct()
+    val train = grams.filter($"split" === "train")
+      .select($"lang", $"g").distinct()
+      .withColumn("seen", lit(1L))
+    grams.filter($"split" === "test")
+      .select($"lang", $"g")
+      .join(train, Seq("lang", "g"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_test_grams"),
+        sum(coalesce($"seen", lit(0L))).as("n_covered"))
+      .select($"lang", $"n_test_grams", $"n_covered",
+        (floor($"n_covered".cast("double") / $"n_test_grams"
+          * 1000000.0 + 0.5) / 1000000.0).as("coverage"))
+      .orderBy($"lang")
+  }
+
   /** H22 — packing-efficiency report: per-(lang, pack) token fill of
     * H3's budget-packed sequences rolled to a per-lang summary (packs,
     * mean fill, underfilled-pack share) — the utilization number that
@@ -858,6 +899,34 @@ object Curation {
         |    THEN 'val'
         |  ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "split_ngram_overlap" ->
+      """WITH d AS (
+        |  SELECT lang, string_split(text, ' ') AS toks,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 12
+        |      THEN 'train'
+        |    WHEN strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 14
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (
+        |  SELECT DISTINCT lang, split,
+        |    unnest([array_to_string(toks[i:i+7], ' ')
+        |      for i in range(1, len(toks) - 6)]) AS g
+        |  FROM d),
+        |tr AS (
+        |  SELECT DISTINCT lang, g FROM g WHERE split = 'train'),
+        |te AS (SELECT lang, g FROM g WHERE split = 'test')
+        |SELECT te.lang, count(*) AS n_test_grams,
+        |  CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  floor(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0
+        |    END)::DOUBLE / count(*) * 1000000.0 + 0.5) / 1000000.0
+        |    AS coverage
+        |FROM te LEFT JOIN tr ON tr.lang = te.lang AND tr.g = te.g
+        |GROUP BY te.lang ORDER BY te.lang""".stripMargin,
     "pack_efficiency" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
