@@ -54,6 +54,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("(Sort|Hash)Aggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("text_knn_sparse: df side broadcasts, top-k heap is two-phase") {
+    val plan = executedPlan("text_knn_sparse")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("events_ab_ttest: one corpus scan, moment frame self-join broadcasts") {
     val plan = executedPlan("events_ab_ttest")
     assert(!plan.contains("CartesianProduct"), plan)
