@@ -654,6 +654,46 @@ object Events {
       .orderBy($"channel")
   }
 
+  /** B70 — FIRST-touch attribution (the acquisition-credit complement
+    * of B46's last-touch): each purchase credits the EARLIEST
+    * click/view within the 7-day lookback, else 'direct'. Unlike
+    * last-touch, "first within a bounded window" has no clean
+    * running-state window form (a range frame over a tie-able order
+    * column is nondeterministic), so the shape is the G5/B47 range
+    * join — user-keyed equi-join + time-range predicate — with the
+    * A25 argmin trick: ONE partial-aggregable
+    * min(struct(tus, tid, channel)) per purchase picks the earliest
+    * touch deterministically (event-id tiebreak), no window over the
+    * join result.
+    */
+  def firstTouchAttribution(spark: SparkSession, dir: String,
+                            lookbackDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val lookbackUs = lookbackDays * 86400L * 1000000L
+    val ev = Tables.load(spark, dir, "events")
+      .filter($"event_type".isin("click", "view", "purchase"))
+      .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id",
+        $"event_type", $"value")
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"us".as("tus"), $"event_id".as("tid"),
+        $"event_type".as("tchannel"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"us", $"value")
+    purchases.as("p")
+      .join(touches.as("t"),
+        $"p.user_id" === $"t.user_id" && $"tus" < $"p.us" &&
+          $"p.us" - $"tus" <= lookbackUs, "left")
+      .groupBy($"p.event_id", $"p.value")
+      .agg(min(struct($"tus", $"tid", $"tchannel")).as("ft"))
+      .select($"p.value",
+        when($"ft.tus".isNotNull, $"ft.tchannel")
+          .otherwise(lit("direct")).as("channel"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        r2(sum($"value")).as("attributed_revenue"))
+      .orderBy($"channel")
+  }
+
   def latestState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "events")
@@ -1249,6 +1289,35 @@ object Events {
         |  floor(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type)
         |    * 1000000.0 + 0.5) / 1000000.0 AS p
         |FROM m ORDER BY prev_type, next_type""".stripMargin,
+    "events_first_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        |    value
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |t AS (
+        |  SELECT user_id, us AS tus, event_id AS tid,
+        |    event_type AS tchannel
+        |  FROM e WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, event_id, us, value FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id AS pid, p.value, t.tus, t.tchannel,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY t.tus, t.tid) AS rn
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |    AND t.tus < p.us
+        |    AND p.us - t.tus <= 604800000000::BIGINT),
+        |f AS (
+        |  SELECT pid, value,
+        |    CASE WHEN tus IS NOT NULL THEN tchannel
+        |      ELSE 'direct' END AS channel
+        |  FROM j WHERE rn = 1)
+        |SELECT channel, count(*) AS n_purchases,
+        |  floor(sum(value) * 100.0 + 0.5) / 100.0
+        |    AS attributed_revenue
+        |FROM f GROUP BY channel ORDER BY channel""".stripMargin,
     "events_attribution" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
