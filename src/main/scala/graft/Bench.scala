@@ -85,22 +85,18 @@ object Bench {
     }
     val line = jsonLine(acc.toSeq, partial = false)
     writeOut(line)
-    // The driver parses its bounded stdout tail (~4 KB) for the JSON
-    // line; with 130+ queries the full line overflows it and parses as
-    // null every round (BENCH_r01–r07). Print the full line only when
-    // it fits a conservative budget; otherwise print a compact line —
-    // same top-level metrics, the slowest queries that fit, and a
-    // pointer at the complete per-query file.
-    val budget = 2800
+    // The driver parses its bounded stdout tail for the JSON line; the
+    // full 229-query line (>5 KB) overflowed it in r01–r07, and even a
+    // 2.8 KB compact line was clipped from the FRONT in r08 — the tail
+    // window is smaller than (line + sbt epilogue). So the stdout line
+    // is now hard-capped at the TOP-20 SLOWEST queries (<1 KB), and it
+    // is printed twice: once here and once after spark.stop(), so the
+    // last copy sits as close to the end of stdout as this process can
+    // put it. The complete per-query artifact is always bench_out.json.
     val out =
-      if (line.length <= budget) line
+      if (line.length <= 900) line
       else {
-        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        var sz = 220 // header + trailer slack
-        acc.sortBy(-_._2).foreach { case kv @ (k, _) =>
-          val cost = k.length + 14
-          if (sz + cost <= budget) { kept += kv; sz += cost }
-        }
+        val kept = acc.sortBy(-_._2).take(20)
         val qs = kept.map { case (k, v) => "\"" + k + "\":" + f(v) }
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${f(acc.map(_._2).sum)},"unit":"sec"""" +
@@ -109,5 +105,6 @@ object Bench {
       }
     println(out)
     spark.stop()
+    println(out)
   }
 }

@@ -626,7 +626,10 @@ object Analytics {
         trunc($"o_orderdate", "month").as("om"))
     val cohorts = orders.groupBy($"o_custkey")
       .agg(min($"om").as("cm"))
-    val grid = orders.join(broadcast(cohorts), "o_custkey")
+    // cohorts is CUSTOMER-keyed (corpus-sized) — no broadcast hint;
+    // both sides arrive o_custkey-partitioned from the same scan, so
+    // the join co-locates, and AQE may still broadcast at small SF
+    val grid = orders.join(cohorts, "o_custkey")
       .withColumn("age",
         (months_between($"om", $"cm")).cast("long"))
       .groupBy($"cm".as("cohort_month"), $"age")

@@ -389,9 +389,11 @@ object Curation {
     * manifests match, without ever sorting or diffing the corpora.
     * Commutativity is the point: the sum is partition-order-invariant,
     * so it partial-aggregates map-side and reduces to one row per
-    * source regardless of layout. (At extreme corpus sizes the sum is
-    * taken mod 2^63 by Long wraparound — still a valid fingerprint;
-    * the oracle models the same wrap in HUGEINT.)
+    * source regardless of layout. (At large corpus sizes the sum
+    * wraps mod 2^64 by Long two's-complement wraparound — still a
+    * valid fingerprint; the oracle reduces its HUGEINT sum mod 2^64
+    * into two's complement explicitly, because a bare BIGINT cast
+    * would raise out-of-range instead of wrapping.)
     */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -697,15 +699,27 @@ object Curation {
         |    / 1000000.0 AS abs_dev
         |FROM j ORDER BY split, lang""".stripMargin,
     "corpus_manifest" ->
+      // sum(h) accumulates in HUGEINT; Spark's Long sum wraps mod 2^64
+      // (two's complement), so the oracle reduces the HUGEINT sum the
+      // same way EXPLICITLY — a bare CAST(... AS BIGINT) would raise
+      // out-of-range (not wrap) once the sum of 48-bit hashes passes
+      // 2^63, i.e. at ~3×10^4 docs per source
       """WITH h AS (
         |  SELECT source, doc_id,
         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text),
         |      1, 12))::BIGINT AS h
-        |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(h) AS BIGINT) AS content_sum,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(h) % 18446744073709551616 AS m,
+        |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |  FROM h GROUP BY source)
+        |SELECT source, n_docs,
+        |  CAST(CASE WHEN m >= 9223372036854775808
+        |    THEN m - 18446744073709551616 ELSE m END AS BIGINT)
+        |    AS content_sum,
+        |  min_doc, max_doc
+        |FROM s ORDER BY source""".stripMargin,
     "quality_score_normalize" -> {
       val qlist = (1 to 19).map(_ / 20.0).mkString(", ")
       s"""WITH t AS (

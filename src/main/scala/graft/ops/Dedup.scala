@@ -299,14 +299,20 @@ object Dedup {
     * borderline pair between rows and the corpus is never re-scanned
     * per threshold. n_docs_removed counts docs with a smaller-id
     * partner (pairwise rule; the transitive-closure variant is C6).
-    * doc_id < 2500 bounds the baseline exactly like C4.
+    *
+    * Unlike the C4/C14 quadratic BASELINES (which keep a bounded
+    * doc_id slice by design), the sweep runs over the FULL corpus:
+    * the prefix filter is lossless and candidate-bounded, so there is
+    * nothing quadratic to bound — a tuning report that silently
+    * covered a fixed slice would mislead exactly the rollout decision
+    * it exists to inform. The DuckDB oracle pays the all-pairs cost
+    * but prunes with the same exact-integer size band at t_min.
     */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sweeps = Seq((0.7, 7000), (0.8, 8000), (0.9, 9000))
     val tNum = sweeps.map(_._2).min
-    val docs = withShingles(
-      Tables.load(spark, dir, "documents").filter($"doc_id" < 2500))
+    val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh", size($"sh").as("sz"))
     val freq = docs.select(explode($"sh").as("g"))
       .groupBy($"g").agg(count(lit(1)).as("f"))
@@ -759,8 +765,9 @@ object Dedup {
       .select(explode(split($"text", " ")).as("t"))
       .groupBy($"t").agg(count(lit(1)).as("c"))
     val full = counts(docs)
-    val kept = counts(docs.join(broadcast(keepers), Seq("doc_id"),
-      "left_semi"))
+    // keepers is doc-keyed (corpus-sized after dedup): no broadcast
+    // hint — the semi-join shuffles on doc_id like any corpus join
+    val kept = counts(docs.join(keepers, Seq("doc_id"), "left_semi"))
     val nf = full.agg(sum($"c").cast("double").as("nf"))
     val nk = kept.agg(sum($"c").cast("double").as("nk"))
     full.join(kept.select($"t", $"c".as("ck")), Seq("t"), "left")
@@ -1007,13 +1014,14 @@ object Dedup {
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 10000 >= len(a.s) * 9000
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "dedup_threshold_sweep" -> (shingleCte.replace("FROM documents",
-      "FROM documents WHERE doc_id < 2500") +
+    "dedup_threshold_sweep" -> (shingleCte +
       """, p AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db,
         |    len(list_intersect(a.s, b.s)) AS i,
         |    len(list_distinct(a.s || b.s)) AS u
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |    AND least(len(a.s), len(b.s)) * 10000 >=
+        |        greatest(len(a.s), len(b.s)) * 7000),
         |t AS (SELECT * FROM (VALUES (0.7, 7000), (0.8, 8000),
         |  (0.9, 9000)) v(threshold, tn)),
         |f AS (SELECT threshold, da, db FROM p, t

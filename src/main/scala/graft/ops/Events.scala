@@ -204,7 +204,10 @@ object Events {
 
   /** B14 — daily cohort retention: users grouped by first-seen day,
     * fraction still active N days later (the canonical growth query:
-    * two self-referential aggregates, one broadcast-sized cohort dim).
+    * two self-referential aggregates meeting on the user key). The
+    * cohort frame is USER-keyed — corpus-sized, so no broadcast hint:
+    * both sides arrive user_id-partitioned from the same scan and the
+    * join co-locates; AQE may still broadcast at small SF.
     */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -214,7 +217,7 @@ object Events {
       .agg(min($"day").as("cohort_day"))
     val activity = events.select($"user_id", $"day").distinct()
     activity
-      .join(broadcast(cohorts), "user_id")
+      .join(cohorts, "user_id")
       .withColumn("day_offset", datediff($"day", $"cohort_day").cast("long"))
       .filter($"day_offset".isin(0L, 1L, 7L))
       .groupBy($"cohort_day", $"day_offset")
@@ -360,8 +363,10 @@ object Events {
       .filter(expr("date_add(cohort_day, cast(day_offset as int))") <=
         $"max_day")
       .groupBy($"day_offset").agg(sum($"sz").as("n_eligible"))
+    // cohorts is user-keyed (corpus-sized): no broadcast hint — the
+    // join co-locates on the user_id partitioning both sides share
     val active = events.select($"user_id", $"day").distinct()
-      .join(broadcast(cohorts), "user_id")
+      .join(cohorts, "user_id")
       .withColumn("day_offset", datediff($"day", $"cohort_day").cast("long"))
       .filter($"day_offset" >= 1 && $"day_offset" <= maxOffset)
       .groupBy($"day_offset").agg(countDistinct($"user_id").as("n_active"))
@@ -659,17 +664,30 @@ object Events {
     * click/view within the 7-day lookback, else 'direct'. Unlike
     * last-touch, "first within a bounded window" has no clean
     * running-state window form (a range frame over a tie-able order
-    * column is nondeterministic), so the shape is the G5/B47 range
-    * join — user-keyed equi-join + time-range predicate — with the
-    * A25 argmin trick: ONE partial-aggregable
+    * column is nondeterministic), so the shape is a range join with
+    * the A25 argmin trick: ONE partial-aggregable
     * min(struct(tus, tid, channel)) per purchase picks the earliest
     * touch deterministically (event-id tiebreak), no window over the
     * join result.
+    *
+    * Scale shape (the B49 day-bucket trick): a raw user-keyed
+    * inequality join fans out purchases×touches per user — one
+    * hyperactive key (a bot with 10^4 purchases and 10^6 touches in
+    * the window) funnels 10^10 intermediate rows through a single
+    * reducer. Instead touches are keyed by (user_id, day) and each
+    * purchase is exploded to its ≤ lookbackDays+1 covering day
+    * buckets, so the join is a plain equi-join on (user_id, day) with
+    * the time-range predicate left as a residual: fan-out per joined
+    * row is bounded by that user's touches IN ONE DAY, and the hot
+    * key spreads across (days) reducers. The argmin still combines
+    * map-side, so duplicate day-bucket matches never materialize past
+    * the partial aggregate. PlanAuditSpec pins the equi-key form.
     */
   def firstTouchAttribution(spark: SparkSession, dir: String,
                             lookbackDays: Int = 7): DataFrame = {
     import spark.implicits._
-    val lookbackUs = lookbackDays * 86400L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val lookbackUs = lookbackDays * dayUs
     val ev = Tables.load(spark, dir, "events")
       .filter($"event_type".isin("click", "view", "purchase"))
       .select($"user_id", expr("ts DIV 1000").as("us"), $"event_id",
@@ -677,14 +695,22 @@ object Events {
     val touches = ev.filter($"event_type".isin("click", "view"))
       .select($"user_id", $"us".as("tus"), $"event_id".as("tid"),
         $"event_type".as("tchannel"))
+      .withColumn("day", expr(s"tus DIV ${dayUs}L"))
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"us", $"value")
+      .withColumn("day", explode(sequence(
+        expr(s"(us - ${lookbackUs}L) DIV ${dayUs}L"),
+        expr(s"us DIV ${dayUs}L"))))
     purchases.as("p")
       .join(touches.as("t"),
-        $"p.user_id" === $"t.user_id" && $"tus" < $"p.us" &&
-          $"p.us" - $"tus" <= lookbackUs, "left")
+        $"p.user_id" === $"t.user_id" && $"p.day" === $"t.day" &&
+          $"tus" < $"p.us" && $"p.us" - $"tus" <= lookbackUs, "left")
       .groupBy($"p.event_id", $"p.value")
-      .agg(min(struct($"tus", $"tid", $"tchannel")).as("ft"))
+      // gate the struct on a matched row: an exploded purchase mixes
+      // matched and unmatched day buckets, and an ungated
+      // struct(null,null,null) would sort below every real touch
+      .agg(min(when($"tus".isNotNull,
+        struct($"tus", $"tid", $"tchannel"))).as("ft"))
       .select($"p.value",
         when($"ft.tus".isNotNull, $"ft.tchannel")
           .otherwise(lit("direct")).as("channel"))
@@ -878,7 +904,11 @@ object Events {
     val per = Tables.load(spark, dir, "events")
       .groupBy($"user_id")
       .agg(floor(sum($"value") * 100.0 + 0.5).cast("long").as("v_cents"))
-      .withColumn("bkt", length($"v_cents".cast("string")))
+      // sign-aware digit-count bucket (see giniIndex): bucket-desc
+      // order equals value-desc order for negative totals too
+      .withColumn("bkt", when($"v_cents" >= 0,
+        length($"v_cents".cast("string")))
+        .otherwise(-length($"v_cents".cast("string"))))
     val off = Window.orderBy($"bkt".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = per.groupBy($"bkt")
@@ -910,17 +940,29 @@ object Events {
     * the rank formula G = 2((n+1)T − Σ rank·v)/(nT) − (n+1)/n over
     * integer cents, so everything is EXACT integer arithmetic until
     * one final division. Global ranks come from the H7 bucketed-
-    * offset machinery (digit-count buckets + broadcast offsets) — no
-    * single-partition window over users; the oracle's naive
-    * row_number formulation proves the bucketed ranks equal a global
-    * sort's.
+    * offset machinery (sign-aware digit-count buckets + broadcast
+    * offsets) — no single-partition window over users; the oracle's
+    * naive row_number formulation proves the bucketed ranks equal a
+    * global sort's. The bucket key is ±length(string): for v ≥ 0 more
+    * digits = bigger, for v < 0 the negated length puts shorter
+    * (closer-to-zero) strings first — so bucket-desc order equals
+    * value-desc order even when a user's total is negative
+    * (refunds/adjustments), exercised in EventsSpec.
     */
   def giniIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val per = Tables.load(spark, dir, "events")
       .groupBy($"user_id")
       .agg(floor(sum($"value") * 100.0 + 0.5).cast("long").as("v_cents"))
-      .withColumn("bkt", length($"v_cents".cast("string")))
+    giniOfPerUser(per)
+  }
+
+  private[graft] def giniOfPerUser(perUser: DataFrame): DataFrame = {
+    import perUser.sparkSession.implicits._
+    val per = perUser
+      .withColumn("bkt", when($"v_cents" >= 0,
+        length($"v_cents".cast("string")))
+        .otherwise(-length($"v_cents".cast("string"))))
     val off = Window.orderBy($"bkt".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = per.groupBy($"bkt")

@@ -23,17 +23,22 @@ object TextSources {
     StructField("n_chars", LongType),
     StructField("_corrupt_record", StringType)))
 
-  /** Read a JSONL documents corpus: (parsed rows, corrupt lines).
+  /** Read a JSONL documents corpus: (parsed rows, rejected lines).
     *
     * PERMISSIVE mode routes each malformed line into `_corrupt_record`
     * instead of failing the task; rows where it is null parsed fully.
-    * The split is one cached scan — the corrupt side is typically
+    * Valid JSON that lacks the `doc_id` key is ALSO rejected (the
+    * corpus contract requires it), re-serialized so the rejected side
+    * still carries a raw line — good.count + bad.count covers every
+    * input line, which is what "accounted, not fatal" means. The
+    * split is one cached scan — the rejected side is typically
     * ~0 rows, and Spark disallows projecting ONLY the corrupt column
     * without materialization, so the cache is also correctness.
     */
   def readDocumentsJsonl(spark: SparkSession,
                          path: String): (DataFrame, DataFrame) = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, struct, to_json}
     val raw = spark.read
       .schema(documentsJsonlSchema)
       .option("mode", "PERMISSIVE")
@@ -43,8 +48,11 @@ object TextSources {
     val good = raw.filter($"_corrupt_record".isNull &&
         $"doc_id".isNotNull)
       .drop("_corrupt_record")
-    val bad = raw.filter($"_corrupt_record".isNotNull)
-      .select($"_corrupt_record".as("raw_line"))
+    val bad = raw.filter($"_corrupt_record".isNotNull ||
+        $"doc_id".isNull)
+      .select(coalesce($"_corrupt_record",
+        to_json(struct($"text", $"lang", $"source", $"n_chars")))
+        .as("raw_line"))
     (good, bad)
   }
 }

@@ -35,6 +35,16 @@ object StacWrite {
     * `requireCompleteLinks` (write.py:158-189): every expected day of
     * the month must be present in the batch, honoring the collection
     * origin date for the origin month.
+    *
+    * File-count planning: a fixed partition count writes tiny files
+    * for sparse months and oversized files for dense ones — the
+    * small-file problem that degrades every downstream scan at scale.
+    * With `targetRowsPerFile` set, the sink counts the month (a
+    * metadata-cheap columnar count — the ONE extra pass a compaction
+    * planner is worth) and range-partitions into
+    * ceil(rows / target) ∈ [1, spatialPartitions] files, so output
+    * file sizes track data volume and `spatialPartitions` becomes the
+    * parallelism CAP instead of the unconditional file count.
     */
   def writeMonthly(
       spark: SparkSession,
@@ -47,7 +57,8 @@ object StacWrite {
       requireCompleteLinks: Boolean = false,
       skipExisting: Boolean = false,
       spatialPartitions: Int = 16,
-      clusterBy: String = "hilbert"): Boolean = {
+      clusterBy: String = "hilbert",
+      targetRowsPerFile: Option[Long] = None): Boolean = {
     import spark.implicits._
     require(clusterBy == "hilbert" || clusterBy == "morton",
       s"clusterBy must be 'hilbert' or 'morton', got $clusterBy")
@@ -81,6 +92,14 @@ object StacWrite {
       }
     }
 
+    val plannedPartitions = targetRowsPerFile match {
+      case Some(target) =>
+        require(target > 0, s"targetRowsPerFile must be > 0, got $target")
+        val rows = monthly.count()
+        math.min(spatialPartitions,
+          math.max(1L, (rows + target - 1) / target)).toInt
+      case None => spatialPartitions
+    }
     monthly
       // geoparquet geometry column (WKB point of the granule centroid)
       .withColumn("geometry", graft.functions.wkb_point($"lon", $"lat"))
@@ -92,7 +111,7 @@ object StacWrite {
         else hilbert_index($"gx", $"gy", 14))
       .withColumn("year", lit(year))
       .withColumn("month", lit(month))
-      .repartitionByRange(spatialPartitions, $"cluster_key")
+      .repartitionByRange(plannedPartitions, $"cluster_key")
       .sortWithinPartitions($"cluster_key")
       .drop("gx", "gy")
       .write

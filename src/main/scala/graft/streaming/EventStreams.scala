@@ -217,11 +217,12 @@ object EventStreams {
       .orderBy($"user_id")
   }
 
-  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long,
+                               upd: Long = 0L)
   final case class FunnelRow(user_id: Long, signup_us: Long,
                              view_us: java.lang.Long,
                              purchase_us: java.lang.Long,
-                             completed: Boolean)
+                             completed: Boolean, upd: Long)
 
   /** G18 — streaming twin of the B54 ordered windowed funnel: per-user
     * funnel progress (signup → first later view → first later
@@ -258,11 +259,15 @@ object EventStreams {
                 us > st.t2)
                 st = st.copy(t3 = us)
           }
+          // per-key update sequence: Update-mode memory sinks APPEND
+          // each trigger's rows, so the reader below must argmax to
+          // the latest update per user when the source spans >1 batch
+          st = st.copy(upd = st.upd + 1)
           state.update(st)
           FunnelRow(user, st.t1,
             if (st.t2 >= 0) st.t2 else null,
             if (st.t3 >= 0) st.t3 else null,
-            st.t3 >= 0 && st.t3 - st.t1 <= horizonUs)
+            st.t3 >= 0 && st.t3 - st.t1 <= horizonUs, st.upd)
       }
     val name = s"graft_stream_funnel_${counter.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -276,9 +281,16 @@ object EventStreams {
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
+      // latest update per user (A25 argmax): upd strictly increases
+      // per key, so max(struct) picks the newest row even when the
+      // sink holds one row per (user, trigger)
+      .groupBy($"user_id")
+      .agg(max(struct($"upd", $"signup_us", $"view_us", $"purchase_us",
+        $"completed")).as("s"))
+      .select($"user_id", $"s.signup_us".as("signup_us"),
+        $"s.view_us".as("view_us"), $"s.purchase_us".as("purchase_us"),
+        $"s.completed".as("completed"))
       .filter($"signup_us" >= 0)
-      .select($"user_id", $"signup_us", $"view_us", $"purchase_us",
-        $"completed")
       .orderBy($"user_id")
   }
 

@@ -139,7 +139,7 @@ object TextStreams {
   }
 
   final case class SampleRow(lang: String, source: String, rnk: Long,
-                             doc_id: Long, h: Long)
+                             doc_id: Long, h: Long, upd: Long)
 
   /** G20 — streaming twin of the H18 consistent sampler: each
     * (lang, source) stratum's bottom-k-by-keyed-md5 sample maintained
@@ -167,13 +167,17 @@ object TextStreams {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout) {
         (key: (String, String), rows: Iterator[(String, String, Long, Long)],
-         state: GroupState[Seq[(Long, Long)]]) =>
-          val merged = (state.getOption.getOrElse(Seq.empty) ++
-            rows.map(r => (r._4, r._3)))
+         state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          val (upd, heap) = state.getOption.getOrElse((0L, Seq.empty))
+          val merged = (heap ++ rows.map(r => (r._4, r._3)))
             .sortBy { case (h, id) => (h, id) }.take(k)
-          state.update(merged)
+          // per-stratum update sequence: the Update-mode memory sink
+          // appends each trigger's emission, so the reader argmaxes to
+          // the latest one (the heap only grows, so every rnk present
+          // earlier exists at the latest update too)
+          state.update((upd + 1, merged))
           merged.zipWithIndex.iterator.map { case ((h, id), i) =>
-            SampleRow(key._1, key._2, (i + 1).toLong, id, h)
+            SampleRow(key._1, key._2, (i + 1).toLong, id, h, upd + 1)
           }
       }
     val name = s"graft_stream_csample_${EventStreams.counter.incrementAndGet()}"
@@ -188,7 +192,10 @@ object TextStreams {
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
-      .select($"lang", $"source", $"rnk", $"doc_id", $"h")
+      .groupBy($"lang", $"source", $"rnk")
+      .agg(max(struct($"upd", $"doc_id", $"h")).as("s"))
+      .select($"lang", $"source", $"rnk", $"s.doc_id".as("doc_id"),
+        $"s.h".as("h"))
       .orderBy($"lang", $"source", $"rnk")
   }
 

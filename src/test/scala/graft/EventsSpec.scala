@@ -333,6 +333,50 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("gini bucketed ranks handle negative per-user totals (sign-aware bucket)") {
+    // refund-heavy users drive totals negative; the sign-aware
+    // ±length bucket must still produce ranks equal to a global
+    // v_cents-desc sort, i.e. the same Gini as the serial formula
+    import spark.implicits._
+    val cents = Seq(50000L, 12345L, 999L, 998L, 10L, 0L, -5L, -999L,
+      -1000L, -123456L)
+    val per = cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("user_id", "v_cents")
+    val got = Events.giniOfPerUser(per).collect().head
+    val sorted = cents.sortBy(-_)
+    val n = sorted.length.toLong
+    val t = sorted.sum.toDouble
+    val srv = sorted.zipWithIndex.map { case (v, i) => (i + 1) * v.toDouble }.sum
+    val expected = 2.0 * ((n + 1) * t - srv) / (n * t) - (n + 1).toDouble / n
+    assert(got.getLong(0) === n)
+    assert(math.abs(got.getDouble(1) -
+      math.floor(expected * 1000000.0 + 0.5) / 1000000.0) <= 1e-9)
+  }
+
+  test("first-touch and last-touch attribution conserve the same purchase total") {
+    // B46/B70 contract lock: both attributions partition the SAME
+    // purchase set (every purchase credited exactly once), so their
+    // per-channel counts must sum to the same total and their
+    // attributed revenue must sum to the same corpus revenue. A
+    // future edit to either operator's window/join semantics that
+    // drops or duplicates purchases breaks this before it reaches
+    // the oracle.
+    import spark.implicits._
+    val nPurchases = Tables.load(spark, sf, "events")
+      .filter($"event_type" === "purchase").count()
+    val first = Events.firstTouchAttribution(spark, sf)
+      .as[(String, Long, Double)].collect()
+    val last = Events.attribution(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(first.map(_._2).sum === nPurchases)
+    assert(last.map(_._2).sum === nPurchases)
+    assert(math.abs(first.map(_._3).sum - last.map(_._3).sum) <= 0.05,
+      s"revenue conservation: ${first.map(_._3).sum} vs ${last.map(_._3).sum}")
+    // same channel vocabulary: both report click/view/direct only
+    assert(first.map(_._1).toSet.subsetOf(Set("click", "view", "direct")))
+    assert(first.map(_._1).toSet === last.map(_._1).toSet)
+  }
+
   test("rolling DAU/WAU equals an in-memory sliding-window recompute") {
     import spark.implicits._
     val active = Tables.load(spark, sf, "events")

@@ -61,6 +61,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("events_first_touch: purchase-touch join carries a (user_id, day) equi-key") {
+    val plan = executedPlan("events_first_touch")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the join must be an equi-join whose key list includes the day
+    // bucket — a pure-residual user_id join (unbounded per-user
+    // fan-out) would show user_id as the only key
+    val equiJoinKeys =
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\S* \[([^\]]*)\]""".r
+    val joins = equiJoinKeys.findAllMatchIn(plan).map(_.group(2)).toSeq
+    assert(joins.nonEmpty, s"no equi-join found:\n$plan")
+    assert(joins.exists(k => k.contains("day#") && k.contains("user_id#")),
+      s"join keys lack the day bucket: $joins\n$plan")
+  }
+
   test("events_ab_ttest: one corpus scan, moment frame self-join broadcasts") {
     val plan = executedPlan("events_ab_ttest")
     assert(!plan.contains("CartesianProduct"), plan)

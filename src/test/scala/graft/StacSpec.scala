@@ -84,6 +84,40 @@ class StacSpec extends SparkSpecBase {
     }
   }
 
+  test("writeMonthly: targetRowsPerFile plans the output file count") {
+    // compaction planning: file count tracks rows/target and is capped
+    // by spatialPartitions — no more fixed-16-files-for-a-sparse-month
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val items = StacSynth.catalog(spark, sf)
+    val monthRows = items
+      .filter($"collection" === "HLSL30_2.0")
+      .filter(to_date($"ts") >= lit("1996-03-01").cast("date") &&
+        to_date($"ts") < lit("1996-04-01").cast("date"))
+      .count()
+    assert(monthRows > 4, s"fixture too small: $monthRows rows")
+    def dataFiles(dir: String): Long = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).toSeq.flatten
+        .count(f => f.getName.endsWith(".parquet")).toLong
+    }
+    val target = (monthRows + 3) / 4 // plan → exactly 4 files
+    StacWrite.writeMonthly(spark, items, s"$tmp/a", "0.1", "HLSL30_2.0",
+      1996, 3, targetRowsPerFile = Some(target))
+    assert(dataFiles(s"$tmp/a/v0.1/HLSL30_2.0/year=1996/month=3") === 4L)
+    // a huge target collapses the month to ONE file
+    StacWrite.writeMonthly(spark, items, s"$tmp/b", "0.1", "HLSL30_2.0",
+      1996, 3, targetRowsPerFile = Some(Long.MaxValue))
+    assert(dataFiles(s"$tmp/b/v0.1/HLSL30_2.0/year=1996/month=3") === 1L)
+    // a tiny target is capped at spatialPartitions
+    StacWrite.writeMonthly(spark, items, s"$tmp/c", "0.1", "HLSL30_2.0",
+      1996, 3, spatialPartitions = 3, targetRowsPerFile = Some(1L))
+    assert(dataFiles(s"$tmp/c/v0.1/HLSL30_2.0/year=1996/month=3") === 3L)
+    // row counts are identical across plans
+    val base = spark.read.parquet(s"$tmp/b/v0.1/HLSL30_2.0").count()
+    assert(spark.read.parquet(s"$tmp/a/v0.1/HLSL30_2.0").count() === base)
+    assert(spark.read.parquet(s"$tmp/c/v0.1/HLSL30_2.0").count() === base)
+  }
+
   test("wkb_point encodes the standard little-endian POINT layout") {
     import graft.expressions.WkbPoint
     val b = WkbPoint.encode(1.0, 2.0)

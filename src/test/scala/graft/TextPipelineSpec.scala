@@ -49,11 +49,19 @@ class TextPipelineSpec extends SparkSpecBase {
     Files.writeString(Paths.get(dir, "part-corrupt.json"),
       "{\"doc_id\": 1, \"text\": \"truncated\n" +
         "not json at all\n" +
-        "{\"doc_id\": \"not-a-number\", \"text\": \"x\"}\n")
+        "{\"doc_id\": \"not-a-number\", \"text\": \"x\"}\n" +
+        // valid JSON but missing the required doc_id key: must land on
+        // the rejected side, not vanish (every line is accounted)
+        "{\"text\": \"orphan line\", \"lang\": \"en\"}\n")
     val (good, bad) = graft.ops.TextSources
       .readDocumentsJsonl(spark, dir)
     assert(good.count() === docs.count())
-    assert(bad.count() === 3L)
+    assert(bad.count() === 4L)
+    // good + bad covers every input line of the corrupt shard
+    assert(good.count() + bad.count() === docs.count() + 4L)
+    // the doc_id-less line still carries its content on the bad side
+    assert(bad.collect().map(_.getString(0))
+      .exists(_.contains("orphan line")))
     // full round-trip fidelity on the parsed side
     val a = docs.orderBy("doc_id").collect().map(_.toString)
     val b = good.select("doc_id", "text", "lang", "source", "n_chars")
