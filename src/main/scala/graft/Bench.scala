@@ -57,8 +57,16 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
 
+    // dev-only subset runs (e.g. SPARK_GRAFT_BENCH_ONLY=stream_): the
+    // driver never sets this, so its per-round artifact stays full
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
+
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }

@@ -30,7 +30,7 @@ object EmbedStreams {
     val cents = Similarity.collectedCentroids(spark, dir)
     val stream = spark.readStream
       .schema(embSchema)
-      .option("pathGlobFilter", "embeddings.parquet")
+      .option("pathGlobFilter", "embeddings*.parquet")
       .parquet(dir)
       .withColumn("v", transform($"embedding", x => x.cast("double")))
       .select($"vec_id", $"v")

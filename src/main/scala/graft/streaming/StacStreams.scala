@@ -28,7 +28,7 @@ object StacStreams {
     StacSynth.catalogFrom(
       spark.readStream
         .schema(ordersSchema)
-        .option("pathGlobFilter", "orders.parquet")
+        .option("pathGlobFilter", "orders*.parquet")
         .parquet(dir))
 
   /** G7 — streaming daily-link maintenance: per-(collection, day) link
@@ -62,15 +62,24 @@ object StacStreams {
     */
   def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one source scan: a self-union of the stream would register TWO
+    // file sources and plan/scan the catalog twice per batch — the
+    // reprocessing delta is a pure function of the row, so each
+    // granule EXPLODES to its 1–2 version rows in a stateless
+    // projection instead (same rows as the v2.0 ∪ v2.1 union)
     val cat = catalogStream(spark, dir)
       .select($"granule_id", $"ts", $"cloud_cover")
-    val v20 = cat.withColumn("version", lit("2.0"))
-    val v21 = cat.filter($"granule_id" % 7 === 0)
-      .withColumn("ts", $"ts" + expr("INTERVAL 1 HOUR"))
-      .withColumn("version", lit("2.1"))
-    val merged = v20.unionByName(v21)
+    val merged = cat
+      .select($"granule_id", explode(when($"granule_id" % 7 === 0,
+        array(struct($"ts", lit("2.0").as("version"), $"cloud_cover"),
+          struct(($"ts" + expr("INTERVAL 1 HOUR")).as("ts"),
+            lit("2.1").as("version"), $"cloud_cover")))
+        .otherwise(array(
+          struct($"ts", lit("2.0").as("version"), $"cloud_cover"))))
+        .as("v"))
       .groupBy($"granule_id")
-      .agg(max(struct($"ts", $"version", $"cloud_cover")).as("s"))
+      .agg(max(struct($"v.ts".as("ts"), $"v.version".as("version"),
+        $"v.cloud_cover".as("cloud_cover"))).as("s"))
     EventStreams.runToCompletion(merged, "graft_stream_upsert")
       .select($"granule_id", $"s.version".as("version"), $"s.ts".as("ts"),
         $"s.cloud_cover".as("cloud_cover"))

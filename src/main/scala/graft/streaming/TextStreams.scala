@@ -29,7 +29,7 @@ object TextStreams {
     import spark.implicits._
     val docs = spark.readStream
       .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", "documents*.parquet")
       .parquet(dir)
     val agg = docs
       .select(explode(split($"text", " ")).as("token"))
@@ -57,7 +57,7 @@ object TextStreams {
     val ratio = graft.ops.Curation.bucketLogRatio(batchBg, "en", 256)
     val docs = spark.readStream
       .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", "documents*.parquet")
       .parquet(dir)
     val scored = graft.ops.Curation.bigramBuckets(docs)
       .join(broadcast(ratio), "b")
@@ -82,7 +82,7 @@ object TextStreams {
     import spark.implicits._
     val docs = spark.readStream
       .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", "documents*.parquet")
       .parquet(dir)
     EventStreams.runToCompletion(
       TextAnalysis.gopherRulesOn(docs), "graft_stream_gopher",
@@ -109,7 +109,7 @@ object TextStreams {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val docs = spark.readStream
       .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", "documents*.parquet")
       .parquet(dir)
       .withColumn("tk", filter(split($"text", " "), t => t =!= ""))
       .withColumn("dl", size($"tk").cast("double"))
@@ -151,12 +151,15 @@ object TextStreams {
     * same documents. One-shot run ≡ batch H18 (same oracle).
     */
   def consistentSample(spark: SparkSession, dir: String,
-                       k: Int = 20): DataFrame = {
+                       k: Int = 20,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val docs = spark.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
+    var reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    val docs = reader
+      .option("pathGlobFilter", "documents*.parquet")
       .parquet(dir)
       .withColumn("h",
         conv(substring(md5(concat(lit("csample:"), $"doc_id".cast("string"))
@@ -182,7 +185,8 @@ object TextStreams {
       }
     val name = s"graft_stream_csample_${EventStreams.counter.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      EventStreams.streamStatePartitions)
     try {
       val q = updated.writeStream
         .outputMode(OutputMode.Update)
@@ -212,7 +216,7 @@ object TextStreams {
     import spark.implicits._
     val docs = spark.readStream
       .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", "documents*.parquet")
       .parquet(dir)
     val agg = docs
       .withColumn("h",

@@ -166,6 +166,65 @@ class StreamingSpec extends SparkSpecBase {
     assert(stream.nonEmpty)
   }
 
+  test("update-mode state ops are exact across MULTIPLE micro-batches") {
+    // the memory sink in Update mode appends each trigger's emission;
+    // the operators' readers must argmax to the latest per-key update,
+    // or a multi-file source would return stale duplicates. Force 3
+    // micro-batches (3-part source dir + maxFilesPerTrigger=1) and
+    // assert exact equality with the single-batch and batch results.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.lit
+    val tmp = Files.createTempDirectory("graft-multibatch").toString
+    // the file source streams sibling FILES matched by the widened leaf
+    // glob (events*.parquet) in modification-time order; write each
+    // slice through a staging dir and move the part into place as
+    // events<i>.parquet, sleeping so mtimes are strictly increasing
+    // even on coarse-granularity filesystems
+    def writeSlice(df: DataFrame, name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(s"$tmp/$name").toFile.setLastModified(
+        System.currentTimeMillis())
+      Thread.sleep(1100)
+    }
+    // the funnel state machine assumes per-user event-TIME order across
+    // batches (the production watermark assumption), so its slices are
+    // time ranges written oldest-first
+    val rawEv = spark.read.parquet(s"$sf/events.parquet")
+    val tss = rawEv.select($"ts").distinct().orderBy($"ts")
+      .collect().map(_.get(0))
+    val c1 = tss(tss.length / 3)
+    val c2 = tss(2 * tss.length / 3)
+    writeSlice(rawEv.filter($"ts" <= lit(c1)), "events1.parquet")
+    writeSlice(rawEv.filter($"ts" > lit(c1) && $"ts" <= lit(c2)),
+      "events2.parquet")
+    writeSlice(rawEv.filter($"ts" > lit(c2)), "events3.parquet")
+    // the sample is a pure function of the document SET — batch
+    // composition may be arbitrary, so an arbitrary 3-way split is the
+    // stronger test there
+    val rawDocs = Tables.load(spark, sf, "documents")
+    writeSlice(rawDocs.filter($"doc_id" % 3 === 0), "documents1.parquet")
+    writeSlice(rawDocs.filter($"doc_id" % 3 === 1), "documents2.parquet")
+    writeSlice(rawDocs.filter($"doc_id" % 3 === 2), "documents3.parquet")
+    val multiFunnel = EventStreams.streamFunnel(spark, tmp,
+      maxFilesPerTrigger = Some(1)).collect()
+    val batchFunnel = graft.ops.Analytics.windowedFunnel(spark, sf).collect()
+    assert(multiFunnel.nonEmpty)
+    assert(multiFunnel.map(_.toString).toSeq ===
+      batchFunnel.map(_.toString).toSeq)
+    val multiSample = graft.streaming.TextStreams.consistentSample(spark,
+      tmp, maxFilesPerTrigger = Some(1)).collect()
+    val batchSample = graft.ops.Curation.consistentSample(spark, sf).collect()
+    assert(multiSample.nonEmpty)
+    assert(multiSample.map(_.toString).toSeq ===
+      batchSample.map(_.toString).toSeq)
+  }
+
   test("watermark drops late data from an append-mode windowed aggregate") {
     // G19 evidence: the state-expiry contract behind every windowed
     // stream op — without the watermark dropping late rows, state
