@@ -76,6 +76,27 @@ class PlanAuditSpec extends SparkSpecBase {
       s"join keys lack the day bucket: $joins\n$plan")
   }
 
+  test("dedup_threshold_sweep: full-corpus sweep stays candidate-bounded") {
+    // round 9 lifted the doc_id slice: the sweep must still reach the
+    // corpus ONLY through the prefix equi-join — no all-pairs shape.
+    // The one sanctioned nested loop is the 3-row threshold fan-out
+    // (broadcast cross join of the VERIFIED pair set, not the corpus).
+    val whole = executedPlan("dedup_threshold_sweep")
+    val cut = whole.indexOf("== Initial Plan ==")
+    val plan = if (cut >= 0) whole.substring(0, cut) else whole
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the verified pair set feeds TWO rollup branches, so the 3-row
+    // fan-out appears twice in the final plan — and never more
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"unexpected nested loops ($bnlj):\n$plan")
+    // the prefix candidate join is an equi-join on the shingle key
+    val equiJoinKeys =
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\S* \[([^\]]*)\]""".r
+    val joins = equiJoinKeys.findAllMatchIn(plan).map(_.group(2)).toSeq
+    assert(joins.exists(k => k.contains("ga#") || k.contains("g#")),
+      s"prefix equi-join missing: $joins")
+  }
+
   test("events_ab_ttest: one corpus scan, moment frame self-join broadcasts") {
     val plan = executedPlan("events_ab_ttest")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -9,12 +9,23 @@ emits one JSON object per query so the sweep can be committed as a
 per-round artifact (oracle_sf01.json) and diffed across rounds.
 Queries with no oracle SQL entry are recorded as "no_oracle" with
 their row count, mirroring the driver's rows-only treatment.
+
+A handful of oracles are SUPERLINEAR re-derivations in SQL (recursive
+-CTE minhash/cluster chains, all-pairs array math) that are fine at
+the sf0.01 gate but grind for hours at sf0.1 — each query gets a
+wall-clock budget (default 180 s, ORACLE_SWEEP_TIMEOUT_SEC overrides)
+enforced with con.interrupt(); over-budget queries are recorded as
+"skipped_timeout", which counts as neither pass nor fail.
 """
 import json
 import math
+import os
 import sys
+import threading
 
 import duckdb
+
+TIMEOUT_SEC = float(os.environ.get("ORACLE_SWEEP_TIMEOUT_SEC", "180"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -51,66 +62,94 @@ def main(sf_dir, out_dir, out_json):
                     if os.path.isdir(os.path.join(out_dir, d)))
     results = {}
     n_pass = n_fail = n_noracle = 0
+
+    def flush(partial):
+        n_skip = sum(1 for r in results.values()
+                     if r["status"] == "skipped_timeout")
+        summary = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "n_no_oracle": n_noracle, "n_skipped_timeout": n_skip,
+                   "n_total": len(results)}
+        if partial:
+            summary["partial"] = True
+        with open(out_json, "w") as f:
+            json.dump({"summary": summary, "queries": results}, f,
+                      indent=1, sort_keys=True)
+
+    def check_one(name, rec):
+        got = con.sql(
+            f"FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        g_cols = sorted(got.columns)
+        got_rows = con.sql(
+            f"SELECT {', '.join(g_cols)} FROM got ORDER BY ALL").fetchall()
+        rec["spark_rows"] = len(got_rows)
+        if name not in oracle:
+            rec["status"] = "no_oracle"
+            return
+        exp = con.sql(oracle[name])
+        e_cols = sorted(exp.columns)
+        exp_rows = con.sql(
+            f"SELECT {', '.join(e_cols)} FROM exp ORDER BY ALL").fetchall()
+        rec["oracle_rows"] = len(exp_rows)
+        if g_cols != e_cols:
+            rec["status"] = "fail"
+            rec["detail"] = f"columns {g_cols} != {e_cols}"
+            return
+        g_types = dict(zip(got.columns, [str(t) for t in got.types]))
+        e_types = dict(zip(exp.columns, [str(t) for t in exp.types]))
+        type_diff = {c: (g_types[c], e_types[c]) for c in g_types
+                     if fam(g_types[c]) != fam(e_types[c])}
+        if type_diff:
+            rec["status"] = "fail"
+            rec["detail"] = f"type mismatch {type_diff}"
+            return
+        gs = [tuple(norm(v) for v in r) for r in got_rows]
+        es = [tuple(norm(v) for v in r) for r in exp_rows]
+        if gs == es:
+            rec["status"] = "pass"
+        else:
+            rec["status"] = "fail"
+            diff = next((i for i, (a, b) in enumerate(zip(gs, es))
+                         if a != b), None)
+            rec["detail"] = (f"row {diff} differs" if diff is not None
+                             else f"{len(gs)} vs {len(es)} rows")
+
     for name in dumped:
         rec = {"status": None, "spark_rows": None, "oracle_rows": None,
                "detail": None}
+        timer = threading.Timer(TIMEOUT_SEC, con.interrupt)
+        timer.start()
         try:
-            got = con.sql(
-                f"FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            g_cols = sorted(got.columns)
-            got_rows = con.sql(
-                f"SELECT {', '.join(g_cols)} FROM got ORDER BY ALL").fetchall()
-            rec["spark_rows"] = len(got_rows)
-            if name not in oracle:
-                rec["status"] = "no_oracle"
-                n_noracle += 1
-                results[name] = rec
-                continue
-            exp = con.sql(oracle[name])
-            e_cols = sorted(exp.columns)
-            exp_rows = con.sql(
-                f"SELECT {', '.join(e_cols)} FROM exp ORDER BY ALL").fetchall()
-            rec["oracle_rows"] = len(exp_rows)
-            if g_cols != e_cols:
-                rec["status"] = "fail"
-                rec["detail"] = f"columns {g_cols} != {e_cols}"
-                n_fail += 1
-                results[name] = rec
-                continue
-            g_types = dict(zip(got.columns, [str(t) for t in got.types]))
-            e_types = dict(zip(exp.columns, [str(t) for t in exp.types]))
-            type_diff = {c: (g_types[c], e_types[c]) for c in g_types
-                         if fam(g_types[c]) != fam(e_types[c])}
-            if type_diff:
-                rec["status"] = "fail"
-                rec["detail"] = f"type mismatch {type_diff}"
-                n_fail += 1
-                results[name] = rec
-                continue
-            gs = [tuple(norm(v) for v in r) for r in got_rows]
-            es = [tuple(norm(v) for v in r) for r in exp_rows]
-            if gs == es:
-                rec["status"] = "pass"
-                n_pass += 1
-            else:
-                rec["status"] = "fail"
-                n_fail += 1
-                diff = next((i for i, (a, b) in enumerate(zip(gs, es))
-                             if a != b), None)
-                rec["detail"] = (f"row {diff} differs" if diff is not None
-                                 else f"{len(gs)} vs {len(es)} rows")
+            check_one(name, rec)
+        except duckdb.InterruptException:
+            rec["status"] = "skipped_timeout"
+            rec["detail"] = f"oracle exceeded {TIMEOUT_SEC:.0f}s budget"
         except Exception as e:
-            rec["status"] = "error"
-            rec["detail"] = str(e)[:300]
+            msg = str(e)
+            if "INTERRUPT" in msg.upper():
+                rec["status"] = "skipped_timeout"
+                rec["detail"] = f"oracle exceeded {TIMEOUT_SEC:.0f}s budget"
+            else:
+                rec["status"] = "error"
+                rec["detail"] = msg[:300]
+        finally:
+            timer.cancel()
+        if rec["status"] == "pass":
+            n_pass += 1
+        elif rec["status"] == "no_oracle":
+            n_noracle += 1
+        elif rec["status"] in ("fail", "error"):
             n_fail += 1
         results[name] = rec
-    summary = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-               "n_no_oracle": n_noracle, "n_total": len(results)}
-    with open(out_json, "w") as f:
-        json.dump({"summary": summary, "queries": results}, f, indent=1,
-                  sort_keys=True)
-    print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} no_oracle "
-          f"-> {out_json}")
+        # rewrite after EVERY query (the heavy all-pairs oracles run for
+        # minutes at sf0.1 — a partial artifact beats a silent grind)
+        flush(partial=True)
+        print(f"[{len(results)}/{len(dumped)}] {rec['status']} {name}",
+              flush=True)
+    flush(partial=False)
+    n_skip = sum(1 for r in results.values()
+                 if r["status"] == "skipped_timeout")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} no_oracle, "
+          f"{n_skip} skipped_timeout -> {out_json}")
     return 1 if n_fail else 0
 
 
