@@ -658,6 +658,45 @@ object Curation {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** H24 — per-source document cap by quality: each source keeps its
+    * k best documents by the E2 quality score (ties by doc_id), the
+    * per-domain cap that web-corpus recipes apply so one gigantic
+    * domain cannot dominate the mix (C4 and its descendants cap or
+    * downsample by registrable domain for exactly this reason —
+    * Raffel et al. 2020 §2.2, Penedo et al. 2023 §3.1). Emits the
+    * kept rows with their in-source rank plus the source's total doc
+    * count, so retention per source is readable off the result.
+    *
+    * Scale shape: the quality score is a scan-side projection; the
+    * selection runs through the B37 k-bounded heap aggregator, so
+    * partial aggregation trims map-side and only sources×k rows reach
+    * the shuffle (the oracle's per-source row_number would sort every
+    * domain in full — unusable when one domain holds 10⁹ docs). The
+    * totals frame and the final join are source-keyed (groups-sized,
+    * NOT corpus-sized); no broadcast hint — AQE may pick one at small
+    * group counts, a real corpus with 10⁷ domains shuffles both sides
+    * on the shared key. Ranking uses the 4dp-ROUNDED score on both
+    * engines, so the order (and the cap boundary) is engine-exact.
+    */
+  def sourceQualityCap(spark: SparkSession, dir: String,
+                       k: Int = 15): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(graft.expressions.TopKPairs(k))
+    val scored = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .join(TextAnalysis.quality(spark, dir).select($"doc_id", $"quality"),
+        "doc_id")
+    val totals = scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_source_docs"))
+    scored.groupBy($"source")
+      .agg(topk($"quality", $"doc_id").as("top"))
+      .select($"source", posexplode($"top").as(Seq("idx", "p")))
+      .select($"source", ($"idx" + 1).cast("long").as("rnk"),
+        $"p._2".as("doc_id"), $"p._1".as("quality"))
+      .join(totals, "source")
+      .orderBy($"source", $"rnk")
+  }
+
   private val splitCaseSql =
     """CASE WHEN strpos('0123456789abcdef',
       |      substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 12
@@ -668,6 +707,35 @@ object Curation {
       |  ELSE 'test' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "source_quality_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |      / length(text)::DOUBLE AS punct_ratio,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+        |      / len(toks)::DOUBLE AS stop_ratio,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS uniq_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    floor((len_score + (1.0 - punct_ratio) + (1.0 - stop_ratio)
+        |      + uniq_ratio) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM m),
+        |tot AS (SELECT source, count(*) AS n_source_docs FROM q
+        |        GROUP BY source),
+        |r AS (
+        |  SELECT source, doc_id, quality,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM q)
+        |SELECT r.source, r.rnk, r.doc_id, r.quality, tot.n_source_docs
+        |FROM r JOIN tot USING (source)
+        |WHERE r.rnk <= 15
+        |ORDER BY r.source, r.rnk""".stripMargin,
     "split_balance" ->
       """WITH d AS (
         |  SELECT lang,

@@ -29,6 +29,52 @@ class CurationSpec extends SparkSpecBase {
       (1L, 5L, None)))       // nothing at-or-before → null payload
   }
 
+  private def asofNearest(left: Seq[(Long, Long)],
+                          right: Seq[(Long, Long)], tol: Long) = {
+    val l = left.toDF("k", "lts")
+    val r = right.toDF("k", "rts")
+    AsOf.joinAsOfNearest(l, r, "k", "lts", "rts", tol)
+      .collect().map(row => (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getLong(2)),
+        Option(row.getString(3)))).toSet
+  }
+
+  test("nearest as-of: direction, tolerance, and backward tie-break") {
+    val got = asofNearest(
+      left = Seq((1L, 100L), (1L, 10L), (1L, 500L), (2L, 50L)),
+      right = Seq((1L, 90L), (1L, 104L), (1L, 300L), (2L, 400L)),
+      tol = 50L)
+    assert(got === Set(
+      // 100: backward 90 (gap 10) beats forward 104 (gap 4)? no —
+      // forward is nearer, direction flips
+      (1L, 100L, Some(104L), Some("forward")),
+      (1L, 10L, None, None),             // nearest is 90, outside tol
+      (1L, 500L, None, None),            // 300 is 200 away, outside tol
+      (2L, 50L, None, None)))            // key 2's only row is 350 away
+  }
+
+  test("nearest as-of: equidistant resolves backward, exact tie gap 0") {
+    val got = asofNearest(
+      left = Seq((1L, 200L), (1L, 300L)),
+      right = Seq((1L, 190L), (1L, 210L), (1L, 300L)),
+      tol = 1000L)
+    assert(got === Set(
+      (1L, 200L, Some(190L), Some("backward")), // 190/210 equidistant
+      (1L, 300L, Some(300L), Some("backward")))) // exact match, gap 0
+  }
+
+  test("nearest as-of query: gaps bounded by tolerance, all purchases kept") {
+    val df = AsOf.nearestViewPurchase(spark, sf)
+    val purchases = Tables.load(spark, sf, "events")
+      .filter($"event_type" === "purchase").count()
+    assert(df.count() === purchases)
+    assert(df.filter(abs($"gap_us") > 7200000000L).count() === 0)
+    assert(df.filter($"asof_direction" === "forward" && $"gap_us" > 0)
+      .count() === 0, "forward matches have v_us after the purchase")
+    assert(df.filter($"asof_direction" === "backward" && $"gap_us" < 0)
+      .count() === 0)
+  }
+
   test("as-of join never crosses keys") {
     val got = asof(
       left = Seq((1L, 50L), (2L, 50L)),
@@ -374,6 +420,37 @@ class CurationSpec extends SparkSpecBase {
     val sampledMean = docs.filter(d => got(d._1)).map(_._2.toDouble).sum / 200
     val corpusMean = docs.map(_._2.toDouble).sum / docs.length
     assert(sampledMean > corpusMean)
+  }
+
+  test("source quality cap ≡ per-source window top-k") {
+    val k = 15
+    val got = Curation.sourceQualityCap(spark, sf, k)
+    // heap path ≡ the window formulation (the oracle's plan shape)
+    val scored = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source")
+      .join(graft.ops.TextAnalysis.quality(spark, sf)
+        .select($"doc_id", $"quality"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+    val expect = scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"source", $"rnk", $"doc_id", $"quality")
+      .collect().map(_.toSeq).toSet
+    assert(got.select($"source", $"rnk", $"doc_id", $"quality")
+      .collect().map(_.toSeq).toSet === expect)
+    // every source retains min(k, its doc count) rows
+    val bySource = got.collect().groupBy(_.getString(0))
+    bySource.foreach { case (_, rows) =>
+      val n = rows.head.getAs[Long]("n_source_docs")
+      assert(rows.length === math.min(k.toLong, n))
+      // ranks are 1..m and quality is non-increasing along them
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ===
+        (1L to rows.length).toSeq)
+      val qs = sorted.map(_.getAs[Double]("quality")).toSeq
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+    }
   }
 
   test("dataset card: shares sum to 1, totals conserve the corpus") {
