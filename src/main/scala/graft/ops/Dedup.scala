@@ -283,6 +283,44 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The C4 AllPairs/PPJoin machinery as a reusable kernel: exact
+    * Jaccard-≥-threshold pairs over a (doc_id, sh, sz) frame via the
+    * lossless rarity-ordered prefix filter — candidates ≈ true pairs,
+    * never all pairs. Shared by [[thresholdSweep]] and [[lshTuning]].
+    * Emits (doc_a, doc_b, i, u) with exact integer intersection/union.
+    */
+  private def prefixFilteredPairs(docs: DataFrame, tNum: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val freq = docs.select(explode($"sh").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("f"))
+    val prefixes = docs
+      .select($"doc_id", $"sz", explode($"sh").as("g"))
+      .join(freq, "g")
+      .groupBy($"doc_id", $"sz")
+      .agg(array_sort(collect_list(struct($"f", $"g"))).as("ord"))
+      .withColumn("p",
+        ($"sz" - floor(($"sz" * tNum + 9999L) / 10000L) + 1).cast("int"))
+      .select($"doc_id",
+        explode(array_distinct(transform(slice($"ord", lit(1), $"p"),
+          s => s.getField("g")))).as("g"))
+    val cand = prefixes.select($"g".as("ga"), $"doc_id".as("doc_a"))
+      .join(prefixes.select($"g".as("gb"), $"doc_id".as("doc_b")),
+        $"ga" === $"gb" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"),
+        $"sz".as("sz_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
+        $"sz".as("sz_b")), "doc_b")
+      .filter(least($"sz_a", $"sz_b") * 10000 >=
+        greatest($"sz_a", $"sz_b") * tNum)
+      .withColumn("i",
+        graft.functions.intersect_size($"sh_a", $"sh_b").cast("long"))
+      .withColumn("u", $"sz_a" + $"sz_b" - $"i")
+      .filter($"i" * 10000 >= $"u" * tNum)
+      .select($"doc_a", $"doc_b", $"i", $"u")
+  }
+
   /** C15 — dedup threshold sweep (the tuning report a dedup rollout
     * runs first): for each candidate Jaccard threshold, how many
     * near-dup pairs exist, how many documents sit in at least one
@@ -291,10 +329,10 @@ object Dedup {
     * high leaves near-copies in — this emits the curve.
     *
     * ONE prefix-filtered pair pass at the LOWEST threshold does all
-    * the corpus work (the C4 AllPairs/PPJoin rule is lossless, and
-    * the candidate set at t_min contains the candidates of every
-    * higher threshold); each threshold then re-filters the tiny
-    * verified pair set with exact integer compares
+    * the corpus work ([[prefixFilteredPairs]] is lossless, and the
+    * candidate set at t_min contains the candidates of every higher
+    * threshold); each threshold then re-filters the tiny verified
+    * pair set with exact integer compares
     * (|A∩B|·10⁴ ≥ t·10⁴·|A∪B|), so no float rounding can move a
     * borderline pair between rows and the corpus is never re-scanned
     * per threshold. n_docs_removed counts docs with a smaller-id
@@ -314,34 +352,7 @@ object Dedup {
     val tNum = sweeps.map(_._2).min
     val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh", size($"sh").as("sz"))
-    val freq = docs.select(explode($"sh").as("g"))
-      .groupBy($"g").agg(count(lit(1)).as("f"))
-    val prefixes = docs
-      .select($"doc_id", $"sz", explode($"sh").as("g"))
-      .join(freq, "g")
-      .groupBy($"doc_id", $"sz")
-      .agg(array_sort(collect_list(struct($"f", $"g"))).as("ord"))
-      .withColumn("p",
-        ($"sz" - floor(($"sz" * tNum + 9999L) / 10000L) + 1).cast("int"))
-      .select($"doc_id",
-        explode(array_distinct(transform(slice($"ord", lit(1), $"p"),
-          s => s.getField("g")))).as("g"))
-    val cand = prefixes.select($"g".as("ga"), $"doc_id".as("doc_a"))
-      .join(prefixes.select($"g".as("gb"), $"doc_id".as("doc_b")),
-        $"ga" === $"gb" && $"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").dropDuplicates("doc_a", "doc_b")
-    val pairs = cand
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"),
-        $"sz".as("sz_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
-        $"sz".as("sz_b")), "doc_b")
-      .filter(least($"sz_a", $"sz_b") * 10000 >=
-        greatest($"sz_a", $"sz_b") * tNum)
-      .withColumn("i",
-        graft.functions.intersect_size($"sh_a", $"sh_b").cast("long"))
-      .withColumn("u", $"sz_a" + $"sz_b" - $"i")
-      .filter($"i" * 10000 >= $"u" * tNum)
-      .select($"doc_a", $"doc_b", $"i", $"u")
+    val pairs = prefixFilteredPairs(docs, tNum)
     val th = sweeps.toDF("threshold", "tn")
     val f = pairs.crossJoin(broadcast(th))
       .filter($"i" * 10000 >= $"tn" * $"u")
@@ -356,6 +367,135 @@ object Dedup {
       .select($"threshold", $"n_pairs", $"n_docs_affected",
         $"n_docs_removed")
       .orderBy($"threshold")
+  }
+
+  /** C19 — per-source boilerplate-window report (the CCNet/RefinedWeb
+    * line-dedup recipe re-expressed over token windows, since this
+    * corpus has no line structure): a 16-token window is boilerplate
+    * when it occurs in ≥ `minDocs` DISTINCT documents of the SAME
+    * source — navigation chrome, legal footers, templated intros.
+    * Per document: total windows, boilerplate occurrences, their
+    * ratio, and the keep decision (ratio ≤ 30%, compared in exact
+    * integers so no float can move a borderline doc). C7 reports the
+    * shared windows themselves; this scores each DOCUMENT by how much
+    * of it is source-common chrome — the cleaning decision input.
+    *
+    * Scale shape: one window explode, one (source, window-hash)
+    * partial-agg count, one equi-join of the windows frame against
+    * the common-window set on the same (source, hash) key, one
+    * doc-keyed rollup — every stage corpus-linear, no pairs. The
+    * common-window frame is corpus-derived, so NO broadcast hint (at
+    * 100 TB it is huge); the join co-locates on the shared key.
+    */
+  def boilerplateReport(spark: SparkSession, dir: String,
+                        parTokens: Int = 16, minDocs: Int = 3): DataFrame = {
+    import spark.implicits._
+    val wins = Tables.load(spark, dir, "documents")
+      .withColumn("t", split($"text", " "))
+      .withColumn("np", (size($"t") / parTokens).cast("long"))
+      .filter($"np" >= 1)
+      .withColumn("ci", explode(sequence(lit(0L), $"np" - 1)))
+      .select($"doc_id", $"source", md5(concat_ws(" ",
+        slice($"t", ($"ci" * parTokens + 1).cast("int"), lit(parTokens)))
+        .cast("binary")).as("whash"))
+    val common = wins.groupBy($"source", $"whash")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= minDocs)
+      .select($"source", $"whash", lit(1L).as("boiler"))
+    wins.join(common, Seq("source", "whash"), "left")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum($"boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        floor($"n_boiler".cast("double") / $"n_windows" * 10000.0 + 0.5)
+          / 10000.0)
+      .withColumn("keep", $"n_boiler" * 10 <= $"n_windows" * 3)
+      .select($"doc_id", $"source", $"n_windows", $"n_boiler",
+        $"boiler_ratio", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** C20 — LSH design tuning (the datasketch-style parameter search,
+    * run against the REAL corpus instead of the closed-form S-curve
+    * alone): for each (bands, rows) split of a 16-hash MinHash
+    * signature, the measured cost side — bucket histogram: collision
+    * buckets, Σ C(n,2) candidate-pair work, max bucket — and the
+    * measured quality side — recall of the EXACT Jaccard-≥-t pair
+    * set — plus the closed-form approximate threshold (1/b)^(1/r).
+    * This is the report that justifies C2's 32×4 choice with data:
+    * more bands ⇒ higher recall but superlinearly more bucket work.
+    *
+    * The signature here is built from SALTED-md5 hashes (hᵢ(s) =
+    * first 48 bits of md5(i:s)) — unlike C2's custom codegen
+    * Expression, every value is re-derivable in portable SQL, so the
+    * DuckDB oracle checks the whole report bit-for-bit (integer
+    * min-hashes, integer bucket counts, one 4dp rounding at the
+    * edges).
+    *
+    * Scale shape: ONE signature pass over the corpus (16 salted
+    * hashes folded per shingle, scan-side); per config, a
+    * (band, band_sig)-keyed partial-agg count — bucket sizes, never
+    * materialized pairs, so a permissive config cannot explode the
+    * candidate set; recall joins the signatures onto the
+    * [[prefixFilteredPairs]] true-pair set (pair-count-sized, tiny)
+    * and tests band equality as a row-local EXPRESSION — the
+    * evaluation never builds each config's candidate pairs at all.
+    */
+  def lshTuning(spark: SparkSession, dir: String,
+                threshold: Double = 0.8, numHashes: Int = 16): DataFrame = {
+    import spark.implicits._
+    val bandsGrid = Seq(2, 4, 8)
+    val tNum = math.round(threshold * 10000).toInt
+    val docs = withShingles(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"sh", size($"sh").as("sz"))
+    val sigs = docs.select($"doc_id",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform($"sh", s =>
+          conv(substring(md5(concat_ws(":", i.cast("string"), s)
+            .cast("binary")), 1, 12), 16, 10).cast("long"))))
+        .as("sig"))
+      .cache()
+    val bucketStats = bandsGrid.map { b =>
+      val r = numHashes / b
+      sigs.select($"doc_id", posexplode(
+        transform(sequence(lit(0), lit(b - 1)),
+          k => slice($"sig", k * r + 1, lit(r))))
+        .as(Seq("band", "band_sig")))
+        .groupBy($"band", $"band_sig")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(when($"n" >= 2, 1L).otherwise(0L))
+          .as("n_collision_buckets"),
+          sum(expr("(n * (n - 1)) DIV 2")).as("bucket_pair_work"),
+          max($"n").as("max_bucket"))
+        .withColumn("bands", lit(b.toLong))
+    }.reduce(_ unionByName _)
+    val checked = prefixFilteredPairs(docs, tNum)
+      .select($"doc_a", $"doc_b")
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+    val recall = bandsGrid.map { b =>
+      val r = numHashes / b
+      checked.select(lit(b.toLong).as("bands"),
+        when(exists(sequence(lit(0), lit(b - 1)),
+          k => slice($"sig_a", k * r + 1, lit(r)) ===
+            slice($"sig_b", k * r + 1, lit(r))), 1L)
+          .otherwise(0L).as("hit"))
+        .groupBy($"bands")
+        .agg(count(lit(1)).as("n_true_pairs"), sum($"hit").as("n_caught"))
+    }.reduce(_ unionByName _)
+    bucketStats.join(recall, Seq("bands"), "left")
+      .select($"bands", lit(numHashes.toLong)./($"bands").cast("long")
+        .as("rows_per_band"),
+        (floor(pow(lit(1.0) / $"bands",
+          $"bands".cast("double") / numHashes) * 10000.0 + 0.5) / 10000.0)
+          .as("approx_threshold"),
+        $"n_collision_buckets", $"bucket_pair_work", $"max_bucket",
+        coalesce($"n_true_pairs", lit(0L)).as("n_true_pairs"),
+        coalesce($"n_caught", lit(0L)).as("n_caught"),
+        (floor(coalesce($"n_caught", lit(0L)).cast("double") /
+          greatest(coalesce($"n_true_pairs", lit(0L)), lit(1L))
+          * 10000.0 + 0.5) / 10000.0).as("recall"))
+      .orderBy($"bands")
   }
 
   /** H15 — near-duplicate benchmark decontamination (C2 × H4): corpus
@@ -932,6 +1072,89 @@ object Dedup {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) // 16 AS np
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tk, unnest(range(0, np)) AS ci
+        |  FROM t WHERE np >= 1),
+        |w AS (
+        |  SELECT doc_id, source, md5(array_to_string(
+        |    tk[(ci * 16 + 1)::INT : (ci * 16 + 16)::INT], ' ')) AS whash
+        |  FROM c),
+        |cm AS (
+        |  SELECT source, whash FROM w GROUP BY source, whash
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |j AS (
+        |  SELECT w.doc_id, w.source,
+        |    CASE WHEN cm.whash IS NOT NULL THEN 1 ELSE 0 END AS b
+        |  FROM w LEFT JOIN cm
+        |    ON cm.source = w.source AND cm.whash = w.whash),
+        |a AS (
+        |  SELECT doc_id, source, count(*)::BIGINT AS n_windows,
+        |    CAST(sum(b) AS BIGINT) AS n_boiler
+        |  FROM j GROUP BY doc_id, source)
+        |SELECT doc_id, source, n_windows, n_boiler,
+        |  floor(n_boiler::DOUBLE / n_windows * 10000.0 + 0.5) / 10000.0
+        |    AS boiler_ratio,
+        |  n_boiler * 10 <= n_windows * 3 AS keep
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "dedup_lsh_tuning" -> (shingleCte +
+      """, sig AS (
+        |  SELECT doc_id,
+        |    [list_min([('0x' || substring(md5(CAST(i AS VARCHAR)
+        |        || ':' || g), 1, 12))::BIGINT for g in s])
+        |      for i in range(0, 16)] AS sig
+        |  FROM sh),
+        |cfg AS (SELECT unnest([2, 4, 8]) AS bands),
+        |banded AS (
+        |  SELECT cfg.bands, sig.doc_id, bs.band,
+        |    sig.sig[(bs.band * (16 // cfg.bands) + 1)::INT :
+        |            ((bs.band + 1) * (16 // cfg.bands))::INT] AS band_sig
+        |  FROM sig, cfg,
+        |    LATERAL (SELECT unnest(range(0, cfg.bands)) AS band) bs),
+        |bh AS (
+        |  SELECT bands, band, band_sig, count(*) AS n
+        |  FROM banded GROUP BY bands, band, band_sig),
+        |bstat AS (
+        |  SELECT bands,
+        |    CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_collision_buckets,
+        |    CAST(sum(n * (n - 1) // 2) AS BIGINT) AS bucket_pair_work,
+        |    CAST(max(n) AS BIGINT) AS max_bucket
+        |  FROM bh GROUP BY bands),
+        |tp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE least(len(a.s), len(b.s)) * 10000 >=
+        |      greatest(len(a.s), len(b.s)) * 8000
+        |    AND len(list_intersect(a.s, b.s)) * 10000 >=
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 8000),
+        |rec AS (
+        |  SELECT cfg.bands, count(*)::BIGINT AS n_true_pairs,
+        |    CAST(sum(CASE WHEN len([k for k in range(0, cfg.bands)
+        |        if sa.sig[(k * (16 // cfg.bands) + 1)::INT :
+        |                  ((k + 1) * (16 // cfg.bands))::INT]
+        |         = sb.sig[(k * (16 // cfg.bands) + 1)::INT :
+        |                  ((k + 1) * (16 // cfg.bands))::INT]]) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+        |  FROM tp JOIN sig sa ON sa.doc_id = tp.doc_a
+        |    JOIN sig sb ON sb.doc_id = tp.doc_b, cfg
+        |  GROUP BY cfg.bands)
+        |SELECT CAST(b.bands AS BIGINT) AS bands,
+        |  CAST(16 // b.bands AS BIGINT) AS rows_per_band,
+        |  floor(pow(1.0 / b.bands, b.bands / 16.0) * 10000.0 + 0.5)
+        |    / 10000.0 AS approx_threshold,
+        |  b.n_collision_buckets, b.bucket_pair_work, b.max_bucket,
+        |  coalesce(r.n_true_pairs, 0) AS n_true_pairs,
+        |  coalesce(r.n_caught, 0) AS n_caught,
+        |  floor(coalesce(r.n_caught, 0)::DOUBLE /
+        |    greatest(coalesce(r.n_true_pairs, 0), 1) * 10000.0 + 0.5)
+        |    / 10000.0 AS recall
+        |FROM bstat b LEFT JOIN rec r ON r.bands = b.bands
+        |ORDER BY bands""".stripMargin),
     "dedup_span_exact" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

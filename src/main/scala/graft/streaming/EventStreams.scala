@@ -343,6 +343,50 @@ object EventStreams {
       .orderBy($"user_id", $"signup_us", $"purchase_us")
   }
 
+  /** G22 — stream-stream LEFT OUTER interval join: every signup,
+    * matched to its same-user purchases in the following day, OR
+    * emitted once with null purchase columns — the "did NOT convert
+    * within the window" stream an inner join (G5) cannot produce.
+    * The null row for an unmatched signup can only be emitted once
+    * its join window has PROVABLY closed, i.e. once the global
+    * watermark (the MIN of both sides' per-source watermarks) passes
+    * signup + 1 day; Spark's no-data micro-batch advances the
+    * watermark after the last data batch and flushes those rows.
+    *
+    * One-shot determinism: matched rows equal the batch join; null
+    * rows appear exactly for unmatched signups whose window upper
+    * bound lies at-or-before the FINAL watermark
+    * min(max signup ts, max purchase ts) − 1 h. Signups unmatched but
+    * still inside the final watermark are withheld (they could yet
+    * match on a live stream) — the oracle models that cutoff
+    * explicitly rather than pretending the one-shot run is a batch
+    * outer join. State is bounded by the same watermark: matched and
+    * expired rows leave the join state store every batch.
+    */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = eventStream(spark, dir)
+    val signups = events.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id".as("s_user"),
+        $"tsm".as("signup_tsm"))
+      .withWatermark("signup_tsm", "1 hour")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"tsm".as("purchase_tsm"), $"value")
+      .withWatermark("purchase_tsm", "1 hour")
+    val joined = signups.join(purchases,
+      $"s_user" === $"p_user" &&
+        $"purchase_tsm" >= $"signup_tsm" &&
+        $"purchase_tsm" < $"signup_tsm" + expr("INTERVAL 1 DAY"),
+      "left_outer")
+    runToCompletion(joined, "graft_stream_outer_join", mode = "append")
+      .select($"signup_id", $"s_user".as("user_id"),
+        unix_micros($"signup_tsm").as("signup_us"),
+        unix_micros($"purchase_tsm").as("purchase_us"),
+        (floor($"value" * 100.0 + 0.5) / 100.0).as("purchase_value"),
+        $"purchase_tsm".isNull.as("unconverted"))
+      .orderBy($"signup_id", $"purchase_us")
+  }
+
   /** G16 — streaming anomaly monitor: B52's trailing z-score with the
     * daily (event_type, day) totals maintained as STREAMING state (one
     * row per type×day, regardless of stream length) and the z-score
@@ -372,6 +416,33 @@ object EventStreams {
         |  FROM a, (SELECT unnest(range(0, 7)) AS o) u)
         |SELECT day, count(*) AS wau FROM w GROUP BY day
         |ORDER BY day""".stripMargin,
+    "stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |s AS (SELECT event_id AS signup_id, user_id, us FROM e
+        |      WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, us, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(us) FROM s),
+        |         (SELECT max(us) FROM p)) - 3600000000 AS w),
+        |m AS (
+        |  SELECT s.signup_id, s.user_id, s.us AS signup_us,
+        |    p.us AS purchase_us,
+        |    floor(p.value * 100.0 + 0.5) / 100.0 AS purchase_value
+        |  FROM s JOIN p ON p.user_id = s.user_id
+        |    AND p.us >= s.us AND p.us < s.us + 86400000000),
+        |u AS (
+        |  SELECT s.signup_id, s.user_id, s.us AS signup_us
+        |  FROM s, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.signup_id = s.signup_id)
+        |    AND s.us + 86400000000 <= wm.w)
+        |SELECT signup_id, user_id, signup_us, purchase_us,
+        |  purchase_value, FALSE AS unconverted FROM m
+        |UNION ALL
+        |SELECT signup_id, user_id, signup_us, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS DOUBLE), TRUE FROM u
+        |ORDER BY signup_id, purchase_us""".stripMargin,
     "stream_join" ->
       """SELECT s.user_id, epoch_us(s.ts) AS signup_us,
         |  epoch_us(p.ts) AS purchase_us,

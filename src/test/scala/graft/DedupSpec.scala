@@ -575,4 +575,55 @@ class DedupSpec extends SparkSpecBase {
       s"explained-variance ratio ${got(-1L)} vs $expRatio")
     assert(expRatio > 0.0 && expRatio <= 1.0 + 1e-9)
   }
+
+  test("boilerplate report ≡ serial window recount") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    // serial recompute: 16-token windows, per-source distinct-doc ≥ 3
+    val wins = docs.flatMap { case (id, src, text) =>
+      val t = text.split(" ", -1)
+      t.grouped(16).filter(_.length == 16)
+        .map(w => (id, src, w.mkString(" "))).toSeq
+    }
+    val common = wins.groupBy(w => (w._2, w._3))
+      .filter(_._2.map(_._1).distinct.length >= 3).keySet
+    val exp = wins.groupBy(_._1).map { case (id, ws) =>
+      val boiler = ws.count(w => common((w._2, w._3)))
+      (id, ws.length.toLong, boiler.toLong,
+        boiler * 10 <= ws.length * 3)
+    }.toSet
+    val got = graft.ops.Dedup.boilerplateReport(spark, sf)
+      .select($"doc_id", $"n_windows", $"n_boiler", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
+  test("lsh tuning: monotone recall/cost, true pairs match the sweep") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Dedup.lshTuning(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bands"))
+    assert(rows.map(_.getAs[Long]("bands")).toSeq === Seq(2L, 4L, 8L))
+    // one fixed signature budget: more bands = fewer rows per band
+    assert(rows.map(r => r.getAs[Long]("bands") *
+      r.getAs[Long]("rows_per_band")).distinct.toSeq === Seq(16L))
+    // the same exact true-pair set evaluates every config
+    assert(rows.map(_.getAs[Long]("n_true_pairs")).distinct.length === 1)
+    // C15's sweep at t=0.8 counts the identical pair set
+    val sweep08 = graft.ops.Dedup.thresholdSweep(spark, sf)
+      .filter($"threshold" === 0.8).select($"n_pairs")
+      .as[Long].collect().head
+    assert(rows.head.getAs[Long]("n_true_pairs") === sweep08)
+    // permissiveness is monotone in bands: recall and bucket work rise
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    val work = rows.map(_.getAs[Long]("bucket_pair_work")).toSeq
+    assert(work.zip(work.tail).forall { case (a, b) => a <= b })
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // the closed-form thresholds bracket sensibly: more bands = looser
+    val at = rows.map(_.getAs[Double]("approx_threshold")).toSeq
+    assert(at.zip(at.tail).forall { case (a, b) => a > b })
+  }
 }

@@ -107,6 +107,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("stream-stream LEFT OUTER join: matches ≡ batch, nulls gated by watermark") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = EventStreams.streamOuterJoin(spark, sf)
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("us", expr("ts DIV 1000"))
+    val s = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id", $"us".as("signup_us"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us".as("purchase_us"), $"value")
+    val matched = s.join(p, Seq("user_id"))
+      .filter($"purchase_us" >= $"signup_us" &&
+        $"purchase_us" < $"signup_us" + 86400000000L)
+    // matched side is exactly the batch inner join
+    assert(got.filter(!$"unconverted")
+      .select($"signup_id", $"purchase_us").collect().map(_.toSeq).toSet ===
+      matched.select($"signup_id", $"purchase_us")
+        .collect().map(_.toSeq).toSet)
+    // final global watermark = min of both sides' max event time − 1 h
+    val wm = math.min(
+      s.agg(max($"signup_us")).as[Long].collect().head,
+      p.agg(max($"purchase_us")).as[Long].collect().head) - 3600000000L
+    val matchedIds = matched.select($"signup_id").distinct()
+      .as[Long].collect().toSet
+    val allSignups = s.select($"signup_id", $"signup_us")
+      .as[(Long, Long)].collect()
+    val expNull = allSignups.filter { case (id, us) =>
+      !matchedIds(id) && us + 86400000000L <= wm }.map(_._1).toSet
+    val gotNull = got.filter($"unconverted")
+      .select($"signup_id").as[Long].collect().toSet
+    assert(gotNull === expNull, "null rows = unmatched AND window closed")
+    // the withheld set is exactly the unmatched signups still inside
+    // the final watermark — the one-shot run must NOT invent them
+    val withheld = allSignups.filter { case (id, us) =>
+      !matchedIds(id) && us + 86400000000L > wm }.map(_._1).toSet
+    assert(withheld.intersect(gotNull).isEmpty)
+    assert(gotNull.nonEmpty, "cutoff must be exercised, not vacuous")
+  }
+
   test("streaming gopher gate equals the batch explode-form operator") {
     val streamed = graft.streaming.TextStreams.gopherFilter(spark, sf)
       .collect().toSeq
