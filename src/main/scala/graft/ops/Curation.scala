@@ -658,6 +658,59 @@ object Curation {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** H26 — training-export shard plan: the corpus in H7's
+    * deterministic shuffled order, cut into fixed-size shards, each
+    * with an H20-style order-independent content fingerprint — the
+    * manifest a tokenizer/training job consumes (shard boundaries
+    * must be a pure function of the corpus so a re-run, a resume, or
+    * a second consumer derives the identical files). [[writePackedShards]]
+    * materializes this plan as one parquet file per shard.
+    *
+    * Scale shape: the global shuffled rank comes from H7's bucketed
+    * offsets (per-bucket row_number + a broadcast 16-row offset
+    * frame — no single-partition window); the shard rollup is a
+    * shards-sized partial aggregation; the fingerprint sum wraps in
+    * Long exactly like H20 (the oracle wraps identically).
+    */
+  def exportShardPlan(spark: SparkSession, dir: String,
+                      docsPerShard: Int = 100): DataFrame = {
+    import spark.implicits._
+    globalShuffle(spark, dir)
+      .withColumn("shard_id", expr(s"(rank - 1) DIV $docsPerShard"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("m:"), $"doc_id".cast("string"))
+          .cast("binary")), 1, 12), 16, 10).cast("long"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"rank").as("first_rank"), max($"rank").as("last_rank"),
+        sum($"h").as("fingerprint"))
+      .orderBy($"shard_id")
+  }
+
+  /** The H26 sink: writes the corpus as `shard_id=N/` parquet
+    * directories, ONE file per shard (the repartition key is the
+    * shard id, so a shard's rows sit in exactly one task), rows
+    * carrying their shuffled rank so a reader can restore the order
+    * within a shard. Returns the plan it wrote (for the caller to
+    * persist as the manifest). At scale `docsPerShard` is the file-
+    * size lever, shard count the parallelism bound — the same
+    * knob-split as the A11 GeoParquet monthly sink.
+    */
+  def writePackedShards(spark: SparkSession, dir: String, outPath: String,
+                        docsPerShard: Int = 100): DataFrame = {
+    import spark.implicits._
+    val assigned = globalShuffle(spark, dir)
+      .withColumn("shard_id", expr(s"(rank - 1) DIV $docsPerShard"))
+      .select($"doc_id", $"rank", $"shard_id")
+      .join(Tables.load(spark, dir, "documents"), "doc_id")
+    assigned
+      .repartition($"shard_id")
+      .write.mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(outPath)
+    exportShardPlan(spark, dir, docsPerShard)
+  }
+
   /** H24 — per-source document cap by quality: each source keeps its
     * k best documents by the E2 quality score (ties by doc_id), the
     * per-domain cap that web-corpus recipes apply so one gigantic
@@ -707,6 +760,32 @@ object Curation {
       |  ELSE 'test' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "export_shard_plan" ->
+      // fingerprint wraps mod 2^64 into two's complement like H20
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT)
+        |      AS rank
+        |  FROM k),
+        |s AS (
+        |  SELECT doc_id, rank, (rank - 1) // 100 AS shard_id,
+        |    ('0x' || substring(md5('m:' || CAST(doc_id AS VARCHAR)),
+        |      1, 12))::BIGINT AS h
+        |  FROM r),
+        |g AS (
+        |  SELECT shard_id, count(*)::BIGINT AS n_docs,
+        |    min(rank) AS first_rank, max(rank) AS last_rank,
+        |    sum(h) % 18446744073709551616 AS m
+        |  FROM s GROUP BY shard_id)
+        |SELECT shard_id, n_docs, first_rank, last_rank,
+        |  CAST(CASE WHEN m >= 9223372036854775808
+        |    THEN m - 18446744073709551616 ELSE m END AS BIGINT)
+        |    AS fingerprint
+        |FROM g ORDER BY shard_id""".stripMargin,
     "source_quality_cap" ->
       """WITH t AS (
         |  SELECT doc_id, source, text, string_split(text, ' ') AS toks

@@ -498,6 +498,52 @@ object Dedup {
       .orderBy($"bands")
   }
 
+  /** C21 — MinHash estimator error report: for every exact near-dup
+    * pair (Jaccard ≥ t via [[prefixFilteredPairs]]), the SIGNATURE
+    * estimate (fraction of agreeing minhashes, here k/16 — exact
+    * sixteenths) next to the true Jaccard and the absolute error.
+    * This quantifies, on the real corpus, why C2 verifies candidates
+    * with exact Jaccard instead of trusting the estimator — a 16-hash
+    * estimate has σ ≈ √(s(1−s)/16) ≈ 0.1 at s = 0.8, far too coarse
+    * to threshold on — and it is the measurement behind C20's
+    * recall-vs-work trade-off.
+    *
+    * Same salted-md5 signatures as C20 (portable SQL, so the whole
+    * report is oracle-checked bit-for-bit; agreement is an integer
+    * count off an index-ordered zip, both divisions exact at 4dp).
+    * Scale: the signature pass is corpus-linear; everything after is
+    * true-pair-sized (tiny).
+    */
+  def minhashEstimator(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8,
+                       numHashes: Int = 16): DataFrame = {
+    import spark.implicits._
+    val tNum = math.round(threshold * 10000).toInt
+    val docs = withShingles(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"sh", size($"sh").as("sz"))
+    val sigs = docs.select($"doc_id",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform($"sh", s =>
+          conv(substring(md5(concat_ws(":", i.cast("string"), s)
+            .cast("binary")), 1, 12), 16, 10).cast("long"))))
+        .as("sig"))
+    prefixFilteredPairs(docs, tNum)
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .withColumn("agree", aggregate(
+        zip_with($"sig_a", $"sig_b", (a, b) => when(a === b, 1L)
+          .otherwise(0L)), lit(0L), (acc, x) => acc + x))
+      .select($"doc_a", $"doc_b",
+        (floor($"i".cast("double") / $"u" * 10000.0 + 0.5) / 10000.0)
+          .as("jaccard"),
+        (floor($"agree".cast("double") / numHashes * 10000.0 + 0.5)
+          / 10000.0).as("estimate"),
+        (floor(abs($"i".cast("double") / $"u" -
+          $"agree".cast("double") / numHashes) * 10000.0 + 0.5) / 10000.0)
+          .as("abs_err"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** H15 — near-duplicate benchmark decontamination (C2 × H4): corpus
     * documents that are near-copies (Jaccard ≥ t) of a held-out
     * benchmark document — the leak H4's exact 8-gram check misses
@@ -1155,6 +1201,35 @@ object Dedup {
         |    / 10000.0 AS recall
         |FROM bstat b LEFT JOIN rec r ON r.bands = b.bands
         |ORDER BY bands""".stripMargin),
+    "dedup_minhash_estimator" -> (shingleCte +
+      """, sig AS (
+        |  SELECT doc_id,
+        |    [list_min([('0x' || substring(md5(CAST(i AS VARCHAR)
+        |        || ':' || g), 1, 12))::BIGINT for g in s])
+        |      for i in range(0, 16)] AS sig
+        |  FROM sh),
+        |tp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.s, b.s))::BIGINT AS i,
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::BIGINT
+        |      AS u
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE least(len(a.s), len(b.s)) * 10000 >=
+        |      greatest(len(a.s), len(b.s)) * 8000
+        |    AND len(list_intersect(a.s, b.s)) * 10000 >=
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 8000),
+        |e AS (
+        |  SELECT tp.doc_a, tp.doc_b, tp.i, tp.u,
+        |    len([k for k in range(1, 17)
+        |      if sa.sig[k] = sb.sig[k]])::BIGINT AS agree
+        |  FROM tp JOIN sig sa ON sa.doc_id = tp.doc_a
+        |    JOIN sig sb ON sb.doc_id = tp.doc_b)
+        |SELECT doc_a, doc_b,
+        |  floor(i::DOUBLE / u * 10000.0 + 0.5) / 10000.0 AS jaccard,
+        |  floor(agree::DOUBLE / 16 * 10000.0 + 0.5) / 10000.0 AS estimate,
+        |  floor(abs(i::DOUBLE / u - agree::DOUBLE / 16) * 10000.0 + 0.5)
+        |    / 10000.0 AS abs_err
+        |FROM e ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_span_exact" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

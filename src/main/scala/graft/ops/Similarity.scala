@@ -1511,7 +1511,71 @@ object Similarity {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** D22 — embedding hygiene audit: the pre-indexing sanity report an
+    * ANN rollout runs before any of D1–D8 touches the collection. Per
+    * label: vector count, dimensionality min/max (≠ means a corrupt
+    * batch), zero-vector count (cosine against them is undefined —
+    * they break D2/D8 unless clamped, see the SQ8 scale clamp), and
+    * the L2-norm distribution (mean/std/min/max) — a wild norm spread
+    * means the embedder mixed checkpoints or the collection mixes
+    * normalized and raw vectors, which silently corrupts dot-product
+    * retrieval.
+    *
+    * Exactness shape: each vector's norm is an index-ordered fold
+    * (bit-identical to the oracle's list fold), then SCALED TO 1e4
+    * INTEGER CENTS before any cross-row aggregation — integer sums
+    * are associative, so partitioning cannot move the mean/std the
+    * way a float `avg` can; the final mean/std derive from the two
+    * exact integer sums (Σs, Σs² both < 2⁵³, exact in doubles) with
+    * one 4dp rounding at the edge. One corpus pass, label-keyed
+    * partial aggregation — nothing corpus-sized shuffles.
+    */
+  def embeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("d", size($"embedding").cast("long"))
+      .withColumn("norm", sqrt(aggregate($"embedding", lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("s", floor($"norm" * 10000.0 + 0.5).cast("long"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"d").as("dim_min"), max($"d").as("dim_max"),
+        sum(when($"s" === 0L, 1L).otherwise(0L)).as("n_zero_vecs"),
+        sum($"s").as("ss"), sum($"s" * $"s").as("ss2"),
+        min($"s").as("smin"), max($"s").as("smax"))
+      .select($"label", $"n_vecs", $"dim_min", $"dim_max", $"n_zero_vecs",
+        (floor($"ss".cast("double") / $"n_vecs" + 0.5) / 10000.0)
+          .as("mean_norm"),
+        (floor(sqrt(($"ss2".cast("double") -
+          $"ss".cast("double") * $"ss" / $"n_vecs") / $"n_vecs") + 0.5)
+          / 10000.0).as("std_norm"),
+        ($"smin".cast("double") / 10000.0).as("min_norm"),
+        ($"smax".cast("double") / 10000.0).as("max_norm"))
+      .orderBy($"label")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "embedding_norm_audit" ->
+      """WITH n AS (
+        |  SELECT label, len(embedding)::BIGINT AS d,
+        |    floor(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      for x in embedding])) * 10000.0 + 0.5)::BIGINT AS s
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT label, count(*)::BIGINT AS n_vecs,
+        |    min(d) AS dim_min, max(d) AS dim_max,
+        |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_vecs,
+        |    CAST(sum(s) AS BIGINT) AS ss, CAST(sum(s * s) AS BIGINT) AS ss2,
+        |    min(s) AS smin, max(s) AS smax
+        |  FROM n GROUP BY label)
+        |SELECT label, n_vecs, dim_min, dim_max, n_zero_vecs,
+        |  floor(ss::DOUBLE / n_vecs + 0.5) / 10000.0 AS mean_norm,
+        |  floor(sqrt((ss2::DOUBLE - ss::DOUBLE * ss / n_vecs) / n_vecs)
+        |    + 0.5) / 10000.0 AS std_norm,
+        |  smin::DOUBLE / 10000.0 AS min_norm,
+        |  smax::DOUBLE / 10000.0 AS max_norm
+        |FROM g ORDER BY label""".stripMargin,
     "knn_lsh" -> lshOracleSingle,
     "diversity_sample" -> (lshGraphCte +
       """

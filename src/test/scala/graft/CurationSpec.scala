@@ -453,6 +453,37 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("packed-shard sink: one file per shard, plan-exact, order restorable") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    val plan = Curation.writePackedShards(spark, sf, out, docsPerShard = 100)
+      .collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(plan.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    // shard dirs on disk match the plan, one parquet file each
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(dirs.length === plan.length)
+    dirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"${d.getName}: one file per shard")
+    }
+    // readback: full corpus, shard-local ranks contiguous per the plan
+    val back = spark.read.parquet(out)
+    assert(back.count() === nDocs)
+    val byShard = back.select($"shard_id", $"rank")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    plan.foreach { p =>
+      val sid = p.getAs[Long]("shard_id")
+      val ranks = byShard(sid).map(_._2).sorted
+      assert(ranks.head === p.getAs[Long]("first_rank"))
+      assert(ranks.last === p.getAs[Long]("last_rank"))
+      assert(ranks.length === p.getAs[Long]("n_docs"))
+      assert(ranks.toSeq === (ranks.head to ranks.last).toSeq,
+        s"shard $sid ranks contiguous")
+    }
+  }
+
   test("dataset card: shares sum to 1, totals conserve the corpus") {
     val card = Curation.datasetCard(spark, sf).collect()
     val docs = graft.Tables.load(spark, sf, "documents")

@@ -601,6 +601,71 @@ class DedupSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("minhash estimator report ≡ serial signature replay") {
+    import java.security.MessageDigest
+    import org.apache.spark.sql.functions._
+    def h48(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val t = text.split(" ", -1)
+        val sh = (1 to math.max(t.length - 2, 1))
+          .map(i => t.slice(i - 1, i + 2).mkString(" ")).distinct
+        (id, sh)
+      }.filter(_._2.nonEmpty).toMap
+    // serial sigs for the pairs the operator emitted
+    val got = graft.ops.Dedup.minhashEstimator(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      def sig(id: Long): Seq[Long] = (0 until 16).map(i =>
+        docs(id).map(s => h48(s"$i:$s")).min)
+      val agree = sig(a).zip(sig(b)).count { case (x, y) => x == y }
+      val est = math.floor(agree.toDouble / 16 * 10000.0 + 0.5) / 10000.0
+      assert(r.getAs[Double]("estimate") === est, s"pair ($a,$b)")
+      val sa = docs(a).toSet; val sb = docs(b).toSet
+      val i = sa.intersect(sb).size.toDouble
+      val u = sa.union(sb).size.toDouble
+      assert(r.getAs[Double]("jaccard") ===
+        math.floor(i / u * 10000.0 + 0.5) / 10000.0)
+    }
+  }
+
+  test("embedding norm audit ≡ serial recompute") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+    val exp = vecs.groupBy(_._1).map { case (label, vs) =>
+      val scaled = vs.map { case (_, e) =>
+        val norm = math.sqrt(e.foldLeft(0.0)((acc, x) =>
+          acc + x.toDouble * x.toDouble))
+        math.floor(norm * 10000.0 + 0.5).toLong
+      }
+      val n = scaled.length.toLong
+      val ss = scaled.sum
+      val ss2 = scaled.map(s => s * s).sum
+      (label, n, scaled.count(_ == 0L).toLong,
+        math.floor(ss.toDouble / n + 0.5) / 10000.0,
+        math.floor(math.sqrt(
+          (ss2.toDouble - ss.toDouble * ss / n) / n) + 0.5) / 10000.0,
+        scaled.min.toDouble / 10000.0, scaled.max.toDouble / 10000.0)
+    }.toSet
+    val got = graft.ops.Similarity.embeddingNormAudit(spark, sf)
+      .select($"label", $"n_vecs", $"n_zero_vecs", $"mean_norm",
+        $"std_norm", $"min_norm", $"max_norm")
+      .as[(Int, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(got === exp)
+    // dims are consistent on this corpus
+    val dims = graft.ops.Similarity.embeddingNormAudit(spark, sf)
+      .select($"dim_min", $"dim_max").as[(Long, Long)].collect()
+    assert(dims.forall { case (a, b) => a === 64L && b === 64L })
+  }
+
   test("lsh tuning: monotone recall/cost, true pairs match the sweep") {
     import org.apache.spark.sql.functions._
     val rows = graft.ops.Dedup.lshTuning(spark, sf).collect()
