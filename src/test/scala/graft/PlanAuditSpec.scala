@@ -103,4 +103,62 @@ class PlanAuditSpec extends SparkSpecBase {
     // the 5-row moment frames meet via broadcast
     assert(plan.contains("Broadcast"), plan)
   }
+
+  // NOTE on AQE plan strings: the Final Plan section elides subtrees
+  // that live inside already-materialized query stages, so a join can
+  // be ABSENT from the final section while very much executed. Structural
+  // assertions (join presence, join keys, exchange census) therefore
+  // run against the Initial Plan section (always the full tree; join
+  // KEYS never change between sections) — only AQE-rewrite assertions
+  // (e.g. "did it end up broadcast") belong on the final section.
+  private def initialSection(whole: String): String = {
+    val cut = whole.indexOf("== Initial Plan ==")
+    if (cut >= 0) whole.substring(cut) else whole
+  }
+
+  test("events_asof_nearest: both directions off one sort, no join at all") {
+    val plan = initialSection(executedPlan("events_asof_nearest"))
+    // the whole operator is union + window frames — an inequality
+    // join (the naive formulation) would appear as a Join node
+    val joinPat = ("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct)").r
+    assert(!joinPat.findAllIn(plan).hasNext, s"joins found:\n$plan")
+    // exactly one data shuffle: the __key hash partitioning (plus the
+    // presentation range sort)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 1, s"expected one hash exchange ($hashEx):\n$plan")
+  }
+
+  test("dedup_boilerplate: corpus-keyed join on (source, whash), no hint") {
+    val plan = initialSection(executedPlan("dedup_boilerplate"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the common-window frame is corpus-derived: the join must carry
+    // the (source, whash) equi-key (AQE may still pick broadcast at
+    // test scale — the operator just must not HINT it)
+    val equiJoinKeys =
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\S* \[([^\]]*)\]""".r
+    val joins = equiJoinKeys.findAllMatchIn(plan).map(_.group(2)).toSeq
+    assert(joins.exists(k => k.contains("whash#") && k.contains("source#")),
+      s"(source, whash) equi-join missing: $joins")
+  }
+
+  test("dedup_lsh_tuning: no cartesian, banded frame never self-joins") {
+    val plan = initialSection(executedPlan("dedup_lsh_tuning"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // per-config bucket histograms are count partial-aggregations —
+    // a config must never materialize candidate PAIRS (no self-join
+    // of the banded frame with itself on band_sig)
+    val equiJoinKeys =
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\S* \[([^\]]*)\]""".r
+    val joins = equiJoinKeys.findAllMatchIn(plan).map(_.group(2)).toSeq
+    assert(!joins.exists(_.contains("band_sig#")),
+      s"banded frame must aggregate, not self-join: $joins")
+  }
+
+  test("source_quality_cap: heap aggregation is two-phase (partial + final)") {
+    val plan = executedPlan("source_quality_cap")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
