@@ -48,13 +48,15 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** E2 — quality score: length saturation, punctuation ratio,
-    * stopword ratio, token uniqueness — equal-weighted blend.
+  /** Appends E2's component columns (len_score/punct_ratio/stop_ratio/
+    * uniq_ratio, unrounded) + the rounded `quality` blend to any frame
+    * with a `text` column. Pure scan-side projections — shared by the
+    * batch operator, H24's cap, and the G23 streaming cap (streaming-
+    * safe by construction: no shuffle, no window).
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .withColumn("toks", split($"text", " "))
+  private[graft] def withQualityScore(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("toks", split($"text", " "))
       .filter(size($"toks") > 0)
       .withColumn("len_score",
         least(length($"text").cast("double") / 500.0, lit(1.0)))
@@ -70,6 +72,14 @@ object TextAnalysis {
       .withColumn("quality", roundP(
         ($"len_score" + (lit(1.0) - $"punct_ratio") +
           (lit(1.0) - $"stop_ratio") + $"uniq_ratio") / 4.0))
+  }
+
+  /** E2 — quality score: length saturation, punctuation ratio,
+    * stopword ratio, token uniqueness — equal-weighted blend.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withQualityScore(Tables.load(spark, dir, "documents"))
       .select($"doc_id", roundP($"len_score").as("len_score"),
         roundP($"punct_ratio").as("punct_ratio"),
         roundP($"stop_ratio").as("stop_ratio"),
@@ -1285,6 +1295,39 @@ object TextAnalysis {
       .withColumn("compression",
         floor($"n_bpe_tokens" * 1000000.0 / $"n_ws_tokens" + 0.5) / 1000000.0)
       .orderBy($"doc_id")
+  }
+
+  /** E42 — tokenizer fertility report: per language, BPE tokens per
+    * whitespace word (fertility) and characters per BPE token — THE
+    * multilingual tokenizer-equity numbers (a language with 2× the
+    * fertility pays 2× the sequence length for the same text, i.e.
+    * half the effective context and twice the compute; the metric
+    * motivating α-temperature mixing, H10). Rolls up E21's per-doc
+    * encoding, so the driver check is rows-only like E21 (the merge
+    * table is iterative) — the spec ties totals to E21 exactly.
+    *
+    * Scale shape: inherits E21's once-per-distinct-word encoding (the
+    * vocab-sized UDF is the only non-relational step); the rollup is
+    * a langs-sized partial aggregation over the per-doc frame.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+                         steps: Int = 6): DataFrame = {
+    import spark.implicits._
+    val meta = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", length($"text").cast("long").as("nc"))
+    bpeEncode(spark, dir, steps)
+      .join(meta, "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_ws_tokens").as("n_words"),
+        sum($"n_bpe_tokens").as("n_bpe_tokens"),
+        sum($"nc").as("n_chars"))
+      .select($"lang", $"n_docs", $"n_words", $"n_bpe_tokens",
+        (floor($"n_bpe_tokens" * 1000000.0 / $"n_words" + 0.5) / 1000000.0)
+          .as("fertility"),
+        (floor($"n_chars" * 1000000.0 / $"n_bpe_tokens" + 0.5) / 1000000.0)
+          .as("chars_per_token"))
+      .orderBy($"lang")
   }
 
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -141,6 +141,73 @@ object TextStreams {
   final case class SampleRow(lang: String, source: String, rnk: Long,
                              doc_id: Long, h: Long, upd: Long)
 
+  final case class CapRow(source: String, rnk: Long, doc_id: Long,
+                          quality: Double, n_source_docs: Long, upd: Long)
+
+  /** G23 — streaming twin of the H24 per-source quality cap: each
+    * source's k best-by-quality documents maintained as
+    * `flatMapGroupsWithState` — state per source is the k-bounded
+    * (quality desc, doc_id) heap PLUS a seen-doc counter, fixed width
+    * on an unbounded stream. The quality score is E2's scan-side
+    * projection ([[TextAnalysis.withQualityScore]] — no shuffle, so
+    * it streams unchanged), and because membership is a pure function
+    * of the (rounded-quality, doc_id) ORDER, the drained one-shot
+    * stream equals batch H24 — the same oracle checks both. Update
+    * sequencing follows G20: the Update-mode memory sink appends every
+    * trigger's emission, so the reader argmaxes to the latest.
+    */
+  def qualityCap(spark: SparkSession, dir: String,
+                 k: Int = 15,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    var reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    val docs = TextAnalysis.withQualityScore(reader
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(dir))
+      .select($"source".as[String], $"doc_id".as[Long],
+        $"quality".as[Double])
+    val updated = docs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[(Long, Long, Seq[(Double, Long)])]) =>
+          val (upd, seen, heap) = state.getOption.getOrElse(
+            (0L, 0L, Seq.empty[(Double, Long)]))
+          val batch = rows.toSeq
+          val merged = (heap ++ batch.map(r => (r._3, r._2)))
+            .sortBy { case (q, id) => (-q, id) }.take(k)
+          val total = seen + batch.length
+          state.update((upd + 1, total, merged))
+          merged.zipWithIndex.iterator.map { case ((q, id), i) =>
+            CapRow(source, (i + 1).toLong, id, q, total, upd + 1)
+          }
+      }
+    val name =
+      s"graft_stream_qcap_${EventStreams.counter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      EventStreams.streamStatePartitions)
+    try {
+      val q = updated.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+      .groupBy($"source", $"rnk")
+      .agg(max(struct($"upd", $"doc_id", $"quality", $"n_source_docs"))
+        .as("s"))
+      .select($"source", $"rnk", $"s.doc_id".as("doc_id"),
+        $"s.quality".as("quality"),
+        $"s.n_source_docs".as("n_source_docs"))
+      .orderBy($"source", $"rnk")
+  }
+
   /** G20 — streaming twin of the H18 consistent sampler: each
     * (lang, source) stratum's bottom-k-by-keyed-md5 sample maintained
     * as `flatMapGroupsWithState` — state is a k-bounded (priority, id)
@@ -234,6 +301,8 @@ object TextStreams {
       graft.ops.Curation.oracles("corpus_manifest"),
     "stream_consistent_sample" ->
       graft.ops.Curation.oracles("sample_consistent"),
+    "stream_quality_cap" ->
+      graft.ops.Curation.oracles("source_quality_cap"),
     "stream_bm25" -> TextAnalysis.oracles("text_bm25"),
     "stream_gopher_filter" -> TextAnalysis.oracles("text_gopher_rules"),
     "stream_importance" -> graft.ops.Curation.oracles("importance_weights"),

@@ -112,6 +112,29 @@ class SketchSpec extends SparkSpecBase {
     got.foreach { case (_, nWs, nBpe, _) => assert(nBpe >= nWs) }
   }
 
+  test("tokenizer fertility ≡ per-lang rollup of the encode frame") {
+    import spark.implicits._
+    val encFull = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .collect()
+    val exp = meta.filter(m => encFull.contains(m._1))
+      .groupBy(_._2).map { case (lang, docs) =>
+        val words = docs.map(d => encFull(d._1)._1).sum
+        val bpe = docs.map(d => encFull(d._1)._2).sum
+        val chars = docs.map(_._3.length.toLong).sum
+        (lang, docs.length.toLong, words, bpe,
+          math.floor(bpe * 1000000.0 / words + 0.5) / 1000000.0,
+          math.floor(chars * 1000000.0 / bpe + 0.5) / 1000000.0)
+      }.toSet
+    val got = TextAnalysis.tokenizerFertility(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got === exp)
+    // fertility ≥ 1 everywhere: a word never encodes below one token
+    assert(got.forall(_._5 >= 1.0))
+  }
+
   test("bpe first merge equals the bpe_pair_stats top pair") {
     val firstMerge = TextAnalysis.bpeMerges(spark, sf, steps = 1).head()
     val topPair = TextAnalysis.bpePairStats(spark, sf).head()

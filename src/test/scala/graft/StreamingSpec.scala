@@ -262,6 +262,16 @@ class StreamingSpec extends SparkSpecBase {
     assert(multiSample.nonEmpty)
     assert(multiSample.map(_.toString).toSeq ===
       batchSample.map(_.toString).toSeq)
+    // the quality-cap heap is order-independent the same way: three
+    // arbitrary-split micro-batches must land exactly on batch H24
+    val multiCap = graft.streaming.TextStreams.qualityCap(spark,
+      tmp, maxFilesPerTrigger = Some(1)).collect()
+    val batchCap = graft.ops.Curation.sourceQualityCap(spark, sf)
+      .select($"source", $"rnk", $"doc_id", $"quality", $"n_source_docs")
+      .collect()
+    assert(multiCap.nonEmpty)
+    assert(multiCap.map(_.toString).toSeq ===
+      batchCap.map(_.toString).toSeq)
   }
 
   test("watermark drops late data from an append-mode windowed aggregate") {
