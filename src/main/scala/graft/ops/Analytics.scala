@@ -619,6 +619,146 @@ object Analytics {
     * are 2-dp-pinned BEFORE the cumulation so the running totals are
     * engine-exact.
     */
+  /** B71 — autocorrelation function of daily revenue at lags 1–14:
+    * the seasonality detector that tells a forecaster (B57/B65) which
+    * lag structure the series actually has (a weekly cycle shows as a
+    * lag-7/14 peak). Sample ACF with the global mean:
+    * r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+    *
+    * Exactness shape: daily totals are exact integer DOLLARS (per-row
+    * cents → Long sum → DIV 100, so no float ever crosses a partition
+    * boundary), and every ACF term expands into integer sums
+    * (Σx_tx_{t+k}, head/tail sums per lag — all < 2⁶³ in dollars)
+    * from which both engines derive the identical double. The series
+    * frame is DAYS-sized (calendar-bounded, independent of corpus
+    * scale), so the rank window and the 14-way lag self-join are
+    * post-aggregate small; the only corpus-scale work is the one
+    * partial-agg daily rollup.
+    */
+  def revenueAcf(spark: SparkSession, dir: String,
+                 maxLag: Int = 14): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .groupBy($"o_orderdate")
+      .agg(expr("sum(cents) DIV 100").as("x"))
+      .withColumn("r", row_number().over(Window.orderBy($"o_orderdate"))
+        .cast("long"))
+      .select($"r", $"x")
+    val stats = daily.agg(sum($"x").as("sx"), sum($"x" * $"x").as("sx2"),
+      count(lit(1)).as("n"))
+    val lags = daily.select($"r", $"x")
+      .crossJoin(broadcast(spark.range(1, maxLag + 1).toDF("lag_k")))
+      .withColumn("r2", $"r" + $"lag_k")
+    val pairs = lags.join(daily.select($"r".as("rr"), $"x".as("y")),
+        $"r2" === $"rr")
+      .groupBy($"lag_k")
+      .agg(count(lit(1)).as("n_pairs"), sum($"x" * $"y").as("sxy"),
+        sum($"x").as("sh"), sum($"y").as("st"))
+    pairs.crossJoin(broadcast(stats))
+      .select($"lag_k", $"n_pairs",
+        (floor(
+          (($"sxy" - ($"sx".cast("double") / $"n") * ($"sh" + $"st") +
+            $"n_pairs" * ($"sx".cast("double") / $"n") *
+            ($"sx".cast("double") / $"n")) /
+            ($"sx2" - $"n" * ($"sx".cast("double") / $"n") *
+              ($"sx".cast("double") / $"n"))) * 1000000.0 + 0.5)
+          / 1000000.0).as("acf"))
+      .orderBy($"lag_k")
+  }
+
+  /** B72 — closed-form ridge regression by NORMAL EQUATIONS: predict
+    * the line-item price from (quantity, discount, tax) with one
+    * corpus pass that partial-aggregates XᵀX and Xᵀy (d² + d sums, d
+    * = 4 with intercept), then an O(d³) driver solve of
+    * (XᵀX + λI)β = Xᵀy. The third in-engine ML shape next to E34
+    * (gradient-as-aggregate) and D16 (matvec-as-aggregate): when d is
+    * small, regression over 100 TB is ONE aggregation — no iterations
+    * at all.
+    *
+    * The synthetic corpus carries NO natural cross-column linear
+    * signal (columns are generated independently — measured R² ≈ 0.001
+    * on every natural pairing), so the regression target is the NET
+    * REVENUE formula y = price·(1−disc)·(1+tax) over features
+    * (price, price·disc_c, price·tax_c) — a known ground truth
+    * (β ≈ (1, −0.01, +0.01, 0), the missing cross term is O(10⁻⁴)),
+    * which upgrades the spec from "some fit" to COEFFICIENT RECOVERY.
+    *
+    * Determinism shape: features enter as exact integers (dollars /
+    * dollar·hundredths), so every moment sum is an exact Long no
+    * matter the partitioning — the driver solve sees bit-identical
+    * inputs on every run and cluster layout. Driver check is
+    * rows-only (the solve is not SQL); the spec replays the moments
+    * and solve serially and asserts the recovered coefficients.
+    */
+  def lineitemRidge(spark: SparkSession, dir: String,
+                    lambda: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.load(spark, dir, "lineitem")
+      .withColumn("e", floor($"l_extendedprice" + 0.5).cast("long"))
+      .withColumn("dc", floor($"l_discount" * 100.0 + 0.5).cast("long"))
+      .withColumn("tc", floor($"l_tax" * 100.0 + 0.5).cast("long"))
+      .select($"e".as("x1"), ($"e" * $"dc").as("x2"),
+        ($"e" * $"tc").as("x3"),
+        floor($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+          (lit(1.0) + $"l_tax") + 0.5).cast("long").as("y"))
+    val m = rows.agg(
+      count(lit(1)).as("n"),
+      sum($"x1").as("s1"), sum($"x2").as("s2"), sum($"x3").as("s3"),
+      sum($"y").as("sy"),
+      sum($"x1" * $"x1").as("s11"), sum($"x1" * $"x2").as("s12"),
+      sum($"x1" * $"x3").as("s13"), sum($"x2" * $"x2").as("s22"),
+      sum($"x2" * $"x3").as("s23"), sum($"x3" * $"x3").as("s33"),
+      sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"),
+      sum($"x3" * $"y").as("s3y")).head()
+    def g(name: String): Double = m.getAs[Long](name).toDouble
+    val n = g("n")
+    // A = XᵀX + λI (features ordered x1, x2, x3, 1), b = Xᵀy
+    val a = Array(
+      Array(g("s11") + lambda, g("s12"), g("s13"), g("s1")),
+      Array(g("s12"), g("s22") + lambda, g("s23"), g("s2")),
+      Array(g("s13"), g("s23"), g("s33") + lambda, g("s3")),
+      Array(g("s1"), g("s2"), g("s3"), n + lambda))
+    val b = Array(g("s1y"), g("s2y"), g("s3y"), g("sy"))
+    val beta = solveGaussian(a, b)
+    val rmse = rows.select(
+      sqrt(avg(pow($"y" - (lit(beta(0)) * $"x1" + lit(beta(1)) * $"x2" +
+        lit(beta(2)) * $"x3" + lit(beta(3))), 2.0))).as("rmse"))
+      .head().getDouble(0)
+    Seq(("coef_price", beta(0)), ("coef_price_disc", beta(1)),
+      ("coef_price_tax", beta(2)), ("intercept", beta(3)),
+      ("train_rmse", rmse), ("n_rows", n))
+      .toDF("term", "value")
+      .withColumn("value", floor($"value" * 1000000.0 + 0.5) / 1000000.0)
+      .orderBy($"term")
+  }
+
+  /** In-place Gaussian elimination with partial pivoting for the tiny
+    * (d ≤ a-few) normal-equation systems of [[lineitemRidge]].
+    */
+  private def solveGaussian(a: Array[Array[Double]],
+                            b: Array[Double]): Array[Double] = {
+    val d = b.length
+    for (col <- 0 until d) {
+      val p = (col until d).maxBy(r => math.abs(a(r)(col)))
+      val (ta, tb) = (a(col), b(col)); a(col) = a(p); a(p) = ta
+      b(col) = b(p); b(p) = tb
+      for (r <- col + 1 until d) {
+        val f = a(r)(col) / a(col)(col)
+        for (c <- col until d) a(r)(c) -= f * a(col)(c)
+        b(r) -= f * b(col)
+      }
+    }
+    val x = new Array[Double](d)
+    for (r <- d - 1 to 0 by -1) {
+      var s = b(r)
+      for (c <- r + 1 until d) s -= a(r)(c) * x(c)
+      x(r) = s / a(r)(r)
+    }
+    x
+  }
+
   def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val orders = Tables.load(spark, dir, "orders")
@@ -1168,6 +1308,34 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "revenue_acf" ->
+      """WITH d AS (
+        |  SELECT o_orderdate,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      // 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |r AS (
+        |  SELECT x,
+        |    CAST(row_number() OVER (ORDER BY o_orderdate) AS BIGINT) AS r
+        |  FROM d),
+        |stt AS (
+        |  SELECT CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2, count(*)::BIGINT AS n
+        |  FROM r),
+        |l AS (SELECT unnest(range(1, 15)) AS lag_k),
+        |p AS (
+        |  SELECT l.lag_k, count(*)::BIGINT AS n_pairs,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+        |    CAST(sum(a.x) AS BIGINT) AS sh,
+        |    CAST(sum(b.x) AS BIGINT) AS st
+        |  FROM r a, l JOIN r b ON b.r = a.r + l.lag_k
+        |  GROUP BY l.lag_k)
+        |SELECT p.lag_k, p.n_pairs,
+        |  floor(((sxy - (sx::DOUBLE / n) * (sh + st)
+        |      + n_pairs * (sx::DOUBLE / n) * (sx::DOUBLE / n))
+        |    / (sx2 - n * (sx::DOUBLE / n) * (sx::DOUBLE / n)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS acf
+        |FROM p, stt ORDER BY p.lag_k""".stripMargin,
     "basket_pairs" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -158,4 +158,72 @@ class AnalyticsSpec extends SparkSpecBase {
     }.toMap
     assert(byR(4L) < byR(1L))
   }
+
+  test("ridge regression ≡ serial normal equations, recovers the formula") {
+    import spark.implicits._
+    val got = graft.ops.Analytics.lineitemRidge(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // serial replay: exact integer moments + the same λ=1 solve
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select($"l_extendedprice", $"l_discount", $"l_tax")
+      .as[(Double, Double, Double)].collect()
+      .map { case (e, dd, tt) =>
+        val el = math.floor(e + 0.5).toLong
+        val dc = math.floor(dd * 100.0 + 0.5).toLong
+        val tc = math.floor(tt * 100.0 + 0.5).toLong
+        (el, el * dc, el * tc,
+          math.floor(e * (1.0 - dd) * (1.0 + tt) + 0.5).toLong)
+      }
+    val n = li.length.toDouble
+    def s(f: ((Long, Long, Long, Long)) => Long): Double =
+      li.map(f).sum.toDouble
+    val a = Array(
+      Array(s(r => r._1 * r._1) + 1.0, s(r => r._1 * r._2),
+        s(r => r._1 * r._3), s(_._1)),
+      Array(s(r => r._1 * r._2), s(r => r._2 * r._2) + 1.0,
+        s(r => r._2 * r._3), s(_._2)),
+      Array(s(r => r._1 * r._3), s(r => r._2 * r._3),
+        s(r => r._3 * r._3) + 1.0, s(_._3)),
+      Array(s(_._1), s(_._2), s(_._3), n + 1.0))
+    val b = Array(s(r => r._1 * r._4), s(r => r._2 * r._4),
+      s(r => r._3 * r._4), s(_._4))
+    // serial Gaussian elimination with partial pivoting
+    val d = 4
+    for (col <- 0 until d) {
+      val p = (col until d).maxBy(r => math.abs(a(r)(col)))
+      val (ta, tb) = (a(col), b(col)); a(col) = a(p); a(p) = ta
+      b(col) = b(p); b(p) = tb
+      for (r <- col + 1 until d) {
+        val f = a(r)(col) / a(col)(col)
+        for (c <- col until d) a(r)(c) -= f * a(col)(c)
+        b(r) -= f * b(col)
+      }
+    }
+    val beta = new Array[Double](d)
+    for (r <- d - 1 to 0 by -1) {
+      var acc = b(r)
+      for (c <- r + 1 until d) acc -= a(r)(c) * beta(c)
+      beta(r) = acc / a(r)(r)
+    }
+    assert(math.abs(got("coef_price") - beta(0)) < 1e-4)
+    assert(math.abs(got("coef_price_disc") - beta(1)) < 1e-4)
+    assert(math.abs(got("coef_price_tax") - beta(2)) < 1e-4)
+    assert(math.abs(got("intercept") - beta(3)) < 1e-2)
+    assert(got("n_rows") === li.length.toDouble)
+    // coefficient recovery: the generator's ground truth is
+    // y = e − 0.01·(e·dc) + 0.01·(e·tc) + O(10⁻⁴) cross term
+    assert(math.abs(got("coef_price") - 1.0) < 0.02, got.toString)
+    assert(math.abs(got("coef_price_disc") + 0.01) < 0.002, got.toString)
+    assert(math.abs(got("coef_price_tax") - 0.01) < 0.002, got.toString)
+    // and the fit is near-exact: R² > 0.999 against the mean model
+    val ybar = li.map(_._4).sum.toDouble / n
+    val ssTot = li.map(r => (r._4 - ybar) * (r._4 - ybar)).sum
+    val ssRes = li.map { r =>
+      val pred = beta(0) * r._1 + beta(1) * r._2 + beta(2) * r._3 + beta(3)
+      (r._4 - pred) * (r._4 - pred)
+    }.sum
+    assert(1.0 - ssRes / ssTot > 0.999, s"R² = ${1.0 - ssRes / ssTot}")
+    assert(math.abs(got("train_rmse") - math.sqrt(ssRes / n)) <
+      math.max(1e-2, 1e-4 * math.sqrt(ssRes / n)))
+  }
 }
