@@ -143,6 +143,53 @@ object Similarity {
       .withColumn("cos", cosine($"qv", $"v")), k)
   }
 
+  /** D23 — IVF nprobe tuning sweep: recall@k vs probed-cell count for
+    * nprobe ∈ {1, 2, 4, 8 = all} against the in-engine exact top-k —
+    * the C20-equivalent for the ANN side (every IVF deployment sets
+    * exactly this knob: more probes = more of the corpus scanned per
+    * query = higher recall; this measures the curve on the real
+    * collection instead of guessing). At nprobe = cells the candidate
+    * set IS the corpus, so recall must be exactly 1.0 — a built-in
+    * self-check the spec pins.
+    *
+    * Scale shape: the index trains ONCE (sampled driver-side Lloyd,
+    * D2a's determinism stance) and the corpus is assigned ONCE; each
+    * probe setting re-joins only the queries×probes frame against the
+    * cell-partitioned corpus (the D2a query path), and the recall
+    * join is queries×k-sized. Driver check is rows-only (k-means
+    * training is not SQL); the sweep's monotonicity and the
+    * recall-1.0 anchor are the spec.
+    */
+  def ivfNprobeSweep(spark: SparkSession, dir: String,
+                     k: Int = 5, numQueries: Int = 10,
+                     cells: Int = 8): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir).cache()
+    val centroids =
+      lloydTrain(sampleTrainingSet(vecs, 2048), cells, iters = 1)
+    val assigned = assignCells(vecs, centroids).cache()
+    val queries = assigned.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val exact = topK(vecs.join(broadcast(queries),
+        $"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"qv", $"v")), k)
+      .select($"query_id", $"neighbor_id")
+      .cache()
+    Seq(1, 2, 4, cells).distinct.map { nprobe =>
+      val probes = probeCells(queries, centroids, nprobe)
+      val got = topK(assigned.join(broadcast(probes),
+          $"cell" === $"probe_cell" && $"vec_id" =!= $"query_id")
+        .withColumn("cos", cosine($"qv", $"v")), k)
+        .select($"query_id", $"neighbor_id")
+      got.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_total")))
+        .select(lit(nprobe.toLong).as("nprobe"), $"n_hits", $"n_total",
+          (floor($"n_hits".cast("double") / $"n_total" * 1000000.0 + 0.5)
+            / 1000000.0).as("recall"))
+    }.reduce(_ unionByName _).orderBy($"nprobe")
+  }
+
   /** Nearest-centroid assignment (centroids broadcast as literals).
     * Argmin via array_sort — linear expression size, unlike a
     * reduce(when) chain whose tree grows 3^cells (see [[knnPq]]).

@@ -143,6 +143,23 @@ class SketchSpec extends SparkSpecBase {
     assert(firstMerge.getLong(3) === topPair.getLong(2))
   }
 
+  test("IVF nprobe sweep: recall monotone, exact at full probe") {
+    val rows = graft.ops.Similarity.ivfNprobeSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 4L, 8L))
+    // every config is scored against the same exact top-k set
+    assert(rows.map(_.getAs[Long]("n_total")).distinct.length === 1)
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: $recalls")
+    // probing every cell scans the whole corpus: recall is exactly 1
+    assert(recalls.last === 1.0, recalls.toString)
+    // and the curve is informative: partial probing loses something
+    assert(recalls.head < 1.0,
+      "nprobe=1 should miss at least one neighbor on this corpus")
+  }
+
   test("IVF cell stats: counts partition the corpus, shares sum to 1") {
     val rows = graft.ops.Similarity.ivfCellStats(spark, sf).collect()
     val n = Tables.load(spark, sf, "embeddings").count()
