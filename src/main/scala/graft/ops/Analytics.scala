@@ -668,6 +668,50 @@ object Analytics {
       .orderBy($"lag_k")
   }
 
+  /** B73 — CUSUM changepoint detection on daily revenue: the
+    * level-shift monitor (did the series' mean move, and when?) that
+    * complements B52's pointwise z-score — a slow drift never trips a
+    * per-day outlier test but accumulates in the CUSUM. Per day:
+    * C_t = Σ_{i≤t}(x_i − x̄) and its standardized magnitude; the
+    * argmax |C_t| is the classic single-changepoint estimate, flagged
+    * on its row. σ is the global daily std (same exact-integer moment
+    * machinery as B71/D22: Σx, Σx² Long-exact, every double derived
+    * identically on both engines).
+    *
+    * Scale shape: corpus work is ONE partial-agg daily rollup; the
+    * prefix sum runs over the calendar-bounded days frame (B10/B43
+    * stance), and the flag is an argmax AGGREGATE (max over a
+    * (|C|, -rank) struct) joined back — days-sized, no second sort.
+    */
+  def revenueChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .groupBy($"o_orderdate")
+      .agg(expr("sum(cents) DIV 100").as("x"))
+    val stats = daily.agg(sum($"x").as("sx"), sum($"x" * $"x").as("sx2"),
+      count(lit(1)).as("n"))
+    val w = Window.orderBy($"o_orderdate")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("px", sum($"x").over(w))
+      .crossJoin(broadcast(stats))
+      .withColumn("mean", $"sx".cast("double") / $"n")
+      .withColumn("c", $"px" - $"t" * $"mean")
+      .withColumn("sigma", sqrt(($"sx2" - $"n" * $"mean" * $"mean") / $"n"))
+      .withColumn("c_std", $"c" / ($"sigma" * sqrt($"n")))
+    val peak = cusum.agg(max(struct(abs($"c"), $"o_orderdate")).as("p"))
+      .select($"p".getField("o_orderdate").as("peak_date"))
+    cusum.crossJoin(broadcast(peak))
+      .select($"o_orderdate", $"x",
+        (floor($"c" * 10000.0 + 0.5) / 10000.0).as("cusum"),
+        (floor($"c_std" * 1000000.0 + 0.5) / 1000000.0).as("cusum_std"),
+        ($"o_orderdate" === $"peak_date").as("is_changepoint"))
+      .orderBy($"o_orderdate")
+  }
+
   /** B72 — closed-form ridge regression by NORMAL EQUATIONS: predict
     * the line-item price from (quantity, discount, tax) with one
     * corpus pass that partial-aggregates XᵀX and Xᵀy (d² + d sums, d
@@ -1308,6 +1352,37 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "revenue_changepoint" ->
+      """WITH d AS (
+        |  SELECT o_orderdate,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      // 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |stt AS (
+        |  SELECT CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2, count(*)::BIGINT AS n
+        |  FROM d),
+        |c AS (
+        |  SELECT o_orderdate, x,
+        |    CAST(count(*) OVER (ORDER BY o_orderdate) AS BIGINT) AS t,
+        |    CAST(sum(x) OVER (ORDER BY o_orderdate) AS BIGINT) AS px
+        |  FROM d),
+        |e AS (
+        |  SELECT c.o_orderdate, c.x,
+        |    c.px - c.t * (stt.sx::DOUBLE / stt.n) AS cv,
+        |    sqrt((stt.sx2 - stt.n * (stt.sx::DOUBLE / stt.n)
+        |      * (stt.sx::DOUBLE / stt.n)) / stt.n) AS sigma,
+        |    stt.n AS n
+        |  FROM c, stt),
+        |p AS (
+        |  SELECT o_orderdate AS peak_date FROM e
+        |  ORDER BY abs(cv) DESC, o_orderdate DESC LIMIT 1)
+        |SELECT e.o_orderdate, e.x,
+        |  floor(cv * 10000.0 + 0.5) / 10000.0 AS cusum,
+        |  floor(cv / (sigma * sqrt(n)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS cusum_std,
+        |  e.o_orderdate = p.peak_date AS is_changepoint
+        |FROM e, p ORDER BY e.o_orderdate""".stripMargin,
     "revenue_acf" ->
       """WITH d AS (
         |  SELECT o_orderdate,

@@ -159,6 +159,25 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(byR(4L) < byR(1L))
   }
 
+  test("CUSUM changepoint: telescopes to zero, one flagged peak") {
+    import spark.implicits._
+    val rows = graft.ops.Analytics.revenueChangepoint(spark, sf)
+      .select($"x", $"cusum", $"is_changepoint")
+      .as[(Long, Double, Boolean)].collect()
+    // exactly one argmax-flagged day
+    assert(rows.count(_._3) === 1)
+    // CUSUM telescopes: the final value is Σx − n·x̄ = 0 (to rounding)
+    assert(math.abs(rows.last._2) < 0.51, rows.last.toString)
+    // the flagged day carries the max |CUSUM|
+    val maxAbs = rows.map(r => math.abs(r._2)).max
+    assert(math.abs(math.abs(rows.find(_._3).get._2) - maxAbs) < 1e-9)
+    // recurrence: C_t − C_{t−1} = x_t − x̄ (to the 4dp rounding)
+    val xbar = rows.map(_._1).sum.toDouble / rows.length
+    rows.sliding(2).take(50).foreach { case Array(a, b) =>
+      assert(math.abs((b._2 - a._2) - (b._1 - xbar)) < 1e-3)
+    }
+  }
+
   test("ridge regression ≡ serial normal equations, recovers the formula") {
     import spark.implicits._
     val got = graft.ops.Analytics.lineitemRidge(spark, sf).collect()
