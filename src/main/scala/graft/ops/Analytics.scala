@@ -712,6 +712,69 @@ object Analytics {
       .orderBy($"o_orderdate")
   }
 
+  /** B74 — Kaplan–Meier survival curve for time-to-second-order: the
+    * repurchase-timing view with CORRECT right-censoring (one-order
+    * customers are not "never repurchased", they are observed-so-far —
+    * dropping them biases the curve down, the classic churn-analysis
+    * mistake). Duration = days from first to second order; customers
+    * with a single order are censored at the catalog's last order
+    * date. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with nᵢ the at-risk count
+    * (everyone whose duration ≥ tᵢ — censored rows hold the risk set,
+    * which is the whole point).
+    *
+    * Scale shape: corpus work is ONE per-customer aggregation (the
+    * sorted per-customer day list is bounded by that customer's order
+    * count); durations collapse to a ≤days-sized histogram; the risk
+    * set is a suffix sum over that frame; and the sequential product
+    * runs as an in-plan array fold (B57 stance) — every factor is an
+    * IEEE division/multiply both engines execute in the same order,
+    * so the oracle's recursive CTE is bit-identical, no transcendental
+    * functions anywhere.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_custkey", to_date($"o_orderdate").as("day"))
+    val per = orders.groupBy($"o_custkey")
+      .agg(sort_array(collect_list($"day")).as("ds"))
+      .select(
+        element_at($"ds", 1).as("d1"),
+        when(size($"ds") >= 2, element_at($"ds", 2)).as("d2"))
+    val maxDay = orders.agg(max($"day").as("maxd"))
+    val hist = per.crossJoin(broadcast(maxDay))
+      .withColumn("ev", $"d2".isNotNull)
+      .withColumn("dur",
+        when($"ev", datediff($"d2", $"d1"))
+          .otherwise(datediff($"maxd", $"d1")).cast("long"))
+      .groupBy($"dur")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when($"ev", 1L).otherwise(0L)).as("d_at"))
+    val wSuffix = Window.orderBy($"dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val km = hist.withColumn("n_risk", sum($"n_at").over(wSuffix))
+    val outT = "array<struct<dur:bigint,n_risk:bigint,d_at:bigint,s:double>>"
+    km.agg(sort_array(collect_list(
+        struct($"dur", $"n_risk", $"d_at"))).as("rows"))
+      .select(aggregate($"rows",
+        struct(lit(1.0).as("p"), array().cast(outT).as("out")),
+        (st, x) => {
+          val p2 = st.getField("p") *
+            (lit(1.0) - x.getField("d_at").cast("double") /
+              x.getField("n_risk").cast("double"))
+          struct(p2.as("p"),
+            concat(st.getField("out"), array(struct(
+              x.getField("dur").as("dur"),
+              x.getField("n_risk").as("n_risk"),
+              x.getField("d_at").as("d_at"),
+              p2.as("s")))).as("out"))
+        }).as("st"))
+      .select(explode($"st.out").as("r"))
+      .select($"r.dur".as("duration_days"), $"r.n_risk",
+        $"r.d_at".as("n_events"),
+        (floor($"r.s" * 1000000.0 + 0.5) / 1000000.0).as("survival"))
+      .orderBy($"duration_days")
+  }
+
   /** B72 — closed-form ridge regression by NORMAL EQUATIONS: predict
     * the line-item price from (quantity, discount, tax) with one
     * corpus pass that partial-aggregates XᵀX and Xᵀy (d² + d sums, d
@@ -1352,6 +1415,42 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "orders_survival_km" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT o_custkey, o_orderdate::DATE AS day,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate::DATE) AS rn
+        |  FROM orders),
+        |per AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN rn = 1 THEN day END) AS d1,
+        |    max(CASE WHEN rn = 2 THEN day END) AS d2
+        |  FROM r GROUP BY o_custkey),
+        |mx AS (SELECT max(o_orderdate::DATE) AS maxd FROM orders),
+        |s AS (
+        |  SELECT CASE WHEN d2 IS NOT NULL THEN d2 - d1
+        |    ELSE maxd - d1 END::BIGINT AS dur,
+        |    (d2 IS NOT NULL)::INT AS ev
+        |  FROM per, mx),
+        |h AS (
+        |  SELECT dur, count(*)::BIGINT AS n_at,
+        |    CAST(sum(ev) AS BIGINT) AS d_at
+        |  FROM s GROUP BY dur),
+        |hw AS (
+        |  SELECT dur, n_at, d_at,
+        |    CAST(sum(n_at) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+        |    row_number() OVER (ORDER BY dur) AS i
+        |  FROM h),
+        |rec(i, p) AS (
+        |  SELECT i, 1.0 * (1 - d_at::DOUBLE / n_risk::DOUBLE)
+        |  FROM hw WHERE i = 1
+        |  UNION ALL
+        |  SELECT hw.i, rec.p * (1 - hw.d_at::DOUBLE / hw.n_risk::DOUBLE)
+        |  FROM rec JOIN hw ON hw.i = rec.i + 1)
+        |SELECT hw.dur AS duration_days, hw.n_risk, hw.d_at AS n_events,
+        |  floor(rec.p * 1000000.0 + 0.5) / 1000000.0 AS survival
+        |FROM hw JOIN rec USING (i) ORDER BY duration_days""".stripMargin,
     "revenue_changepoint" ->
       """WITH d AS (
         |  SELECT o_orderdate,

@@ -178,6 +178,29 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("Kaplan-Meier: monotone curve, risk-set accounting, ≡ serial") {
+    import spark.implicits._
+    val rows = graft.ops.Analytics.kaplanMeier(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    // survival is in [0, 1] (exactly 0 only if the last at-risk row
+    // is an event) and non-increasing in duration
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(rows.init.forall(_._4 > 0.0))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4 + 1e-12, s"$a -> $b")
+    }
+    // risk set at the first (smallest) duration = all customers
+    val nCustomers = graft.Tables.load(spark, sf, "orders")
+      .select($"o_custkey").distinct.count()
+    assert(rows.head._2 === nCustomers)
+    // serial replay of the product from the emitted (d_at, n_risk)
+    var p = 1.0
+    rows.foreach { case (_, nRisk, dAt, s) =>
+      p *= 1.0 - dAt.toDouble / nRisk.toDouble
+      assert(math.abs(s - math.floor(p * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+  }
+
   test("ridge regression ≡ serial normal equations, recovers the formula") {
     import spark.implicits._
     val got = graft.ops.Analytics.lineitemRidge(spark, sf).collect()
