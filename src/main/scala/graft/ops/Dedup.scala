@@ -927,6 +927,88 @@ object Dedup {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** C22 — KMV (k-minimum-values) bottom-k sketches for cross-source
+    * DISTINCT-text cardinality and overlap: "how many unique texts
+    * does each feed carry, and how much do two feeds share?" answered
+    * from k values per source instead of corpus-sized distinct sets —
+    * the sketch the buy-or-skip call reads when the exact C18 pair
+    * join is too expensive to run on every candidate feed. Per
+    * source: the k smallest 48-bit text hashes (distinct-deduped
+    * first — KMV estimates DISTINCT counts). Distinct estimate
+    * (k−1)·2⁴⁸/h₍ₖ₎; union sketch = bottom-k of the merged sketches;
+    * intersection via the standard ρ·est_union with
+    * ρ = |merged∩A∩B|/k. The exact side (hash equi-join across
+    * sources) rides along per pair — this is the C21 estimator-audit
+    * genre: report estimate, truth, and error together.
+    *
+    * Scale shape: ONE distinct pass then a bottom-k aggregate — the
+    * [[graft.expressions.TopKPairs]] heap partial-combines map-side,
+    * so ≤ k·partitions rows per source reach the shuffle (the
+    * oracle's row_number formulation full-sorts every source). All
+    * pairwise math runs on the sources×k sketch frame. 48-bit hashes
+    * are double-exact, so every estimator division is engine-
+    * identical.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String,
+                 k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val two48 = 281474976710656.0
+    val hashes = Tables.load(spark, dir, "documents")
+      .select($"source",
+        conv(substring(md5($"text".cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val bottomK = udaf(graft.expressions.TopKPairs(k))
+    val sk = hashes.groupBy($"source")
+      .agg(bottomK((-$"h").cast("double"), $"h").as("bk"),
+        count(lit(1)).as("nd"))
+      // TopKPairs orders by (-h desc, h asc) = h ascending; keep ids
+      .select($"source", expr("transform(bk, p -> p._2)").as("sketch"),
+        $"nd")
+    def est(nd: Column, sketch: Column): Column =
+      when(nd > k, lit((k - 1).toDouble) * two48 /
+        element_at(sketch, k).cast("double"))
+        .otherwise(nd.cast("double"))
+    val a = sk.select($"source".as("src_a"), $"sketch".as("ska"),
+      $"nd".as("nd_a"))
+    val b = sk.select($"source".as("src_b"), $"sketch".as("skb"),
+      $"nd".as("nd_b"))
+    // exact side: hash equi-join across sources (distinct-hash keyed)
+    val exact = hashes.as("x")
+      .join(hashes.as("y"), $"x.h" === $"y.h" && $"x.source" < $"y.source")
+      .groupBy($"x.source".as("src_a"), $"y.source".as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val r6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    a.join(b, $"src_a" < $"src_b")
+      .withColumn("merged",
+        slice(array_sort(array_distinct(concat($"ska", $"skb"))), 1, k))
+      .withColumn("est_u",
+        when(size($"merged") >= k, lit((k - 1).toDouble) * two48 /
+          element_at($"merged", k).cast("double"))
+          .otherwise(size($"merged").cast("double")))
+      .withColumn("rho_n",
+        size(array_intersect(array_intersect($"merged", $"ska"), $"skb"))
+          .cast("long"))
+      .withColumn("est_i",
+        when(size($"merged") >= k,
+          $"rho_n".cast("double") / k * $"est_u")
+          .otherwise(size(array_intersect($"ska", $"skb")).cast("double")))
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .select($"src_a", $"src_b", $"nd_a", $"nd_b",
+        r6(est($"nd_a", $"ska")).as("est_a"),
+        r6(est($"nd_b", $"skb")).as("est_b"),
+        r6($"est_u").as("est_union"),
+        r6($"est_i").as("est_inter"),
+        r6($"est_i" / $"est_u").as("jacc_est"),
+        $"exact_inter",
+        ($"nd_a" + $"nd_b" - $"exact_inter").as("exact_union"),
+        r6($"exact_inter".cast("double") /
+          ($"nd_a" + $"nd_b" - $"exact_inter").cast("double"))
+          .as("jacc_exact"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** C17 — token-frequency shift under dedup: the top tokens whose
     * corpus frequency SHARE moves most between the full corpus and
     * C10's kept-keepers corpus — the distribution-shift audit behind
@@ -1118,6 +1200,64 @@ object Dedup {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substring(md5(text), 1, 12))::BIGINT AS h
+        |  FROM documents),
+        |nd AS (SELECT source, count(*)::BIGINT AS nd FROM h
+        |       GROUP BY source),
+        |rn AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM h),
+        |sk AS (SELECT source, list(h ORDER BY h) AS sketch
+        |       FROM rn WHERE rn <= 16 GROUP BY source),
+        |j AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    a.sketch AS ska, b.sketch AS skb,
+        |    na.nd AS nd_a, nb.nd AS nd_b
+        |  FROM sk a JOIN sk b ON a.source < b.source
+        |  JOIN nd na ON na.source = a.source
+        |  JOIN nd nb ON nb.source = b.source),
+        |m AS (SELECT *,
+        |    (list_sort(list_distinct(ska || skb)))[1:16] AS merged
+        |  FROM j),
+        |e AS (SELECT *,
+        |    CASE WHEN len(merged) >= 16
+        |      THEN 15.0 * 281474976710656.0 / merged[16]
+        |      ELSE len(merged)::DOUBLE END AS est_u,
+        |    len(list_filter(merged, x -> list_contains(ska, x)
+        |      AND list_contains(skb, x)))::BIGINT AS rho_n
+        |  FROM m),
+        |e2 AS (SELECT *,
+        |    CASE WHEN len(merged) >= 16 THEN rho_n::DOUBLE / 16 * est_u
+        |      ELSE len(list_filter(ska,
+        |        x -> list_contains(skb, x)))::DOUBLE END AS est_i
+        |  FROM e),
+        |x AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*)::BIGINT AS exact_inter
+        |  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT e2.src_a, e2.src_b, nd_a, nd_b,
+        |  floor((CASE WHEN nd_a > 16
+        |    THEN 15.0 * 281474976710656.0 / ska[16]
+        |    ELSE nd_a::DOUBLE END) * 1000000.0 + 0.5) / 1000000.0
+        |    AS est_a,
+        |  floor((CASE WHEN nd_b > 16
+        |    THEN 15.0 * 281474976710656.0 / skb[16]
+        |    ELSE nd_b::DOUBLE END) * 1000000.0 + 0.5) / 1000000.0
+        |    AS est_b,
+        |  floor(est_u * 1000000.0 + 0.5) / 1000000.0 AS est_union,
+        |  floor(est_i * 1000000.0 + 0.5) / 1000000.0 AS est_inter,
+        |  floor(est_i / est_u * 1000000.0 + 0.5) / 1000000.0 AS jacc_est,
+        |  COALESCE(x.exact_inter, 0)::BIGINT AS exact_inter,
+        |  (nd_a + nd_b - COALESCE(x.exact_inter, 0))::BIGINT
+        |    AS exact_union,
+        |  floor(COALESCE(x.exact_inter, 0)::DOUBLE
+        |    / (nd_a + nd_b - COALESCE(x.exact_inter, 0))::DOUBLE
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jacc_exact
+        |FROM e2 LEFT JOIN x
+        |  ON x.src_a = e2.src_a AND x.src_b = e2.src_b
+        |ORDER BY e2.src_a, e2.src_b""".stripMargin,
     "dedup_boilerplate" ->
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS tk,

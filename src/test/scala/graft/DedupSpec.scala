@@ -691,4 +691,26 @@ class DedupSpec extends SparkSpecBase {
     val at = rows.map(_.getAs[Double]("approx_threshold")).toSeq
     assert(at.zip(at.tail).forall { case (a, b) => a > b })
   }
+
+  test("KMV sketch: exact below k, bounded estimator error above k") {
+    val rows = graft.ops.Dedup.kmvOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ndA, estA) = (r.getAs[Long]("nd_a"), r.getAs[Double]("est_a"))
+      // unsaturated sketch holds the whole set -> estimate IS the count
+      if (ndA <= 16) assert(estA === ndA.toDouble)
+      // saturated: KMV relative error ~1/sqrt(k); generous 2-sigma cap
+      else assert(math.abs(estA - ndA) / ndA < 0.5, s"$ndA vs $estA")
+      // internal consistency of the pairwise report
+      assert(r.getAs[Double]("est_union") > 0.0)
+      assert(r.getAs[Double]("est_inter") >= 0.0)
+      val jEst = r.getAs[Double]("jacc_est")
+      assert(jEst >= 0.0 && jEst <= 1.0)
+      val jEx = r.getAs[Double]("jacc_exact")
+      assert(jEx >= 0.0 && jEx <= 1.0)
+      // exact side obeys inclusion-exclusion accounting
+      assert(r.getAs[Long]("exact_union") ===
+        ndA + r.getAs[Long]("nd_b") - r.getAs[Long]("exact_inter"))
+    }
+  }
 }
