@@ -1601,7 +1601,77 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** D24 — Johnson–Lindenstrauss random projection 64 → 16 dims with
+    * a DETERMINISTIC ±1 sign matrix (Achlioptas construction, signs
+    * from md5 parity — retry-safe, no RNG state, any executor
+    * regenerates the identical matrix): the cheap dimensionality
+    * reduction that front-ends D2/D8 when the raw dimension is the
+    * cost driver — pairwise distances survive to ~1/√k relative
+    * error, which is enough for the COARSE stage of a two-stage
+    * retrieval (project → shortlist → exact rescore in full
+    * dimension, the D8 pattern).
+    *
+    * Exactness shape: elements quantize to 1e4 integer units FIRST,
+    * so each projected coordinate is a pure BIGINT signed sum —
+    * associative, partitioning-proof, and order-free on both engines
+    * (no float fold anywhere); the single double division at the edge
+    * (/10⁴/√16, and √16 = 4 is exact) is engine-identical. One
+    * corpus pass, no shuffle at all until the explode's exchange-free
+    * projection; the 16×64 sign LUT is a compile-time literal, not a
+    * join side.
+    */
+  def jlProject(spark: SparkSession, dir: String,
+                outDims: Int = 16): DataFrame = {
+    import spark.implicits._
+    val inDims = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Int = {
+      val hex = md.digest(s"jl:$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1 else -1
+    }
+    val signs: Seq[Seq[Int]] =
+      Seq.tabulate(outDims, inDims)((j, d) => sign(j, d))
+    val lut = typedLit(signs)
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("q", transform($"embedding",
+        x => floor(x.cast("double") * 10000.0 + 0.5).cast("long")))
+      .withColumn("p", transform(sequence(lit(0), lit(outDims - 1)),
+        j => aggregate(
+          zip_with($"q", element_at(lut, j + 1),
+            (a, s) => a * s),
+          lit(0L), (acc, x) => acc + x)))
+      .select($"vec_id", posexplode($"p").as(Seq("dim", "pint")))
+      .select($"vec_id", $"dim".cast("long").as("dim"),
+        ($"pint".cast("double") / (10000.0 * math.sqrt(outDims)))
+          .as("value"))
+      .orderBy($"vec_id", $"dim")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "embedding_jl_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS di
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, di - 1 AS d,
+        |    CAST(floor(v::DOUBLE * 10000.0 + 0.5) AS BIGINT) AS q
+        |  FROM e),
+        |s AS (
+        |  SELECT js.j, ds.d, CASE WHEN ('0x' || substring(
+        |      md5('jl:' || js.j || ':' || ds.d), 1, 1))::INT % 2 = 0
+        |    THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(range(0, 16)) AS j) js,
+        |       (SELECT unnest(range(0, 64)) AS d) ds),
+        |p AS (
+        |  SELECT q.vec_id, s.j AS dim,
+        |    CAST(sum(s.sgn * q.q) AS BIGINT) AS pint
+        |  FROM q JOIN s ON s.d = q.d
+        |  GROUP BY q.vec_id, s.j)
+        |SELECT vec_id, dim::BIGINT AS dim,
+        |  pint::DOUBLE / 40000.0 AS value
+        |FROM p ORDER BY vec_id, dim""".stripMargin,
     "embedding_norm_audit" ->
       """WITH n AS (
         |  SELECT label, len(embedding)::BIGINT AS d,

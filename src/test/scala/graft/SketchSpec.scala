@@ -181,4 +181,28 @@ class SketchSpec extends SparkSpecBase {
     assert(fine.values.sum <= coarse.values.sum + 1e-9,
       s"fine ${fine.values.sum} vs coarse ${coarse.values.sum}")
   }
+
+  test("JL projection: norms preserved in expectation, deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val proj = graft.ops.Similarity.jlProject(spark, sf)
+    val pn = proj.groupBy($"vec_id")
+      .agg(sum($"value" * $"value").as("pn"))
+    val on = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", aggregate($"embedding", lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")).as("on"))
+    val ratios = pn.join(on, "vec_id")
+      .select(($"pn" / $"on").as("r")).as[Double].collect()
+    assert(ratios.nonEmpty)
+    // E[||Pv||^2] = ||v||^2 for the Achlioptas sign matrix: the mean
+    // ratio concentrates near 1 even at k=16 (per-vector tails are
+    // wide by design -- this is the coarse stage of a two-stage rank)
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.85 && mean < 1.15, s"mean ratio $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0))
+    // deterministic sign matrix: a second run is bit-identical
+    val a = proj.collect().map(_.toSeq)
+    val b = graft.ops.Similarity.jlProject(spark, sf).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
 }
