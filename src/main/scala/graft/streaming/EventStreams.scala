@@ -404,7 +404,111 @@ object EventStreams {
       runToCompletion(agg, "graft_stream_anomaly"))
   }
 
+  final case class DriftState(n: Long, cum: Long, minc: Long,
+                              maxc: Long, nAlarms: Long,
+                              firstAlarm: Long, upd: Long)
+  final case class DriftRow(event_type: String, n: Long, cum_dev: Long,
+                            min_cum: Long, max_cum: Long, n_alarms: Long,
+                            first_alarm_id: Long, upd: Long)
+
+  /** G24 — Page–Hinkley drift monitor as streaming state: the
+    * sequential twin of B73's batch CUSUM. Per event_type the state
+    * is FIVE longs (running deviation sum vs the μ₀=45.00 baseline,
+    * its running min and max, the alarm-row count, the first alarmed
+    * event) — an upward level shift accumulates cum − min(cum) until
+    * it crosses λ=500.00, the classic sequential-detection gate, and
+    * a monitor restart recovers the identical state from the
+    * checkpoint because every quantity is an integer fold of the
+    * input (no floats in state at all). Rows fold in event-time order
+    * within each batch (same in-order contract as G4/G18). The
+    * one-shot run ≡ the batch window formulation — the oracle — and
+    * the thresholds are sized so alarms actually FIRE at every test
+    * SF (non-vacuous: spec asserts ≥1 alarm and replays the fold
+    * serially).
+    */
+  def streamDriftMonitor(spark: SparkSession, dir: String,
+                         mu0Cents: Long = 4500L,
+                         lambdaCents: Long = 50000L,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = eventStream(spark, dir, maxFilesPerTrigger)
+      .select($"event_type".as[String], $"event_id".as[Long],
+        expr("ts DIV 1000").as[Long], $"value".as[Double])
+    val updated = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Long, Double)],
+         state: GroupState[DriftState]) =>
+          var st = state.getOption.getOrElse(
+            DriftState(0L, 0L, Long.MaxValue, Long.MinValue, 0L, -1L, 0L))
+          rows.toSeq.sortBy { case (_, id, us, _) => (us, id) }.foreach {
+            case (_, id, _, v) =>
+              val dev = math.floor(v * 100.0 + 0.5).toLong - mu0Cents
+              val cum = st.cum + dev
+              val minc = math.min(st.minc, cum)
+              val maxc = math.max(st.maxc, cum)
+              val alarmed = cum - minc > lambdaCents
+              st = DriftState(st.n + 1, cum, minc, maxc,
+                st.nAlarms + (if (alarmed) 1L else 0L),
+                if (alarmed && st.firstAlarm < 0) id else st.firstAlarm,
+                st.upd)
+          }
+          st = st.copy(upd = st.upd + 1)
+          state.update(st)
+          DriftRow(tpe, st.n, st.cum, st.minc, st.maxc, st.nAlarms,
+            st.firstAlarm, st.upd)
+      }
+    val name = s"graft_stream_drift_${counter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    try {
+      val q = updated.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+      // latest update per key (A25 argmax, the G18 multi-batch stance)
+      .groupBy($"event_type")
+      .agg(max(struct($"upd", $"n", $"cum_dev", $"min_cum", $"max_cum",
+        $"n_alarms", $"first_alarm_id")).as("s"))
+      .select($"event_type", $"s.n".as("n"), $"s.cum_dev".as("cum_dev"),
+        $"s.min_cum".as("min_cum"), $"s.max_cum".as("max_cum"),
+        $"s.n_alarms".as("n_alarms"),
+        $"s.first_alarm_id".as("first_alarm_id"))
+      .orderBy($"event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_drift_monitor" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) - 4500 AS dev
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, event_id, us, dev,
+        |    CAST(sum(dev) OVER w AS BIGINT) AS cum
+        |  FROM e WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT event_type, event_id, us, dev, cum,
+        |    CAST(min(cum) OVER w AS BIGINT) AS minc,
+        |    CAST(max(cum) OVER w AS BIGINT) AS maxc
+        |  FROM c WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT *, cum - minc > 50000 AS alarmed FROM m)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(dev) AS BIGINT) AS cum_dev,
+        |  min(minc) AS min_cum, max(maxc) AS max_cum,
+        |  CAST(count(*) FILTER (WHERE alarmed) AS BIGINT) AS n_alarms,
+        |  COALESCE(list_extract(
+        |    min([us, event_id]) FILTER (WHERE alarmed), 2), -1)
+        |    AS first_alarm_id
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_anomaly" -> graft.ops.Events.oracles("events_anomaly"),
     "stream_funnel" ->
       graft.ops.Analytics.oracles("events_windowed_funnel"),

@@ -272,6 +272,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(multiCap.nonEmpty)
     assert(multiCap.map(_.toString).toSeq ===
       batchCap.map(_.toString).toSeq)
+    // the Page-Hinkley monitor is order-sensitive like the funnel:
+    // three time-sliced batches must fold to the single-batch state
+    val multiDrift = EventStreams.streamDriftMonitor(spark, tmp,
+      maxFilesPerTrigger = Some(1)).collect()
+    val oneDrift = EventStreams.streamDriftMonitor(spark, sf).collect()
+    assert(multiDrift.nonEmpty)
+    assert(multiDrift.map(_.toString).toSeq ===
+      oneDrift.map(_.toString).toSeq)
+  }
+
+  test("drift monitor: non-vacuous alarms, state equals a serial fold") {
+    val rows = EventStreams.streamDriftMonitor(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_alarms") > 0))
+    // serial Page-Hinkley replay per event_type straight off the table
+    val evs = graft.Tables.normalizeEventTs(
+        spark.read.parquet(s"$sf/events.parquet"))
+      .select($"event_type", $"event_id",
+        org.apache.spark.sql.functions.expr("ts DIV 1000"), $"value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val mine = evs.filter(_._1 == tpe).sortBy(e => (e._3, e._2))
+      var cum = 0L; var minc = Long.MaxValue; var maxc = Long.MinValue
+      var alarms = 0L; var first = -1L
+      mine.foreach { case (_, id, _, v) =>
+        cum += math.floor(v * 100.0 + 0.5).toLong - 4500L
+        minc = math.min(minc, cum); maxc = math.max(maxc, cum)
+        if (cum - minc > 50000L) { alarms += 1; if (first < 0) first = id }
+      }
+      assert(r.getAs[Long]("n") === mine.length)
+      assert(r.getAs[Long]("cum_dev") === cum)
+      assert(r.getAs[Long]("min_cum") === minc)
+      assert(r.getAs[Long]("max_cum") === maxc)
+      assert(r.getAs[Long]("n_alarms") === alarms)
+      assert(r.getAs[Long]("first_alarm_id") === first)
+    }
   }
 
   test("watermark drops late data from an append-mode windowed aggregate") {
