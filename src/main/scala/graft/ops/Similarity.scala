@@ -1648,7 +1648,100 @@ object Similarity {
       .orderBy($"vec_id", $"dim")
   }
 
+  /** D25 — JL distortion report: the measured justification for D24
+    * (the C21 estimator-audit discipline pointed at the projection) —
+    * per pair of a fixed 32-vector probe set, the original vs
+    * projected squared distance and their ratio, which the JL lemma
+    * says concentrates near 1 at ~1/√k spread. This is the number a
+    * deployment reads to size D24's shortlist multiplier (a p99 ratio
+    * of 2 ⇒ shortlist 2× deeper before the exact rescore).
+    *
+    * Exactness shape: both distances are pure BIGINT sums of squared
+    * integer deltas (quantized exactly like D24 — the projected side
+    * reuses the identical md5-parity LUT), so the single ratio
+    * division is the only float op. The probe set is fixed-size: the
+    * whole report is one tiny corpus-independent job regardless of
+    * collection size.
+    */
+  def jlDistortion(spark: SparkSession, dir: String,
+                   probeVecs: Int = 32): DataFrame = {
+    import spark.implicits._
+    val outDims = 16
+    val inDims = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Int = {
+      val hex = md.digest(s"jl:$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1 else -1
+    }
+    val lut = typedLit(Seq.tabulate(outDims, inDims)((j, d) => sign(j, d)))
+    val probes = Tables.load(spark, dir, "embeddings")
+      .filter($"vec_id" < probeVecs)
+      .withColumn("q", transform($"embedding",
+        x => floor(x.cast("double") * 10000.0 + 0.5).cast("long")))
+      .withColumn("p", transform(sequence(lit(0), lit(outDims - 1)),
+        j => aggregate(
+          zip_with($"q", element_at(lut, j + 1), (a, s) => a * s),
+          lit(0L), (acc, x) => acc + x)))
+      .select($"vec_id", $"q", $"p")
+    val a = probes.select($"vec_id".as("vec_a"), $"q".as("qa"),
+      $"p".as("pa"))
+    val b = probes.select($"vec_id".as("vec_b"), $"q".as("qb"),
+      $"p".as("pb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .withColumn("od2i", aggregate(
+        zip_with($"qa", $"qb", (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("pd2i", aggregate(
+        zip_with($"pa", $"pb", (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .select($"vec_a", $"vec_b",
+        ($"od2i".cast("double") / 100000000.0).as("orig_d2"),
+        ($"pd2i".cast("double") / (16.0 * 100000000.0)).as("proj_d2"),
+        (floor($"pd2i".cast("double") / (lit(16.0) * $"od2i")
+          * 1000000.0 + 0.5) / 1000000.0).as("ratio"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "embedding_jl_distortion" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS di
+        |  FROM embeddings WHERE vec_id < 32),
+        |q AS (
+        |  SELECT vec_id, di - 1 AS d,
+        |    CAST(floor(v::DOUBLE * 10000.0 + 0.5) AS BIGINT) AS q
+        |  FROM e),
+        |s AS (
+        |  SELECT js.j, ds.d, CASE WHEN ('0x' || substring(
+        |      md5('jl:' || js.j || ':' || ds.d), 1, 1))::INT % 2 = 0
+        |    THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(range(0, 16)) AS j) js,
+        |       (SELECT unnest(range(0, 64)) AS d) ds),
+        |p AS (
+        |  SELECT q.vec_id, s.j,
+        |    CAST(sum(s.sgn * q.q) AS BIGINT) AS pint
+        |  FROM q JOIN s ON s.d = q.d
+        |  GROUP BY q.vec_id, s.j),
+        |od AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS od2i
+        |  FROM q a JOIN q b ON a.d = b.d AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(sum((a.pint - b.pint) * (a.pint - b.pint)) AS BIGINT)
+        |      AS pd2i
+        |  FROM p a JOIN p b ON a.j = b.j AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT od.vec_a, od.vec_b,
+        |  od2i::DOUBLE / 100000000.0 AS orig_d2,
+        |  pd2i::DOUBLE / (16.0 * 100000000.0) AS proj_d2,
+        |  floor(pd2i::DOUBLE / (16.0 * od2i) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ratio
+        |FROM od JOIN pd ON pd.vec_a = od.vec_a AND pd.vec_b = od.vec_b
+        |ORDER BY od.vec_a, od.vec_b""".stripMargin,
     "embedding_jl_project" ->
       """WITH e AS (
         |  SELECT vec_id, unnest(embedding) AS v,

@@ -411,6 +411,65 @@ object TextAnalysis {
       .orderBy($"lang", $"pred_lang")
   }
 
+  /** E43 — two-sample Kolmogorov–Smirnov test between every source
+    * pair on the document-length distribution: the EXACT nonparametric
+    * "do these two feeds draw from the same length law?" complement of
+    * B68's binned PSI — KS needs no bin choice, because the statistic
+    * is the sup-gap between the two empirical CDFs and that sup is
+    * attained at an observed length. Emits D, the α=0.05 critical
+    * value c(α)·√((n₁+n₂)/(n₁n₂)) and the reject flag per pair — the
+    * mixture designer's screen for "can I pool these sources' length
+    * priors?".
+    *
+    * Scale shape: ONE corpus pass to (source, length) counts; both
+    * ECDFs are prefix sums over the sources²×lengths grid (bounded by
+    * distinct lengths, NOT docs — the window frame is post-aggregate
+    * small); the pairwise sup is a plain max aggregate. CDF values
+    * are exact-integer ratios, so the sup compare is engine-identical.
+    */
+  def lengthKs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.load(spark, dir, "documents")
+      .groupBy($"source", $"n_chars".as("x"))
+      .agg(count(lit(1)).as("c"))
+    val ns = cnt.groupBy($"source").agg(sum($"c").as("n"))
+    // pair grid: each (source, x, c) row contributes to every pair the
+    // source belongs to; the per-pair union-of-steps frame comes from
+    // the union of the two sides' contribution rows
+    val srcs = ns.select($"source".as("s2"), $"n".as("n2"))
+    val left = cnt.join(broadcast(srcs), $"source" < $"s2")
+      .select($"source".as("src_a"), $"s2".as("src_b"), $"x",
+        $"c".as("ia"), lit(0L).as("ib"))
+    val right = cnt.join(broadcast(srcs), $"s2" < $"source")
+      .select($"s2".as("src_a"), $"source".as("src_b"), $"x",
+        lit(0L).as("ia"), $"c".as("ib"))
+    val steps = left.unionAll(right)
+      .groupBy($"src_a", $"src_b", $"x")
+      .agg(sum($"ia").as("ia"), sum($"ib").as("ib"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src_a", $"src_b").orderBy($"x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val na = ns.select($"source".as("src_a"), $"n".as("n_a"))
+    val nb = ns.select($"source".as("src_b"), $"n".as("n_b"))
+    steps
+      .withColumn("ca", sum($"ia").over(w))
+      .withColumn("cb", sum($"ib").over(w))
+      .join(broadcast(na), "src_a")
+      .join(broadcast(nb), "src_b")
+      .withColumn("gap", abs($"ca".cast("double") / $"n_a" -
+        $"cb".cast("double") / $"n_b"))
+      .groupBy($"src_a", $"src_b", $"n_a", $"n_b")
+      .agg(max($"gap").as("d"))
+      .withColumn("crit_05", lit(1.358) *
+        sqrt(($"n_a" + $"n_b").cast("double") / ($"n_a" * $"n_b")))
+      .select($"src_a", $"src_b", $"n_a", $"n_b",
+        (floor($"d" * 1000000.0 + 0.5) / 1000000.0).as("ks_stat"),
+        (floor($"crit_05" * 1000000.0 + 0.5) / 1000000.0).as("crit_05"),
+        ($"d" > $"crit_05").as("reject_05"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** E36 — per-language document-length profile: exact p10/p50/p90
     * token-count percentiles + mean per language, the length-prior
     * every chunking/packing/truncation decision reads off first. One
@@ -1477,6 +1536,44 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "doc_length_ks" ->
+      """WITH cnt AS (
+        |  SELECT source, n_chars AS x, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt
+        |       GROUP BY 1),
+        |st AS (
+        |  SELECT a.source AS src_a, b.s2 AS src_b, a.x,
+        |    a.c AS ia, 0::BIGINT AS ib
+        |  FROM cnt a JOIN (SELECT source AS s2 FROM ns) b
+        |    ON a.source < b.s2
+        |  UNION ALL
+        |  SELECT b.s2, a.source, a.x, 0::BIGINT, a.c
+        |  FROM cnt a JOIN (SELECT source AS s2 FROM ns) b
+        |    ON b.s2 < a.source),
+        |g AS (
+        |  SELECT src_a, src_b, x, CAST(sum(ia) AS BIGINT) AS ia,
+        |    CAST(sum(ib) AS BIGINT) AS ib
+        |  FROM st GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT src_a, src_b, x,
+        |    CAST(sum(ia) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(ib) OVER w AS BIGINT) AS cb
+        |  FROM g WINDOW w AS (PARTITION BY src_a, src_b ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT cum.src_a, cum.src_b, na.n AS n_a, nb.n AS n_b,
+        |    max(abs(ca::DOUBLE / na.n - cb::DOUBLE / nb.n)) AS d
+        |  FROM cum JOIN ns na ON na.source = cum.src_a
+        |  JOIN ns nb ON nb.source = cum.src_b
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b, n_a, n_b,
+        |  floor(d * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+        |  floor(1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a * n_b))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS crit_05,
+        |  d > 1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a * n_b))
+        |    AS reject_05
+        |FROM d ORDER BY src_a, src_b""".stripMargin,
     "text_pmi" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents

@@ -205,4 +205,26 @@ class SketchSpec extends SparkSpecBase {
     val b = graft.ops.Similarity.jlProject(spark, sf).collect().map(_.toSeq)
     assert(a.sameElements(b))
   }
+
+  test("JL distortion report agrees with the projection it audits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rep = graft.ops.Similarity.jlDistortion(spark, sf).collect()
+    assert(rep.length === 32 * 31 / 2)
+    val ratios = rep.map(_.getAs[Double]("ratio"))
+    assert(ratios.forall(_ > 0.0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean")
+    // cross-check one pair's projected distance against the D24 output
+    val p = graft.ops.Similarity.jlProject(spark, sf)
+      .filter($"vec_id" < 2).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("value"))
+      }
+    val d2 = p(0L).zip(p(1L)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val row01 = rep.find(r => r.getAs[Long]("vec_a") == 0L &&
+      r.getAs[Long]("vec_b") == 1L).get
+    assert(math.abs(row01.getAs[Double]("proj_d2") - d2) < 1e-9)
+  }
 }

@@ -341,4 +341,34 @@ class TextQualitySpec extends SparkSpecBase {
     assert(got("accuracy") >= majority - 1e-9,
       s"accuracy ${got("accuracy")} below majority baseline $majority")
   }
+
+  test("length KS: full pair grid, bounded statistic, ≡ serial ECDF sup") {
+    import spark.implicits._
+    val rows = graft.ops.TextAnalysis.lengthKs(spark, sf).collect()
+    val nSources = Tables.load(spark, sf, "documents")
+      .select($"source").distinct.count().toInt
+    assert(rows.length === nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("ks_stat")
+      assert(d >= 0.0 && d <= 1.0)
+      // the flag compares the UNROUNDED pair; outside the 1e-6
+      // rounding band it must agree with the rounded columns
+      if (math.abs(d - r.getAs[Double]("crit_05")) > 2e-6)
+        assert(r.getAs[Boolean]("reject_05") ===
+          (d > r.getAs[Double]("crit_05")))
+    }
+    // serial replay of one pair's sup-gap from the raw lengths
+    val first = rows.head
+    val (sa, sb) = (first.getAs[String]("src_a"), first.getAs[String]("src_b"))
+    val lens = Tables.load(spark, sf, "documents")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val la = lens.filter(_._1 == sa).map(_._2).sorted
+    val lb = lens.filter(_._1 == sb).map(_._2).sorted
+    val xs = (la ++ lb).distinct.sorted
+    val dSerial = xs.map { x =>
+      math.abs(la.count(_ <= x).toDouble / la.length -
+        lb.count(_ <= x).toDouble / lb.length)
+    }.max
+    assert(math.abs(first.getAs[Double]("ks_stat") - dSerial) < 2e-6)
+  }
 }
