@@ -877,6 +877,70 @@ object Events {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** B75 — Mann–Whitney U (Wilcoxon rank-sum) test between every
+    * event-type pair on `value`: the NONPARAMETRIC complement of
+    * B55's Welch t — rank-based, so a heavy tail or outlier burst
+    * that invalidates the t-test's mean/variance machinery leaves U
+    * untouched. Tie-corrected normal approximation with the exact
+    * tie term.
+    *
+    * Scale shape: E43's pair-grid discipline on events — ONE corpus
+    * pass to (type, cent-value) counts, then every rank quantity
+    * derives from prefix sums over the types²×values grid
+    * (post-aggregate small; the oracle's formulation ranks every raw
+    * row instead). Rank sums are kept in INTEGER HALF-UNITS
+    * (2·R₁ = Σ cₐ·(2·below + t + 1)), so the aggregation is
+    * order-free Long arithmetic and the z derives from exact
+    * integers with one division chain both engines execute
+    * identically.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.load(spark, dir, "events")
+      .select($"event_type",
+        floor($"value" * 100.0 + 0.5).cast("long").as("x"))
+      .groupBy($"event_type", $"x")
+      .agg(count(lit(1)).as("c"))
+    val ns = cnt.groupBy($"event_type").agg(sum($"c").as("n"))
+    val types = ns.select($"event_type".as("t2"))
+    val left = cnt.join(broadcast(types), $"event_type" < $"t2")
+      .select($"event_type".as("type_a"), $"t2".as("type_b"), $"x",
+        $"c".as("ia"), lit(0L).as("ib"))
+    val right = cnt.join(broadcast(types), $"t2" < $"event_type")
+      .select($"t2".as("type_a"), $"event_type".as("type_b"), $"x",
+        lit(0L).as("ia"), $"c".as("ib"))
+    val steps = left.unionAll(right)
+      .groupBy($"type_a", $"type_b", $"x")
+      .agg(sum($"ia").as("ca"), sum($"ib").as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"type_a", $"type_b").orderBy($"x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val na = ns.select($"event_type".as("type_a"), $"n".as("n_a"))
+    val nb = ns.select($"event_type".as("type_b"), $"n".as("n_b"))
+    val agg = steps
+      .withColumn("cuma", sum($"ca").over(w))
+      .withColumn("cumb", sum($"cb").over(w))
+      .withColumn("below", ($"cuma" - $"ca") + ($"cumb" - $"cb"))
+      .withColumn("t", $"ca" + $"cb")
+      .groupBy($"type_a", $"type_b")
+      .agg(sum($"ca" * (lit(2L) * $"below" + $"t" + 1L)).as("r2"),
+        sum($"t" * $"t" * $"t" - $"t").as("tsum"))
+      .join(broadcast(na), "type_a")
+      .join(broadcast(nb), "type_b")
+    val nn = $"n_a" + $"n_b"
+    val varU = ($"n_a" * $"n_b").cast("double") / 12.0 *
+      ((nn + 1L).cast("double") -
+        $"tsum".cast("double") / (nn.cast("double") * (nn - 1L).cast("double")))
+    val u = ($"r2" - $"n_a" * ($"n_a" + 1L)).cast("double") / 2.0
+    val z = (u - ($"n_a" * $"n_b").cast("double") / 2.0) / sqrt(varU)
+    agg.select($"type_a", $"type_b", $"n_a", $"n_b",
+        u.as("u_stat"),
+        (floor(z * 1000000.0 + 0.5) / 1000000.0).as("z_stat"),
+        (abs(z) > 1.96).as("reject_05"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** B56 — weekly seasonality profile: per (ISO weekday, event_type)
     * volume, share of the type's total, and a seasonality index vs the
     * uniform-weekday expectation (index > 1 = that weekday
@@ -981,6 +1045,55 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_mannwhitney" ->
+      """WITH cnt AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |ns AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |       FROM cnt GROUP BY 1),
+        |st AS (
+        |  SELECT a.event_type AS type_a, b.t2 AS type_b, a.x,
+        |    a.c AS ia, 0::BIGINT AS ib
+        |  FROM cnt a JOIN (SELECT event_type AS t2 FROM ns) b
+        |    ON a.event_type < b.t2
+        |  UNION ALL
+        |  SELECT b.t2, a.event_type, a.x, 0::BIGINT, a.c
+        |  FROM cnt a JOIN (SELECT event_type AS t2 FROM ns) b
+        |    ON b.t2 < a.event_type),
+        |g AS (SELECT type_a, type_b, x,
+        |    CAST(sum(ia) AS BIGINT) AS ca,
+        |    CAST(sum(ib) AS BIGINT) AS cb
+        |  FROM st GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT type_a, type_b, x, ca, cb,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS cumb
+        |  FROM g WINDOW w AS (PARTITION BY type_a, type_b ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ag AS (
+        |  SELECT type_a, type_b,
+        |    CAST(sum(ca * (2 * ((cuma - ca) + (cumb - cb))
+        |      + (ca + cb) + 1)) AS BIGINT) AS r2,
+        |    CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+        |      AS BIGINT) AS tsum
+        |  FROM cum GROUP BY 1, 2),
+        |j AS (
+        |  SELECT ag.type_a, ag.type_b, ag.r2, ag.tsum,
+        |    na.n AS n_a, nb.n AS n_b,
+        |    (ag.r2 - na.n * (na.n + 1))::DOUBLE / 2.0 AS u,
+        |    sqrt((na.n * nb.n)::DOUBLE / 12.0
+        |      * ((na.n + nb.n + 1)::DOUBLE - ag.tsum::DOUBLE
+        |        / ((na.n + nb.n)::DOUBLE * (na.n + nb.n - 1)::DOUBLE)))
+        |      AS sd
+        |  FROM ag JOIN ns na ON na.event_type = ag.type_a
+        |  JOIN ns nb ON nb.event_type = ag.type_b)
+        |SELECT type_a, type_b, n_a, n_b, u AS u_stat,
+        |  floor((u - (n_a * n_b)::DOUBLE / 2.0) / sd
+        |    * 1000000.0 + 0.5) / 1000000.0 AS z_stat,
+        |  abs((u - (n_a * n_b)::DOUBLE / 2.0) / sd) > 1.96 AS reject_05
+        |FROM j ORDER BY type_a, type_b""".stripMargin,
     "events_gini" ->
       """WITH per AS (
         |  SELECT user_id,

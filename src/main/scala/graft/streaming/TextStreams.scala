@@ -296,7 +296,58 @@ object TextStreams {
       .orderBy($"source")
   }
 
+  /** G25 — streaming per-source distinct-text cardinality via the
+    * [[graft.expressions.KmvSketch]] bottom-k sketch as streaming
+    * state: the live "how many unique documents has each feed sent?"
+    * gauge. Exact streaming distinct needs state ∝ distinct values
+    * (G3's dropDuplicates); the sketch holds k longs per source
+    * FOREVER — the entire point of sketch-as-state — and its merge is
+    * idempotent, so replayed micro-batches after a restart cannot
+    * drift the estimate. Estimator decisions come from the sketch
+    * alone (size < k ⇒ the sketch IS the value set), which is the
+    * only rule a stream can apply — no exact count exists anywhere.
+    * One-shot run ≡ the same sketch built in batch (the oracle).
+    */
+  def cardinality(spark: SparkSession, dir: String,
+                  k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val two48 = 281474976710656.0
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(dir)
+    val kmv = udaf(graft.expressions.KmvSketch(k))
+    val agg = docs
+      .select($"source",
+        conv(substring(md5($"text".cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .groupBy($"source")
+      .agg(kmv($"h").as("sk"))
+    EventStreams.runToCompletion(agg, "graft_stream_card")
+      .select($"source",
+        (floor(when(size($"sk") < k, size($"sk").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * two48 /
+            element_at($"sk", k).cast("double"))
+          * 1000000.0 + 0.5) / 1000000.0).as("est_distinct"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_cardinality" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substring(md5(text), 1, 12))::BIGINT AS h
+        |  FROM documents),
+        |rn AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM h),
+        |sk AS (SELECT source, count(*)::BIGINT AS m, max(h) AS hk
+        |       FROM rn WHERE rn <= 16 GROUP BY 1)
+        |SELECT source,
+        |  floor((CASE WHEN m < 16 THEN m::DOUBLE
+        |    ELSE 15.0 * 281474976710656.0 / hk END)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS est_distinct
+        |FROM sk ORDER BY source""".stripMargin,
     "stream_manifest" ->
       graft.ops.Curation.oracles("corpus_manifest"),
     "stream_consistent_sample" ->

@@ -62,4 +62,31 @@ class AggregatorLawsSpec extends AnyFunSuite {
       agg.merge(b, agg.zero) == b && agg.merge(agg.zero, b) == b
     })
   }
+
+  private val kmv = graft.expressions.KmvSketch(4)
+  private val hashes: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, 30L))
+  private def kfold(xs: List[Long]): Seq[Long] =
+    xs.foldLeft(kmv.zero)(kmv.reduce)
+
+  test("KMV sketch: any partitioning equals distinct-sorted bottom-k") {
+    assertHolds(Prop.forAll(hashes, Gen.chooseNum(1, 5)) { (xs, nParts) =>
+      val parts =
+        if (xs.isEmpty) List(Nil)
+        else xs.grouped(math.max(1, xs.length / nParts)).toList
+      val merged = parts.map(kfold).reduce(kmv.merge)
+      kmv.finish(merged) == xs.distinct.sorted.take(4)
+    })
+  }
+
+  test("KMV sketch merge is commutative, associative, and IDEMPOTENT") {
+    assertHolds(Prop.forAll(hashes, hashes) { (a, b) =>
+      val (ba, bb) = (kfold(a), kfold(b))
+      kmv.merge(ba, bb) == kmv.merge(bb, ba) &&
+      // idempotence: re-merging a buffer (a replayed micro-batch
+      // after restart) cannot move the sketch
+      kmv.merge(ba, ba) == ba &&
+      kmv.merge(kmv.merge(ba, bb), bb) == kmv.merge(ba, bb)
+    })
+  }
 }

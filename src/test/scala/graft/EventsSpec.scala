@@ -456,4 +456,38 @@ class EventsSpec extends SparkSpecBase {
       assert(spike === (if (z >= 3.0) 1 else 0))
     }
   }
+
+  test("Mann-Whitney U ≡ serial average-rank computation") {
+    import spark.implicits._
+    val rows = graft.ops.Events.mannWhitney(spark, sf).collect()
+    val nTypes = Tables.load(spark, sf, "events")
+      .select($"event_type").distinct.count().toInt
+    assert(rows.length === nTypes * (nTypes - 1) / 2)
+    val vals = Tables.load(spark, sf, "events")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .map { case (t, v) => (t, math.floor(v * 100.0 + 0.5).toLong) }
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val xa = vals.filter(_._1 == ta).map(_._2)
+      val xb = vals.filter(_._1 == tb).map(_._2)
+      // serial average ranks over the pooled sample
+      val pooled = (xa.map((_, 'a')) ++ xb.map((_, 'b'))).sortBy(_._1)
+      val rank = scala.collection.mutable.HashMap.empty[Long, Double]
+      var i = 0
+      while (i < pooled.length) {
+        var j = i
+        while (j < pooled.length && pooled(j)._1 == pooled(i)._1) j += 1
+        rank(pooled(i)._1) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+        i = j
+      }
+      val r1 = xa.map(rank).sum
+      val uSerial = r1 - xa.length.toLong * (xa.length + 1L) / 2.0
+      assert(math.abs(r.getAs[Double]("u_stat") - uSerial) < 1e-6,
+        s"$ta/$tb: ${r.getAs[Double]("u_stat")} vs $uSerial")
+      assert(r.getAs[Long]("n_a") === xa.length.toLong)
+      assert(r.getAs[Long]("n_b") === xb.length.toLong)
+      // U is bounded by n_a*n_b
+      assert(uSerial >= 0.0 && uSerial <= xa.length.toDouble * xb.length)
+    }
+  }
 }

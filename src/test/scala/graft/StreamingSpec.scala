@@ -272,6 +272,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(multiCap.nonEmpty)
     assert(multiCap.map(_.toString).toSeq ===
       batchCap.map(_.toString).toSeq)
+    // the KMV cardinality sketch is a set union — arbitrary-split
+    // micro-batches land exactly on the single-batch estimates
+    val multiCard = graft.streaming.TextStreams.cardinality(spark, tmp)
+      .collect()
+    val oneCard = graft.streaming.TextStreams.cardinality(spark, sf)
+      .collect()
+    assert(multiCard.nonEmpty)
+    assert(multiCard.map(_.toString).toSeq ===
+      oneCard.map(_.toString).toSeq)
     // the Page-Hinkley monitor is order-sensitive like the funnel:
     // three time-sliced batches must fold to the single-batch state
     val multiDrift = EventStreams.streamDriftMonitor(spark, tmp,
