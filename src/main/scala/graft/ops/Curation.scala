@@ -36,6 +36,41 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** H27 — duplicate-consistent (group-aware) dataset split: H2
+    * splits by doc_id hash, so two docs with IDENTICAL text can land
+    * in train AND test — the eval set then "tests" memorized training
+    * rows, the elementary leakage H12 only audits after the fact.
+    * Here the split key is the hash of the CONTENT group (md5 of the
+    * text), so every member of an exact-dup group lands in the same
+    * split BY CONSTRUCTION; group_id (min doc_id of the group) and
+    * the member count ride along so downstream can keep one member
+    * per group in eval splits.
+    *
+    * Scale shape: one groupBy(text-hash) partial agg for (group_id,
+    * size) + one same-key join back — both on the content-hash
+    * partitioning, no window, no skew (group sizes are dedup-bounded).
+    * Deterministic and retry-safe like every H-block hash decision.
+    */
+  def groupedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("th", md5($"text".cast("binary")))
+    val groups = docs.groupBy($"th")
+      .agg(min($"doc_id").as("group_id"),
+        count(lit(1)).as("n_group_members"))
+    docs.join(groups, "th")
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("gsplit:"), $"th")
+          .cast("binary")), 32, 1), 16, 10).cast("long"))
+      .withColumn("split",
+        when($"bucket" < 12, "train")
+          .when($"bucket" < 14, "val")
+          .otherwise("test"))
+      .select($"doc_id", $"group_id", $"n_group_members", $"bucket",
+        $"split")
+      .orderBy($"doc_id")
+  }
+
   /** Sequence packing: concatenate documents (per language, in doc_id
     * order) into fixed token-budget packs; a doc starts a new pack
     * when the running total crosses the budget. One window per
@@ -1048,6 +1083,23 @@ object Curation {
         |SELECT doc_id, sk,
         |  row_number() OVER (ORDER BY sk, doc_id) AS rank
         |FROM k ORDER BY rank""".stripMargin,
+    "dataset_split_grouped" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS th FROM documents),
+        |g AS (
+        |  SELECT th, min(doc_id) AS group_id,
+        |    count(*)::BIGINT AS n_group_members
+        |  FROM d GROUP BY th),
+        |j AS (
+        |  SELECT d.doc_id, g.group_id, g.n_group_members,
+        |    CAST(strpos('0123456789abcdef',
+        |      substring(md5('gsplit:' || d.th), 32, 1)) - 1 AS BIGINT)
+        |      AS bucket
+        |  FROM d JOIN g ON g.th = d.th)
+        |SELECT doc_id, group_id, n_group_members, bucket,
+        |  CASE WHEN bucket < 12 THEN 'train'
+        |    WHEN bucket < 14 THEN 'val' ELSE 'test' END AS split
+        |FROM j ORDER BY doc_id""".stripMargin,
     "dataset_split" ->
       """SELECT doc_id,
         |  strpos('0123456789abcdef',

@@ -252,7 +252,111 @@ object Multimodal {
       .orderBy($"media_type", $"sig")
   }
 
+  /** F8 — content-defined chunking (CDC) dedup report: the
+    * storage-system dedup metric for binary payloads. Fixed-offset
+    * chunking (F5's signature) misses a duplicate region the moment
+    * one byte shifts it; CDC cuts where a CONTENT window hash hits a
+    * mask (here: 8-byte window hash ≡ 0 mod 32 ⇒ ~32-byte expected
+    * chunks), so shared runs chunk identically wherever they sit.
+    * Per media type: chunk count, distinct-chunk count, total vs
+    * unique bytes and the dedup ratio — the "how much smaller is the
+    * chunk store?" number that decides whether a media corpus gets a
+    * CAS layout.
+    *
+    * Scale shape: the position explode is the E-block shingle
+    * discipline (corpus×bytes rows, all pipelined); the boundary
+    * test is pure per-position (no sequential min/max constraint —
+    * deliberately, so chunking parallelizes and the oracle can
+    * re-derive it in closed form); the only windows are per-document
+    * (bounded by payload size); the store rollup is a (type, hash)
+    * partial agg.
+    */
+  def mediaCdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = withMedia(spark, dir)
+      .select($"doc_id", $"media_type", $"text", $"n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val chunks = docs
+      .select($"doc_id", $"media_type", $"text", $"n_chars",
+        explode(sequence(lit(1L), $"n_chars")).as("i"))
+      // md5 of the 8-char window decides the cut — content-defined
+      .withColumn("b",
+        ($"i" === 1L) || ($"i" + 7L <= $"n_chars" &&
+          conv(substring(md5(expr("substring(text, i, 8)")
+            .cast("binary")), 1, 12), 16, 10).cast("long") % 32 === 0))
+      .withColumn("chunk_id", sum($"b".cast("long")).over(w))
+      .groupBy($"doc_id", $"media_type", $"chunk_id")
+      .agg(min($"i").as("st"), count(lit(1)).as("len"))
+      .join(docs.select($"doc_id", $"text"), "doc_id")
+      .select($"media_type", $"len",
+        md5(expr("substring(text, st, len)").cast("binary")).as("h"))
+    val store = chunks.groupBy($"media_type", $"h")
+      .agg(min($"len").as("len"))
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_distinct_chunks"),
+        sum($"len").as("unique_bytes"))
+    chunks.groupBy($"media_type")
+      .agg(count(lit(1)).as("n_chunks"), sum($"len").as("total_bytes"))
+      .join(store, "media_type")
+      .select($"media_type", $"n_chunks", $"n_distinct_chunks",
+        $"total_bytes", $"unique_bytes",
+        (floor($"unique_bytes".cast("double") / $"total_bytes"
+          * 1000000.0 + 0.5) / 1000000.0).as("dedup_ratio"),
+        (floor($"total_bytes".cast("double") / $"n_chunks"
+          * 10000.0 + 0.5) / 10000.0).as("avg_chunk_bytes"))
+      .orderBy($"media_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "media_cdc_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+        |    text, n_chars
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, media_type, text, n_chars,
+        |    unnest(range(1, n_chars + 1)) AS i
+        |  FROM d),
+        |b AS (
+        |  SELECT doc_id, media_type, text, i,
+        |    (i = 1 OR (i + 7 <= n_chars AND
+        |      ('0x' || substring(md5(substring(text, i::INT, 8)), 1, 12))
+        |        ::BIGINT % 32 = 0)) AS b
+        |  FROM pos),
+        |cid AS (
+        |  SELECT doc_id, media_type, text, i,
+        |    sum(b::INT) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS chunk_id
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id, media_type, chunk_id,
+        |    min(i) AS st, count(*)::BIGINT AS len,
+        |    md5(substring(max(text), min(i)::INT, count(*)::INT)) AS h
+        |  FROM cid GROUP BY 1, 2, 3),
+        |store AS (
+        |  SELECT media_type, count(*)::BIGINT AS n_distinct_chunks,
+        |    CAST(sum(len) AS BIGINT) AS unique_bytes
+        |  FROM (SELECT media_type, h, min(len) AS len FROM ch
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT media_type, count(*)::BIGINT AS n_chunks,
+        |    CAST(sum(len) AS BIGINT) AS total_bytes
+        |  FROM ch GROUP BY 1)
+        |SELECT tot.media_type, n_chunks, n_distinct_chunks,
+        |  total_bytes, unique_bytes,
+        |  floor(unique_bytes::DOUBLE / total_bytes * 1000000.0 + 0.5)
+        |    / 1000000.0 AS dedup_ratio,
+        |  floor(total_bytes::DOUBLE / n_chunks * 10000.0 + 0.5)
+        |    / 10000.0 AS avg_chunk_bytes
+        |FROM tot JOIN store ON store.media_type = tot.media_type
+        |ORDER BY tot.media_type""".stripMargin,
     "multimodal_token_budget" ->
       """WITH m AS (
         |  SELECT doc_id,

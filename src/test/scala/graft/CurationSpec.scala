@@ -498,4 +498,36 @@ class CurationSpec extends SparkSpecBase {
       assert(d >= 0.0 && d < 1.0)
     }
   }
+
+  test("grouped split keeps exact-dup groups together; doc-hash split does not") {
+    import spark.implicits._
+    // synthesize duplicates: clone 40 docs under shifted doc_ids so
+    // content groups have 2 members with far-apart ids (the gate-SF
+    // corpora carry no exact dups, which would make this vacuous)
+    val docs = Tables.load(spark, sf, "documents")
+    val clones = docs.filter($"doc_id" < 40)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gsplit").toString
+    docs.unionByName(clones).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val grouped = graft.ops.Curation.groupedSplit(spark, tmp).collect()
+    val byGroup = grouped.groupBy(_.getAs[Long]("group_id"))
+    // every content group lands in ONE split
+    byGroup.values.foreach { members =>
+      assert(members.map(_.getAs[String]("split")).distinct.length === 1)
+    }
+    // the cloned groups really have 2 members and min-id group ids
+    val dupGroups = byGroup.filter(_._2.length > 1)
+    assert(dupGroups.size === 40)
+    dupGroups.foreach { case (gid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min === gid)
+      assert(members.forall(_.getAs[Long]("n_group_members") === 2L))
+    }
+    // the contrast: H2's doc_id-hash split separates at least one of
+    // these pairs (id and id+100000 hash independently)
+    val h2 = graft.ops.Curation.datasetSplit(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val separated = (0L until 40L).count(i => h2(i) != h2(i + 100000L))
+    assert(separated > 0, "doc-hash split kept every dup pair together")
+  }
 }

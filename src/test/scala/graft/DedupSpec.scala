@@ -692,6 +692,47 @@ class DedupSpec extends SparkSpecBase {
     assert(at.zip(at.tail).forall { case (a, b) => a > b })
   }
 
+  test("CDC chunking: byte conservation, and cuts survive a shift") {
+    import spark.implicits._
+    val rows = graft.ops.Multimodal.mediaCdcDedup(spark, sf).collect()
+    assert(rows.length === 3)
+    // conservation: chunk bytes per type == total payload chars
+    val expected = Tables.load(spark, sf, "documents")
+      .selectExpr("element_at(array('image/png','audio/wav','video/mp4')," +
+        " cast(doc_id % 3 + 1 as int)) as mt", "n_chars")
+      .groupBy($"mt").agg(org.apache.spark.sql.functions.sum($"n_chars"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_bytes") ===
+        expected(r.getAs[String]("media_type")))
+      assert(r.getAs[Double]("dedup_ratio") > 0.0 &&
+        r.getAs[Double]("dedup_ratio") <= 1.0)
+      assert(r.getAs[Long]("n_distinct_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+    // the content-defined property: chunk a text and a 3-char-shifted
+    // copy serially; far more chunk hashes survive than fixed-offset
+    // chunking could retain (every fixed 32-byte frame moves)
+    def chunksOf(s: String): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h48(w: String): Long = {
+        val hex = md.digest(w.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 12), 16)
+      }
+      val bs = (1 to s.length).filter(i =>
+        i == 1 || (i + 7 <= s.length && h48(s.substring(i - 1, i + 7)) % 32 == 0))
+      bs.zip(bs.tail :+ (s.length + 1)).map { case (a, b) =>
+        s.substring(a - 1, b - 1)
+      }
+    }
+    val text = Tables.load(spark, sf, "documents")
+      .orderBy($"n_chars".desc).select($"text").as[String].head()
+    val base = chunksOf(text).toSet
+    val shifted = chunksOf("xy " + text).toSet
+    val survived = base.intersect(shifted).size.toDouble / base.size
+    assert(survived > 0.5, s"only $survived of chunks survived the shift")
+  }
+
   test("KMV sketch: exact below k, bounded estimator error above k") {
     val rows = graft.ops.Dedup.kmvOverlap(spark, sf).collect()
     assert(rows.nonEmpty)
