@@ -161,4 +161,57 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("dedup_kmv_overlap: bottom-k sketch partial-combines map-side") {
+    val plan = executedPlan("dedup_kmv_overlap")
+    // the TopKPairs heap runs as ObjectHashAggregate partial+final,
+    // so ≤ k rows per (source × partition) reach the exchange — the
+    // claim that beats the oracle's per-source full sort
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("orders_survival_km: risk sets come from ONE corpus aggregation") {
+    val plan = executedPlan("orders_survival_km")
+    // corpus-scale work is the per-customer agg; everything after
+    // (histogram, suffix window, fold) runs on the days-sized frame.
+    // No join may touch the orders scan twice except the max-date
+    // broadcast — so: no SortMergeJoin anywhere.
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("events_mannwhitney / doc_length_ks: corpus aggregates BEFORE the pair grid") {
+    for (name <- Seq("events_mannwhitney", "doc_length_ks")) {
+      val plan = initialSection(executedPlan(name))
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      // the pair expansion is an INEQUALITY join against the tiny
+      // key frame — it must run as BNLJ with that frame BROADCAST
+      // (corpus side streamed), never as a shuffled product; two
+      // expansions (left + right contribution) are expected
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj <= 2, s"$name: unexpected BNLJ count $bnlj:\n$plan")
+      // the corpus collapses to (key, value) counts BEFORE the pair
+      // grid: the deepest operator chain under the expansion joins
+      // must contain the count HashAggregate, i.e. some aggregate
+      // prints deeper (later) than the deepest join in the tree text
+      val lastAgg = plan.lastIndexOf("Aggregate")
+      val lastJoin = plan.lastIndexOf("Join")
+      assert(lastAgg >= 0 && lastJoin >= 0, s"$name:\n$plan")
+      assert(lastAgg > lastJoin,
+        s"$name: no aggregate below the joins:\n$plan")
+    }
+  }
+
+  test("media_cdc_dedup: chunk windows are per-document only") {
+    val plan = executedPlan("media_cdc_dedup")
+    // every Window must partition by doc_id — a global (unpartitioned)
+    // window over the exploded positions would serialize the corpus
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.nonEmpty, plan)
+    assert(windows.forall(_.contains("doc_id#")),
+      s"window not doc-partitioned: $windows")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
