@@ -1009,6 +1009,78 @@ object Dedup {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** C23 — sorted-neighborhood blocking: the classic entity-
+    * resolution candidate generator that complements the C2-LSH and
+    * C4-prefix families — sort the corpus ONCE by a normalization-
+    * robust key (here: the 4 lexicographically smallest tokens, so a
+    * token-shuffled near-copy keys identically) and compare only
+    * documents within a w-wide window of the global order. Where LSH
+    * spends hashes and prefix-filter spends per-gram joins, SN spends
+    * ONE global sort — the right trade when the corpus is re-sorted
+    * anyway (A10's spatial-sort stance applied to text).
+    *
+    * Scale shape: the global rank is H7's bucketed-offset trick (per-
+    * bucket row_number + broadcast offsets — NO single-partition
+    * window; the first-char bucket is order-aligned with the key by
+    * construction); window pairing is an EQUI-join on integer rank
+    * (each doc proposes its next w−1 ranks — no inequality join, no
+    * self-cartesian); exact Jaccard verifies candidates, integer
+    * compare at the threshold. Candidates are ≤ (w−1)·N — linear in
+    * the corpus by design, the property that makes SN predictable at
+    * 100 TB where LSH bucket skew needs monitoring.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String,
+                         window: Int = 8,
+                         tNum: Int = 8000): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val base = withShingles(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"sh", size($"sh").as("sz"),
+        array_sort($"toks").as("st"))
+    // multi-pass SN (the standard recall fix — one key's sort order
+    // can separate a near-pair the other key's order keeps adjacent):
+    // pass 1 keys on the 4 smallest tokens, pass 2 on the 4 largest
+    def pass(keyed: DataFrame): DataFrame = {
+      val docs = keyed.withColumn("bkt", substring($"key", 1, 1))
+      val offsets = docs.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum($"cnt").over(W.orderBy($"bkt")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select($"bkt", $"offset")
+      val wR = W.partitionBy($"bkt").orderBy($"key", $"doc_id")
+      val ranked = docs.join(broadcast(offsets), "bkt")
+        .withColumn("rank", row_number().over(wR) + $"offset")
+        .select($"doc_id", $"sh", $"sz", $"rank")
+      val probes = ranked
+        .select($"rank", $"doc_id".as("da"), $"sh".as("sha"),
+          $"sz".as("sza"),
+          explode(sequence(lit(1), lit(window - 1))).as("j"))
+        .withColumn("prank", $"rank" + $"j")
+      probes
+        .join(ranked.select($"rank".as("prank"), $"doc_id".as("db"),
+          $"sh".as("shb"), $"sz".as("szb")), "prank")
+        .withColumn("i",
+          graft.functions.intersect_size($"sha", $"shb").cast("long"))
+        .withColumn("u", $"sza" + $"szb" - $"i")
+        .filter($"i" * 10000 >= $"u" * tNum)
+        .select(least($"da", $"db").as("doc_a"),
+          greatest($"da", $"db").as("doc_b"),
+          $"j".cast("long").as("rank_dist"), $"i", $"u")
+    }
+    val p1 = pass(base.withColumn("key",
+      concat_ws(" ", slice($"st", 1, 4))))
+    val p2 = pass(base.withColumn("key",
+      concat_ws(" ",
+        slice($"st", greatest(lit(1), size($"st") - 3), lit(4)))))
+    p1.unionAll(p2)
+      .groupBy($"doc_a", $"doc_b", $"i", $"u")
+      .agg(min($"rank_dist").as("rank_dist"))
+      .select($"doc_a", $"doc_b", $"rank_dist", $"i", $"u",
+        (floor($"i".cast("double") / $"u" * 10000.0 + 0.5) / 10000.0)
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** C17 — token-frequency shift under dedup: the top tokens whose
     * corpus frequency SHARE moves most between the full corpus and
     * C10's kept-keepers corpus — the distribution-shift audit behind
@@ -1200,6 +1272,46 @@ object Dedup {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_sorted_neighborhood" -> (shingleCte.replace(
+      """sh AS (
+      |  SELECT doc_id,""".stripMargin,
+      """sh AS (
+      |  SELECT doc_id,
+      |    array_to_string((list_sort(t))[1:4], ' ') AS key1,
+      |    array_to_string((list_sort(t))[greatest(1, len(t) - 3):
+      |      greatest(1, len(t) - 3) + 3], ' ') AS key2,""".stripMargin) +
+      """, r1 AS (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (ORDER BY key1, doc_id) AS rank
+        |  FROM sh),
+        |r2 AS (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (ORDER BY key2, doc_id) AS rank
+        |  FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.s AS sa, b.s AS sb,
+        |    b.rank - a.rank AS j
+        |  FROM r1 a JOIN r1 b
+        |    ON b.rank > a.rank AND b.rank <= a.rank + 7
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, a.s, b.s, b.rank - a.rank
+        |  FROM r2 a JOIN r2 b
+        |    ON b.rank > a.rank AND b.rank <= a.rank + 7),
+        |v0 AS (
+        |  SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+        |    CASE WHEN da <= db THEN sa ELSE sb END AS s_a,
+        |    CASE WHEN da <= db THEN sb ELSE sa END AS s_b, j
+        |  FROM p),
+        |v AS (
+        |  SELECT doc_a, doc_b, min(j)::BIGINT AS rank_dist,
+        |    len(list_intersect(min(s_a), min(s_b)))::BIGINT AS i,
+        |    (len(min(s_a)) + len(min(s_b))
+        |      - len(list_intersect(min(s_a), min(s_b))))::BIGINT AS u
+        |  FROM v0 GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, rank_dist, i, u,
+        |  floor(i::DOUBLE / u * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM v WHERE i * 10000 >= u * 8000
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_kmv_overlap" ->
       """WITH h AS (
         |  SELECT DISTINCT source,

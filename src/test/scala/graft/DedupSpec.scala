@@ -692,6 +692,31 @@ class DedupSpec extends SparkSpecBase {
     assert(at.zip(at.tail).forall { case (a, b) => a > b })
   }
 
+  test("sorted-neighborhood: exact-verified pairs, measured recall floor") {
+    import spark.implicits._
+    val sn = graft.ops.Dedup.sortedNeighborhood(spark, sf).collect()
+    assert(sn.nonEmpty)
+    val pairs = sn.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.distinct.length === pairs.length)
+    sn.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      // precision is 1.0 BY CONSTRUCTION: every emitted pair passed
+      // the exact integer Jaccard gate on full shingle sets
+      assert(r.getAs[Long]("i") * 10000 >= r.getAs[Long]("u") * 8000)
+      assert(r.getAs[Long]("rank_dist") >= 1 &&
+        r.getAs[Long]("rank_dist") <= 7)
+    }
+    // measured recall vs the exhaustive t=0.8 truth (C15's sweep):
+    // two-pass SN with w=8 recovers most of it on this corpus — the
+    // documented trade for replacing per-gram joins with one sort
+    val truth = graft.ops.Dedup.thresholdSweep(spark, sf)
+      .filter($"threshold" === 0.8).select($"n_pairs")
+      .as[Long].collect().head
+    assert(sn.length <= truth)
+    assert(sn.length.toDouble / truth >= 0.6,
+      s"recall ${sn.length}/$truth below the measured floor")
+  }
+
   test("CDC chunking: byte conservation, and cuts survive a shift") {
     import spark.implicits._
     val rows = graft.ops.Multimodal.mediaCdcDedup(spark, sf).collect()
