@@ -737,6 +737,64 @@ object Similarity {
     ranks.select($"vec_id", $"r".as("pr")).orderBy($"vec_id")
   }
 
+  /** D26 — bounded multi-source BFS closeness centrality on the
+    * undirected kNN graph: how CENTRAL each probe vertex sits in the
+    * embedding manifold (hubs with high closeness dominate greedy
+    * ANN routing and label propagation — D9/D14's diagnostics read
+    * per-node degree; this reads global REACH). For 8 deterministic
+    * seed vertices, BFS to depth 6: reached count, distance sum,
+    * eccentricity, and closeness (reached/Σdist) — the bounded-probe
+    * form every large-graph toolkit uses, because exact all-pairs
+    * closeness is O(V·E).
+    *
+    * Scale shape: the BSP frontier loop (B-block PageRank stance) —
+    * per round ONE edge equi-join + one anti-join against visited +
+    * distinct, all keyed on vertex id, frontier `localCheckpoint`ed
+    * so lineage stays bounded; 6 rounds × edge-linear shuffle. All
+    * quantities integers; the one closeness division is engine-
+    * identical.
+    */
+  def knnGraphCloseness(spark: SparkSession, dir: String, k: Int = 5,
+                        planes: Int = 12, nSeeds: Int = 8,
+                        maxDepth: Int = 6): DataFrame = {
+    import spark.implicits._
+    val ed = knnGraphOn(loadVecs(spark, dir), k, planes)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    val edges = ed
+      .unionAll(ed.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    var visited = loadVecs(spark, dir)
+      .filter($"vec_id" < nSeeds)
+      .select($"vec_id".as("seed"), $"vec_id".as("node"),
+        lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    for (d <- 1 to maxDepth) {
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(frontier("seed"), edges("dst").as("node"),
+          lit(d).as("dist"))
+        .distinct()
+        .join(visited.select($"seed", $"node"), Seq("seed", "node"),
+          "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited.groupBy($"seed")
+      .agg(count(lit(1)).as("cnt"), sum($"dist").as("sum_dist"),
+        max($"dist").as("ecc"))
+      .select($"seed".as("seed_id"),
+        ($"cnt" - 1L).as("n_reached"),
+        $"sum_dist".cast("long").as("sum_dist"),
+        $"ecc".cast("long").as("ecc"),
+        when($"sum_dist" > 0L,
+          floor(($"cnt" - 1L).cast("double") / $"sum_dist"
+            * 1000000.0 + 0.5) / 1000000.0)
+          .otherwise(lit(0.0)).as("closeness"))
+      .orderBy($"seed_id")
+  }
+
   /** D15 — triangle census + local clustering coefficient on the
     * undirected kNN graph: the standard graph-quality diagnostic for
     * an embedding space (high clustering = tight semantic neighborhoods;
@@ -1372,6 +1430,32 @@ object Similarity {
   /** D15 oracle: the D7 edge CTE canonicalized to undirected a<b
     * edges, the same 3-way triangle join, per-node explode + degree.
     */
+  private def closenessOracle: String =
+    lshGraphCte.replaceFirst("WITH seeds", "WITH RECURSIVE seeds") +
+      """,
+        |ed AS (
+        |  SELECT src_id AS src, neighbor_id AS dst FROM scored
+        |  WHERE rnk <= 5),
+        |sym AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM ed
+        |    UNION ALL SELECT dst, src FROM ed)),
+        |bfs(seed, node, dist) AS (
+        |  SELECT vec_id, vec_id, 0 FROM v WHERE vec_id < 8
+        |  UNION
+        |  SELECT b.seed, s.dst, b.dist + 1
+        |  FROM bfs b JOIN sym s ON s.src = b.node
+        |  WHERE b.dist < 6),
+        |md AS (
+        |  SELECT seed, node, min(dist) AS d FROM bfs GROUP BY 1, 2)
+        |SELECT seed AS seed_id, (count(*) - 1)::BIGINT AS n_reached,
+        |  CAST(sum(d) AS BIGINT) AS sum_dist, max(d)::BIGINT AS ecc,
+        |  CASE WHEN sum(d) > 0
+        |    THEN floor((count(*) - 1)::DOUBLE / sum(d)
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS closeness
+        |FROM md GROUP BY seed ORDER BY seed_id""".stripMargin
+
   private def trianglesOracle: String = lshGraphCte +
     """,
       |edges0 AS (
@@ -1793,6 +1877,7 @@ object Similarity {
         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin),
     "knn_graph" -> lshGraphOracle,
     "knn_graph_triangles" -> trianglesOracle,
+    "knn_graph_closeness" -> closenessOracle,
     "knn_link_prediction" -> (lshGraphCte +
       """,
         |le AS (

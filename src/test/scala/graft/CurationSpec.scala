@@ -369,6 +369,38 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._2).sum <= Scale)
   }
 
+  test("closeness centrality equals an in-memory BFS replay") {
+    import spark.implicits._
+    val ed = graft.ops.Similarity.knnGraph(spark, sf)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect()
+    val adj = (ed ++ ed.map(_.swap)).distinct
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val got = graft.ops.Similarity.knnGraphCloseness(spark, sf).collect()
+    assert(got.length === 8)
+    got.foreach { r =>
+      val seed = r.getAs[Long]("seed_id")
+      // serial bounded BFS
+      var dist = Map(seed -> 0)
+      var frontier = Set(seed)
+      for (d <- 1 to 6) {
+        val next = frontier.flatMap(adj).diff(dist.keySet)
+        dist ++= next.map(_ -> d)
+        frontier = next
+      }
+      val reached = dist.size - 1
+      val sumd = dist.values.sum.toLong
+      assert(r.getAs[Long]("n_reached") === reached.toLong, s"seed $seed")
+      assert(r.getAs[Long]("sum_dist") === sumd, s"seed $seed")
+      assert(r.getAs[Long]("ecc") ===
+        (if (dist.isEmpty) 0L else dist.values.max.toLong))
+      val expect = if (sumd > 0)
+        math.floor(reached.toDouble / sumd * 1e6 + 0.5) / 1e6
+      else 0.0
+      assert(r.getAs[Double]("closeness") === expect, s"seed $seed")
+    }
+  }
+
   test("label propagation equals an in-memory 3-round replay") {
     import graft.ops.Similarity
     val edges = Similarity.knnGraph(spark, sf).collect()
