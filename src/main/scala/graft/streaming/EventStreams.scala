@@ -404,6 +404,82 @@ object EventStreams {
       runToCompletion(agg, "graft_stream_anomaly"))
   }
 
+  final case class SessTState(start: Long, last: Long, n: Long)
+  final case class SessTRow(user_id: Long, start_us: Long, end_us: Long,
+                            n_events: Long)
+
+  /** G26 — sessionization with EVENT-TIME TIMEOUT state expiry: the
+    * one stateful contract G2's `session_window` hides — here the
+    * session CLOSE is explicit: a later event ≥ gap away closes it
+    * in-function, and an idle session closes when the WATERMARK
+    * passes last+gap (`GroupStateTimeout.EventTimeTimeout`, the
+    * `state.hasTimedOut` branch + `state.remove()`). This is the API
+    * every custom-window production job uses to bound state: without
+    * the timeout, one row per ever-seen user lives forever. Sessions
+    * still open at the final watermark are WITHHELD, and the oracle
+    * models that cutoff explicitly in the engine's own millisecond
+    * arithmetic (G22 discipline) — fires iff
+    * floor((end+gap)µs/1000) < floor(maxµs/1000) − delay_ms.
+    */
+  def streamSessionTimeout(spark: SparkSession, dir: String,
+                           gapMin: Int = 30, delayMin: Int = 60,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMin * 60000000L
+    val stream = eventStream(spark, dir, maxFilesPerTrigger)
+      .withWatermark("tsm", s"$delayMin minutes")
+      // keep the watermark column in the projection — dropping it
+      // disconnects event-time timeout from the watermark
+      .select($"user_id".as[Long], expr("ts DIV 1000").as[Long],
+        $"tsm".as[java.sql.Timestamp])
+    val out = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessTState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessTRow(user, s.start, s.last, s.n))
+          } else {
+            var emitted = List.empty[SessTRow]
+            var cur = state.getOption
+            rows.toSeq.map(_._2).sorted.foreach { us =>
+              cur match {
+                case Some(s) if us - s.last >= gapUs =>
+                  emitted ::= SessTRow(user, s.start, s.last, s.n)
+                  cur = Some(SessTState(us, us, 1L))
+                case Some(s) =>
+                  cur = Some(s.copy(last = us, n = s.n + 1))
+                case None =>
+                  cur = Some(SessTState(us, us, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // expiry: when the watermark passes last+gap, the
+              // session can no longer be extended — close it
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
+            }
+            emitted.reverse.iterator
+          }
+      }
+    val name = s"graft_stream_sesst_${counter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    try {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
+      .orderBy($"user_id", $"start_us")
+  }
+
   final case class DriftState(n: Long, cum: Long, minc: Long,
                               maxc: Long, nAlarms: Long,
                               firstAlarm: Long, upd: Long)
@@ -482,6 +558,31 @@ object EventStreams {
   }
 
   val oracles: Map[String, String] = Map(
+    "stream_session_timeout" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |lagd AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM lagd),
+        |g AS (
+        |  SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+        |    count(*)::BIGINT AS n_events,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY min(us) DESC) AS rdesc
+        |  FROM sess GROUP BY 1, 2),
+        |wm AS (SELECT (max(us) // 1000) - 3600000 AS wm_ms FROM e)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM g, wm
+        |WHERE rdesc > 1 OR ((end_us + 1800000000) // 1000) < wm_ms
+        |ORDER BY user_id, start_us""".stripMargin,
     "stream_drift_monitor" ->
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts) AS us,

@@ -291,6 +291,46 @@ class StreamingSpec extends SparkSpecBase {
       oneDrift.map(_.toString).toSeq)
   }
 
+  test("session timeout: emits on gap or watermark expiry, withholds open tails") {
+    import spark.implicits._
+    val got = EventStreams.streamSessionTimeout(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // serial replay: gap-sessionize per user, withhold last sessions
+    // the final watermark hasn't passed (the engine's ms arithmetic)
+    val evs = graft.Tables.normalizeEventTs(
+        spark.read.parquet(s"$sf/events.parquet"))
+      .select($"user_id", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+      .as[(Long, Long)].collect()
+    val gapUs = 1800000000L
+    val wmMs = evs.map(_._2).max / 1000L - 3600000L
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, us) => acc match {
+          case (s, e, n) :: rest if us - e < gapUs => (s, us, n + 1) :: rest
+          case _ => (us, us, 1L) :: acc
+        }
+      }.reverse
+      val closed = sessions.init
+      val last = sessions.last
+      val lastEmitted =
+        if ((last._2 + gapUs) / 1000L < wmMs) Seq(last) else Seq.empty
+      (closed ++ lastEmitted).map(s => (u, s._1, s._2, s._3))
+    }
+    assert(got.sorted.toSeq === expected.sorted)
+    // both gate outcomes exercised: some last sessions emitted via
+    // timeout AND some withheld as still-open
+    val lastPerUser = evs.groupBy(_._1).size
+    val emittedLasts = expected.size -
+      evs.groupBy(_._1).map { case (_, rows) =>
+        val ts = rows.map(_._2).sorted
+        ts.zip(ts.drop(1)).count { case (a, b) => b - a >= gapUs }
+      }.sum
+    assert(emittedLasts > 0, "no session emitted via the timeout path")
+    assert(emittedLasts < lastPerUser, "watermark withheld nothing")
+  }
+
   test("drift monitor: non-vacuous alarms, state equals a serial fold") {
     val rows = EventStreams.streamDriftMonitor(spark, sf).collect()
     assert(rows.nonEmpty)
