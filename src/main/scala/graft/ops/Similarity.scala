@@ -57,6 +57,89 @@ object Similarity {
       .withColumn("cos", cosine($"qv", $"v")), k)
   }
 
+  /** D27 — MMR (maximal-marginal-relevance) diversified top-k: plain
+    * cosine top-k returns near-duplicates of the best hit (this
+    * corpus's near-dup structure guarantees it); MMR greedily picks
+    * argmax [λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)], trading relevance
+    * against redundancy — the standard retrieval-diversification
+    * layer between an ANN shortlist and the consumer.
+    *
+    * Scale shape: the shortlist (top-m per query through the B37
+    * heap — queries×m rows to the shuffle) is the only corpus-scale
+    * work; the greedy loop is inherently sequential in k but runs
+    * per-QUERY on an m-sized candidate row (typed `map` over one row
+    * per query — m·d doubles), so queries parallelize and the corpus
+    * never re-scans. Rows-only by declaration (greedy argmax over
+    * float cosines has no clean SQL form); the spec replays the greedy
+    * serially AND pins the diversity win over plain top-k.
+    */
+  def mmrDiversifiedTopK(spark: SparkSession, dir: String,
+                         k: Int = 5, m: Int = 16,
+                         lambda: Double = 0.5,
+                         numQueries: Int = 10): DataFrame = {
+    import spark.implicits._
+    val vecs = loadVecs(spark, dir)
+    val queries = vecs.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val topm = udaf(graft.expressions.TopKPairs(m))
+    val shortlist = vecs
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"qv", $"v"))
+      .groupBy($"query_id")
+      .agg(topm($"cos", $"vec_id").as("cand"))
+      .select($"query_id", expr("transform(cand, p -> p._2)").as("ids"),
+        expr("transform(cand, p -> p._1)").as("rels"))
+    val byId = vecs.select($"vec_id".as("cid"), $"v".as("cv"))
+    val packed = shortlist
+      .select($"query_id", posexplode($"ids").as(Seq("pos", "cid")))
+      .join(byId, "cid")
+      .groupBy($"query_id")
+      .agg(sort_array(collect_list(struct($"pos", $"cid", $"cv")))
+        .as("cands"))
+      .join(shortlist.select($"query_id", $"rels"), "query_id")
+      .as[(Long, Seq[(Int, Long, Seq[Double])], Seq[Double])]
+    packed.flatMap { case (qid, cands, rels) =>
+      val n = cands.length
+      val ids = cands.map(_._2).toArray
+      val vs = cands.map(_._3.toArray).toArray
+      val rel = rels.toArray
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double)]
+      while (selected.length < math.min(k, n)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < n) {
+          if (!selected.contains(c)) {
+            val red =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => cos(vs(c), vs(s))).max
+            val score = lambda * rel(c) - (1.0 - lambda) * red
+            // deterministic tie-break: smaller vec_id wins
+            if (score > bestScore ||
+              (score == bestScore && best >= 0 && ids(c) < ids(best))) {
+              best = c; bestScore = score
+            }
+          }
+          c += 1
+        }
+        selected += best
+        out += ((qid, selected.length.toLong, ids(best),
+          math.floor(bestScore * 1e6 + 0.5) / 1e6))
+      }
+      out.toSeq
+    }.toDF("query_id", "rnk", "vec_id", "mmr_score")
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** Deterministic training sample: at most `cap` vectors, collected
     * in ONE job — ordering by a seeded 64-bit hash of vec_id is a
     * deterministic pseudo-random permutation, so `limit(cap)` is a

@@ -206,6 +206,58 @@ class SketchSpec extends SparkSpecBase {
     assert(a.sameElements(b))
   }
 
+  test("MMR: ≡ serial greedy replay, and more diverse than plain top-k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = graft.ops.Similarity.mmrDiversifiedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    // serial replay per query: same shortlist (m=16 by cos desc, id
+    // asc), same greedy argmax
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val qv = vecs(qid)
+      val shortlist = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(16)
+      val ids = shortlist.map(_._1).toArray
+      val rel = shortlist.map(_._2).toArray
+      var selected = List.empty[Int]
+      val expect = (1 to 5).map { _ =>
+        val scored = ids.indices.filterNot(selected.contains).map { c =>
+          val red = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(vecs(ids(c)), vecs(ids(s)))).max
+          (c, 0.5 * rel(c) - 0.5 * red)
+        }
+        val (best, sc) = scored.maxBy { case (c, s) => (s, -ids(c)) }
+        selected ::= best
+        (ids(best), math.floor(sc * 1e6 + 0.5) / 1e6)
+      }
+      val mine = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(mine === expect, s"query $qid")
+      // diversity: MMR's selected set has lower mean pairwise sim
+      // than the plain top-5 (which drags in near-duplicates)
+      def meanPairSim(sel: Seq[Long]): Double = {
+        val ps = for {
+          i <- sel.indices; j <- (i + 1) until sel.length
+        } yield cos(vecs(sel(i)), vecs(sel(j)))
+        ps.sum / ps.length
+      }
+      val mmrSel = mine.map(_._1)
+      val topkSel = shortlist.take(5).map(_._1)
+      assert(meanPairSim(mmrSel) <= meanPairSim(topkSel) + 1e-9,
+        s"query $qid: MMR not more diverse")
+    }
+  }
+
   test("JL distortion report agrees with the projection it audits") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
