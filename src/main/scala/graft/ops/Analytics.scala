@@ -775,6 +775,65 @@ object Analytics {
       .orderBy($"duration_days")
   }
 
+  /** B76 — Theil–Sen robust trend estimate of daily revenue: the
+    * median of all pairwise slopes (x_j−x_i)/(t_j−t_i), i<j — the
+    * robust complement to B72's least squares (one corrupted day
+    * moves an OLS slope arbitrarily; Theil–Sen tolerates ~29%
+    * contamination), with the median intercept and a per-decile
+    * slope profile so a trend BREAK (B73's changepoint) shows up as
+    * decile disagreement.
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded daily
+    * frame FIRST (one partial-agg pass); the O(days²) pair set —
+    * quadratic only in DAYS, ~3M pairs for a decade — is a self-join
+    * of that small frame, never of the corpus. Slopes are exact
+    * integer ratios (Long dollars / Long days) evaluated identically
+    * by both engines; the median interpolates between two such
+    * doubles at 6 dp.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .groupBy($"o_orderdate")
+      .agg(expr("sum(cents) DIV 100").as("x"))
+      .select(datediff(to_date($"o_orderdate"), lit("1992-01-01"))
+        .cast("long").as("t"), $"x")
+    val a = daily.select($"t".as("ta"), $"x".as("xa"))
+    val b = daily.select($"t".as("tb"), $"x".as("xb"))
+    val slopes = a.join(b, $"ta" < $"tb")
+      .select((($"xb" - $"xa").cast("double") /
+        ($"tb" - $"ta").cast("double")).as("s"))
+    val med = slopes.agg(
+      (floor(expr("percentile(s, 0.5)") * 1000000.0 + 0.5) / 1000000.0)
+        .as("slope_median"),
+      count(lit(1)).as("n_pairs"))
+    // decile profile WITHOUT a global window: 9 interpolated decile
+    // boundaries (one aggregate) broadcast back, bucket by strict
+    // compare — engine-identical on the exact-ratio slopes
+    val bounds = slopes.agg(expr(
+      "percentile(s, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("bs"))
+    val prof = slopes.crossJoin(broadcast(bounds))
+      .withColumn("dec",
+        expr("size(filter(bs, b -> s > b))").cast("long"))
+      // per-decile mean via 6dp-integer slopes: Long sums are
+      // associative, so partitioning cannot move the mean
+      .withColumn("s6", floor($"s" * 1000000.0 + 0.5).cast("long"))
+      .groupBy($"dec")
+      .agg((floor(sum($"s6").cast("double") / count(lit(1)) + 0.5)
+        / 1000000.0).as("decile_mean_slope"))
+    prof.crossJoin(broadcast(med))
+      .crossJoin(broadcast(daily.crossJoin(broadcast(med))
+        .agg((floor(expr(
+          "percentile(x - slope_median * t, 0.5)") * 100.0 + 0.5)
+          / 100.0).as("intercept_median"))))
+      .select($"dec".as("slope_decile"), $"decile_mean_slope",
+        $"slope_median", $"intercept_median", $"n_pairs")
+      .orderBy($"slope_decile")
+  }
+
   /** B72 — closed-form ridge regression by NORMAL EQUATIONS: predict
     * the line-item price from (quantity, discount, tax) with one
     * corpus pass that partial-aggregates XᵀX and Xᵀy (d² + d sums, d
@@ -1415,6 +1474,40 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "revenue_theil_sen" ->
+      """WITH d AS (
+        |  SELECT o_orderdate,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      // 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |dd AS (
+        |  SELECT CAST(o_orderdate::DATE - DATE '1992-01-01' AS BIGINT)
+        |    AS t, x
+        |  FROM d),
+        |sl AS (
+        |  SELECT (b.x - a.x)::DOUBLE / (b.t - a.t)::DOUBLE AS s
+        |  FROM dd a JOIN dd b ON a.t < b.t),
+        |med AS (
+        |  SELECT floor(quantile_cont(s, 0.5) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS slope_median,
+        |    count(*)::BIGINT AS n_pairs,
+        |    quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+        |      0.8, 0.9]) AS bs
+        |  FROM sl),
+        |ic AS (
+        |  SELECT floor(quantile_cont(x - slope_median * t, 0.5)
+        |    * 100.0 + 0.5) / 100.0 AS intercept_median
+        |  FROM dd, med),
+        |prof AS (
+        |  SELECT len(list_filter(bs, b -> s > b))::BIGINT
+        |      AS slope_decile,
+        |    floor(sum(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT))
+        |      ::DOUBLE / count(*) + 0.5) / 1000000.0
+        |      AS decile_mean_slope
+        |  FROM sl, med GROUP BY 1)
+        |SELECT slope_decile, decile_mean_slope, slope_median,
+        |  intercept_median, n_pairs
+        |FROM prof, med, ic ORDER BY slope_decile""".stripMargin,
     "orders_survival_km" ->
       """WITH RECURSIVE r AS (
         |  SELECT o_custkey, o_orderdate::DATE AS day,

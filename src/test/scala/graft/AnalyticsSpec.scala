@@ -201,6 +201,23 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("Theil-Sen: full pair count, ordered deciles, bracketed median") {
+    import spark.implicits._
+    val rows = graft.ops.Analytics.theilSen(spark, sf).collect()
+      .sortBy(_.getAs[Long]("slope_decile"))
+    assert(rows.map(_.getAs[Long]("slope_decile")).toSeq === (0L to 9L))
+    val nDays = Tables.load(spark, sf, "orders")
+      .select($"o_orderdate").distinct.count()
+    assert(rows.head.getAs[Long]("n_pairs") === nDays * (nDays - 1) / 2)
+    // decile mean slopes are non-decreasing by construction
+    val means = rows.map(_.getAs[Double]("decile_mean_slope"))
+    means.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    // the median sits between the 5th and 6th decile means
+    val med = rows.head.getAs[Double]("slope_median")
+    assert(med >= means(4) - 1e-6 && med <= means(5) + 1e-6,
+      s"median $med outside [${means(4)}, ${means(5)}]")
+  }
+
   test("ridge regression ≡ serial normal equations, recovers the formula") {
     import spark.implicits._
     val got = graft.ops.Analytics.lineitemRidge(spark, sf).collect()
