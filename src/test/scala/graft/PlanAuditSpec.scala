@@ -203,6 +203,24 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("registry-wide: no CartesianProduct in any batch query plan") {
+    // mechanical sweep over EVERY non-streaming registry entry: build
+    // the DataFrame (streaming entries execute on construction, so
+    // they are audited by their own specs instead) and assert the
+    // physical plan never falls back to an unbroadcast cartesian —
+    // the one join shape with no scale story. BNLJ with a broadcast
+    // build side is allowed (bounded-frame inequality joins).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_"))
+    val offenders = names.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian joins in: ${offenders.mkString(", ")}")
+  }
+
   test("media_cdc_dedup: chunk windows are per-document only") {
     val plan = executedPlan("media_cdc_dedup")
     // every Window must partition by doc_id — a global (unpartitioned)
