@@ -243,6 +243,59 @@ object Analytics {
       .orderBy($"h")
   }
 
+  /** B77 — Holt–Winters additive triple smoothing (α=1/2, β=1/4,
+    * γ=1/4, weekly season, 14-day horizon): the standard production
+    * forecaster completing the tier — B57 smooths level+trend but a
+    * weekly-seasonal series (B56/B65 prove this one is) systematically
+    * over/under-shoots by weekday; HW carries the 7 seasonal offsets
+    * as state. Classic init (level = week-1 mean, trend = week-over-
+    * week mean shift / 7, seasonals = week-1 deviations), then the
+    * recursion over days 8..n.
+    *
+    * Scale shape: B57's exactly — ONE partial-agg corpus pass to the
+    * calendar-bounded daily series (2-dp-pinned inputs), then the
+    * recursion as an in-plan `aggregate()` fold whose state is
+    * (level, trend, 7-slot rolling seasonal buffer) — O(days), one
+    * task, no driver loop. Dyadic smoothing constants keep every
+    * fold step bit-identical to the oracle's recursive CTE.
+    */
+  def holtWinters(spark: SparkSession, dir: String,
+                  horizon: Int = 14): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg((floor(sum($"o_totalprice") * 100.0 + 0.5) / 100.0).as("rev"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct($"day", $"rev"))).as("s"))
+      .select(transform($"s", x => x.getField("rev")).as("ys"))
+      .withColumn("l0",
+        aggregate(slice($"ys", 1, 7), lit(0.0), (a, y) => a + y) / 7.0)
+      .withColumn("b0",
+        (aggregate(slice($"ys", 8, 7), lit(0.0), (a, y) => a + y) / 7.0
+          - $"l0") / 7.0)
+      .withColumn("s0", transform(slice($"ys", 1, 7), y => y - $"l0"))
+      .select(aggregate(
+        slice($"ys", lit(8), size($"ys") - 7),
+        struct($"l0".as("l"), $"b0".as("b"), $"s0".as("ss")),
+        (st, y) => {
+          val sOld = element_at(st.getField("ss"), 1)
+          val newl = lit(0.5) * (y - sOld) +
+            lit(0.5) * (st.getField("l") + st.getField("b"))
+          val newb = lit(0.25) * (newl - st.getField("l")) +
+            lit(0.75) * st.getField("b")
+          val news = lit(0.25) * (y - newl) + lit(0.75) * sOld
+          struct(newl.as("l"), newb.as("b"),
+            concat(slice(st.getField("ss"), 2, 6), array(news)).as("ss"))
+        }).as("st"))
+    folded
+      .select(explode(sequence(lit(1), lit(horizon))).as("h"), $"st")
+      .select($"h".cast("long").as("h"),
+        (floor(($"st.l" + $"h" * $"st.b" +
+          element_at($"st.ss", (($"h" - 1) % 7 + 1).cast("int")))
+          * 10000.0 + 0.5) / 10000.0).as("forecast"))
+      .orderBy($"h")
+  }
+
   /** Supplier share of each part's line revenue — fact self-aggregate
     * + window ratio, the classic market-share shape (Q8-like).
     */
@@ -2087,6 +2140,43 @@ object Analytics {
         |SELECT d.day, d.rev AS revenue, m.median_7day, m.n_days_window
         |FROM daily d JOIN med m ON m.tday = d.day
         |ORDER BY d.day""".stripMargin,
+    "orders_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT list(rev ORDER BY day) AS ys FROM daily),
+        |init AS (
+        |  SELECT ys, len(ys) AS n,
+        |    list_reduce(list_prepend(0.0::DOUBLE, ys[1:7]),
+        |      (x, y) -> x + y) / 7.0 AS l0
+        |  FROM a),
+        |init2 AS (
+        |  SELECT ys, n, l0,
+        |    (list_reduce(list_prepend(0.0::DOUBLE, ys[8:14]),
+        |      (x, y) -> x + y) / 7.0 - l0) / 7.0 AS b0,
+        |    [y - l0 for y in ys[1:7]] AS s0
+        |  FROM init),
+        |rec(i, l, b, ss) AS (
+        |  SELECT 7, l0, b0, s0 FROM init2
+        |  UNION ALL
+        |  SELECT rec.i + 1,
+        |    0.5 * (i2.ys[rec.i + 1] - rec.ss[1])
+        |      + 0.5 * (rec.l + rec.b),
+        |    0.25 * (0.5 * (i2.ys[rec.i + 1] - rec.ss[1])
+        |      + 0.5 * (rec.l + rec.b) - rec.l) + 0.75 * rec.b,
+        |    list_append(rec.ss[2:7],
+        |      0.25 * (i2.ys[rec.i + 1]
+        |        - (0.5 * (i2.ys[rec.i + 1] - rec.ss[1])
+        |          + 0.5 * (rec.l + rec.b)))
+        |      + 0.75 * rec.ss[1])
+        |  FROM rec, init2 i2 WHERE rec.i < i2.n),
+        |fin AS (SELECT l, b, ss FROM rec ORDER BY i DESC LIMIT 1),
+        |hs AS (SELECT unnest(range(1, 15)) AS h)
+        |SELECT h::BIGINT AS h,
+        |  floor((l + h * b + ss[((h - 1) % 7)::INT + 1])
+        |    * 10000.0 + 0.5) / 10000.0 AS forecast
+        |FROM fin, hs ORDER BY h""".stripMargin,
     "orders_holt_forecast" ->
       """WITH RECURSIVE daily AS (
         |  SELECT o_orderdate::DATE AS day,

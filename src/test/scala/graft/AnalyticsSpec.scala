@@ -201,6 +201,37 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("Holt-Winters ≡ serial triple-smoothing replay") {
+    import spark.implicits._
+    val got = graft.ops.Analytics.holtWinters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 14)
+    val ys = Tables.load(spark, sf, "orders")
+      .groupBy(org.apache.spark.sql.functions.to_date($"o_orderdate").as("d"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "floor(sum(o_totalprice) * 100.0D + 0.5D) / 100.0D").as("rev"))
+      .orderBy($"d").select($"rev").as[Double].collect()
+    var l = ys.take(7).sum / 7.0
+    var b = (ys.slice(7, 14).sum / 7.0 - l) / 7.0
+    var ss = ys.take(7).map(_ - l).toVector
+    ys.drop(7).foreach { y =>
+      val sOld = ss.head
+      val nl = 0.5 * (y - sOld) + 0.5 * (l + b)
+      val nb = 0.25 * (nl - l) + 0.75 * b
+      val ns = 0.25 * (y - nl) + 0.75 * sOld
+      l = nl; b = nb; ss = ss.tail :+ ns
+    }
+    (1 to 14).foreach { h =>
+      val f = l + h * b + ss((h - 1) % 7)
+      assert(got(h.toLong) === math.floor(f * 1e4 + 0.5) / 1e4, s"h=$h")
+    }
+    // weekly structure survives: same-weekday forecasts differ by
+    // exactly 7 trend steps
+    (1 to 7).foreach { h =>
+      assert(math.abs((got(h + 7L) - got(h.toLong)) - 7 * b) < 2e-4)
+    }
+  }
+
   test("Theil-Sen: full pair count, ordered deciles, bracketed median") {
     import spark.implicits._
     val rows = graft.ops.Analytics.theilSen(spark, sf).collect()
