@@ -289,8 +289,10 @@ object Multimodal {
             .cast("binary")), 1, 12), 16, 10).cast("long") % 32 === 0))
       .withColumn("chunk_id", sum($"b".cast("long")).over(w))
       .groupBy($"doc_id", $"media_type", $"chunk_id")
-      .agg(min($"i").as("st"), count(lit(1)).as("len"))
-      .join(docs.select($"doc_id", $"text"), "doc_id")
+      // text is functionally dependent on doc_id: carrying it through
+      // first() spares a corpus join back to the docs frame
+      .agg(min($"i").as("st"), count(lit(1)).as("len"),
+        first($"text").as("text"))
       .select($"media_type", $"len",
         md5(expr("substring(text, st, len)").cast("binary")).as("h"))
     val store = chunks.groupBy($"media_type", $"h")
