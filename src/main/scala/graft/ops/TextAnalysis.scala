@@ -470,6 +470,46 @@ object TextAnalysis {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** E44 — Porter-stemming vocabulary report: how much does the
+    * classic suffix-stripper shrink each language's vocabulary?
+    * Stemming folds inflection families (relate/relational/relating →
+    * one stem), which shrinks TF-IDF/BM25 vocabularies (E8/E30) and
+    * tightens vocab-overlap estimates (E40) — this reports the
+    * per-language fold ratio and length shift so the indexing layer
+    * can decide whether stemming pays for this corpus.
+    *
+    * Scale shape: the E21 BPE discipline — the stemmer (a pure Scala
+    * function; [[graft.text.PorterStemmer]]) runs once per DISTINCT
+    * (lang, word), so the UDF cost is vocabulary-sized, never
+    * corpus-sized; everything downstream is a langs-sized partial
+    * agg on integer sums. Rows-only by declaration (no SQL engine
+    * ships Porter); the spec pins the published algorithm's
+    * canonical vectors.
+    */
+  def stemReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stemU = udf((w: String) => graft.text.PorterStemmer.stem(w))
+    val words = Tables.load(spark, dir, "documents")
+      .select($"lang", explode(split(lower($"text"), " ")).as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+      .distinct()
+      .withColumn("stem", stemU($"w"))
+    words
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct($"stem").as("n_stems"),
+        sum(length($"w")).as("wlen"),
+        sum(length($"stem")).as("slen"))
+      .select($"lang", $"n_words", $"n_stems",
+        (floor((lit(1.0) - $"n_stems".cast("double") / $"n_words")
+          * 10000.0 + 0.5) / 10000.0).as("vocab_reduction"),
+        (floor($"wlen".cast("double") / $"n_words" * 10000.0 + 0.5)
+          / 10000.0).as("avg_word_len"),
+        (floor($"slen".cast("double") / $"n_words" * 10000.0 + 0.5)
+          / 10000.0).as("avg_stem_len"))
+      .orderBy($"lang")
+  }
+
   /** E36 — per-language document-length profile: exact p10/p50/p90
     * token-count percentiles + mean per language, the length-prior
     * every chunking/packing/truncation decision reads off first. One

@@ -342,6 +342,34 @@ class TextQualitySpec extends SparkSpecBase {
       s"accuracy ${got("accuracy")} below majority baseline $majority")
   }
 
+  test("Porter stemmer matches the published algorithm's vectors") {
+    import graft.text.PorterStemmer.stem
+    // canonical examples from the 1980 paper's step tables
+    val vectors = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "motoring" -> "motor", "sing" -> "sing", "hopping" -> "hop",
+      "falling" -> "fall", "filing" -> "file", "happy" -> "happi",
+      "sky" -> "sky", "relational" -> "relat",
+      "generalizations" -> "gener", "oscillators" -> "oscil")
+    vectors.foreach { case (w, s) =>
+      assert(stem(w) === s, s"stem($w)")
+    }
+    // the property the report measures: an inflection family folds
+    // to ONE stem
+    assert(Set("relation", "relational", "relating").map(stem).size === 1)
+    val rows = graft.ops.TextAnalysis.stemReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_stems") <= r.getAs[Long]("n_words"))
+      // stems never grow on average
+      assert(r.getAs[Double]("avg_stem_len") <=
+        r.getAs[Double]("avg_word_len") + 1e-9)
+      val red = r.getAs[Double]("vocab_reduction")
+      assert(red >= 0.0 && red < 1.0)
+    }
+  }
+
   test("length KS: full pair grid, bounded statistic, ≡ serial ECDF sup") {
     import spark.implicits._
     val rows = graft.ops.TextAnalysis.lengthKs(spark, sf).collect()
