@@ -927,6 +927,78 @@ object Analytics {
       .orderBy($"slope_decile")
   }
 
+  /** Poisson(1) cumulative probabilities P(X ≤ k), k = 0..7, scaled
+    * to 48-bit hash units — shared by the B78 operator and its oracle
+    * so both sides draw the IDENTICAL integer thresholds.
+    */
+  private[ops] val poissonCum48: Seq[Long] = Seq(
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508)
+    .map(c => math.floor(c * 281474976710656.0).toLong)
+
+  /** B78 — Poisson-bootstrap 95% CI for the mean order value: the
+    * DISTRIBUTED bootstrap. Classical resampling draws n rows with
+    * replacement — a shuffle per resample and a nonstarter at corpus
+    * scale; the Poisson bootstrap gives each row an independent
+    * Poisson(1) weight per resample, so ALL 32 resamples ride ONE
+    * corpus pass as a partial-aggregable weighted sum (the standard
+    * large-scale approximation — resample sizes concentrate at
+    * n ± √n). Weights are deterministic md5 draws against fixed
+    * integer thresholds (retry-safe, engine-identical); the CI
+    * interpolates ranks 2.5%/97.5% of the 32 resample means with the
+    * same formula text as the oracle.
+    *
+    * Scale shape: one explode×32 projection (map-side, no state),
+    * one groupBy(b) partial agg — 32 groups regardless of corpus
+    * size; everything after is a 32-row frame.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBoot = 32
+    val tsLit = typedLit(poissonCum48)
+    val rows = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("c"))
+    val boot = rows
+      .select($"o_orderkey", $"c",
+        explode(sequence(lit(0), lit(nBoot - 1))).as("b"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("boot:"), $"b".cast("string"),
+          lit(":"), $"o_orderkey".cast("string")).cast("binary")),
+          1, 12), 16, 10).cast("long"))
+      .withColumn("w", size(filter(tsLit, t => $"u" >= t)).cast("long"))
+      .groupBy($"b")
+      .agg(sum($"w" * $"c").as("swc"), sum($"w").as("sw"))
+      .withColumn("mean_b", $"swc".cast("double") / $"sw")
+    val overall = rows.agg(
+      (sum($"c").cast("double") / count(lit(1)) / 100.0)
+        .as("mean_overall"),
+      count(lit(1)).as("n_orders"))
+    // 2.5%/97.5% of the 32 sorted resample means: positions
+    // 0.025·31 = 0.775 and 0.975·31 = 30.225 (theil-sen formula)
+    val ci = boot
+      .agg(sort_array(collect_list($"mean_b")).as("ms"))
+      .select(
+        ((element_at($"ms", 1) + lit(0.775) *
+          (element_at($"ms", 2) - element_at($"ms", 1))) / 100.0)
+          .as("ci_lo"),
+        ((element_at($"ms", 31) + lit(0.225) *
+          (element_at($"ms", 32) - element_at($"ms", 31))) / 100.0)
+          .as("ci_hi"))
+    boot
+      .crossJoin(broadcast(overall))
+      .crossJoin(broadcast(ci))
+      .select($"b".cast("long").as("boot_id"), $"sw".as("n_eff"),
+        (floor($"mean_b" / 100.0 * 10000.0 + 0.5) / 10000.0)
+          .as("mean_boot"),
+        (floor($"mean_overall" * 10000.0 + 0.5) / 10000.0)
+          .as("mean_overall"),
+        (floor($"ci_lo" * 10000.0 + 0.5) / 10000.0).as("ci_lo"),
+        (floor($"ci_hi" * 10000.0 + 0.5) / 10000.0).as("ci_hi"),
+        $"n_orders")
+      .orderBy($"boot_id")
+  }
+
   /** B72 — closed-form ridge regression by NORMAL EQUATIONS: predict
     * the line-item price from (quantity, discount, tax) with one
     * corpus pass that partial-aggregates XᵀX and Xᵀy (d² + d sums, d
@@ -1567,6 +1639,44 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "revenue_bootstrap_ci" -> {
+      val ts = poissonCum48.mkString(", ")
+      s"""WITH r AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+         |  FROM orders),
+         |e AS (
+         |  SELECT o_orderkey, c, unnest(range(0, 32)) AS b FROM r),
+         |uu AS (
+         |  SELECT b, c, ('0x' || substring(md5('boot:' || b || ':' ||
+         |    CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS u
+         |  FROM e),
+         |w AS (
+         |  SELECT b, c, len(list_filter([$ts],
+         |    t -> u >= t))::BIGINT AS w
+         |  FROM uu),
+         |g AS (
+         |  SELECT b, CAST(sum(w * c) AS BIGINT) AS swc,
+         |    CAST(sum(w) AS BIGINT) AS sw
+         |  FROM w GROUP BY b),
+         |m AS (SELECT b, swc, sw, swc::DOUBLE / sw AS mean_b FROM g),
+         |ov AS (
+         |  SELECT sum(c)::DOUBLE / count(*) / 100.0 AS mean_overall,
+         |    count(*)::BIGINT AS n_orders
+         |  FROM r),
+         |ci AS (
+         |  SELECT (ms[1] + 0.775 * (ms[2] - ms[1])) / 100.0 AS ci_lo,
+         |    (ms[31] + 0.225 * (ms[32] - ms[31])) / 100.0 AS ci_hi
+         |  FROM (SELECT list(mean_b ORDER BY mean_b) AS ms FROM m))
+         |SELECT b AS boot_id, sw AS n_eff,
+         |  floor(mean_b / 100.0 * 10000.0 + 0.5) / 10000.0
+         |    AS mean_boot,
+         |  floor(mean_overall * 10000.0 + 0.5) / 10000.0
+         |    AS mean_overall,
+         |  floor(ci_lo * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+         |  floor(ci_hi * 10000.0 + 0.5) / 10000.0 AS ci_hi, n_orders
+         |FROM m, ov, ci ORDER BY boot_id""".stripMargin
+    },
     "revenue_theil_sen" ->
       """WITH d AS (
         |  SELECT o_orderdate,

@@ -232,6 +232,36 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("Poisson bootstrap: CI brackets the mean, resamples concentrate") {
+    import spark.implicits._
+    val rows = graft.ops.Analytics.bootstrapCi(spark, sf).collect()
+    assert(rows.length === 32)
+    val n = rows.head.getAs[Long]("n_orders")
+    val mean = rows.head.getAs[Double]("mean_overall")
+    val (lo, hi) = (rows.head.getAs[Double]("ci_lo"),
+      rows.head.getAs[Double]("ci_hi"))
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] misses mean $mean")
+    // Poisson(1) resample sizes concentrate at n ± sqrt(n)
+    rows.foreach { r =>
+      val eff = r.getAs[Long]("n_eff")
+      assert(math.abs(eff - n) < 5 * math.sqrt(n.toDouble) + 10,
+        s"resample size $eff far from $n")
+    }
+    // the bootstrap spread should track sigma/sqrt(n) (within 3x)
+    val means = rows.map(_.getAs[Double]("mean_boot"))
+    val mb = means.sum / means.length
+    val sdBoot = math.sqrt(
+      means.map(m => (m - mb) * (m - mb)).sum / (means.length - 1))
+    val vals = Tables.load(spark, sf, "orders")
+      .select($"o_totalprice").as[Double].collect()
+    val mv = vals.sum / vals.length
+    val se = math.sqrt(
+      vals.map(v => (v - mv) * (v - mv)).sum / (vals.length - 1)) /
+      math.sqrt(vals.length.toDouble)
+    assert(sdBoot > se / 3 && sdBoot < se * 3,
+      s"bootstrap se $sdBoot vs analytic $se")
+  }
+
   test("Theil-Sen: full pair count, ordered deciles, bracketed median") {
     import spark.implicits._
     val rows = graft.ops.Analytics.theilSen(spark, sf).collect()
