@@ -21,7 +21,13 @@ case class KmvSketch(k: Int)
   private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
 
   override def zero: Seq[Long] = Seq.empty
-  override def reduce(b: Seq[Long], x: Long): Seq[Long] = trim(b :+ x)
+  // Saturated-buffer fast path: the buffer invariant (sorted,
+  // distinct, ≤k — every constructor path runs trim) means x ≥ last
+  // can never enter a full buffer (equal ⇒ duplicate, greater ⇒ not
+  // bottom-k), so the per-row distinct+sort only runs for candidate
+  // inserts — O(1) amortized on the streaming hot path.
+  override def reduce(b: Seq[Long], x: Long): Seq[Long] =
+    if (b.length == k && x >= b.last) b else trim(b :+ x)
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
     trim(a ++ b)
   override def finish(r: Seq[Long]): Seq[Long] = r

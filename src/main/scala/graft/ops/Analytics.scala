@@ -262,9 +262,16 @@ object Analytics {
   def holtWinters(spark: SparkSession, dir: String,
                   horizon: Int = 14): DataFrame = {
     import spark.implicits._
+    // Daily series via per-row integer cents summed as Long (exact,
+    // partition-order-independent), THEN one double division — the
+    // same engine-exact input discipline as revenueAcf/theilSen. A
+    // float sum rounded afterwards can cross a rounding boundary
+    // under a different partitioning at scale.
     val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg((floor(sum($"o_totalprice") * 100.0 + 0.5) / 100.0).as("rev"))
+      .agg((sum($"cents").cast("double") / 100.0).as("rev"))
     val folded = daily
       .agg(sort_array(collect_list(struct($"day", $"rev"))).as("s"))
       .select(transform($"s", x => x.getField("rev")).as("ys"))
@@ -1017,11 +1024,14 @@ object Analytics {
     * which upgrades the spec from "some fit" to COEFFICIENT RECOVERY.
     *
     * Determinism shape: features enter as exact integers (dollars /
-    * dollar·hundredths), so every moment sum is an exact Long no
-    * matter the partitioning — the driver solve sees bit-identical
-    * inputs on every run and cluster layout. Driver check is
-    * rows-only (the solve is not SQL); the spec replays the moments
-    * and solve serially and asserts the recovered coefficients.
+    * dollar·hundredths) and every moment is summed as DECIMAL(38,0)
+    * — exact and associative, so the driver solve sees bit-identical
+    * inputs on every run and cluster layout. Long accumulation would
+    * wrap: second-order terms reach ~1.1e12, so a Long sum crosses
+    * 2^63 near sf≈1.5 worst-case; decimal headroom is 1e38 (≈1e24 at
+    * 100 TB). Driver check is rows-only (the solve is not SQL); the
+    * spec replays the moments and solve serially and asserts the
+    * recovered coefficients.
     */
   def lineitemRidge(spark: SparkSession, dir: String,
                     lambda: Double = 1.0): DataFrame = {
@@ -1034,16 +1044,21 @@ object Analytics {
         ($"e" * $"tc").as("x3"),
         floor($"l_extendedprice" * (lit(1.0) - $"l_discount") *
           (lit(1.0) + $"l_tax") + 0.5).cast("long").as("y"))
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
     val m = rows.agg(
       count(lit(1)).as("n"),
-      sum($"x1").as("s1"), sum($"x2").as("s2"), sum($"x3").as("s3"),
-      sum($"y").as("sy"),
-      sum($"x1" * $"x1").as("s11"), sum($"x1" * $"x2").as("s12"),
-      sum($"x1" * $"x3").as("s13"), sum($"x2" * $"x2").as("s22"),
-      sum($"x2" * $"x3").as("s23"), sum($"x3" * $"x3").as("s33"),
-      sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"),
-      sum($"x3" * $"y").as("s3y")).head()
-    def g(name: String): Double = m.getAs[Long](name).toDouble
+      dsum($"x1").as("s1"), dsum($"x2").as("s2"), dsum($"x3").as("s3"),
+      dsum($"y").as("sy"),
+      dsum($"x1" * $"x1").as("s11"), dsum($"x1" * $"x2").as("s12"),
+      dsum($"x1" * $"x3").as("s13"), dsum($"x2" * $"x2").as("s22"),
+      dsum($"x2" * $"x3").as("s23"), dsum($"x3" * $"x3").as("s33"),
+      dsum($"x1" * $"y").as("s1y"), dsum($"x2" * $"y").as("s2y"),
+      dsum($"x3" * $"y").as("s3y")).head()
+    def g(name: String): Double = m.get(m.fieldIndex(name)) match {
+      case l: java.lang.Long          => l.toDouble
+      case d: java.math.BigDecimal    => d.doubleValue
+      case d: scala.math.BigDecimal   => d.toDouble
+    }
     val n = g("n")
     // A = XᵀX + λI (features ordered x1, x2, x3, 1), b = Xᵀy
     val a = Array(
@@ -2304,7 +2319,8 @@ object Analytics {
     "orders_holt_winters" ->
       """WITH RECURSIVE daily AS (
         |  SELECT o_orderdate::DATE AS day,
-        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      / 100.0 AS rev
         |  FROM orders GROUP BY 1),
         |a AS (SELECT list(rev ORDER BY day) AS ys FROM daily),
         |init AS (

@@ -1865,8 +1865,13 @@ object Similarity {
       .select($"vec_a", $"vec_b",
         ($"od2i".cast("double") / 100000000.0).as("orig_d2"),
         ($"pd2i".cast("double") / (16.0 * 100000000.0)).as("proj_d2"),
-        (floor($"pd2i".cast("double") / (lit(16.0) * $"od2i")
-          * 1000000.0 + 0.5) / 1000000.0).as("ratio"))
+        // null ratio for identical quantized probes (od2i = 0):
+        // Spark would emit Infinity while DuckDB's float div-by-zero
+        // behavior is settings-dependent — null on both sides is the
+        // only portable answer.
+        when($"od2i" > 0,
+          floor($"pd2i".cast("double") / (lit(16.0) * $"od2i")
+            * 1000000.0 + 0.5) / 1000000.0).as("ratio"))
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -1905,8 +1910,9 @@ object Similarity {
         |SELECT od.vec_a, od.vec_b,
         |  od2i::DOUBLE / 100000000.0 AS orig_d2,
         |  pd2i::DOUBLE / (16.0 * 100000000.0) AS proj_d2,
-        |  floor(pd2i::DOUBLE / (16.0 * od2i) * 1000000.0 + 0.5)
-        |    / 1000000.0 AS ratio
+        |  CASE WHEN od2i > 0 THEN
+        |    floor(pd2i::DOUBLE / (16.0 * od2i) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS ratio
         |FROM od JOIN pd ON pd.vec_a = od.vec_a AND pd.vec_b = od.vec_b
         |ORDER BY od.vec_a, od.vec_b""".stripMargin,
     "embedding_jl_project" ->

@@ -459,8 +459,13 @@ object EventStreams {
             cur.foreach { s =>
               state.update(s)
               // expiry: when the watermark passes last+gap, the
-              // session can no longer be extended — close it
-              state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
+              // session can no longer be extended — close it.
+              // Clamped above the current watermark: with multi-batch
+              // input a batch can deliver rows whose last+gap already
+              // trails the watermark, and an un-clamped timestamp
+              // makes Spark throw (timeout must be > watermark).
+              state.setTimeoutTimestamp(math.max((s.last + gapUs) / 1000L,
+                state.getCurrentWatermarkMs + 1L))
             }
             emitted.reverse.iterator
           }
