@@ -977,15 +977,17 @@ object Curation {
         |  floor((1.0 - n_uniq::DOUBLE / n_docs) * 1000000.0 + 0.5)
         |    / 1000000.0 AS dup_rate
         |FROM s ORDER BY source""".stripMargin,
-    "split_leakage" -> (Dedup.shingleCte +
+    "split_leakage" -> (Dedup.shingleCte.stripSuffix("\n") +
+      Dedup.candCte(8000) +
       s""",
         |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents),
         |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT c.da AS doc_a, c.db AS doc_b,
         |    floor(len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) * 10000.0 + 0.5)
         |      / 10000.0 AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db
         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8)
         |SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b,

@@ -1271,6 +1271,40 @@ object Dedup {
       |  FROM toks WHERE len(t) >= 3)
       |""".stripMargin
 
+  /** Candidate-bounded pair generation for the DuckDB oracles: the
+    * PPJoin prefix filter (Xiao et al., WWW'08) as CTEs appended
+    * after `sh`. Shingles are globally ordered rarest-first; two sets
+    * with J ≥ tNum/10000 must (a) satisfy the length-ratio bound
+    * min·10000 ≥ max·tNum and (b) share an element within each set's
+    * (n − ⌈t·n⌉ + 1)-prefix — both lossless, with ⌈t·n⌉ computed in
+    * exact integer arithmetic so no float-rounding can shorten a
+    * prefix. `cand` is therefore a SUPERSET of the true pair set; the
+    * caller re-verifies with the ORIGINAL double-division predicate,
+    * so the rewritten oracles are bit-identical to the old all-pairs
+    * form (verified old-vs-new at sf0.001/sf0.01) while replacing the
+    * O(n²) nested-loop `sh a JOIN sh b ON a.doc_id < b.doc_id` with a
+    * hash equi-join on prefix shingles — the fix for the sf0.1 sweep
+    * `skipped_timeout` holes (round-9 verdict item #1).
+    */
+  private[ops] def candCte(tNum: Int): String =
+    s""", gf AS (
+       |  SELECT g, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) GROUP BY g),
+       |sord AS (
+       |  SELECT u.doc_id, list(u.g ORDER BY gf.c, u.g) AS so,
+       |    count(*)::BIGINT AS n
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) u
+       |  JOIN gf ON gf.g = u.g GROUP BY u.doc_id),
+       |pref AS (
+       |  SELECT doc_id, n,
+       |    unnest(so[1 : (n - (($tNum*n + 9999) // 10000) + 1)::INT]) AS g
+       |  FROM sord),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+       |    AND least(a.n, b.n) * 10000 >= greatest(a.n, b.n) * $tNum)
+       |""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_sorted_neighborhood" -> (shingleCte.replace(
       """sh AS (
@@ -1564,14 +1598,13 @@ object Dedup {
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 10000 >= len(a.s) * 9000
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "dedup_threshold_sweep" -> (shingleCte +
+    "dedup_threshold_sweep" -> (shingleCte + candCte(7000) +
       """, p AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |  SELECT c.da, c.db,
         |    len(list_intersect(a.s, b.s)) AS i,
         |    len(list_distinct(a.s || b.s)) AS u
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |    AND least(len(a.s), len(b.s)) * 10000 >=
-        |        greatest(len(a.s), len(b.s)) * 7000),
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db),
         |t AS (SELECT * FROM (VALUES (0.7, 7000), (0.8, 8000),
         |  (0.9, 9000)) v(threshold, tn)),
         |f AS (SELECT threshold, da, db FROM p, t
@@ -1594,28 +1627,31 @@ object Dedup {
         |    / len(list_distinct(b.s || c.s)) >= 0.8
         |ORDER BY doc_id, bench_id""".stripMargin),
     "dedup_ngram_jaccard" -> (shingleCte.replace("FROM documents",
-      "FROM documents WHERE doc_id < 2500") +
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      "FROM documents WHERE doc_id < 2500") + candCte(8000) +
+      """SELECT c.da AS doc_a, c.db AS doc_b,
         |  floor(len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(a.s || b.s)) * 10000.0 + 0.5)
         |    / 10000.0 AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |FROM cand c JOIN sh a ON a.doc_id = c.da
+        |JOIN sh b ON b.doc_id = c.db
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "dedup_minhash_lsh" -> (shingleCte +
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    "dedup_minhash_lsh" -> (shingleCte + candCte(8000) +
+      """SELECT c.da AS doc_a, c.db AS doc_b,
         |  floor(len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(a.s || b.s)) * 10000.0 + 0.5)
         |    / 10000.0 AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |FROM cand c JOIN sh a ON a.doc_id = c.da
+        |JOIN sh b ON b.doc_id = c.db
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(a.s || b.s)) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "dedup_cross_source" -> (shingleCte +
+    "dedup_cross_source" -> (shingleCte + candCte(8000) +
       """, np AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  SELECT c.da AS doc_a, c.db AS doc_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db
         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8),
         |m AS (
@@ -1628,10 +1664,11 @@ object Dedup {
         |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin),
     "dedup_clusters" -> (shingleCte
       .replace("WITH toks", "WITH RECURSIVE toks")
-      .stripSuffix("\n") + ",\n" +
+      .stripSuffix("\n") + candCte(8000) + ",\n" +
       """pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  SELECT c.da AS doc_a, c.db AS doc_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db
         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8),
         |edges AS (
@@ -1652,10 +1689,11 @@ object Dedup {
     "dedup_cluster_keepers" -> clusterKeepersOracle,
     "dedup_cluster_sizes" -> (shingleCte
       .replace("WITH toks", "WITH RECURSIVE toks")
-      .stripSuffix("\n") + ",\n" +
+      .stripSuffix("\n") + candCte(8000) + ",\n" +
       """pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  SELECT c.da AS doc_a, c.db AS doc_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db
         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8),
         |edges AS (
@@ -1736,10 +1774,11 @@ object Dedup {
     */
   private def clusterKeepersOracle: String = (shingleCte
     .replace("WITH toks", "WITH RECURSIVE toks")
-    .stripSuffix("\n") + ",\n" +
+    .stripSuffix("\n") + candCte(8000) + ",\n" +
       """pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  SELECT c.da AS doc_a, c.db AS doc_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db
         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(a.s || b.s)) >= 0.8),
         |edges AS (

@@ -88,10 +88,12 @@ object TextPipeline {
       |  SELECT doc_id,
       |    list_distinct([array_to_string(t[i:i+2], ' ')
       |      for i in range(1, greatest(len(t) - 1, 2))]) AS s
-      |  FROM toks WHERE len(t) >= 3),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  FROM toks WHERE len(t) >= 3)
+      |""".stripMargin.stripSuffix("\n") + Dedup.candCte(8000) + ",\n" +
+    """pairs AS (
+      |  SELECT c.da AS doc_a, c.db AS doc_b
+      |  FROM cand c JOIN sh a ON a.doc_id = c.da
+      |  JOIN sh b ON b.doc_id = c.db
       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
       |      / len(list_distinct(a.s || b.s)) >= 0.8),
       |edges AS (
