@@ -73,7 +73,11 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", md5($"text").as("content_hash"),
         hash64($"text", 0xB10053EDL).as("h64"))
-    val cut = docs.agg(expr("max(doc_id) DIV 2")).head().getLong(0)
+    val cutRow = docs.agg(expr("max(doc_id) DIV 2")).head()
+    if (cutRow.isNullAt(0))  // empty corpus: no batches to merge
+      return Seq.empty[(String, Long, Long)]
+        .toDF("content_hash", "keeper_id", "n_batch_copies")
+    val cut = cutRow.getLong(0)
     val existing = docs.filter($"doc_id" < cut)
     val incoming = docs.filter($"doc_id" >= cut)
     val maxItems = spark.conf
@@ -1433,7 +1437,7 @@ object Dedup {
         |    AS boiler_ratio,
         |  n_boiler * 10 <= n_windows * 3 AS keep
         |FROM a ORDER BY doc_id""".stripMargin,
-    "dedup_lsh_tuning" -> (shingleCte +
+    "dedup_lsh_tuning" -> (shingleCte + candCte(8000) +
       """, sig AS (
         |  SELECT doc_id,
         |    [list_min([('0x' || substring(md5(CAST(i AS VARCHAR)
@@ -1458,8 +1462,9 @@ object Dedup {
         |    CAST(max(n) AS BIGINT) AS max_bucket
         |  FROM bh GROUP BY bands),
         |tp AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  SELECT c.da AS doc_a, c.db AS doc_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db
         |  WHERE least(len(a.s), len(b.s)) * 10000 >=
         |      greatest(len(a.s), len(b.s)) * 8000
         |    AND len(list_intersect(a.s, b.s)) * 10000 >=
@@ -1487,7 +1492,7 @@ object Dedup {
         |    / 10000.0 AS recall
         |FROM bstat b LEFT JOIN rec r ON r.bands = b.bands
         |ORDER BY bands""".stripMargin),
-    "dedup_minhash_estimator" -> (shingleCte +
+    "dedup_minhash_estimator" -> (shingleCte + candCte(8000) +
       """, sig AS (
         |  SELECT doc_id,
         |    [list_min([('0x' || substring(md5(CAST(i AS VARCHAR)
@@ -1495,11 +1500,12 @@ object Dedup {
         |      for i in range(0, 16)] AS sig
         |  FROM sh),
         |tp AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT c.da AS doc_a, c.db AS doc_b,
         |    len(list_intersect(a.s, b.s))::BIGINT AS i,
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::BIGINT
         |      AS u
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db
         |  WHERE least(len(a.s), len(b.s)) * 10000 >=
         |      greatest(len(a.s), len(b.s)) * 8000
         |    AND len(list_intersect(a.s, b.s)) * 10000 >=
@@ -1590,12 +1596,36 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+    // Asymmetric prefix filter: containment(a→b) ≥ 0.9 needs overlap
+    // t = ⌈0.9·n_a⌉, so if a's rarest-first prefix of length
+    // n_a − t + 1 shares nothing with b's FULL shingle list the
+    // overlap is ≤ t − 1 — a-prefix × b-full inverted-index equi-join
+    // is a lossless candidate superset (re-verified with the original
+    // predicate below), replacing the O(n²) `a JOIN b ON <>`.
     "dedup_containment" -> (shingleCte.replace("FROM documents",
       "FROM documents WHERE doc_id < 2500") +
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      """, gf AS (
+        |  SELECT g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) GROUP BY g),
+        |sord AS (
+        |  SELECT u.doc_id, list(u.g ORDER BY gf.c, u.g) AS so,
+        |    count(*)::BIGINT AS n
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) u
+        |  JOIN gf ON gf.g = u.g GROUP BY u.doc_id),
+        |apref AS (
+        |  SELECT doc_id, unnest(so[1 : (n - ((9000*n + 9999) // 10000)
+        |    + 1)::INT]) AS g
+        |  FROM sord),
+        |bfull AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM apref a JOIN bfull b ON a.g = b.g
+        |    AND a.doc_id <> b.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  floor(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)
         |    * 10000.0 + 0.5) / 10000.0 AS containment
-        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |FROM cand c JOIN sh a ON a.doc_id = c.da
+        |JOIN sh b ON b.doc_id = c.db
         |WHERE len(list_intersect(a.s, b.s)) * 10000 >= len(a.s) * 9000
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_threshold_sweep" -> (shingleCte + candCte(7000) +
