@@ -281,8 +281,10 @@ object Analytics {
         (aggregate(slice($"ys", 8, 7), lit(0.0), (a, y) => a + y) / 7.0
           - $"l0") / 7.0)
       .withColumn("s0", transform(slice($"ys", 1, 7), y => y - $"l0"))
-      .select(aggregate(
-        slice($"ys", lit(8), size($"ys") - 7),
+      // greatest(...,0): a sub-two-season calendar (possible on a
+      // degenerate shard) must fold over nothing, not crash slice
+      .select(size($"ys").as("nd"), aggregate(
+        slice($"ys", lit(8), greatest(size($"ys") - 7, lit(0))),
         struct($"l0".as("l"), $"b0".as("b"), $"s0".as("ss")),
         (st, y) => {
           val sOld = element_at(st.getField("ss"), 1)
@@ -295,7 +297,11 @@ object Analytics {
             concat(slice(st.getField("ss"), 2, 6), array(news)).as("ss"))
         }).as("st"))
     folded
-      .select(explode(sequence(lit(1), lit(horizon))).as("h"), $"st")
+      // below two full seasons the initialization is undefined —
+      // forecast nothing (defined-degenerate), matching the oracle's
+      // implicit ≥14-day assumption at every gate SF
+      .select(explode(when($"nd" >= 14, sequence(lit(1), lit(horizon)))
+        .otherwise(expr("array()"))).as("h"), $"st")
       .select($"h".cast("long").as("h"),
         (floor(($"st.l" + $"h" * $"st.b" +
           element_at($"st.ss", (($"h" - 1) % 7 + 1).cast("int")))
@@ -427,11 +433,16 @@ object Analytics {
     import spark.implicits._
     val orders = Tables.load(spark, dir, "orders")
     val qs = (1 to 9).map(_ / 10.0)
-    val bounds = orders
+    val bRow = orders
       .agg(expr(s"percentile(o_totalprice, array(${qs.mkString(",")}))")
         .as("bs"))
-      .collect()(0).getSeq[Double](0)
-      .map(b => math.floor(b * 10000.0 + 0.5) / 10000.0)
+      .collect()(0)
+    // empty orders: percentile is null — no boundaries, and the final
+    // groupBy over zero rows is already the right (empty) answer
+    val bounds =
+      if (bRow.isNullAt(0)) Seq.empty[Double]
+      else bRow.getSeq[Double](0)
+        .map(b => math.floor(b * 10000.0 + 0.5) / 10000.0)
     val decile = bounds.foldLeft(lit(1L)) { (acc, b) =>
       acc + when($"o_totalprice" > b, 1L).otherwise(0L)
     }
@@ -645,8 +656,11 @@ object Analytics {
     val orders = Tables.load(spark, dir, "orders")
       .select($"o_custkey", $"o_totalprice",
         unix_micros($"o_orderdate".cast("timestamp")).as("us"))
-    val mm = orders.agg(min($"us").as("lo"), max($"us").as("hi"))
-      .select(expr("(lo + hi) div 2").as("mid")).collect()(0).getLong(0)
+    val mmRow = orders.agg(min($"us").as("lo"), max($"us").as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid")).collect()(0)
+    if (mmRow.isNullAt(0))  // empty orders: no halves, no migration
+      return Seq.empty[(Long, Long, Long)].toDF("q1", "q2", "n_customers")
+    val mm = mmRow.getLong(0)
     def perCust(half: DataFrame): DataFrame =
       half.groupBy($"o_custkey").agg(sum($"o_totalprice").as("v"))
     val p1 = perCust(orders.filter($"us" < mm))
@@ -879,6 +893,10 @@ object Analytics {
     // in the oracle's SQL, so parity is by construction.
     val statRow = slopes.agg(count(lit(1)), min($"s"), max($"s")).head()
     val nPairs = statRow.getLong(0)
+    if (nPairs == 0L)  // <2 distinct days: no slopes, no fit
+      return Seq.empty[(Long, Double, Double, Double, Long)]
+        .toDF("slope_decile", "decile_mean_slope", "slope_median",
+          "intercept_median", "n_pairs")
     def qpos(k: Int): Double = k.toDouble / 10.0 * (nPairs - 1).toDouble
     val wantedRanks = (1 to 9)
       .flatMap(k => Seq(math.floor(qpos(k)).toLong + 1,
@@ -1055,11 +1073,14 @@ object Analytics {
       dsum($"x1" * $"y").as("s1y"), dsum($"x2" * $"y").as("s2y"),
       dsum($"x3" * $"y").as("s3y")).head()
     def g(name: String): Double = m.get(m.fieldIndex(name)) match {
+      case null                       => 0.0  // empty-input sums
       case l: java.lang.Long          => l.toDouble
       case d: java.math.BigDecimal    => d.doubleValue
       case d: scala.math.BigDecimal   => d.toDouble
     }
     val n = g("n")
+    if (n == 0.0)  // empty lineitem: nothing to fit
+      return Seq.empty[(String, Double)].toDF("term", "value")
     // A = XᵀX + λI (features ordered x1, x2, x3, 1), b = Xᵀy
     val a = Array(
       Array(g("s11") + lambda, g("s12"), g("s13"), g("s1")),
@@ -1624,7 +1645,12 @@ object Analytics {
     import spark.implicits._
     val orders = Tables.load(spark, dir, "orders")
       .select($"o_custkey", to_date($"o_orderdate").as("od"), $"o_totalprice")
-    val maxD = orders.agg(max($"od")).collect()(0).getDate(0)
+    val maxDRow = orders.agg(max($"od")).collect()(0)
+    if (maxDRow.isNullAt(0))  // empty orders: no RFM frame
+      return Seq.empty[(Long, Long, Long, Long, Double, Double, Double)]
+        .toDF("r_score", "f_score", "m_score", "n_customers",
+          "avg_recency", "avg_frequency", "sum_value")
+    val maxD = maxDRow.getDate(0)
     val per = orders.groupBy($"o_custkey")
       .agg(datediff(lit(maxD), max($"od")).cast("long").as("r_days"),
         count(lit(1)).as("f_orders"),

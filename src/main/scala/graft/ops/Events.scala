@@ -240,14 +240,23 @@ object Events {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
       .select($"value", expr("ts DIV 1000").as("us"))
-    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("m"))
-      .collect()(0).getLong(0)
+    val midRow = ev.agg(expr("(min(us) + max(us)) div 2").as("m"))
+      .collect()(0)
+    if (midRow.isNullAt(0))  // empty events: no halves, no drift
+      return Seq.empty[(Long, Double, Double, Double, Double)]
+        .toDF("bucket", "p_ref", "p_cur", "term", "psi")
+    val mid = midRow.getLong(0)
     val ref = ev.filter($"us" < mid)
     val cur = ev.filter($"us" >= mid)
     val qs = (1 to 9).map(_ / 10.0)
-    val bounds = ref
+    val bRow = ref
       .agg(expr(s"percentile(value, array(${qs.mkString(",")}))").as("b"))
-      .collect()(0).getSeq[Double](0)
+      .collect()(0)
+    if (bRow.isNullAt(0))  // degenerate split (all events share one
+      // timestamp): reference half is empty, PSI undefined
+      return Seq.empty[(Long, Double, Double, Double, Double)]
+        .toDF("bucket", "p_ref", "p_cur", "term", "psi")
+    val bounds = bRow.getSeq[Double](0)
       .map(b => math.floor(b * 10000.0 + 0.5) / 10000.0)
     def bucket(c: Column): Column =
       bounds.foldLeft(lit(1L)) { (acc, b) =>

@@ -202,7 +202,12 @@ object Multimodal {
     import spark.implicits._
     val media = withMedia(spark, dir)
       .select($"doc_id", $"media_type", $"n_bytes")
-    val maxId = media.agg(max($"doc_id")).head().getLong(0)
+    val maxIdRow = media.agg(max($"doc_id")).head()
+    if (maxIdRow.isNullAt(0))  // empty corpus: no shards
+      return Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("media_type", "shard_id", "n_docs", "shard_bytes",
+          "first_doc", "last_doc")
+    val maxId = maxIdRow.getLong(0)
     val width = math.max(1L, (maxId + 64) / 64)
     val b = media.withColumn("bkt", floor($"doc_id" / width).cast("int"))
     val offsets = b.groupBy($"media_type", $"bkt")

@@ -169,7 +169,14 @@ object Similarity {
     */
   private[graft] def lloydTrain(points: Array[Array[Double]], k: Int,
                                 iters: Int): Array[(Int, Seq[Double])] = {
-    require(points.nonEmpty, "empty training sample")
+    // Empty-corpus degenerate: return k dummy centroids so callers'
+    // plans still ANALYZE (centroid literals must be non-empty arrays
+    // for zip_with/getField typing); every downstream row comes from
+    // a join against the empty corpus, so the dummies never reach an
+    // output. The dim is unknowable from zero points — 1 is fine for
+    // the same reason.
+    if (points.isEmpty)
+      return Array.tabulate(k)(i => (i, Seq(0.0)))
     val dim = points(0).length
     val stride = math.max(1, points.length / k)
     var cents: Array[Array[Double]] = Array.tabulate(k)(i =>
@@ -323,10 +330,16 @@ object Similarity {
       .filter($"vec_id" % stride === 0).orderBy($"vec_id").limit(k)
       .select($"v").as[Seq[Double]].collect().zipWithIndex
       .map { case (c, i) => (i, c) }
+    // empty-corpus degenerate: dummy seeds keep the assignment
+    // expression analyzable (lloydTrain stance) — with zero vectors
+    // every downstream frame is empty regardless
+    if (cents.isEmpty)
+      cents = Array.tabulate(k)(i => (i, Seq(0.0)))
     val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to iters) {
       val assigned = assignWithDist(vecs, cents).localCheckpoint()
-      inertias += assigned.agg(sum($"d")).as[Double].head
+      inertias += assigned.agg(coalesce(sum($"d"), lit(0.0)))
+        .as[Double].head
       val updated = assigned
         .select($"cell", posexplode($"v").as(Seq("i", "x")))
         .groupBy($"cell", $"i").agg(avg($"x").as("m"))
@@ -426,6 +439,11 @@ object Similarity {
     val qRows = vecs.filter($"vec_id" < numQueries)
       .select($"vec_id", $"v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // empty corpus: zero query structs would make the posexplode array
+    // VOID-typed and fail analysis — the empty typed frame IS the answer
+    if (qRows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rnk", "neighbor_id", "adc_dist")
     val lutLit = typedLit(qRows.toSeq.map { case (_, qv) =>
       (0 until m).flatMap { s =>
         val q = qv.slice(s * subDim, (s + 1) * subDim)
@@ -798,6 +816,8 @@ object Similarity {
     import spark.implicits._
     val vecs = loadVecs(spark, dir)
     val n = vecs.count()
+    if (n == 0L)  // empty corpus: no nodes, no ranks — typed empty out
+      return vecs.select($"vec_id", lit(0L).as("pr"))
     val Scale = 1000000000000L
     val teleport = 3L * Scale / (20L * n)
     val edges = knnGraphOn(vecs, k, planes)
@@ -1017,6 +1037,8 @@ object Similarity {
       (0 until m).map(s => minD(subCol(s), books(s)).as(s"d$s")): _*)
     val aggs = (0 until m).map(s => avg(col(s"d$s")).as(s"m$s"))
     val r = per.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (r.isNullAt(0))  // empty corpus: no vectors, no distortion rows
+      return Seq.empty[(Long, Double)].toDF("subspace", "mse")
     (0 until m).map { s =>
       (s.toLong, math.floor(r.getDouble(s) * 1000000.0 + 0.5) / 1000000.0)
     }.toDF("subspace", "mse").orderBy($"subspace")
@@ -1112,6 +1134,8 @@ object Similarity {
     val vecs = loadVecs(spark, dir).localCheckpoint()
     val d = 64
     val n = vecs.count().toDouble
+    if (n == 0)  // empty corpus: no moments, no component — typed empty
+      return Seq.empty[(Long, Double)].toDF("dim", "value")
     def litArr(a: Array[Double]): Column = array(a.map(lit): _*)
     // mean + E[x_j^2] in one pass via posexplode
     val mom = vecs.select(posexplode($"v").as(Seq("dim", "x")))
@@ -1342,12 +1366,16 @@ object Similarity {
     * corpus size.
     */
   private[graft] def collectedCentroids(spark: SparkSession,
-                                        dir: String): Seq[(Int, Seq[Double])] =
-    labelCentroidVectors(spark, dir)
+                                        dir: String): Seq[(Int, Seq[Double])] = {
+    val cs = labelCentroidVectors(spark, dir)
       .select(col("label"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
+    // empty-corpus degenerate: one dummy centroid keeps the argmin
+    // expression analyzable (lloydTrain stance); no rows ever score
+    if (cs.isEmpty) Seq((0, Seq(0.0))) else cs
+  }
 
   /** Nearest-centroid assignment over a frame carrying (vec_id, v):
     * per-row argmin by (squared L2, label). The distance is an
