@@ -1,0 +1,364 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-10 statistical tier: grouped trend fitting, independence
+  * testing, digit-distribution data-quality profiling, robust
+  * (winsorized) location estimation, and Neyman sampling allocation.
+  * All follow the repo's exactness discipline — corpus-scale work is
+  * integer partial aggregation (cents as Long / DECIMAL), every
+  * double is derived from exact integers with formula text shared
+  * verbatim with the DuckDB oracle.
+  */
+object Stats {
+
+  /** B79 — per-segment linear revenue trend: one OLS fit of daily
+    * revenue (dollars) against day index PER market segment — the
+    * grouped regression a portfolio review reads ("which segments are
+    * growing?"). Slope/intercept from the classic normal equations on
+    * exact integer moments: x = days since the global min order day
+    * (calendar-small), y = daily dollars (Long); Σx, Σy, Σxy, Σx² are
+    * exact Longs (x ≤ ~10⁴, y dollars — products < 2⁵³ even at 100 TB
+    * daily rollups), so both engines derive the identical doubles.
+    *
+    * Scale shape: corpus work is ONE orders⋈customer equi-join and a
+    * (segment, day) partial agg; the per-segment moment agg and the
+    * 5-row fit frame are calendar/segment-bounded. Single-day
+    * segments have a zero denominator → defined null slope.
+    */
+  def segmentTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val minDay = orders.agg(min(to_date($"o_orderdate")).as("d0"))
+    val daily = orders.join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"),
+        to_date($"o_orderdate").as("day"))
+      .agg(expr("sum(cents) DIV 100").as("y"))
+      .crossJoin(broadcast(minDay))
+      .select($"segment", datediff($"day", $"d0").cast("long").as("x"),
+        $"y")
+    val m = daily.groupBy($"segment").agg(
+      count(lit(1)).as("n_days"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    val den = $"n_days" * $"sxx" - $"sx" * $"sx"
+    val slope = ($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+      den.cast("double")
+    m.select($"segment", $"n_days",
+        when(den > 0,
+          floor(slope * 1000000.0 + 0.5) / 1000000.0).as("slope"),
+        when(den > 0,
+          floor((($"sy".cast("double") - slope * $"sx") / $"n_days")
+            * 100.0 + 0.5) / 100.0).as("intercept"))
+      .orderBy($"segment")
+  }
+
+  /** B80 — chi-square test of independence (event_type × day-of-week)
+    * with Cramér's V: does activity MIX shift across the week, or
+    * only volume (B58's profile shows totals; this tests the
+    * interaction). The contingency grid is the cross join of the
+    * DISTINCT types and dows actually present — zero-observed cells
+    * included, as the test requires — with expected counts
+    * rowTotal·colTotal/N. Every input is an integer count, so the χ²
+    * sum is the same double in both engines; the grid is
+    * (types × 7)-bounded.
+    */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type",
+        (dayofweek(timestamp_micros(expr("ts DIV 1000"))) - 1)
+          .cast("long").as("dow"))
+    val cells = ev.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
+    val cols = cells.groupBy($"dow").agg(sum($"o").as("ct"))
+    val n = cells.agg(sum($"o").as("nn"))
+    val grid = rows.crossJoin(cols).crossJoin(broadcast(n))
+      .join(cells, Seq("event_type", "dow"), "left")
+      .na.fill(0L, Seq("o"))
+      // expected count as DOUBLE-first (rt·ct as a Long product would
+      // wrap near 2^63 once row/col totals pass ~3·10⁹ — real at
+      // 100 TB); identical IEEE order on the oracle side
+      .select((($"o" - $"rt".cast("double") * $"ct" / $"nn") *
+        ($"o" - $"rt".cast("double") * $"ct" / $"nn") /
+        ($"rt".cast("double") * $"ct" / $"nn"))
+        .as("contrib"), $"event_type", $"dow", $"nn")
+    grid.agg(
+        countDistinct($"event_type").as("n_types"),
+        countDistinct($"dow").as("n_dows"),
+        max($"nn").as("n_events"),
+        sum($"contrib").as("chi2raw"))
+      .select($"n_types", $"n_dows", $"n_events",
+        (floor($"chi2raw" * 1000000.0 + 0.5) / 1000000.0).as("chi2"),
+        (($"n_types" - 1) * ($"n_dows" - 1)).as("dof"),
+        when(least($"n_types", $"n_dows") > 1,
+          floor(sqrt($"chi2raw" /
+            ($"n_events" * (least($"n_types", $"n_dows") - 1)))
+            * 1000000.0 + 0.5) / 1000000.0).as("cramers_v"))
+  }
+
+  /** B81 — Benford first-digit profile of order totals: the classic
+    * fabricated-data / corruption screen. Real multi-scale financial
+    * amounts follow P(d) = log₁₀(1+1/d); a flat or spiked digit
+    * histogram flags synthetic or truncated feeds before they poison
+    * downstream stats. First significant digit comes from the DECIMAL
+    * STRING of exact integer cents — no float log in the digit path,
+    * so both engines bucket identically; one partial-agg pass, 9
+    * output rows.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.load(spark, dir, "orders")
+      .select(floor(abs($"o_totalprice") * 100.0 + 0.5).cast("long")
+        .as("cents"))
+      .filter($"cents" > 0)
+      .select(substring($"cents".cast("string"), 1, 1).cast("long")
+        .as("digit"))
+    val tot = digits.agg(count(lit(1)).as("nn"))
+    digits.groupBy($"digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select($"digit", $"n",
+        (floor($"n".cast("double") / $"nn" * 1000000.0 + 0.5)
+          / 1000000.0).as("share"),
+        (floor(log10(lit(1.0) + lit(1.0) / $"digit") * 1000000.0 + 0.5)
+          / 1000000.0).as("benford_p"),
+        (floor(($"n".cast("double") / $"nn" -
+          log10(lit(1.0) + lit(1.0) / $"digit")) * 1000000.0 + 0.5)
+          / 1000000.0).as("delta"))
+      .orderBy($"digit")
+  }
+
+  /** B82 — 5% winsorized mean of the order total: the robust location
+    * estimate that survives the heavy tail B49's Pareto view shows
+    * (clamp the k = ⌊0.05n⌋ lowest and highest values to the
+    * boundary order statistics, then average). The two boundary
+    * values are fetched by the H7/B76 bucketed-offset rank selection
+    * — value-range buckets, per-bucket row_number plus broadcast
+    * cumulative offsets give exact global ranks without a global
+    * sort, and only ranks k+1 and n−k are collected (bounded
+    * artifact). The final mean is an exact integer-cents sum of the
+    * clamped column — partitioning cannot move it.
+    */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.load(spark, dir, "orders")
+      .select(floor($"o_totalprice" * 100.0 + 0.5).cast("long")
+        .as("cents"))
+    val statRow = vals.agg(count(lit(1)), min($"cents"), max($"cents"))
+      .head()
+    val n = statRow.getLong(0)
+    if (n == 0L)
+      return spark.range(0).select(lit(0L).as("n_orders"),
+        lit(0L).as("n_clamped_each"), lit(0.0).as("lo_cut"),
+        lit(0.0).as("hi_cut"), lit(0.0).as("winsorized_mean"),
+        lit(0.0).as("raw_mean"))
+    val k = n * 5L / 100L
+    val wanted = Seq(k + 1, n - k).distinct
+    val (mn, mx) = (statRow.getLong(1), statRow.getLong(2))
+    val nB = 1024L
+    val width = math.max((mx - mn) / nB + 1L, 1L)
+    val bucketed = vals.withColumn("bkt", (($"cents" - mn) / width)
+      .cast("long"))
+    val offs = bucketed.groupBy($"bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum($"c").over(Window.orderBy($"bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"off")
+    val atRank = bucketed.join(broadcast(offs), "bkt")
+      .withColumn("r",
+        row_number().over(Window.partitionBy($"bkt").orderBy($"cents"))
+          .cast("long") + $"off")
+      .filter($"r".isin(wanted: _*))
+      .select($"r", $"cents").as[(Long, Long)].collect().toMap
+    val lo = atRank(k + 1)
+    val hi = atRank(n - k)
+    vals.select(greatest(least($"cents", lit(hi)), lit(lo)).as("w"),
+        $"cents")
+      .agg(count(lit(1)).as("n_orders"), sum($"w").as("sw"),
+        sum($"cents").as("sc"))
+      .select($"n_orders", lit(k).as("n_clamped_each"),
+        (lit(lo).cast("double") / 100.0).as("lo_cut"),
+        (lit(hi).cast("double") / 100.0).as("hi_cut"),
+        (floor($"sw".cast("double") / $"n_orders" + 0.5) / 100.0)
+          .as("winsorized_mean"),
+        (floor($"sc".cast("double") / $"n_orders" + 0.5) / 100.0)
+          .as("raw_mean"))
+  }
+
+  /** H28 — Neyman-allocation stratified sample plan: given a total
+    * sample budget, allocate per-source counts ∝ N_h·σ_h (stratum
+    * size × stratum std of document length) — the minimum-variance
+    * allocation for estimating corpus-level means, and the
+    * principled answer to "how many docs do I audit from each
+    * source?". σ from exact integer moments (Σlen, Σlen² as Longs);
+    * the allocation row set is sources-bounded. Allocations are
+    * floored; the remainder goes to the largest N_h·σ_h strata by
+    * rank (largest-remainder rounding, deterministic tie-break on
+    * source name).
+    */
+  def neymanAllocation(spark: SparkSession, dir: String,
+                       budget: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    val m = Tables.load(spark, dir, "documents")
+      .select($"source", length($"text").cast("long").as("len"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("sl"),
+        sum($"len" * $"len").as("sl2"))
+      .withColumn("varl",
+        ($"sl2".cast("double") - $"sl".cast("double") * $"sl" / $"n_docs")
+          / $"n_docs")
+      .withColumn("w", $"n_docs" * sqrt(greatest($"varl", lit(0.0))))
+    val tot = m.agg(sum($"w").as("tw"))
+    val planned = m.crossJoin(broadcast(tot))
+      .withColumn("exact_alloc", lit(budget.toDouble) * $"w" / $"tw")
+      .withColumn("alloc_floor", floor($"exact_alloc").cast("long"))
+      .withColumn("frac", $"exact_alloc" - $"alloc_floor")
+    val short = planned.agg((lit(budget) - sum($"alloc_floor"))
+      .as("rem"))
+    planned.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"frac".desc, $"source")).cast("long"))
+      .select($"source", $"n_docs",
+        (floor(sqrt(greatest($"varl", lit(0.0))) * 10000.0 + 0.5)
+          / 10000.0).as("std_len"),
+        (floor($"exact_alloc" * 10000.0 + 0.5) / 10000.0)
+          .as("exact_alloc"),
+        ($"alloc_floor" + when($"rk" <= $"rem", 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy($"source")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "segment_trend" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate::DATE AS day,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |d0 AS (SELECT min(day) AS d0 FROM o),
+        |daily AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    datediff('day', d0.d0, o.day)::BIGINT AS x,
+        |    sum(o.cents) // 100 AS y
+        |  FROM o JOIN customer c ON c.c_custkey = o.o_custkey, d0
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT segment, count(*) AS n_days,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM daily GROUP BY segment)
+        |SELECT segment, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx > 0 THEN
+        |    floor((n_days * sxy - sx * sy)::DOUBLE
+        |      / (n_days * sxx - sx * sx) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS slope,
+        |  CASE WHEN n_days * sxx - sx * sx > 0 THEN
+        |    floor((sy::DOUBLE - (n_days * sxy - sx * sy)::DOUBLE
+        |      / (n_days * sxx - sx * sx) * sx) / n_days * 100.0 + 0.5)
+        |      / 100.0
+        |  END AS intercept
+        |FROM m ORDER BY segment""".stripMargin,
+    "events_chi2_independence" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_part('dow', ts)::BIGINT AS dow
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, dow, count(*) AS o
+        |  FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+        |c AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o)::BIGINT AS nn FROM cells),
+        |grid AS (
+        |  SELECT r.event_type, c.dow, r.rt, c.ct, n.nn,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM r CROSS JOIN c CROSS JOIN n
+        |  LEFT JOIN cells ON cells.event_type = r.event_type
+        |    AND cells.dow = c.dow),
+        |s AS (
+        |  SELECT count(DISTINCT event_type) AS n_types,
+        |    count(DISTINCT dow) AS n_dows,
+        |    max(nn) AS n_events,
+        |    sum((o - rt::DOUBLE * ct / nn) * (o - rt::DOUBLE * ct / nn)
+        |      / (rt::DOUBLE * ct / nn)) AS chi2raw
+        |  FROM grid)
+        |SELECT n_types, n_dows, n_events,
+        |  floor(chi2raw * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+        |  (n_types - 1) * (n_dows - 1) AS dof,
+        |  CASE WHEN least(n_types, n_dows) > 1 THEN
+        |    floor(sqrt(chi2raw / (n_events * (least(n_types, n_dows) - 1)))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS cramers_v
+        |FROM s""".stripMargin,
+    "revenue_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(
+        |    CAST(floor(abs(o_totalprice) * 100.0 + 0.5) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders
+        |  WHERE CAST(floor(abs(o_totalprice) * 100.0 + 0.5) AS BIGINT) > 0),
+        |t AS (SELECT count(*) AS nn FROM d)
+        |SELECT digit, count(*) AS n,
+        |  floor(count(*)::DOUBLE / nn * 1000000.0 + 0.5) / 1000000.0
+        |    AS share,
+        |  floor(log10(1.0 + 1.0 / digit) * 1000000.0 + 0.5) / 1000000.0
+        |    AS benford_p,
+        |  floor((count(*)::DOUBLE / nn - log10(1.0 + 1.0 / digit))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS delta
+        |FROM d, t GROUP BY digit, nn ORDER BY digit""".stripMargin,
+    "orders_winsorized_mean" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |    AS cents
+        |  FROM orders),
+        |nk AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    count(*)::BIGINT * 5 // 100 AS k FROM v),
+        |rk AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents) AS r FROM v),
+        |lo AS (SELECT cents AS lo FROM rk, nk WHERE r = nk.k + 1),
+        |hi AS (SELECT cents AS hi FROM rk, nk WHERE r = nk.n - nk.k)
+        |SELECT nk.n AS n_orders, nk.k AS n_clamped_each,
+        |  lo.lo::DOUBLE / 100.0 AS lo_cut,
+        |  hi.hi::DOUBLE / 100.0 AS hi_cut,
+        |  floor(sum(greatest(least(v.cents, hi.hi), lo.lo))::DOUBLE
+        |    / nk.n + 0.5) / 100.0 AS winsorized_mean,
+        |  floor(sum(v.cents)::DOUBLE / nk.n + 0.5) / 100.0 AS raw_mean
+        |FROM v, nk, lo, hi
+        |GROUP BY nk.n, nk.k, lo.lo, hi.hi""".stripMargin,
+    "stratified_sample_plan" ->
+      """WITH m AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(length(text)::BIGINT) AS sl,
+        |    sum(length(text)::BIGINT * length(text)::BIGINT) AS sl2
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    (sl2::DOUBLE - sl::DOUBLE * sl / n_docs) / n_docs AS varl,
+        |    n_docs * sqrt(greatest(
+        |      (sl2::DOUBLE - sl::DOUBLE * sl / n_docs) / n_docs, 0.0))
+        |      AS w
+        |  FROM m),
+        |t AS (SELECT sum(w) AS tw FROM w),
+        |p AS (
+        |  SELECT source, n_docs, varl,
+        |    1000.0 * w / tw AS exact_alloc,
+        |    CAST(floor(1000.0 * w / tw) AS BIGINT) AS alloc_floor,
+        |    1000.0 * w / tw - floor(1000.0 * w / tw) AS frac
+        |  FROM w, t),
+        |s AS (SELECT 1000 - sum(alloc_floor) AS rem FROM p)
+        |SELECT source, n_docs,
+        |  floor(sqrt(greatest(varl, 0.0)) * 10000.0 + 0.5) / 10000.0
+        |    AS std_len,
+        |  floor(exact_alloc * 10000.0 + 0.5) / 10000.0 AS exact_alloc,
+        |  alloc_floor + CASE WHEN row_number() OVER
+        |      (ORDER BY frac DESC, source) <= rem
+        |    THEN 1 ELSE 0 END AS alloc
+        |FROM p, s ORDER BY source""".stripMargin)
+}

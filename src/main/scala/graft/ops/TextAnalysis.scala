@@ -612,6 +612,8 @@ object TextAnalysis {
       avg($"x1").as("m1"), avg($"x1" * $"x1").as("q1"),
       avg($"x2").as("m2"), avg($"x2" * $"x2").as("q2"),
       avg($"x3").as("m3"), avg($"x3" * $"x3").as("q3")).collect()(0)
+    if (st.isNullAt(0))  // empty corpus: nothing to fit
+      return Seq.empty[(String, Double)].toDF("metric", "value")
     def sd(m: Double, q: Double): Double =
       math.sqrt(math.max(q - m * m, 1e-12))
     val feats = raw.select($"doc_id", $"y", $"x0",
@@ -1320,6 +1322,44 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** E45 — Misra–Gries heavy hitters with exact verification: per
+    * source, every token with frequency > N_src/k (k = 32). E19's CMS
+    * answers point queries against a top list that still needs the
+    * full-vocabulary aggregate to FIND; this finds the heavy set
+    * itself with constant memory. Pass 1 folds each source's token
+    * stream into a ≤(k−1)-counter [[graft.expressions.MisraGries]]
+    * summary (a mergeable Aggregator, so it partial-aggregates
+    * map-side like any sketch). The summary is only a CANDIDATE set —
+    * retained weights undercount by ≤ N/k and are partition-order-
+    * dependent — so pass 2 re-counts the candidates exactly
+    * (broadcast semi-join, sources × ≤(k−1) tokens) and keeps
+    * n·k > N. Because the summary provably retains every true heavy
+    * hitter, candidates ⊇ truth and the exact filter makes the output
+    * EXACTLY the true heavy-hitter set — order-independent and
+    * hash-matchable against a plain GROUP BY/HAVING oracle. At
+    * 100 TB: two corpus-linear passes with k-bounded per-group state,
+    * where the naive approach shuffles the full vocabulary.
+    */
+  def heavyTokens(spark: SparkSession, dir: String,
+                  k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val tk = Tables.load(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val mg = udaf(graft.expressions.MisraGries(k))
+    val cand = tk.groupBy($"source").agg(mg($"token").as("cands"))
+      .select($"source", explode($"cands").as("token"))
+    val totals = tk.groupBy($"source").agg(count(lit(1)).as("n_tokens"))
+    tk.join(broadcast(cand), Seq("source", "token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "source")
+      .filter($"n" * k > $"n_tokens")
+      .select($"source", $"token", $"n", $"n_tokens",
+        (floor($"n".cast("double") / $"n_tokens" * 1000000.0 + 0.5)
+          / 1000000.0).as("share"))
+      .orderBy($"source", $"token")
+  }
+
   /** E20 — BPE merge training loop (the iterative extension of E17's
     * single pair count): k greedy merge steps over the corpus-weighted
     * vocabulary. Each step counts adjacent symbol pairs across the
@@ -1494,7 +1534,10 @@ object TextAnalysis {
         avg(size(filter(split($"text", " "), t => t =!= ""))).as("avgdl"))
       .collect()(0)
     val n = nAvg.getDouble(0)
-    val avgdl = nAvg.getDouble(1)
+    // empty corpus: avg is null; 1.0 keeps the idf/score expressions
+    // well-defined — every downstream row joins against the empty
+    // token frame anyway
+    val avgdl = if (nAvg.isNullAt(1)) 1.0 else nAvg.getDouble(1)
     val df = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter($"term".isin(Bm25QueryTerms: _*))
@@ -1576,6 +1619,21 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_tokens" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT source, token FROM tk WHERE token <> ''),
+        |tot AS (SELECT source, count(*)::BIGINT AS n_tokens
+        |        FROM t2 GROUP BY source)
+        |SELECT t2.source AS source, token, count(*)::BIGINT AS n,
+        |  max(tot.n_tokens) AS n_tokens,
+        |  floor(count(*)::DOUBLE / max(tot.n_tokens) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS share
+        |FROM t2 JOIN tot ON tot.source = t2.source
+        |GROUP BY t2.source, token
+        |HAVING count(*) * 32 > max(tot.n_tokens)
+        |ORDER BY 1, 2""".stripMargin,
     "doc_length_ks" ->
       """WITH cnt AS (
         |  SELECT source, n_chars AS x, count(*)::BIGINT AS c

@@ -42,6 +42,48 @@ object TextStreams {
       .orderBy($"r", $"bucket")
   }
 
+  /** G27 — streaming heavy hitters via Misra–Gries state: the live
+    * "which tokens dominate each feed" gauge. Exact streaming
+    * per-token counts need state ∝ vocabulary; the
+    * [[graft.expressions.MisraGries]] summary holds ≤ k−1 counters
+    * per source FOREVER (G25's sketch-as-state argument, applied to
+    * frequencies) and still guarantees every token with true share
+    * > 1/k is retained across any reduce/merge order. Retained
+    * WEIGHTS are arrival-order-dependent — no stream can know them
+    * exactly — so the stream's deliverable is the candidate set; the
+    * production-pattern periodic exact re-count (batch, over the same
+    * files) filters it to the true heavy set, making the one-shot
+    * output deterministic, equal to E45's batch answer by the
+    * superset guarantee, and DuckDB-oracle-checkable.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(dir)
+    val mg = udaf(graft.expressions.MisraGries(k))
+    val agg = docs
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source").agg(mg($"token").as("cands"))
+    val cand = EventStreams.runToCompletion(agg, "graft_stream_mg")
+      .select($"source", explode($"cands").as("token"))
+    val tk = graft.Tables.load(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val totals = tk.groupBy($"source").agg(count(lit(1)).as("n_tokens"))
+    tk.join(broadcast(cand), Seq("source", "token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "source")
+      .filter($"n" * k > $"n_tokens")
+      .select($"source", $"token", $"n", $"n_tokens",
+        (floor($"n".cast("double") / $"n_tokens" * 1000000.0 + 0.5)
+          / 1000000.0).as("share"))
+      .orderBy($"source", $"token")
+  }
+
   /** G11 — streaming importance scoring: H11's trained per-bucket
     * log-ratio table (an offline artifact, ≤256 rows) broadcast onto a
     * live document stream — the production "train offline, score
@@ -123,6 +165,11 @@ object TextStreams {
           when(tf > 0.0, 1L).otherwise(0L))
       }
     }
+    // empty corpus: no idf artifacts → zero term columns to reduce;
+    // the empty typed frame is the defined answer
+    if (termScores.isEmpty)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "bm25", "n_terms")
     val scored = docs.select($"doc_id",
       termScores.map(_._1).reduce(_ + _).as("s"),
       termScores.map(_._2).reduce(_ + _).as("n_terms"))
@@ -348,6 +395,7 @@ object TextStreams {
         |    ELSE 15.0 * 281474976710656.0 / hk END)
         |    * 1000000.0 + 0.5) / 1000000.0 AS est_distinct
         |FROM sk ORDER BY source""".stripMargin,
+    "stream_heavy_hitters" -> TextAnalysis.oracles("text_heavy_tokens"),
     "stream_manifest" ->
       graft.ops.Curation.oracles("corpus_manifest"),
     "stream_consistent_sample" ->

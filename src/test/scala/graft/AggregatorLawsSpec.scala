@@ -89,4 +89,30 @@ class AggregatorLawsSpec extends AnyFunSuite {
       kmv.merge(kmv.merge(ba, bb), bb) == kmv.merge(ba, bb)
     })
   }
+
+  // Misra–Gries: the E45/G27 contract is NOT value equality (retained
+  // weights are legitimately order-dependent) but the retention
+  // guarantee — every item with true frequency > N/k survives ANY
+  // partitioning and merge order. A skewed alphabet makes heavy
+  // hitters actually occur.
+  private val mg = graft.expressions.MisraGries(4)
+  private val tokens: Gen[List[String]] = Gen.listOf(
+    Gen.frequency(8 -> Gen.const("hh"), 3 -> Gen.const("mid"),
+      1 -> Gen.oneOf("a", "b", "c", "d", "e", "f")))
+
+  test("Misra-Gries retains every item with frequency > N/k " +
+    "under any partitioning and merge order") {
+    assertHolds(Prop.forAll(tokens, Gen.chooseNum(1, 5)) { (xs, nParts) =>
+      val parts =
+        if (xs.isEmpty) List(Nil)
+        else xs.grouped(math.max(1, xs.length / nParts)).toList
+      val merged = parts
+        .map(_.foldLeft(mg.zero)(mg.reduce)).reduce(mg.merge)
+      val out = mg.finish(merged)
+      val truth = xs.groupBy(identity)
+        .collect { case (t, os) if os.size * 4 > xs.size => t }
+      truth.forall(out.contains) &&
+      out.size <= 3 && out == out.sorted   // ≤ k−1, deterministic order
+    })
+  }
 }
