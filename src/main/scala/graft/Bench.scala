@@ -65,11 +65,19 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.exists(n.startsWith) }
 
+    // rows-hash for streaming-parity checks: order-insensitive, cheap
+    // (streaming outputs are small aggregate tables)
+    def rowsHash(df: org.apache.spark.sql.DataFrame): Int =
+      df.collect().map(_.toString).sorted.mkString("\n").hashCode
+    val streamSeqHash = scala.collection.mutable.Map.empty[String, Int]
+
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     selected.foreach { case (name, fn) =>
+      var lastDf: org.apache.spark.sql.DataFrame = null
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        try { val df = fn(spark, sfDir); df.count(); lastDf = df }
+        catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()
@@ -85,13 +93,65 @@ object Bench {
             runs(runs.length / 2)
           }
         }
+      // streaming queries keep their sequential-run hash so the
+      // shared-session concurrent block below can prove identity
+      if (name.startsWith("stream_") && lastDf != null)
+        try streamSeqHash(name) = rowsHash(lastDf)
+        catch { case _: Throwable => }
       // per-query cache hygiene: operators that cache (LSH docs, IVF
       // vectors) must not squeeze later queries' execution memory
       spark.catalog.clearCache()
       acc += (name -> best)
       writeOut(jsonLine(acc.toSeq, partial = true))
     }
+
+    // Shared-session streaming block (round-9 verdict #5): a real
+    // deployment runs its streaming queries CONCURRENTLY in one
+    // SparkSession, so the per-query state-store startup floor (~0.7 s
+    // each, SURVEY §7f — engine tuning can't remove it) OVERLAPS
+    // instead of summing. Re-runs every stream_* query on a small
+    // thread pool against the same session, asserts the results
+    // hash-match the sequential runs, and reports the block wall-time
+    // next to the sequential sum. Memory-sink names are counter-unique
+    // so concurrent runs can't collide; shuffle partitions are preset
+    // to the streaming value so the per-query set/restore is
+    // idempotent under interleaving.
+    val streamNames = acc.collect {
+      case (n, t) if n.startsWith("stream_") && t >= 0 => n }.toSeq
+    var streamBlock = -1.0
+    var streamParity = -1
+    if (streamNames.nonEmpty && elapsed() < budgetSec) {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val t0 = System.nanoTime()
+      val futs = streamNames.map { n =>
+        scala.concurrent.Future {
+          val h = rowsHash(SparkEntry.queries(n)(spark, sfDir))
+          n -> (streamSeqHash.get(n).contains(h))
+        }.recover { case _: Throwable => n -> false }
+      }
+      val done = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(600, "s"))
+      streamBlock = (System.nanoTime() - t0) / 1e9
+      streamParity = if (done.forall(_._2)) 1 else 0
+      pool.shutdown()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    val streamSeqSum = acc.collect {
+      case (n, t) if n.startsWith("stream_") && t >= 0 => t }.sum
+    def extras: String =
+      if (streamBlock < 0) ""
+      else s""","streaming_block":${f(streamBlock)}""" +
+        s""","streaming_seq_sum":${f(streamSeqSum)}""" +
+        s""","streaming_parity":$streamParity"""
+
     val line = jsonLine(acc.toSeq, partial = false)
+      .stripSuffix("}") + extras + "}"
     writeOut(line)
     // The driver parses its bounded stdout tail for the JSON line; the
     // full 229-query line (>5 KB) overflowed it in r01–r07, and even a
@@ -109,7 +169,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${f(acc.map(_._2).sum)},"unit":"sec"""" +
           s""","queries":$qs,"queries_elided":${acc.size - kept.size}""" +
-          s""","queries_full":"bench_out.json","sf":"$sfDir"}"""
+          s""","queries_full":"bench_out.json","sf":"$sfDir"$extras}"""
       }
     println(out)
     spark.stop()
