@@ -236,7 +236,213 @@ object Stats {
       .orderBy($"source")
   }
 
+  /** B83 — one-way ANOVA F-test across event types on value: does ANY
+    * type differ in mean (the k-group gate you run BEFORE B55's
+    * pairwise Welch t — one test, no multiple-comparison inflation).
+    * Per-group moments (n, Σc, Σc²) from ONE partial-aggregable pass
+    * over integer cents (Σc² in DECIMAL(38,0) — the Long sum wraps at
+    * scale); the groups-sized moment frame folds in SORTED group
+    * order, so the 5-double sums are engine-deterministic, and F/η²
+    * derive from exact integers with formula text shared with the
+    * oracle. Zero-variance corpora (SSW = 0) and k < 2 get defined
+    * null statistics.
+    */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.load(spark, dir, "events")
+      .select($"event_type",
+        floor($"value" * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+        sum(($"c" * $"c").cast("decimal(38,0)")).as("q"))
+    val f = g
+      .agg(sort_array(collect_list(struct($"event_type", $"n", $"s", $"q")))
+        .as("gs"))
+      .select(
+        size($"gs").cast("long").as("k"),
+        aggregate($"gs", lit(0L), (a, x) => a + x.getField("n")).as("nn"),
+        aggregate($"gs", lit(0L), (a, x) => a + x.getField("s")).as("ss"),
+        aggregate($"gs", lit(0.0),
+          (a, x) => a + x.getField("q").cast("double")).as("qq"),
+        aggregate($"gs", lit(0.0), (a, x) =>
+          a + x.getField("s").cast("double") * x.getField("s")
+            / x.getField("n")).as("aa"))
+      .select($"k", $"nn",
+        ($"aa" - $"ss".cast("double") * $"ss" / $"nn").as("ssb"),
+        ($"qq" - $"aa").as("ssw"))
+    f.select($"k", $"nn",
+      when($"nn" > 0, floor($"ssb" * 10000.0 + 0.5) / 10000.0).as("ssb"),
+      when($"nn" > 0, floor($"ssw" * 10000.0 + 0.5) / 10000.0).as("ssw"),
+      when($"k" > 1 && $"nn" > $"k" && $"ssw" > 0.0,
+        floor(($"ssb" / ($"k" - 1)) / ($"ssw" / ($"nn" - $"k"))
+          * 10000.0 + 0.5) / 10000.0).as("f_stat"),
+      when($"ssb" + $"ssw" > 0.0,
+        floor($"ssb" / ($"ssb" + $"ssw") * 10000.0 + 0.5) / 10000.0)
+        .as("eta_sq"))
+  }
+
+  /** B84 — lagged cross-correlation (CCF) between the daily revenue
+    * and daily order-count series at lags −7..+7: the lead/lag
+    * discovery tool ("does volume today predict revenue in three
+    * days?") behind every demand-forecast feature audit. The corpus
+    * collapses to the calendar-bounded daily frame FIRST; the lag
+    * pairing is a 15×days equi-join on a shifted date key (never a
+    * data-sized shuffle). Per-lag moments are exact (Long/DECIMAL)
+    * sums; Pearson r derives with one double division chain shared
+    * verbatim with the oracle. Degenerate lags (n < 2 or zero
+    * variance) emit defined null r.
+    */
+  def revenueCcf(spark: SparkSession, dir: String,
+                 maxLag: Int = 7): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(expr("sum(cents) DIV 100").as("rev"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val a = daily.select($"day", $"rev",
+      explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .withColumn("bday", date_add($"day", $"lag"))
+    // the count side is the calendar-bounded daily frame — broadcast
+    // it so the lag pairing never shuffles, at any corpus size
+    val b = broadcast(daily.select($"day".as("bday"), $"cnt"))
+    val m = a.join(b, "bday")
+      .groupBy($"lag".cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"rev").as("sx"), sum($"cnt").as("sy"),
+        dsum($"rev" * $"cnt").as("sxy"),
+        dsum($"rev" * $"rev").as("sxx"),
+        dsum($"cnt" * $"cnt").as("syy"))
+    val num = $"n_pairs".cast("double") * $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy".cast("double")
+    val vx = $"n_pairs".cast("double") * $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double")
+    val vy = $"n_pairs".cast("double") * $"syy".cast("double") -
+      $"sy".cast("double") * $"sy".cast("double")
+    m.select($"lag", $"n_pairs",
+        when($"n_pairs" > 1 && vx > 0.0 && vy > 0.0,
+          floor(num / sqrt(vx * vy) * 1000000.0 + 0.5) / 1000000.0)
+          .as("r"))
+      .orderBy($"lag")
+  }
+
+  /** E46 — Simpson diversity of the token distribution per source:
+    * D = 1 − Σnᵢ(nᵢ−1)/(N(N−1)) — the probability two random tokens
+    * differ, i.e. the concentration complement of E45's heavy-hitter
+    * list (a boilerplate-stuffed source scores LOW here long before
+    * its Zipf slope moves). Exact integers end-to-end: per-(source,
+    * token) counts in one pass, Σnᵢ(nᵢ−1) in DECIMAL(38,0) vs the
+    * oracle's HUGEINT; inverse Simpson (effective vocabulary size)
+    * rides along. Sources-bounded output; single-token sources get
+    * defined nulls.
+    */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.load(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source", $"token")
+      .agg(count(lit(1)).as("n"))
+    cnt.groupBy($"source")
+      .agg(sum($"n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(($"n" * ($"n" - 1)).cast("decimal(38,0)")).as("pairs"))
+      .select($"source", $"n_tokens", $"vocab",
+        when($"n_tokens" > 1,
+          floor((lit(1.0) - $"pairs".cast("double") /
+            ($"n_tokens".cast("double") * ($"n_tokens" - 1)))
+            * 1000000.0 + 0.5) / 1000000.0).as("simpson"),
+        when($"pairs" > 0,
+          floor($"n_tokens".cast("double") * ($"n_tokens" - 1) /
+            $"pairs".cast("double") * 10000.0 + 0.5) / 10000.0)
+          .as("inv_simpson"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_anova" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(c)::BIGINT AS s, sum(c::HUGEINT * c) AS q
+        |  FROM ev GROUP BY event_type),
+        |f AS (
+        |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+        |    sum(s)::BIGINT AS ss, sum(q::DOUBLE) AS qq,
+        |    sum(s::DOUBLE * s / n) AS aa
+        |  FROM g),
+        |d AS (
+        |  SELECT k, nn,
+        |    aa - ss::DOUBLE * ss / nn AS ssb,
+        |    qq - aa AS ssw
+        |  FROM f)
+        |SELECT k, nn,
+        |  CASE WHEN nn > 0 THEN floor(ssb * 10000.0 + 0.5) / 10000.0
+        |    END AS ssb,
+        |  CASE WHEN nn > 0 THEN floor(ssw * 10000.0 + 0.5) / 10000.0
+        |    END AS ssw,
+        |  CASE WHEN k > 1 AND nn > k AND ssw > 0.0 THEN
+        |    floor((ssb / (k - 1)) / (ssw / (nn - k)) * 10000.0 + 0.5)
+        |      / 10000.0 END AS f_stat,
+        |  CASE WHEN ssb + ssw > 0.0 THEN
+        |    floor(ssb / (ssb + ssw) * 10000.0 + 0.5) / 10000.0
+        |    END AS eta_sq
+        |FROM d""".stripMargin,
+    "revenue_ccf" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      // 100 AS rev,
+        |    count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT range::BIGINT AS lag FROM range(-7, 8)),
+        |m AS (
+        |  SELECT l.lag, count(*)::BIGINT AS n_pairs,
+        |    sum(a.rev)::BIGINT AS sx, sum(b.cnt)::BIGINT AS sy,
+        |    sum(a.rev::HUGEINT * b.cnt) AS sxy,
+        |    sum(a.rev::HUGEINT * a.rev) AS sxx,
+        |    sum(b.cnt::HUGEINT * b.cnt) AS syy
+        |  FROM lags l
+        |  CROSS JOIN daily a
+        |  JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+        |  GROUP BY l.lag)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN n_pairs > 1
+        |    AND n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx > 0.0
+        |    AND n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy > 0.0
+        |  THEN floor(
+        |    (n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy)
+        |    / sqrt((n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx)
+        |         * (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy))
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS r
+        |FROM m ORDER BY lag""".stripMargin,
+    "text_simpson" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, token, count(*)::BIGINT AS n
+        |  FROM tk WHERE token <> '' GROUP BY 1, 2),
+        |s AS (
+        |  SELECT source, sum(n)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS vocab,
+        |    sum(n::HUGEINT * (n - 1)) AS pairs
+        |  FROM cnt GROUP BY source)
+        |SELECT source, n_tokens, vocab,
+        |  CASE WHEN n_tokens > 1 THEN
+        |    floor((1.0 - pairs::DOUBLE
+        |      / (n_tokens::DOUBLE * (n_tokens - 1)))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS simpson,
+        |  CASE WHEN pairs > 0 THEN
+        |    floor(n_tokens::DOUBLE * (n_tokens - 1) / pairs::DOUBLE
+        |      * 10000.0 + 0.5) / 10000.0 END AS inv_simpson
+        |FROM s ORDER BY source""".stripMargin,
     "segment_trend" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate::DATE AS day,

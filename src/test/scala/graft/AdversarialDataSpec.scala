@@ -142,7 +142,12 @@ class AdversarialDataSpec extends SparkSpecBase {
     "events_retention_fit", "lineitem_ridge", "geomean_order_value",
     "monthly_revenue", "events_sessionize", "events_value_percentiles",
     "text_quality", "text_langid", "doc_length_profile",
-    "text_mattr", "text_burstiness", "dedup_exact", "source_quality_cap")
+    "text_mattr", "text_burstiness", "dedup_exact", "source_quality_cap",
+    // round-10 additions: every one computes a ratio/variance/rank the
+    // hostile axes can push through a zero denominator
+    "segment_trend", "events_chi2_independence", "revenue_benford",
+    "orders_winsorized_mean", "stratified_sample_plan", "events_anova",
+    "revenue_ccf", "text_simpson", "text_heavy_tokens")
 
   private def badNumbers(rows: Array[Row]): Seq[String] =
     rows.iterator.flatMap { r =>
