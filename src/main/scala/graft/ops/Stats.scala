@@ -362,7 +362,151 @@ object Stats {
       .orderBy($"source")
   }
 
+  /** B86 — per-event-type reach with a Wilson 95% CI: of all users,
+    * what fraction performed each action, with the interval that stays
+    * honest at small n (the normal approximation's ±z√(p(1−p)/n) goes
+    * negative and overshoots 1 exactly where product decisions happen
+    * — small segments). Inputs are exact integer counts (distinct
+    * users per type / overall) from corpus-linear partial-agg
+    * distincts; the Wilson formula is one shared double chain, 6dp.
+    * z = 1.96 (95%).
+    */
+  def wilsonReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val byType = ev.select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type").agg(count(lit(1)).as("x"))
+    val tot = ev.agg(countDistinct($"user_id").as("n"))
+    val z = lit(1.96)
+    val z2 = lit(3.8416) // z² as a LITERAL shared with the oracle —
+    // 1.96*1.96 rounds differently from the parsed decimal 3.8416
+    val p = $"x".cast("double") / $"n"
+    val den = lit(1.0) + z2 / $"n"
+    val ctr = p + z2 / (lit(2.0) * $"n")
+    val rad = z * sqrt(p * (lit(1.0) - p) / $"n" +
+      z2 / (lit(4.0) * $"n" * $"n"))
+    def r6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+    byType.crossJoin(broadcast(tot))
+      .select($"event_type", $"x", $"n",
+        r6(p).as("p"),
+        r6((ctr - rad) / den).as("wilson_lo"),
+        r6((ctr + rad) / den).as("wilson_hi"))
+      .orderBy($"event_type")
+  }
+
+  /** B87 — EWMA control chart on daily revenue (λ=0.2, L=3): the
+    * small-shift monitor completing the drift triptych — B73's CUSUM
+    * reacts to a single level break, G24's Page–Hinkley is the
+    * streaming alarm, EWMA localizes sustained small shifts day by
+    * day. The corpus collapses to the calendar-bounded daily frame;
+    * the smoothing is a sorted in-plan fold (B77 discipline) so state
+    * is O(1) and the oracle can replay it as a recursive CTE
+    * bit-for-bit; μ/σ of the daily series from exact integer moments.
+    * Control width uses the exact-variance form
+    * σ·√(λ/(2−λ)·(1−(1−λ)^{2t})). Emits per-day ewma, limits, and
+    * breach flags.
+    */
+  def ewmaChart(spark: SparkSession, dir: String,
+                lambda: Double = 0.2, l: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(expr("sum(cents) DIV 100").as("y"))
+    val folded = daily
+      .agg(count(lit(1)).as("nd"), sum($"y").as("sy"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
+        sort_array(collect_list(struct($"day", $"y"))).as("s"))
+      .select($"nd", $"sy", $"syy",
+        transform($"s", x => x.getField("day")).as("days"),
+        transform($"s", x => x.getField("y").cast("double")).as("ys"))
+      .filter($"nd" > 0)
+    val lam = lit(lambda)
+    val ew = folded.select($"nd", $"days", $"ys",
+      ($"sy".cast("double") / $"nd").as("mu"),
+      sqrt(greatest(($"syy".cast("double") -
+        $"sy".cast("double") * $"sy" / $"nd") / $"nd", lit(0.0)))
+        .as("sigma"),
+      // left fold carrying the running ewma; emit every step
+      aggregate($"ys",
+        struct(lit(0.0).as("e"), array().cast("array<double>").as("out")),
+        (st, y) => {
+          val e0 = when(size(st.getField("out")) === 0, y)
+            .otherwise(lam * y + (lit(1.0) - lam) * st.getField("e"))
+          struct(e0.as("e"),
+            concat(st.getField("out"), array(e0)).as("out"))
+        }, st => st.getField("out")).as("es"))
+    ew.select(posexplode(arrays_zip($"days", $"es")).as(Seq("i", "z")),
+        $"mu", $"sigma")
+      .select(($"i" + 1).cast("long").as("t"),
+        $"z.days".as("day"), $"z.es".as("ewma_raw"), $"mu", $"sigma")
+      .withColumn("width",
+        lit(l) * $"sigma" * sqrt(lit(lambda / (2.0 - lambda)) *
+          (lit(1.0) - pow(lit(1.0 - lambda), $"t" * 2))))
+      .select($"t", $"day",
+        (floor($"ewma_raw" * 10000.0 + 0.5) / 10000.0).as("ewma"),
+        (floor(($"mu" - $"width") * 10000.0 + 0.5) / 10000.0).as("lcl"),
+        (floor(($"mu" + $"width") * 10000.0 + 0.5) / 10000.0).as("ucl"),
+        ($"ewma_raw" > $"mu" + $"width" ||
+          $"ewma_raw" < $"mu" - $"width").as("breach"))
+      .orderBy($"t")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_wilson_reach" ->
+      """WITH bt AS (
+        |  SELECT event_type, count(DISTINCT user_id)::BIGINT AS x
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM events)
+        |SELECT event_type, x, n,
+        |  floor(x::DOUBLE / n * 1000000.0 + 0.5) / 1000000.0 AS p,
+        |  floor((x::DOUBLE / n + 3.8416 / (2.0 * n)
+        |    - 1.96 * sqrt((x::DOUBLE / n) * (1.0 - x::DOUBLE / n) / n
+        |      + 3.8416 / (4.0 * n * n)))
+        |    / (1.0 + 3.8416 / n) * 1000000.0 + 0.5) / 1000000.0
+        |    AS wilson_lo,
+        |  floor((x::DOUBLE / n + 3.8416 / (2.0 * n)
+        |    + 1.96 * sqrt((x::DOUBLE / n) * (1.0 - x::DOUBLE / n) / n
+        |      + 3.8416 / (4.0 * n * n)))
+        |    / (1.0 + 3.8416 / n) * 1000000.0 + 0.5) / 1000000.0
+        |    AS wilson_hi
+        |FROM bt, t ORDER BY event_type""".stripMargin,
+    "revenue_ewma_chart" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      // 100 AS y
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT day, y::DOUBLE AS y,
+        |    row_number() OVER (ORDER BY day) AS t FROM daily),
+        |mom AS (
+        |  SELECT count(*)::BIGINT AS nd, sum(y::HUGEINT)::DOUBLE AS sy,
+        |    sum(y::HUGEINT * y)::DOUBLE AS syy
+        |  FROM daily),
+        |st AS (
+        |  SELECT nd, sy / nd AS mu,
+        |    sqrt(greatest((syy - sy * sy / nd) / nd, 0.0)) AS sigma
+        |  FROM mom),
+        |ew AS (
+        |  SELECT t, day, y, y AS e FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.day, i.y, 0.2 * i.y + 0.8 * ew.e
+        |  FROM idx i JOIN ew ON i.t = ew.t + 1)
+        |SELECT ew.t::BIGINT AS t, ew.day,
+        |  floor(ew.e * 10000.0 + 0.5) / 10000.0 AS ewma,
+        |  floor((st.mu - 3.0 * st.sigma * sqrt(0.2 / 1.8
+        |    * (1.0 - power(0.8, 2 * ew.t)))) * 10000.0 + 0.5) / 10000.0
+        |    AS lcl,
+        |  floor((st.mu + 3.0 * st.sigma * sqrt(0.2 / 1.8
+        |    * (1.0 - power(0.8, 2 * ew.t)))) * 10000.0 + 0.5) / 10000.0
+        |    AS ucl,
+        |  (ew.e > st.mu + 3.0 * st.sigma * sqrt(0.2 / 1.8
+        |    * (1.0 - power(0.8, 2 * ew.t)))
+        |   OR ew.e < st.mu - 3.0 * st.sigma * sqrt(0.2 / 1.8
+        |    * (1.0 - power(0.8, 2 * ew.t)))) AS breach
+        |FROM ew, st ORDER BY t""".stripMargin,
     "events_anova" ->
       """WITH ev AS (
         |  SELECT event_type,

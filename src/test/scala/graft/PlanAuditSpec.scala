@@ -203,6 +203,42 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("text_heavy_tokens: MG summary partial-combines, candidates broadcast") {
+    val plan = executedPlan("text_heavy_tokens")
+    // pass 1's Misra-Gries Aggregator must run two-phase (map-side
+    // partial summaries - the whole point of a mergeable sketch), and
+    // pass 2's exact re-count must reach the corpus via a BROADCAST
+    // of the sources x (k-1) candidate frame, never a sort-merge
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("revenue_ccf: lag pairing broadcasts the calendar-bounded frame") {
+    val plan = executedPlan("revenue_ccf")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("orders_winsorized_mean: clamped mean is one two-phase pass, no sort") {
+    // the bucketed-offset rank selection runs in the operator's
+    // internal bounded-artifact job; the RETURNED plan is the final
+    // clamped-mean pass - it must be a partial+final aggregate with
+    // no range exchange (a global sort would mean percentile-by-sort)
+    val plan = executedPlan("orders_winsorized_mean")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort found:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("events_anova: one corpus pass, moment frame folds without windows") {
+    val plan = executedPlan("events_anova")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("registry-wide: no CartesianProduct in any batch query plan") {
     // mechanical sweep over EVERY non-streaming registry entry: build
     // the DataFrame (streaming entries execute on construction, so
