@@ -19,19 +19,20 @@ object EmptyCheck {
   val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Write a 0-row schema-preserving copy of every table. The copies
-    * must be single FILES named `<table>.parquet` (the production
-    * layout) — the streaming sources match leaf files against a
-    * `<table>*.parquet` glob, so a Spark-written DIRECTORY of
-    * part-files would be invisible to them.
+  /** Write an n-row schema-preserving copy of every table (n=0: the
+    * empty-partition shape; n=1: the single-row/zero-variance shape).
+    * The copies must be single FILES named `<table>.parquet` (the
+    * production layout) — the streaming sources match leaf files
+    * against a `<table>*.parquet` glob, so a Spark-written DIRECTORY
+    * of part-files would be invisible to them.
     */
   def buildEmptyDir(spark: SparkSession, srcDir: String,
-                    outDir: String): Unit = {
+                    outDir: String, rows: Int = 0): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(outDir))
     val stage = Files.createTempDirectory("graft_empty_stage").toString
     tables.foreach { t =>
-      spark.read.parquet(s"$srcDir/$t.parquet").limit(0)
+      spark.read.parquet(s"$srcDir/$t.parquet").limit(rows)
         .coalesce(1).write.mode("overwrite").parquet(s"$stage/$t")
       val part = Files.list(Paths.get(s"$stage/$t")).iterator()
         .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
@@ -72,6 +73,7 @@ object EmptyCheck {
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val rows = args.drop(1).headOption.map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -80,7 +82,7 @@ object EmptyCheck {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files
       .createTempDirectory("graft_empty").toString
-    buildEmptyDir(spark, srcDir, dir)
+    buildEmptyDir(spark, srcDir, dir, rows)
     val failures = run(spark, dir, verbose = true)
     failures.foreach { case (n, e) => println(s"[empty-FAIL] $n  $e") }
     println(s"[empty-check] ${SparkEntry.queries.size - failures.size}/" +

@@ -666,10 +666,16 @@ object Analytics {
     val p1 = perCust(orders.filter($"us" < mm))
     val p2 = perCust(orders.filter($"us" >= mm))
     val qs = (1 to 4).map(_ / 5.0)
-    def bounds(per: DataFrame): Seq[Double] =
-      per.agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("b"))
-        .collect()(0).getSeq[Double](0)
+    def bounds(per: DataFrame): Seq[Double] = {
+      val r = per
+        .agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("b"))
+        .collect()(0)
+      // a one-sided calendar (all orders share the min timestamp)
+      // leaves one half empty — no boundaries, everyone scores 1
+      if (r.isNullAt(0)) Seq.empty[Double]
+      else r.getSeq[Double](0)
         .map(b => math.floor(b * 10000.0 + 0.5) / 10000.0)
+    }
     def score(c: Column, bs: Seq[Double]): Column =
       bs.foldLeft(lit(1L)) { (acc, b) =>
         acc + when(c > b, 1L).otherwise(0L)

@@ -228,7 +228,10 @@ object TextAnalysis {
       .select($"doc_id", $"term",
         ($"tf" * log(lit(n) / $"df")).as("w"))
     val norm = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
-    val wn = w.join(norm, "doc_id")
+    // zero-norm docs (every term in every doc ⇒ idf 0 — the n=1
+    // degenerate) carry no TF-IDF signal; drop them on BOTH sides
+    // rather than divide by zero
+    val wn = w.join(norm, "doc_id").filter($"nrm" > 0.0)
       .select($"doc_id", $"term", ($"w" / $"nrm").as("wn"))
     val q = wn.filter($"doc_id" < nQueries)
       .select($"doc_id".as("query_id"), $"term", $"wn".as("qw"))
@@ -2234,7 +2237,7 @@ object TextAnalysis {
         |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
         |wn AS (
         |  SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn
-        |  FROM w JOIN nrm USING (doc_id)),
+        |  FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0.0),
         |q AS (
         |  SELECT doc_id AS query_id, term, wn AS qw FROM wn
         |  WHERE doc_id < 5),

@@ -18,4 +18,19 @@ class EmptyInputSpec extends SparkSpecBase {
       s"\n${failures.size} queries crash on empty input:\n" +
         failures.map { case (n, e) => s"  $n: $e" }.mkString("\n"))
   }
+
+  test("all registered queries survive single-row input tables") {
+    // the other degenerate partition shape: one row per table means
+    // single-member groups, zero variance, a one-day calendar, a
+    // one-sided median split, and idf 0 for every term — the seams
+    // the 0-row sweep's null-guards don't reach
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_onerow_spec").toString
+    EmptyCheck.buildEmptyDir(spark, "/root/testdata/sf0.001", dir,
+      rows = 1)
+    val failures = EmptyCheck.run(spark, dir)
+    assert(failures.isEmpty,
+      s"\n${failures.size} queries crash on one-row input:\n" +
+        failures.map { case (n, e) => s"  $n: $e" }.mkString("\n"))
+  }
 }
