@@ -1137,23 +1137,31 @@ object Similarity {
     if (n == 0)  // empty corpus: no moments, no component — typed empty
       return Seq.empty[(Long, Double)].toDF("dim", "value")
     def litArr(a: Array[Double]): Column = array(a.map(lit): _*)
-    // mean + E[x_j^2] in one pass via posexplode
-    val mom = vecs.select(posexplode($"v").as(Seq("dim", "x")))
-      .groupBy($"dim").agg(sum($"x").as("s1"), sum($"x" * $"x").as("s2"))
-      .orderBy($"dim").collect()
-    val mu = mom.map(r => r.getDouble(1) / n)
-    val totVar = mom.zipWithIndex
-      .map { case (r, j) => r.getDouble(2) / n - mu(j) * mu(j) }.sum
+    // mean + E[x_j^2] as 2d direct per-dimension aggregates over ONE
+    // pass — the earlier posexplode form multiplied the corpus 64× and
+    // shuffled it into a groupBy(dim); per-column sums partial-agg to
+    // a single 128-double row with no row multiplication at all
+    val momAggs = (0 until d).flatMap { j =>
+      val x = element_at($"v", j + 1)
+      Seq(sum(x).as(s"s1_$j"), sum(x * x).as(s"s2_$j"))
+    }
+    val momRow = vecs.agg(momAggs.head, momAggs.tail: _*).collect()(0)
+    val mu = Array.tabulate(d)(j => momRow.getDouble(2 * j) / n)
+    val totVar = (0 until d)
+      .map(j => momRow.getDouble(2 * j + 1) / n - mu(j) * mu(j)).sum
     var v = Array.fill(d)(1.0 / math.sqrt(d))
     var lambda = 0.0
     for (_ <- 1 to iters) {
       val cCol = zip_with($"v", litArr(mu), (a, b) => a - b)
       val sCol = aggregate(zip_with(cCol, litArr(v), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)
-      val sums = vecs.select(posexplode(cCol).as(Seq("dim", "c")), sCol.as("s"))
-        .groupBy($"dim").agg(sum($"c" * $"s").as("g"))
-        .orderBy($"dim").collect()
-      val av = sums.map(r => r.getDouble(1) / n)
+      // project (c, s) ONCE per row, then 64 direct column sums —
+      // one corpus pass per matvec, zero shuffled rows
+      val proj = vecs.select(cCol.as("c"), sCol.as("s"))
+      val gAggs = (0 until d)
+        .map(j => sum(element_at($"c", j + 1) * $"s").as(s"g$j"))
+      val gRow = proj.agg(gAggs.head, gAggs.tail: _*).collect()(0)
+      val av = Array.tabulate(d)(j => gRow.getDouble(j) / n)
       val norm = math.sqrt(av.map(x => x * x).sum)
       lambda = av.zip(v).map { case (a, b) => a * b }.sum
       v = av.map(_ / norm)
