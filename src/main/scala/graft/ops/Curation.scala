@@ -794,7 +794,93 @@ object Curation {
       |    THEN 'val'
       |  ELSE 'test' END""".stripMargin
 
+  /** H30 — quality-curriculum epoch schedule: later epochs restrict
+    * to higher-quality deciles (epoch 1 trains on everything, epoch 4
+    * only on the top strata — the quality-annealing curriculum next
+    * to H9's language temperature and H12's epoch allocation). Decile
+    * boundaries come from ONE exact-percentile aggregate over E2's
+    * 4dp quality score (B45's strict-`>` cut discipline); the corpus
+    * then collapses to a 10-row (decile → docs/tokens) frame BEFORE
+    * the epoch fan-out, so the 4× epoch cross joins 10 rows, never
+    * data. Output: per (epoch, decile) docs, tokens, and the token
+    * share inside the epoch — the numbers a data-loader config
+    * actually encodes.
+    */
+  def qualityCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = graft.ops.TextAnalysis
+      .withQualityScore(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"quality", size($"toks").cast("long").as("tk"))
+    val qs = (1 to 9).map(_ / 10.0)
+    val bRow = scored
+      .agg(expr(s"percentile(quality, array(${qs.mkString(",")}))")
+        .as("bs")).collect()(0)
+    if (bRow.isNullAt(0))  // empty corpus: no deciles, no schedule
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("epoch", "decile", "n_docs", "n_tokens", "token_share")
+    val bounds = bRow.getSeq[Double](0)
+      .map(b => math.floor(b * 10000.0 + 0.5) / 10000.0)
+    val decile = bounds.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when($"quality" > b, 1L).otherwise(0L)
+    }
+    val perDecile = scored.groupBy(decile.as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens"))
+    val epochs = Seq((1L, 1L), (2L, 3L), (3L, 5L), (4L, 8L))
+      .toDF("epoch", "min_decile")
+    val plan = perDecile.crossJoin(broadcast(epochs))
+      .filter($"decile" >= $"min_decile")
+    val totals = plan.groupBy($"epoch")
+      .agg(sum($"n_tokens").as("epoch_tokens"))
+    plan.join(broadcast(totals), "epoch")
+      .select($"epoch", $"decile", $"n_docs", $"n_tokens",
+        (floor($"n_tokens".cast("double") / $"epoch_tokens"
+          * 1000000.0 + 0.5) / 1000000.0).as("token_share"))
+      .orderBy($"epoch", $"decile")
+  }
+
   val oracles: Map[String, String] = Map(
+    "quality_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks, text
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |m AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS tk,
+        |    floor(((least(length(text)::DOUBLE / 500.0, 1.0))
+        |      + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |        / length(text)::DOUBLE)
+        |      + (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+        |        / len(toks)::DOUBLE)
+        |      + len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+        |      / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM t),
+        |b AS (
+        |  SELECT list_transform(
+        |    quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> floor(x * 10000.0 + 0.5) / 10000.0) AS bs
+        |  FROM m),
+        |d AS (
+        |  SELECT 1 + len(list_filter(b.bs, x -> m.quality > x))::BIGINT
+        |      AS decile,
+        |    m.tk
+        |  FROM m, b),
+        |pd AS (
+        |  SELECT decile, count(*)::BIGINT AS n_docs,
+        |    sum(tk)::BIGINT AS n_tokens
+        |  FROM d GROUP BY decile),
+        |ep AS (SELECT * FROM (VALUES (1, 1), (2, 3), (3, 5), (4, 8))
+        |  AS v(epoch, min_decile)),
+        |plan AS (
+        |  SELECT ep.epoch::BIGINT AS epoch, pd.decile, pd.n_docs,
+        |    pd.n_tokens
+        |  FROM pd CROSS JOIN ep WHERE pd.decile >= ep.min_decile),
+        |tot AS (
+        |  SELECT epoch, sum(n_tokens)::BIGINT AS epoch_tokens
+        |  FROM plan GROUP BY epoch)
+        |SELECT plan.epoch, plan.decile, plan.n_docs, plan.n_tokens,
+        |  floor(plan.n_tokens::DOUBLE / tot.epoch_tokens
+        |    * 1000000.0 + 0.5) / 1000000.0 AS token_share
+        |FROM plan JOIN tot USING (epoch)
+        |ORDER BY epoch, decile""".stripMargin,
     "export_shard_plan" ->
       // fingerprint wraps mod 2^64 into two's complement like H20
       """WITH k AS (

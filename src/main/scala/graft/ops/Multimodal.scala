@@ -257,6 +257,51 @@ object Multimodal {
       .orderBy($"media_type", $"sig")
   }
 
+  /** F9 — modality-interleaved shard plan: F4 packs each modality
+    * contiguously by byte budget; a MULTIMODAL training run instead
+    * needs every shard to carry the same modality mix, or data
+    * loaders starve one tower while another hoards (the
+    * batch-composition twin of H9's source mixing). Each type's docs
+    * get an exact global rank (H7 bucketed offsets — ≤64 doc_id-range
+    * buckets per type, per-bucket row_number + broadcast cumulative
+    * offsets; no corpus-wide window) and land in shard (rank−1) mod
+    * nShards — round-robin, so per-shard type counts differ by ≤1 BY
+    * CONSTRUCTION (the spec-visible invariant `max_type_docs −
+    * min_type_docs ≤ 1`). Output is shard-count-sized.
+    */
+  def interleaveShards(spark: SparkSession, dir: String,
+                       nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val media = withMedia(spark, dir)
+      .select($"doc_id", $"media_type", $"n_bytes")
+    val maxIdRow = media.agg(max($"doc_id")).head()
+    if (maxIdRow.isNullAt(0))  // empty corpus: no shards
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("shard_id", "n_docs", "n_bytes", "n_types",
+          "min_type_docs", "max_type_docs")
+    val maxId = maxIdRow.getLong(0)
+    val width = math.max(1L, (maxId + 64) / 64)
+    val b = media.withColumn("bkt", floor($"doc_id" / width).cast("int"))
+    val offsets = b.groupBy($"media_type", $"bkt")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum($"c").over(Window.partitionBy($"media_type").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"media_type", $"bkt", $"off")
+    val w = Window.partitionBy($"media_type", $"bkt").orderBy($"doc_id")
+    val perType = b.join(broadcast(offsets), Seq("media_type", "bkt"))
+      .withColumn("rnk", row_number().over(w).cast("long") + $"off")
+      .withColumn("shard_id", ($"rnk" - 1) % nShards)
+    perType.groupBy($"shard_id", $"media_type")
+      .agg(count(lit(1)).as("td"), sum($"n_bytes").as("tb"))
+      .groupBy($"shard_id")
+      .agg(sum($"td").as("n_docs"), sum($"tb").as("n_bytes"),
+        count(lit(1)).as("n_types"),
+        min($"td").as("min_type_docs"), max($"td").as("max_type_docs"))
+      .orderBy($"shard_id")
+  }
+
   /** F8 — content-defined chunking (CDC) dedup report: the
     * storage-system dedup metric for binary payloads. Fixed-offset
     * chunking (F5's signature) misses a duplicate region the moment
@@ -448,6 +493,28 @@ object Multimodal {
         |SELECT doc_id, width, height, out_w, out_h,
         |  out_w * out_h * 3 AS out_bytes
         |FROM r ORDER BY doc_id""".stripMargin,
+    "multimodal_interleave" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3 + 1)::INT]
+        |      AS media_type,
+        |    octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, media_type, n_bytes,
+        |    row_number() OVER (PARTITION BY media_type ORDER BY doc_id)
+        |      AS rnk
+        |  FROM m),
+        |pt AS (
+        |  SELECT (rnk - 1) % 16 AS shard_id, media_type,
+        |    count(*)::BIGINT AS td, sum(n_bytes)::BIGINT AS tb
+        |  FROM r GROUP BY 1, 2)
+        |SELECT shard_id::BIGINT AS shard_id,
+        |  sum(td)::BIGINT AS n_docs, sum(tb)::BIGINT AS n_bytes,
+        |  count(*)::BIGINT AS n_types,
+        |  min(td)::BIGINT AS min_type_docs,
+        |  max(td)::BIGINT AS max_type_docs
+        |FROM pt GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "multimodal_frames" ->
       """WITH v AS (
         |  SELECT doc_id, text,
