@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   *    the min (agreement rules out a transient stall), else a third run
   *    and take the median;
   *  - once total elapsed exceeds `SPARK_GRAFT_BENCH_BUDGET_SEC`
-  *    (default 480 s) no more re-runs happen at all — every remaining
+  *    (default 600 s) no more re-runs happen at all — every remaining
   *    query is timed once so the suite always terminates well inside
   *    the driver's timeout.
   */
@@ -27,7 +27,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    // 600 s: the 276-query sequential pass under ambient co-tenant
+    // load can exceed the old 480 s before the shared-session
+    // streaming block gets its turn; the block itself is ~10 s
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
