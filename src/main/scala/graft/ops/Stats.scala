@@ -362,7 +362,7 @@ object Stats {
       .orderBy($"source")
   }
 
-  /** B86 — per-event-type reach with a Wilson 95% CI: of all users,
+  /** B85 — per-event-type reach with a Wilson 95% CI: of all users,
     * what fraction performed each action, with the interval that stays
     * honest at small n (the normal approximation's ±z√(p(1−p)/n) goes
     * negative and overshoots 1 exactly where product decisions happen
@@ -394,7 +394,7 @@ object Stats {
       .orderBy($"event_type")
   }
 
-  /** B87 — EWMA control chart on daily revenue (λ=0.2, L=3): the
+  /** B86 — EWMA control chart on daily revenue (λ=0.2, L=3): the
     * small-shift monitor completing the drift triptych — B73's CUSUM
     * reacts to a single level break, G24's Page–Hinkley is the
     * streaming alarm, EWMA localizes sustained small shifts day by
