@@ -1363,6 +1363,51 @@ object TextAnalysis {
       .orderBy($"source", $"token")
   }
 
+  /** E47 — per-source unigram KL divergence vs the REST of the corpus:
+    * the token-distribution shift measure completing the divergence
+    * kit (E43 KS compares length laws, B68 PSI compares value bins —
+    * this compares WHAT IS SAID; a source that KL-spikes against the
+    * rest is templated, off-domain, or contaminated, and mixture
+    * weights built on it mislead). Add-half smoothing over the UNION
+    * vocabulary keeps every term defined; per-term contributions
+    * p·ln(p/q) are floored to integer 1e-12 units and summed as LONGS
+    * — the associative-sum discipline that makes a vocab-sized float
+    * reduction partition-order-exact and DuckDB-replayable.
+    *
+    * Scale shape: one (source, token) count pass; the grid is the
+    * vocab×sources cross join (vocabulary-bounded, zero-filled cells
+    * included — absent terms still contribute mass); rollup is a
+    * sources-sized partial agg. Nothing pairwise in sources, nothing
+    * corpus-sized after the first pass.
+    */
+  def klDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.load(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+    val vocab = cnt.groupBy($"token").agg(sum($"c").as("c_all"))
+    val srcs = cnt.groupBy($"source").agg(sum($"c").as("n_s"))
+    val tot = srcs.agg(sum($"n_s").as("n_tot"),
+      count(lit(1)).as("n_sources"))
+    val vSize = vocab.count().toDouble
+    val grid = vocab.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+    val p = ($"c" + lit(0.5)) / ($"n_s" + lit(0.5) * vSize)
+    val q = ($"c_all" - $"c" + lit(0.5)) /
+      ($"n_tot" - $"n_s" + lit(0.5) * vSize)
+    grid
+      .select($"source", $"n_s",
+        floor(p * log(p / q) * 1e12 + 0.5).cast("long").as("contrib12"))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_tokens"),
+        (floor(sum($"contrib12").cast("double") / 1e6 + 0.5) / 1e6)
+          .as("kl_vs_rest"))
+      .orderBy($"source")
+  }
+
   /** E20 — BPE merge training loop (the iterative extension of E17's
     * single pair count): k greedy merge steps over the corpus-weighted
     * vocabulary. Each step counts adjacent symbol pairs across the
@@ -1622,6 +1667,39 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_kl_divergence" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, token, count(*)::BIGINT AS c
+        |  FROM tk WHERE token <> '' GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT token, sum(c)::BIGINT AS c_all FROM cnt GROUP BY token),
+        |srcs AS (
+        |  SELECT source, sum(c)::BIGINT AS n_s FROM cnt GROUP BY source),
+        |tot AS (
+        |  SELECT sum(n_s)::BIGINT AS n_tot FROM srcs),
+        |vs AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+        |base AS (
+        |  SELECT v.token, v.c_all, s.source, s.n_s
+        |  FROM vocab v CROSS JOIN srcs s),
+        |grid AS (
+        |  SELECT base.source, base.n_s, base.c_all,
+        |    coalesce(cnt.c, 0)::BIGINT AS c
+        |  FROM base LEFT JOIN cnt
+        |    ON cnt.source = base.source AND cnt.token = base.token),
+        |contrib AS (
+        |  SELECT source, n_s,
+        |    CAST(floor(
+        |      ((c + 0.5) / (n_s + 0.5 * v))
+        |      * ln(((c + 0.5) / (n_s + 0.5 * v))
+        |          / ((c_all - c + 0.5) / (n_tot - n_s + 0.5 * v)))
+        |      * 1e12 + 0.5) AS BIGINT) AS contrib12
+        |  FROM grid, tot, vs)
+        |SELECT source, max(n_s) AS n_tokens,
+        |  floor(sum(contrib12)::DOUBLE / 1e6 + 0.5) / 1e6 AS kl_vs_rest
+        |FROM contrib GROUP BY source ORDER BY source""".stripMargin,
     "text_heavy_tokens" ->
       """WITH tk AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS token
