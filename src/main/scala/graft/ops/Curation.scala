@@ -794,7 +794,7 @@ object Curation {
       |    THEN 'val'
       |  ELSE 'test' END""".stripMargin
 
-  /** H30 — quality-curriculum epoch schedule: later epochs restrict
+  /** H29 — quality-curriculum epoch schedule: later epochs restrict
     * to higher-quality deciles (epoch 1 trains on everything, epoch 4
     * only on the top strata — the quality-annealing curriculum next
     * to H9's language temperature and H12's epoch allocation). Decile
