@@ -21,23 +21,80 @@ object Analytics {
   private def r2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
   private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
+  /** Exact integer 10⁻²-units (cents for prices, hundredths for
+    * discount/tax rates) of a 2dp value stored as double: floor(x·100
+    * + 0.5) — the +0.5 absorbs the binary representation error of the
+    * 2dp decimal.  Every monetary SUM in this file aggregates these
+    * integers (Long per row, DECIMAL(38,0) across rows ≙ the oracle's
+    * HUGEINT), because a float SUM accumulates in partition order and
+    * a 1-ulp seam can cross the 2dp output floor on regenerated data
+    * — the round-10 `events_anova` failure mode.  The exact integer
+    * total converts to double ONCE (correctly rounded, identical to
+    * DuckDB's `::DOUBLE`) and then divides by the unit scale in the
+    * same order as the oracle text.
+    */
+  private def u2(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+
+  /** Order-exact sum of per-row Long unit products (DECIMAL(38,0) ≙
+    * HUGEINT; cast BEFORE any cross-row accumulation).
+    */
+  private def usum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+
+  /** Exact unit-sum back to dollars: one correctly-rounded double
+    * conversion, then one division — formula text shared with the
+    * oracle's `sum(...)::DOUBLE / scale`.
+    */
+  private def dollars(c: Column, scale: Double): Column =
+    c.cast("double") / scale
+
+  /** Exact floor-division of a Long cents sum into dollars — matches
+    * DuckDB `//` (which floors) where Spark `DIV` truncates toward
+    * zero; the two diverge on negative totals, which are part of the
+    * hostile-data surface. pmod's non-negative remainder makes the
+    * adjusted numerator exactly divisible, so the chain stays
+    * integer-exact at any magnitude (no double enters).
+    */
+  private def floorDivCents(sumExpr: String): Column =
+    expr(s"($sumExpr - pmod($sumExpr, 100)) DIV 100")
+
+  /** Exact 10⁻⁴-dollar units of extendedprice·(1−discount): 2dp cents
+    * × 2dp rate-complement hundredths — per-row Long product < 10⁹.
+    */
+  private def rev4(ext: Column, disc: Column): Column =
+    u2(ext) * (lit(100L) - u2(disc))
+
+  /** Order-exact TPC-H revenue aggregate, 2dp output: ≙ the oracle's
+    * `floor(sum(pc·(100−dh))::DOUBLE / 10000.0 * 100.0 + 0.5)/100`.
+    */
+  private def revenue2(ext: Column, disc: Column): Column =
+    r2(dollars(usum(rev4(ext, disc)), 10000.0))
+
   /** TPC-H Q1 shape: scan-heavy partial agg. Only the 7 referenced
     * columns are read (column pruning) and the shipdate predicate is
     * pushed to the parquet scan.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // integer units: qty is integral, prices are cents, rates are
+    // hundredths; disc price in 10⁻⁴ units, charge in 10⁻⁶ units —
+    // all per-row products fit a Long, all sums are order-exact
     Tables.load(spark, dir, "lineitem")
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("long").as("qty"),
+        u2($"l_extendedprice").as("pc"),
+        u2($"l_discount").as("dh"), u2($"l_tax").as("th"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        r2(sum($"l_quantity")).as("sum_qty"),
-        r2(sum($"l_extendedprice")).as("sum_base_price"),
-        r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("sum_disc_price"),
-        r2(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"))).as("sum_charge"),
-        r4(avg($"l_quantity")).as("avg_qty"),
-        r4(avg($"l_extendedprice")).as("avg_price"),
-        r4(avg($"l_discount")).as("avg_disc"),
+        r2(sum($"qty").cast("double")).as("sum_qty"),
+        r2(dollars(usum($"pc"), 100.0)).as("sum_base_price"),
+        r2(dollars(usum($"pc" * (lit(100L) - $"dh")), 10000.0))
+          .as("sum_disc_price"),
+        r2(dollars(usum($"pc" * (lit(100L) - $"dh") *
+          (lit(100L) + $"th")), 1000000.0)).as("sum_charge"),
+        r4(sum($"qty").cast("double") / count(lit(1))).as("avg_qty"),
+        r4(dollars(usum($"pc"), 100.0) / count(lit(1))).as("avg_price"),
+        r4(dollars(usum($"dh"), 100.0) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -59,7 +116,7 @@ object Analytics {
       .join(orders, $"l_orderkey" === $"o_orderkey")
       .join(customer, $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+      .agg(revenue2($"l_extendedprice", $"l_discount").as("revenue"))
       .select($"o_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
       .orderBy($"revenue".desc, $"o_orderkey")
       .limit(10)
@@ -85,7 +142,7 @@ object Analytics {
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue"))
+      .agg(revenue2($"l_extendedprice", $"l_discount").as("revenue"))
       .orderBy($"n_name")
   }
 
@@ -98,7 +155,7 @@ object Analytics {
     val rev = Tables.load(spark, dir, "customer")
       .join(Tables.load(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
       .groupBy($"c_custkey", $"c_name", $"c_nationkey")
-      .agg(r2(sum($"o_totalprice")).as("total_spent"))
+      .agg(r2(dollars(usum(u2($"o_totalprice")), 100.0)).as("total_spent"))
     val w = Window.partitionBy($"c_nationkey")
       .orderBy($"total_spent".desc, $"c_custkey")
     rev.withColumn("rnk", row_number().over(w).cast("long"))
@@ -114,7 +171,7 @@ object Analytics {
     Tables.load(spark, dir, "orders")
       .groupBy(trunc($"o_orderdate", "month").as("month"))
       .agg(
-        r2(sum($"o_totalprice")).as("revenue"),
+        r2(dollars(usum(u2($"o_totalprice")), 100.0)).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy($"month")
   }
@@ -127,12 +184,13 @@ object Analytics {
     import spark.implicits._
     val monthly = Tables.load(spark, dir, "orders")
       .groupBy(trunc($"o_orderdate", "month").as("month"))
-      .agg(sum($"o_totalprice").as("rev"))
+      .agg(usum(u2($"o_totalprice")).as("revc"))
     val w = Window.orderBy($"month")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly
-      .withColumn("cum_revenue", r2(sum($"rev").over(w)))
-      .select($"month", r2($"rev").as("revenue"), $"cum_revenue")
+      .withColumn("cum_revenue", r2(dollars(sum($"revc").over(w), 100.0)))
+      .select($"month", r2(dollars($"revc", 100.0)).as("revenue"),
+        $"cum_revenue")
       .orderBy($"month")
   }
 
@@ -220,7 +278,7 @@ object Analytics {
     import spark.implicits._
     val daily = Tables.load(spark, dir, "orders")
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg(r2(sum($"o_totalprice")).as("rev"))
+      .agg(r2(dollars(usum(u2($"o_totalprice")), 100.0)).as("rev"))
     val folded = daily
       .agg(sort_array(collect_list(struct($"day", $"rev"))).as("s"))
       .select(aggregate($"s",
@@ -317,17 +375,19 @@ object Analytics {
     import spark.implicits._
     val li = Tables.load(spark, dir, "lineitem")
       .groupBy($"l_partkey", $"l_suppkey")
-      .agg(sum($"l_extendedprice").as("rev"))
+      .agg(usum(u2($"l_extendedprice")).as("rev"))
     val w = Window.partitionBy($"l_partkey")
     val wRank = Window.orderBy($"part_total".desc, $"l_partkey", $"l_suppkey")
     li.withColumn("part_total", sum($"rev").over(w))
       .withColumn("share",
-        floor($"rev" / $"part_total" * 10000.0 + 0.5).cast("double") / 10000.0)
+        floor($"rev".cast("double") / $"part_total".cast("double")
+          * 10000.0 + 0.5).cast("double") / 10000.0)
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter($"rnk" <= topK)
       .select($"l_partkey", $"l_suppkey",
-        r2($"rev").as("revenue"),
-        r2($"part_total").as("part_total"), $"share", $"rnk")
+        r2(dollars($"rev", 100.0)).as("revenue"),
+        r2(dollars($"part_total", 100.0)).as("part_total"),
+        $"share", $"rnk")
       .orderBy($"rnk")
   }
 
@@ -400,20 +460,29 @@ object Analytics {
       .withColumn("yr", year($"o_orderdate").cast("long"))
       .withColumn("mo", month($"o_orderdate").cast("long"))
       .rollup($"yr", $"mo")
-      .agg(r2(sum($"o_totalprice")).as("revenue"),
+      .agg(r2(dollars(usum(u2($"o_totalprice")), 100.0)).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy($"yr".asc_nulls_first, $"mo".asc_nulls_first)
   }
 
   /** Custom typed Aggregator (UDAF): geometric-mean order value per
-    * priority — the log-sum buffer partial-aggregates map-side.
+    * priority.  The per-row ln quantizes to integer 10⁻¹² units
+    * in-plan (the identical IEEE chain the oracle runs), and the
+    * Aggregator's two-Long carry buffer sums them EXACTLY, so the
+    * aggregate partial-combines map-side and is partition-order
+    * independent — a raw double log-sum can cross the 4dp output
+    * floor on a 1-ulp ordering seam.  Non-positive values (hostile
+    * corpora only; ln undefined) contribute 0 units = factor 1.
     */
   def geomeanOrderValue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val geomean = udaf(graft.expressions.GeoMean)
+    val units = when($"o_totalprice" > 0.0,
+      floor(log($"o_totalprice") * 1000000000000.0 + 0.5).cast("long"))
+      .otherwise(0L)
     Tables.load(spark, dir, "orders")
       .groupBy($"o_orderpriority")
-      .agg((floor(geomean($"o_totalprice") * 10000.0 + 0.5)
+      .agg((floor(geomean(units) * 10000.0 + 0.5)
         .cast("double") / 10000.0).as("geomean_value"),
         count(lit(1)).as("n_orders"))
       .orderBy($"o_orderpriority")
@@ -450,7 +519,7 @@ object Analytics {
       .withColumn("decile", decile)
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_orders"),
-        r2(sum($"o_totalprice")).as("sum_value"),
+        r2(dollars(usum(u2($"o_totalprice")), 100.0)).as("sum_value"),
         r2(min($"o_totalprice")).as("min_value"),
         r2(max($"o_totalprice")).as("max_value"))
       .orderBy($"decile")
@@ -504,8 +573,7 @@ object Analytics {
       .filter($"supp_nation" =!= $"cust_nation")
       .groupBy($"supp_nation", $"cust_nation",
         year($"l_shipdate").cast("long").as("l_year"))
-      .agg(r2(sum($"l_extendedprice" * (lit(1) - $"l_discount")))
-        .as("revenue"))
+      .agg(revenue2($"l_extendedprice", $"l_discount").as("revenue"))
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
@@ -519,11 +587,13 @@ object Analytics {
     import spark.implicits._
     val pv = Tables.load(spark, dir, "lineitem")
       .groupBy($"l_partkey")
-      .agg(sum($"l_extendedprice" * $"l_quantity").as("v"))
-    val thresh = pv.agg((sum($"v") / count(lit(1)) * 1.5).as("thresh"))
+      .agg(usum(u2($"l_extendedprice") * $"l_quantity".cast("long"))
+        .as("v"))
+    val thresh = pv.agg(
+      (sum($"v").cast("double") / count(lit(1)) * 1.5).as("thresh"))
     pv.crossJoin(broadcast(thresh))
-      .filter($"v" > $"thresh")
-      .select($"l_partkey", r2($"v").as("value"))
+      .filter($"v".cast("double") > $"thresh")
+      .select($"l_partkey", r2(dollars($"v", 100.0)).as("value"))
       .orderBy($"value".desc, $"l_partkey")
   }
 
@@ -555,7 +625,7 @@ object Analytics {
     import spark.implicits._
     val big = Tables.load(spark, dir, "lineitem")
       .groupBy($"l_orderkey")
-      .agg(sum($"l_quantity").as("qty"))
+      .agg(sum($"l_quantity".cast("long")).as("qty"))
       .filter($"qty" > minQty)
     Tables.load(spark, dir, "orders")
       .join(big, $"o_orderkey" === $"l_orderkey")
@@ -574,7 +644,9 @@ object Analytics {
                      since: String = "2001-01-01 00:00:00"): DataFrame = {
     import spark.implicits._
     val customer = Tables.load(spark, dir, "customer")
-    val avgBal = customer.agg(avg($"c_acctbal").as("avg_bal"))
+    val avgBal = customer.agg(
+      (dollars(usum(u2($"c_acctbal")), 100.0) / count(lit(1)))
+        .as("avg_bal"))
     val recent = Tables.load(spark, dir, "orders")
       .filter($"o_orderdate" >= lit(since).cast("timestamp"))
       .select($"o_custkey")
@@ -583,7 +655,7 @@ object Analytics {
       .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_nationkey")
       .agg(count(lit(1)).as("n_cust"),
-        r2(sum($"c_acctbal")).as("total_bal"))
+        r2(dollars(usum(u2($"c_acctbal")), 100.0)).as("total_bal"))
       .orderBy($"c_nationkey")
   }
 
@@ -598,15 +670,20 @@ object Analytics {
     import spark.implicits._
     val daily = Tables.load(spark, dir, "orders")
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg(sum($"o_totalprice").as("rev"))
+      .agg(usum(u2($"o_totalprice")).as("revc"))
       .withColumn("dnum",
         datediff($"day", lit("1995-01-01").cast("date")).cast("long"))
     val w = Window.orderBy($"dnum").rangeBetween(-6, 0)
+    // integer cents through the range frame: the windowed SUM is
+    // exact, so the avg derives from one double division — a windowed
+    // float AVG would accumulate in the engine's frame-evaluation
+    // order (Spark running-state vs DuckDB segment tree)
     daily
       .withColumn("avg_7day",
-        floor(avg($"rev").over(w) * 100.0 + 0.5) / 100.0)
+        floor(sum($"revc").over(w).cast("double") / 100.0
+          / count(lit(1)).over(w) * 100.0 + 0.5) / 100.0)
       .withColumn("n_days_window", count(lit(1)).over(w))
-      .select($"day", (floor($"rev" * 100.0 + 0.5) / 100.0).as("revenue"),
+      .select($"day", r2(dollars($"revc", 100.0)).as("revenue"),
         $"avg_7day", $"n_days_window")
       .orderBy($"day")
   }
@@ -624,7 +701,7 @@ object Analytics {
     import spark.implicits._
     val daily = Tables.load(spark, dir, "orders")
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg((floor(sum($"o_totalprice") * 100.0 + 0.5) / 100.0).as("rev"))
+      .agg(r2(dollars(usum(u2($"o_totalprice")), 100.0)).as("rev"))
     val contrib = daily
       .withColumn("off", explode(sequence(lit(0), lit(6))))
       .select(expr("date_add(day, off)").as("tday"), $"rev")
@@ -662,7 +739,8 @@ object Analytics {
       return Seq.empty[(Long, Long, Long)].toDF("q1", "q2", "n_customers")
     val mm = mmRow.getLong(0)
     def perCust(half: DataFrame): DataFrame =
-      half.groupBy($"o_custkey").agg(sum($"o_totalprice").as("v"))
+      half.groupBy($"o_custkey")
+        .agg(dollars(usum(u2($"o_totalprice")), 100.0).as("v"))
     val p1 = perCust(orders.filter($"us" < mm))
     val p2 = perCust(orders.filter($"us" >= mm))
     val qs = (1 to 4).map(_ / 5.0)
@@ -722,11 +800,15 @@ object Analytics {
       .withColumn("cents",
         floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
       .groupBy($"o_orderdate")
-      .agg(expr("sum(cents) DIV 100").as("x"))
+      .agg(floorDivCents("sum(cents)").as("x"))
       .withColumn("r", row_number().over(Window.orderBy($"o_orderdate"))
         .cast("long"))
       .select($"r", $"x")
-    val stats = daily.agg(sum($"x").as("sx"), sum($"x" * $"x").as("sx2"),
+    // decimal-cast BEFORE the x·x / x·y products: a Long×Long daily-
+    // dollar product wraps past ~3e9/day (plausible at 100 TB); the
+    // oracle multiplies in HUGEINT
+    val stats = daily.agg(sum($"x").as("sx"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("sx2"),
       count(lit(1)).as("n"))
     val lags = daily.select($"r", $"x")
       .crossJoin(broadcast(spark.range(1, maxLag + 1).toDF("lag_k")))
@@ -734,7 +816,8 @@ object Analytics {
     val pairs = lags.join(daily.select($"r".as("rr"), $"x".as("y")),
         $"r2" === $"rr")
       .groupBy($"lag_k")
-      .agg(count(lit(1)).as("n_pairs"), sum($"x" * $"y").as("sxy"),
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
         sum($"x").as("sh"), sum($"y").as("st"))
     pairs.crossJoin(broadcast(stats))
       .select($"lag_k", $"n_pairs",
@@ -769,8 +852,11 @@ object Analytics {
       .withColumn("cents",
         floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
       .groupBy($"o_orderdate")
-      .agg(expr("sum(cents) DIV 100").as("x"))
-    val stats = daily.agg(sum($"x").as("sx"), sum($"x" * $"x").as("sx2"),
+      .agg(floorDivCents("sum(cents)").as("x"))
+    // decimal-cast BEFORE the x·x product (Long wrap at scale; ≙
+    // the oracle's HUGEINT product)
+    val stats = daily.agg(sum($"x").as("sx"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("sx2"),
       count(lit(1)).as("n"))
     val w = Window.orderBy($"o_orderdate")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -877,7 +963,7 @@ object Analytics {
       .withColumn("cents",
         floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
       .groupBy($"o_orderdate")
-      .agg(expr("sum(cents) DIV 100").as("x"))
+      .agg(floorDivCents("sum(cents)").as("x"))
       .select(datediff(to_date($"o_orderdate"), lit("1992-01-01"))
         .cast("long").as("t"), $"x")
     val a = daily.select($"t".as("ta"), $"x".as("xa"))
@@ -999,7 +1085,10 @@ object Analytics {
           1, 12), 16, 10).cast("long"))
       .withColumn("w", size(filter(tsLit, t => $"u" >= t)).cast("long"))
       .groupBy($"b")
-      .agg(sum($"w" * $"c").as("swc"), sum($"w").as("sw"))
+      // decimal-cast before the weight·cents product (Long wrap at
+      // scale; ≙ the oracle's HUGEINT product)
+      .agg(sum($"w".cast("decimal(38,0)") * $"c").as("swc"),
+        sum($"w").as("sw"))
       .withColumn("mean_b", $"swc".cast("double") / $"sw")
     val overall = rows.agg(
       (sum($"c").cast("double") / count(lit(1)) / 100.0)
@@ -1146,15 +1235,16 @@ object Analytics {
       .withColumn("age",
         (months_between($"om", $"cm")).cast("long"))
       .groupBy($"cm".as("cohort_month"), $"age")
-      .agg((floor(sum($"o_totalprice") * 100.0 + 0.5) / 100.0)
-        .as("rev"),
+      .agg(usum(u2($"o_totalprice")).as("revc"),
         countDistinct($"o_custkey").as("n_active"))
     val w = Window.partitionBy($"cohort_month").orderBy($"age")
       .rowsBetween(Window.unboundedPreceding, 0)
     grid
       .withColumn("cum_rev",
-        floor(sum($"rev").over(w) * 100.0 + 0.5) / 100.0)
-      .select($"cohort_month", $"age", $"n_active", $"rev", $"cum_rev")
+        floor(sum($"revc").over(w).cast("double") / 100.0
+          * 100.0 + 0.5) / 100.0)
+      .select($"cohort_month", $"age", $"n_active",
+        r2(dollars($"revc", 100.0)).as("rev"), $"cum_rev")
       .orderBy($"cohort_month", $"age")
   }
 
@@ -1202,20 +1292,26 @@ object Analytics {
     import spark.implicits._
     val m = Tables.load(spark, dir, "orders")
       .groupBy(trunc($"o_orderdate", "month").as("month"))
-      .agg(r2(sum($"o_totalprice")).as("rev"))
+      .agg(usum(u2($"o_totalprice")).as("revc"))
+      .withColumn("rev", r2(dollars($"revc", 100.0)))
     val w = Window.orderBy($"month")
     val wr = w.rowsBetween(-5, 5)
+    // s11 sums integer cents (exact at any frame evaluation order);
+    // the seasonal deviation quantizes to 10⁻⁴ units before its
+    // mean, so the tiny per-month groups also sum order-free
     val t = m
       .withColumn("rm6", lag($"rev", 6).over(w))
       .withColumn("lm6", lead($"rev", 6).over(w))
-      .withColumn("s11", sum($"rev").over(wr))
+      .withColumn("s11", sum($"revc").over(wr).cast("double") / 100.0)
       .withColumn("n11", count(lit(1)).over(wr))
       .filter($"rm6".isNotNull && $"lm6".isNotNull && $"n11" === 11)
       .select($"month", $"rev",
         r4((lit(0.5) * $"rm6" + $"s11" + lit(0.5) * $"lm6") / 12.0)
           .as("trend"))
     val s = t.groupBy(month($"month").cast("long").as("moy"))
-      .agg(r4(avg($"rev" - $"trend")).as("seasonal"))
+      .agg(r4(sum(floor(($"rev" - $"trend") * 10000.0 + 0.5)
+          .cast("long")).cast("double") / 10000.0 / count(lit(1)))
+        .as("seasonal"))
     t.join(broadcast(s), month($"month").cast("long") === $"moy")
       .select($"month", $"rev", $"trend", $"seasonal",
         r4($"rev" - $"trend" - $"seasonal").as("residual"))
@@ -1285,8 +1381,8 @@ object Analytics {
         $"l_shipdate" < lit(f"${year + 1}-01-01").cast("timestamp") &&
         $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
         $"l_quantity" < 24)
-      .agg((floor(sum($"l_extendedprice" * $"l_discount") * 100.0 + 0.5)
-        / 100.0).as("revenue"))
+      .agg(r2(dollars(usum(u2($"l_extendedprice") * u2($"l_discount")),
+        10000.0)).as("revenue"))
   }
 
   /** B38c — TPC-H Q8 shape (national market share): star join with
@@ -1315,11 +1411,13 @@ object Analytics {
       .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
       .join(Tables.load(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(customer), $"o_custkey" === $"c_custkey")
-      .withColumn("rev", $"l_extendedprice" * (lit(1) - $"l_discount"))
+      .withColumn("rev", rev4($"l_extendedprice", $"l_discount"))
       .groupBy(year($"o_orderdate").cast("long").as("o_year"))
       .agg((floor(
-        sum(when($"supp_nation" === nation, $"rev").otherwise(0.0)) /
-          sum($"rev") * 10000.0 + 0.5) / 10000.0).as("mkt_share"))
+        usum(when($"supp_nation" === nation, $"rev").otherwise(0L))
+          .cast("double") /
+          usum($"rev").cast("double") * 10000.0 + 0.5) / 10000.0)
+        .as("mkt_share"))
       .orderBy($"o_year")
   }
 
@@ -1346,10 +1444,10 @@ object Analytics {
       .join(Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
       .withColumn("profit",
-        $"l_extendedprice" * (lit(1) - $"l_discount") -
-          lit(0.6) * $"p_retailprice" * $"l_quantity")
+        rev4($"l_extendedprice", $"l_discount") -
+          lit(60L) * u2($"p_retailprice") * $"l_quantity".cast("long"))
       .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
-      .agg((floor(sum($"profit") * 100.0 + 0.5) / 100.0).as("sum_profit"))
+      .agg(r2(dollars(usum($"profit"), 10000.0)).as("sum_profit"))
       .orderBy($"nation", $"o_year".desc)
   }
 
@@ -1376,8 +1474,7 @@ object Analytics {
       .join(orders, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
-      .agg((floor(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
-        * 100.0 + 0.5) / 100.0).as("revenue"))
+      .agg(revenue2($"l_extendedprice", $"l_discount").as("revenue"))
       .select($"c_custkey", $"c_name", $"revenue",
         (floor($"c_acctbal" * 100.0 + 0.5) / 100.0).as("c_acctbal"), $"n_name")
       .orderBy($"revenue".desc, $"c_custkey")
@@ -1444,10 +1541,12 @@ object Analytics {
       .filter($"l_shipdate" >= lit(since).cast("timestamp") &&
         $"l_shipdate" < lit(until).cast("timestamp"))
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
-      .withColumn("rev", $"l_extendedprice" * (lit(1) - $"l_discount"))
+      .withColumn("rev", rev4($"l_extendedprice", $"l_discount"))
       .agg((floor(
-        lit(100.0) * sum(when($"p_type" === "PROMO", $"rev").otherwise(0.0)) /
-          sum($"rev") * 10000.0 + 0.5) / 10000.0).as("promo_revenue"))
+        lit(100.0) * usum(when($"p_type" === "PROMO", $"rev").otherwise(0L))
+          .cast("double") /
+          usum($"rev").cast("double") * 10000.0 + 0.5) / 10000.0)
+        .as("promo_revenue"))
   }
 
   /** B38i — TPC-H Q15 shape (top supplier): the revenue "view" is a
@@ -1463,8 +1562,7 @@ object Analytics {
       .filter($"l_shipdate" >= lit(since).cast("timestamp") &&
         $"l_shipdate" < lit(until).cast("timestamp"))
       .groupBy($"l_suppkey")
-      .agg((floor(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
-        * 100.0 + 0.5) / 100.0).as("total_revenue"))
+      .agg(revenue2($"l_extendedprice", $"l_discount").as("total_revenue"))
     val top = revenue.agg(max($"total_revenue").as("max_rev"))
     revenue.crossJoin(broadcast(top))
       .filter($"total_revenue" === $"max_rev")
@@ -1485,15 +1583,16 @@ object Analytics {
     import spark.implicits._
     val lineitem = Tables.load(spark, dir, "lineitem")
     val thresholds = lineitem.groupBy($"l_partkey".as("tp"))
-      .agg((avg($"l_quantity") * 0.2).as("qty_thresh"))
+      .agg((sum($"l_quantity".cast("long")).cast("double")
+        / count(lit(1)) * 0.2).as("qty_thresh"))
     val brandParts = Tables.load(spark, dir, "part")
       .filter($"p_brand" === brand).select($"p_partkey")
     lineitem
       .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
       .join(broadcast(thresholds), $"l_partkey" === $"tp")
       .filter($"l_quantity" < $"qty_thresh")
-      .agg((floor(sum($"l_extendedprice") / 7.0 * 100.0 + 0.5) / 100.0)
-        .as("avg_yearly"))
+      .agg((floor(usum(u2($"l_extendedprice")).cast("double") / 100.0
+        / 7.0 * 100.0 + 0.5) / 100.0).as("avg_yearly"))
   }
 
   /** B38k — TPC-H Q19 shape (bracketed disjunctive predicates): the
@@ -1514,8 +1613,7 @@ object Analytics {
             $"l_quantity".between(10, 20)) ||
           ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
             $"l_quantity".between(20, 30)))
-      .agg((floor(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
-        * 100.0 + 0.5) / 100.0).as("revenue"))
+      .agg(revenue2($"l_extendedprice", $"l_discount").as("revenue"))
   }
 
   /** B38l — TPC-H Q20 shape (excess-stock suppliers): partsupp
@@ -1534,7 +1632,7 @@ object Analytics {
     val shipped = Tables.load(spark, dir, "lineitem")
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
       .groupBy($"l_partkey", $"l_suppkey")
-      .agg(sum($"l_quantity").as("supp_qty"))
+      .agg(sum($"l_quantity".cast("long")).as("supp_qty"))
     val totals = shipped.groupBy($"l_partkey".as("tp"))
       .agg(sum($"supp_qty").as("part_qty"))
     val dominant = shipped
@@ -1660,7 +1758,8 @@ object Analytics {
     val per = orders.groupBy($"o_custkey")
       .agg(datediff(lit(maxD), max($"od")).cast("long").as("r_days"),
         count(lit(1)).as("f_orders"),
-        sum($"o_totalprice").as("m_value"))
+        usum(u2($"o_totalprice")).as("m_cents"))
+      .withColumn("m_value", dollars($"m_cents", 100.0))
     val qs = (1 to 3).map(_ / 4.0)
     val row = per.agg(
       expr(s"percentile(r_days, array(${qs.mkString(",")}))").as("rq"),
@@ -1679,9 +1778,11 @@ object Analytics {
       .withColumn("m_score", score($"m_value", bounds(2)))
       .groupBy($"r_score", $"f_score", $"m_score")
       .agg(count(lit(1)).as("n_customers"),
-        r2(avg($"r_days")).as("avg_recency"),
-        r4(avg($"f_orders")).as("avg_frequency"),
-        r2(sum($"m_value")).as("sum_value"))
+        r2(sum($"r_days").cast("double") / count(lit(1)))
+          .as("avg_recency"),
+        r4(sum($"f_orders").cast("double") / count(lit(1)))
+          .as("avg_frequency"),
+        r2(dollars(sum($"m_cents"), 100.0)).as("sum_value"))
       .orderBy($"r_score", $"f_score", $"m_score")
   }
 
@@ -1703,7 +1804,7 @@ object Analytics {
          |    t -> u >= t))::BIGINT AS w
          |  FROM uu),
          |g AS (
-         |  SELECT b, CAST(sum(w * c) AS BIGINT) AS swc,
+         |  SELECT b, sum(w::HUGEINT * c) AS swc,
          |    CAST(sum(w) AS BIGINT) AS sw
          |  FROM w GROUP BY b),
          |m AS (SELECT b, swc, sw, swc::DOUBLE / sw AS mean_b FROM g),
@@ -1813,7 +1914,7 @@ object Analytics {
         |  FROM orders GROUP BY o_orderdate),
         |stt AS (
         |  SELECT CAST(sum(x) AS BIGINT) AS sx,
-        |    CAST(sum(x * x) AS BIGINT) AS sx2, count(*)::BIGINT AS n
+        |    sum(x::HUGEINT * x) AS sx2, count(*)::BIGINT AS n
         |  FROM d),
         |c AS (
         |  SELECT o_orderdate, x,
@@ -1848,12 +1949,12 @@ object Analytics {
         |  FROM d),
         |stt AS (
         |  SELECT CAST(sum(x) AS BIGINT) AS sx,
-        |    CAST(sum(x * x) AS BIGINT) AS sx2, count(*)::BIGINT AS n
+        |    sum(x::HUGEINT * x) AS sx2, count(*)::BIGINT AS n
         |  FROM r),
         |l AS (SELECT unnest(range(1, 15)) AS lag_k),
         |p AS (
         |  SELECT l.lag_k, count(*)::BIGINT AS n_pairs,
-        |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+        |    sum(a.x::HUGEINT * b.x) AS sxy,
         |    CAST(sum(a.x) AS BIGINT) AS sh,
         |    CAST(sum(b.x) AS BIGINT) AS st
         |  FROM r a, l JOIN r b ON b.r = a.r + l.lag_k
@@ -1902,19 +2003,26 @@ object Analytics {
          |per AS (
          |  SELECT o_custkey,
          |    CAST(mx.maxd - max(o_orderdate::DATE) AS BIGINT) AS r_days,
-         |    count(*) AS f_orders, sum(o_totalprice) AS m_value
+         |    count(*) AS f_orders,
+         |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+         |      AS m_cents,
+         |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)
+         |      )::DOUBLE / 100.0 AS m_value
          |  FROM orders, mx GROUP BY o_custkey, mx.maxd),
          |q AS (SELECT $rb, $fb, $mb FROM per),
          |s AS (
          |  SELECT CAST(5 - (1 + $rs) AS BIGINT) AS r_score,
          |    CAST(1 + $fs AS BIGINT) AS f_score,
          |    CAST(1 + $ms AS BIGINT) AS m_score,
-         |    r_days, f_orders, m_value
+         |    r_days, f_orders, m_cents, m_value
          |  FROM per CROSS JOIN q)
          |SELECT r_score, f_score, m_score, count(*) AS n_customers,
-         |  floor(avg(r_days) * 100.0 + 0.5) / 100.0 AS avg_recency,
-         |  floor(avg(f_orders) * 10000.0 + 0.5) / 10000.0 AS avg_frequency,
-         |  floor(sum(m_value) * 100.0 + 0.5) / 100.0 AS sum_value
+         |  floor(sum(r_days)::DOUBLE / count(*) * 100.0 + 0.5) / 100.0
+         |    AS avg_recency,
+         |  floor(sum(f_orders)::DOUBLE / count(*) * 10000.0 + 0.5)
+         |    / 10000.0 AS avg_frequency,
+         |  floor(sum(m_cents)::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0
+         |    AS sum_value
          |FROM s GROUP BY r_score, f_score, m_score
          |ORDER BY r_score, f_score, m_score""".stripMargin
     },
@@ -1939,7 +2047,8 @@ object Analytics {
          |  SELECT o_totalprice, 1 + $cmp AS decile
          |  FROM orders CROSS JOIN b)
          |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
-         |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_value,
+         |  floor(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)
+         |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS sum_value,
          |  floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS min_value,
          |  floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_value
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin
@@ -1954,14 +2063,18 @@ object Analytics {
     "revenue_7day_avg" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    sum(o_totalprice) AS rev
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+        |      AS revc
         |  FROM orders GROUP BY 1),
         |n AS (
         |  SELECT *, date_diff('day', DATE '1995-01-01', day)::BIGINT AS dnum
         |  FROM d)
-        |SELECT day, floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
-        |  floor(avg(rev) OVER (ORDER BY dnum
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 100.0 + 0.5)
+        |SELECT day,
+        |  floor(revc::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS revenue,
+        |  floor((sum(revc) OVER (ORDER BY dnum
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))::DOUBLE / 100.0
+        |    / (count(*) OVER (ORDER BY dnum
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5)
         |    / 100.0 AS avg_7day,
         |  count(*) OVER (ORDER BY dnum
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days_window
@@ -1991,7 +2104,10 @@ object Analytics {
         |FROM pick p JOIN supp s ON p.s_suppkey = s.s_suppkey
         |ORDER BY p.p_partkey""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT floor(sum(l_extendedprice * l_discount) * 100.0 + 0.5)
+      """SELECT floor(sum(
+        |      CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))::DOUBLE
+        |    / 10000.0 * 100.0 + 0.5)
         |    / 100.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2001,8 +2117,12 @@ object Analytics {
     "q8_market_share" ->
       """SELECT year(o_orderdate)::BIGINT AS o_year,
         |  floor(sum(CASE WHEN n2.n_name = 'NATION_3'
-        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |    / sum(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+        |      THEN CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+        |      ELSE 0 END)::DOUBLE
+        |    / sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+        |      )::DOUBLE * 10000.0 + 0.5)
         |    / 10000.0 AS mkt_share
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -2015,8 +2135,10 @@ object Analytics {
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q9_product_profit" ->
       """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
-        |  floor(sum(l_extendedprice * (1 - l_discount)
-        |    - 0.6 * p_retailprice * l_quantity) * 100.0 + 0.5)
+        |  floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+        |    - 60 * CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+        |    * l_quantity::BIGINT)::DOUBLE / 10000.0 * 100.0 + 0.5)
         |    / 100.0 AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -2027,7 +2149,9 @@ object Analytics {
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
-        |  floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+        |  floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))::DOUBLE
+        |    / 10000.0 * 100.0 + 0.5)
         |    / 100.0 AS revenue,
         |  floor(c_acctbal * 100.0 + 0.5) / 100.0 AS c_acctbal, n_name
         |FROM lineitem
@@ -2059,8 +2183,12 @@ object Analytics {
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
-        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |    / sum(l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+        |      THEN CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+        |      ELSE 0 END)::DOUBLE
+        |    / sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+        |      )::DOUBLE * 10000.0 + 0.5)
         |    / 10000.0 AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -2068,7 +2196,9 @@ object Analytics {
     "q15_top_supplier" ->
       """WITH r AS (
         |  SELECT l_suppkey,
-        |    floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+        |    floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))::DOUBLE
+        |    / 10000.0 * 100.0 + 0.5)
         |      / 100.0 AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2080,16 +2210,22 @@ object Analytics {
         |ORDER BY s_suppkey""".stripMargin,
     "q17_small_qty_revenue" ->
       """WITH thr AS (
-        |  SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_thresh
+        |  SELECT l_partkey,
+        |    sum(l_quantity::BIGINT)::DOUBLE / count(*) * 0.2
+        |      AS qty_thresh
         |  FROM lineitem GROUP BY l_partkey)
-        |SELECT floor(sum(l.l_extendedprice) / 7.0 * 100.0 + 0.5)
+        |SELECT floor(sum(
+        |    CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 / 7.0 * 100.0 + 0.5)
         |  / 100.0 AS avg_yearly
         |FROM lineitem l
         |JOIN part ON l.l_partkey = p_partkey
         |JOIN thr ON l.l_partkey = thr.l_partkey
         |WHERE p_brand = 'Brand#23' AND l.l_quantity < qty_thresh""".stripMargin,
     "q19_bracketed_revenue" ->
-      """SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+      """SELECT floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))::DOUBLE
+        |    / 10000.0 * 100.0 + 0.5)
         |  / 100.0 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -2100,7 +2236,8 @@ object Analytics {
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q20_dominant_suppliers" ->
       """WITH pq AS (
-        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(l_quantity::BIGINT) AS supp_qty
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_name LIKE 'red%'
         |  GROUP BY 1, 2),
@@ -2133,7 +2270,9 @@ object Analytics {
     "q7_nation_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate)::BIGINT AS l_year,
-        |  floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+        |  floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))::DOUBLE
+        |    / 10000.0 * 100.0 + 0.5)
         |    / 100.0 AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -2146,10 +2285,13 @@ object Analytics {
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q11_part_value_share" ->
       """WITH pv AS (
-        |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS v
+        |  SELECT l_partkey,
+        |    sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * l_quantity::BIGINT) AS v
         |  FROM lineitem GROUP BY l_partkey)
-        |SELECT l_partkey, floor(v * 100.0 + 0.5) / 100.0 AS value FROM pv
-        |WHERE v > (SELECT sum(v) / count(*) * 1.5 FROM pv)
+        |SELECT l_partkey,
+        |  floor(v::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS value FROM pv
+        |WHERE v::DOUBLE > (SELECT sum(v)::DOUBLE / count(*) * 1.5 FROM pv)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q16_brand_suppliers" ->
       """SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
@@ -2159,8 +2301,9 @@ object Analytics {
         |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
-        |  SELECT l_orderkey, sum(l_quantity) AS qty
-        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
+        |  SELECT l_orderkey, sum(l_quantity::BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity::BIGINT) > 300.0)
         |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
         |  floor(qty * 100.0 + 0.5) / 100.0 AS total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
@@ -2168,9 +2311,12 @@ object Analytics {
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
     "q22_idle_balance" ->
       """SELECT c_nationkey, count(*) AS n_cust,
-        |  floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS total_bal
+        |  floor(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |WHERE c_acctbal > (SELECT
+        |    sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS HUGEINT))::DOUBLE
+        |    / 100.0 / count(*) FROM customer)
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
@@ -2196,7 +2342,9 @@ object Analytics {
         |ORDER BY side, nationkey""".stripMargin,
     "geomean_order_value" ->
       """SELECT o_orderpriority,
-        |  floor(exp(sum(ln(o_totalprice)) / count(*)) * 10000.0 + 0.5)
+        |  floor(exp(sum(CAST(floor(ln(o_totalprice)
+        |      * 1000000000000.0 + 0.5) AS HUGEINT))::DOUBLE
+        |    / 1000000000000.0 / count(*)) * 10000.0 + 0.5)
         |    / 10000.0 AS geomean_value,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
@@ -2215,7 +2363,8 @@ object Analytics {
     "revenue_rollup" ->
       """SELECT year(o_orderdate)::BIGINT AS yr,
         |  month(o_orderdate)::BIGINT AS mo,
-        |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue,
+        |  floor(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS revenue,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY ROLLUP (year(o_orderdate)::BIGINT, month(o_orderdate)::BIGINT)
@@ -2223,11 +2372,13 @@ object Analytics {
     "running_revenue" ->
       """WITH m AS (
         |  SELECT date_trunc('month', o_orderdate) AS month,
-        |    sum(o_totalprice) AS rev
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS revc
         |  FROM orders GROUP BY 1)
-        |SELECT month, floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
-        |  floor(sum(rev) OVER (ORDER BY month
-        |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
+        |SELECT month,
+        |  floor(revc::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS revenue,
+        |  floor((sum(revc) OVER (ORDER BY month
+        |    ROWS UNBOUNDED PRECEDING))::DOUBLE / 100.0 * 100.0 + 0.5)
+        |    / 100.0 AS cum_revenue
         |FROM m ORDER BY month""".stripMargin,
     "orders_cohort_ltv" ->
       """WITH o AS (
@@ -2239,14 +2390,16 @@ object Analytics {
         |g AS (
         |  SELECT ch.cm AS cohort_month,
         |    datediff('month', ch.cm, o.om)::BIGINT AS age,
-        |    floor(sum(o.o_totalprice) * 100.0 + 0.5) / 100.0 AS rev,
+        |    sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS HUGEINT))
+        |      AS revc,
         |    count(DISTINCT o.o_custkey) AS n_active
         |  FROM o JOIN ch ON ch.o_custkey = o.o_custkey
         |  GROUP BY 1, 2)
-        |SELECT cohort_month, age, n_active, rev,
-        |  floor(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age
-        |    ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0
-        |    AS cum_rev
+        |SELECT cohort_month, age, n_active,
+        |  floor(revc::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS rev,
+        |  floor((sum(revc) OVER (PARTITION BY cohort_month ORDER BY age
+        |    ROWS UNBOUNDED PRECEDING))::DOUBLE / 100.0 * 100.0 + 0.5)
+        |    / 100.0 AS cum_rev
         |FROM g ORDER BY cohort_month, age""".stripMargin,
     "orders_interarrival" ->
       """WITH g0 AS (
@@ -2272,17 +2425,23 @@ object Analytics {
     "orders_seasonal_decompose" ->
       """WITH m AS (
         |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
-        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+        |      AS revc
         |  FROM orders GROUP BY 1),
+        |m2 AS (
+        |  SELECT month, revc,
+        |    floor(revc::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS rev
+        |  FROM m),
         |o AS (
         |  SELECT month, rev,
         |    lag(rev, 6) OVER (ORDER BY month) AS rm6,
         |    lead(rev, 6) OVER (ORDER BY month) AS lm6,
-        |    sum(rev) OVER (ORDER BY month
-        |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11,
+        |    (sum(revc) OVER (ORDER BY month
+        |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING))::DOUBLE / 100.0
+        |      AS s11,
         |    count(*) OVER (ORDER BY month
         |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS n11
-        |  FROM m),
+        |  FROM m2),
         |t AS (
         |  SELECT month, rev,
         |    floor((0.5 * rm6 + s11 + 0.5 * lm6) / 12.0
@@ -2291,8 +2450,9 @@ object Analytics {
         |  WHERE rm6 IS NOT NULL AND lm6 IS NOT NULL AND n11 = 11),
         |sx AS (
         |  SELECT month(month)::BIGINT AS moy,
-        |    floor(avg(rev - trend) * 10000.0 + 0.5) / 10000.0
-        |      AS seasonal
+        |    floor(sum(CAST(floor((rev - trend) * 10000.0 + 0.5)
+        |        AS BIGINT))::DOUBLE / 10000.0 / count(*)
+        |      * 10000.0 + 0.5) / 10000.0 AS seasonal
         |  FROM t GROUP BY 1)
         |SELECT t.month, t.rev, t.trend, sx.seasonal,
         |  floor((t.rev - t.trend - sx.seasonal) * 10000.0 + 0.5)
@@ -2305,10 +2465,14 @@ object Analytics {
         |  FROM orders),
         |mm AS (SELECT (min(us) + max(us)) // 2 AS mid FROM o),
         |p1 AS (
-        |  SELECT o_custkey, sum(o_totalprice) AS v FROM o, mm
+        |  SELECT o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)
+        |      )::DOUBLE / 100.0 AS v FROM o, mm
         |  WHERE us < mid GROUP BY o_custkey),
         |p2 AS (
-        |  SELECT o_custkey, sum(o_totalprice) AS v FROM o, mm
+        |  SELECT o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)
+        |      )::DOUBLE / 100.0 AS v FROM o, mm
         |  WHERE us >= mid GROUP BY o_custkey),
         |b1 AS (
         |  SELECT list_transform(quantile_cont(v, [0.2, 0.4, 0.6, 0.8]),
@@ -2334,7 +2498,8 @@ object Analytics {
     "orders_rolling_median" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day,
-        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |    floor(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)
+        |      )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS rev
         |  FROM orders GROUP BY 1),
         |contrib AS (
         |  SELECT day + o::INT AS tday, rev
@@ -2389,7 +2554,8 @@ object Analytics {
     "orders_holt_forecast" ->
       """WITH RECURSIVE daily AS (
         |  SELECT o_orderdate::DATE AS day,
-        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev
+        |    floor(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)
+        |      )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS rev
         |  FROM orders GROUP BY 1),
         |s AS (
         |  SELECT day, rev, row_number() OVER (ORDER BY day) AS i
@@ -2447,39 +2613,56 @@ object Analytics {
         |ORDER BY s.user_id""".stripMargin,
     "supplier_part_share" ->
       """WITH agg AS (
-        |  SELECT l_partkey, l_suppkey, sum(l_extendedprice) AS rev
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT))
+        |      AS rev
         |  FROM lineitem GROUP BY l_partkey, l_suppkey),
         |t AS (
         |  SELECT *, sum(rev) OVER (PARTITION BY l_partkey) AS part_total
         |  FROM agg),
         |r AS (
         |  SELECT l_partkey, l_suppkey,
-        |    floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
-        |    floor(part_total * 100.0 + 0.5) / 100.0 AS part_total,
-        |    floor(rev / part_total * 10000.0 + 0.5) / 10000.0 AS share,
+        |    floor(rev::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS revenue,
+        |    floor(part_total::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0
+        |      AS part_total,
+        |    floor(rev::DOUBLE / part_total::DOUBLE * 10000.0 + 0.5)
+        |      / 10000.0 AS share,
         |    row_number() OVER (ORDER BY part_total DESC, l_partkey, l_suppkey) AS rnk
         |  FROM t)
         |SELECT l_partkey, l_suppkey, revenue, part_total, share, rnk
         |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
-        | floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0
-        |   AS sum_disc_price,
-        | floor(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) * 100.0 + 0.5)
-        |   / 100.0 AS sum_charge,
-        | floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-        | floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-        | floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+      """WITH u AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    l_quantity::BIGINT AS qty,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pc,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS dh,
+        |    CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS th
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        | floor(sum(qty)::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_qty,
+        | floor(sum(pc::HUGEINT)::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0
+        |   AS sum_base_price,
+        | floor(sum(pc::HUGEINT * (100 - dh))::DOUBLE / 10000.0
+        |   * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        | floor(sum(pc::HUGEINT * (100 - dh) * (100 + th))::DOUBLE
+        |   / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_charge,
+        | floor(sum(qty)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0
+        |   AS avg_qty,
+        | floor(sum(pc::HUGEINT)::DOUBLE / 100.0 / count(*)
+        |   * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        | floor(sum(dh::HUGEINT)::DOUBLE / 100.0 / count(*)
+        |   * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         | count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |FROM u
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey,
-        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0
+        | floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))::DOUBLE
+        |    / 10000.0 * 100.0 + 0.5) / 100.0
         |   AS revenue,
         | o_orderdate, o_orderpriority
         |FROM customer
@@ -2493,7 +2676,9 @@ object Analytics {
         |LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
-        | floor(sum(l_extendedprice*(1-l_discount)) * 100.0 + 0.5) / 100.0
+        | floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))::DOUBLE
+        |    / 10000.0 * 100.0 + 0.5) / 100.0
         |   AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -2507,7 +2692,8 @@ object Analytics {
     "topk_customers_per_nation" ->
       """WITH rev AS (
         |  SELECT c_custkey, c_name, c_nationkey,
-        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_spent
+        |    floor(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT))::DOUBLE
+        |      / 100.0 * 100.0 + 0.5) / 100.0 AS total_spent
         |  FROM customer JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey, c_name, c_nationkey)
         |SELECT n_name, c_custkey, c_name, total_spent, rnk
@@ -2521,7 +2707,8 @@ object Analytics {
         |ORDER BY n_name, rnk""".stripMargin,
     "monthly_revenue" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
-        | floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue,
+        | floor(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT))::DOUBLE
+        |   / 100.0 * 100.0 + 0.5) / 100.0 AS revenue,
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY 1

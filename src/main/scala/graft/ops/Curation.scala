@@ -145,15 +145,23 @@ object Curation {
   def langTemperatureMix(spark: SparkSession, dir: String,
                          alpha: Double = 0.3): DataFrame = {
     import spark.implicits._
-    val all = Window.partitionBy()
-    Tables.load(spark, dir, "documents")
+    val counts = Tables.load(spark, dir, "documents")
       .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", pow($"n_docs", alpha))
+    // z = Σ w folds the languages-sized frame in SORTED lang order —
+    // engine-deterministic (a float window SUM accumulates in
+    // partition order and can flip the 6dp floor on a 1-ulp seam);
+    // the oracle replays the identical ordered fold
+    val z = counts.agg(
+      aggregate(sort_array(collect_list(struct($"lang", $"w"))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("z"),
+      sum($"n_docs").as("n"))
+    counts.crossJoin(broadcast(z))
       .withColumn("p_sample",
-        floor($"w" / sum($"w").over(all) * 1000000.0 + 0.5) / 1000000.0)
+        floor($"w" / $"z" * 1000000.0 + 0.5) / 1000000.0)
       .withColumn("up_factor",
-        floor($"w" / sum($"w").over(all) * sum($"n_docs").over(all)
-          / $"n_docs" * 1000000.0 + 0.5) / 1000000.0)
+        floor($"w" / $"z" * $"n" / $"n_docs" * 1000000.0 + 0.5)
+          / 1000000.0)
       .select($"lang", $"n_docs", $"p_sample", $"up_factor")
       .orderBy($"lang")
   }
@@ -183,15 +191,20 @@ object Curation {
   def dedupTemperatureMix(spark: SparkSession, dir: String,
                           alpha: Double = 0.3): DataFrame = {
     import spark.implicits._
-    val all = Window.partitionBy()
-    Dedup.dedupLangRetention(spark, dir)
+    val kept = Dedup.dedupLangRetention(spark, dir)
       .select($"lang", $"n_kept")
       .withColumn("w", pow($"n_kept", alpha))
+    // sorted-lang fold for z (see langTemperatureMix)
+    val z = kept.agg(
+      aggregate(sort_array(collect_list(struct($"lang", $"w"))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("z"),
+      sum($"n_kept").as("n"))
+    kept.crossJoin(broadcast(z))
       .withColumn("p_sample",
-        floor($"w" / sum($"w").over(all) * 1000000.0 + 0.5) / 1000000.0)
+        floor($"w" / $"z" * 1000000.0 + 0.5) / 1000000.0)
       .withColumn("up_factor",
-        floor($"w" / sum($"w").over(all) * sum($"n_kept").over(all)
-          / $"n_kept" * 1000000.0 + 0.5) / 1000000.0)
+        floor($"w" / $"z" * $"n" / $"n_kept" * 1000000.0 + 0.5)
+          / 1000000.0)
       .select($"lang", $"n_kept", $"p_sample", $"up_factor")
       .orderBy($"lang")
   }
@@ -199,15 +212,20 @@ object Curation {
   def langEpochPlan(spark: SparkSession, dir: String,
                     alpha: Double = 0.3, cap: Double = 4.0): DataFrame = {
     import spark.implicits._
-    val all = Window.partitionBy()
-    Tables.load(spark, dir, "documents")
+    val counts = Tables.load(spark, dir, "documents")
       .select($"lang",
         size(filter(split($"text", " "), t => t =!= "")).cast("long")
           .as("n_tok"))
       .groupBy($"lang").agg(sum($"n_tok").as("n_tokens"))
       .withColumn("w", pow($"n_tokens", alpha))
-      .withColumn("budget", sum($"n_tokens").over(all).cast("double"))
-      .withColumn("desired", $"w" / sum($"w").over(all) * $"budget")
+    // sorted-lang fold for z (see langTemperatureMix)
+    val zf = counts.agg(
+      aggregate(sort_array(collect_list(struct($"lang", $"w"))),
+        lit(0.0), (a, x) => a + x.getField("w")).as("z"),
+      sum($"n_tokens").as("tot"))
+    counts.crossJoin(broadcast(zf))
+      .withColumn("budget", $"tot".cast("double"))
+      .withColumn("desired", $"w" / $"z" * $"budget")
       .withColumn("epochs_raw", $"desired" / $"n_tokens")
       .withColumn("epochs", least($"epochs_raw", lit(cap)))
       .select($"lang", $"n_tokens",
@@ -357,15 +375,26 @@ object Curation {
     * the 4-dp-rounded boundary list (the B50 strict-`>` cut), so no
     * per-source window ever sorts the corpus.
     */
-  def qualityNormalize(spark: SparkSession, dir: String): DataFrame = {
+  def qualityNormalize(spark: SparkSession, dir: String,
+                       approx: Boolean = false,
+                       accuracy: Int = 10000): DataFrame = {
     import spark.implicits._
     val scored = TextAnalysis.quality(spark, dir)
       .select($"doc_id", $"quality")
       .join(Tables.load(spark, dir, "documents")
         .select($"doc_id", $"source"), "doc_id")
     val qs = (1 to 19).map(_ / 20.0)
+    // approx=true: the B35-sketch (Greenwald–Khanna) fallback for a
+    // largest-source group that exceeds the exact Percentile buffer —
+    // O(accuracy) state per source, boundary rank error ≤ n/accuracy,
+    // so a doc's ventile moves by AT MOST one (PercentileFallbackSpec
+    // pins this). Exact stays the oracle-gated default.
+    val pctExpr =
+      if (approx)
+        s"approx_percentile(quality, array(${qs.mkString(",")}), $accuracy)"
+      else s"percentile(quality, array(${qs.mkString(",")}))"
     val bounds = scored.groupBy($"source")
-      .agg(expr(s"percentile(quality, array(${qs.mkString(",")}))").as("bs"))
+      .agg(expr(pctExpr).as("bs"))
       .withColumn("bs", transform($"bs",
         b => floor(b * 10000.0 + 0.5).cast("double") / 10000.0))
     scored.join(broadcast(bounds), "source")
@@ -1289,7 +1318,9 @@ object Curation {
         |      ::BIGINT AS n_tokens
         |  FROM documents GROUP BY lang),
         |t AS (
-        |  SELECT sum(pow(n_tokens, 0.3)) AS z,
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(pow(n_tokens, 0.3) ORDER BY lang), [])),
+        |      (a, x) -> a + x) AS z,
         |    sum(n_tokens)::DOUBLE AS b FROM c),
         |p AS (
         |  SELECT lang, n_tokens,
@@ -1305,7 +1336,9 @@ object Curation {
       s"""WITH k AS (
          |  SELECT lang, n_kept
          |  FROM (${Dedup.oracles("dedup_lang_retention")}) t),
-         |z AS (SELECT sum(pow(n_kept, 0.3)) AS z, sum(n_kept) AS n FROM k)
+         |z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+         |    coalesce(list(pow(n_kept, 0.3) ORDER BY lang), [])),
+         |    (a, x) -> a + x) AS z, sum(n_kept) AS n FROM k)
          |SELECT lang, n_kept,
          |  floor(pow(n_kept, 0.3) / z * 1000000.0 + 0.5) / 1000000.0
          |    AS p_sample,
@@ -1317,7 +1350,9 @@ object Curation {
       """WITH c AS (
         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (
-        |  SELECT sum(pow(n_docs, 0.3)) AS z, sum(n_docs) AS n FROM c)
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(pow(n_docs, 0.3) ORDER BY lang), [])),
+        |      (a, x) -> a + x) AS z, sum(n_docs) AS n FROM c)
         |SELECT lang, n_docs,
         |  floor(pow(n_docs, 0.3) / z * 1000000.0 + 0.5) / 1000000.0
         |    AS p_sample,

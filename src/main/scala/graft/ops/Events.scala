@@ -20,6 +20,17 @@ object Events {
   private def r6(c: Column): Column =
     floor(c * 1000000.0 + 0.5) / 1000000.0
 
+  /** Exact integer cents of the 2dp `value` column (floor(x·100+0.5)
+    * — the +0.5 absorbs the 2dp double's representation error) and
+    * the order-exact DECIMAL(38,0) sum (≙ the oracle's HUGEINT): a
+    * float SUM accumulates in partition order and can cross the 2dp
+    * output floor on a 1-ulp seam (the round-10 anova failure mode).
+    */
+  private def u2(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+  private def usum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+  private def sum2(c: Column): Column =
+    r2(usum(u2(c)).cast("double") / 100.0)
+
   /** Gap-based sessionization (gap > 30 min starts a new session):
     * one shuffle on user_id, two stacked window functions, then the
     * session rollup — the classic single-pass distributed plan.
@@ -43,7 +54,7 @@ object Events {
         count(lit(1)).as("n_events"),
         min($"ts").as("start_us"),
         max($"ts").as("end_us"),
-        r2(sum($"value")).as("total_value"))
+        sum2($"value").as("total_value"))
       .orderBy($"user_id", $"session_id")
   }
 
@@ -90,7 +101,7 @@ object Events {
     Tables.load(spark, dir, "events")
       .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
       .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), r2(sum($"value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum2($"value").as("total_value"))
       .select($"w.start".cast("timestamp_ntz").as("hour_start"),
         $"event_type", $"n", $"total_value")
       .orderBy($"hour_start", $"event_type")
@@ -107,9 +118,10 @@ object Events {
     Tables.load(spark, dir, "events")
       .withColumn("salt", ($"event_id" % salts).cast("int"))
       .groupBy($"event_type", $"salt")
-      .agg(count(lit(1)).as("pn"), sum($"value").as("pv"))
+      .agg(count(lit(1)).as("pn"), usum(u2($"value")).as("pv"))
       .groupBy($"event_type")
-      .agg(sum($"pn").as("n"), r2(sum($"pv")).as("total_value"))
+      .agg(sum($"pn").as("n"),
+        r2(sum($"pv").cast("double") / 100.0).as("total_value"))
       .orderBy($"event_type")
   }
 
@@ -379,13 +391,23 @@ object Events {
       .withColumn("day_offset", datediff($"day", $"cohort_day").cast("long"))
       .filter($"day_offset" >= 1 && $"day_offset" <= maxOffset)
       .groupBy($"day_offset").agg(countDistinct($"user_id").as("n_active"))
+    // lr = ln(rate) floors to integer 1e-9 units so the regression
+    // sums are exact Long sums (partition-order independent — the
+    // round-10 anova seam); sx/sxx are integer-valued doubles, exact
+    // in any order. The unit floor biases each point ≤ 1e-9, orders
+    // below the 1e-6 output quantum.
     val pts = denom.join(active, Seq("day_offset"))
       .withColumn("rate", $"n_active".cast("double") / $"n_eligible")
       .withColumn("d", $"day_offset".cast("double"))
-      .withColumn("lr", log($"rate"))
+      .withColumn("lru",
+        floor(log($"rate") * 1000000000.0 + 0.5).cast("long"))
     val f = pts.agg(count(lit(1)).cast("double").as("np"),
-      sum($"d").as("sx"), sum($"lr").as("sy"),
-      sum($"d" * $"lr").as("sxy"), sum($"d" * $"d").as("sxx"))
+      sum($"d").as("sx"), sum($"lru").as("syu"),
+      sum($"day_offset" * $"lru").as("sxyu"),
+      sum($"d" * $"d").as("sxx"))
+      .select($"np", $"sx",
+        ($"syu".cast("double") / 1000000000.0).as("sy"),
+        ($"sxyu".cast("double") / 1000000000.0).as("sxy"), $"sxx")
       .select($"np", $"sx", $"sy",
         (($"np" * $"sxy" - $"sx" * $"sy") /
           ($"np" * $"sxx" - $"sx" * $"sx")).as("slope"))
@@ -496,7 +518,7 @@ object Events {
     Tables.load(spark, dir, "events")
       .withColumn("user_bucket", ($"user_id" % 4).cast("long"))
       .cube($"event_type", $"user_bucket")
-      .agg(count(lit(1)).as("n"), r2(sum($"value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum2($"value").as("total_value"))
       .orderBy($"event_type".asc_nulls_first, $"user_bucket".asc_nulls_first)
   }
 
@@ -664,7 +686,7 @@ object Events {
           $"touch.channel").otherwise(lit("direct")))
       .groupBy($"channel")
       .agg(count(lit(1)).as("n_purchases"),
-        r2(sum($"value")).as("attributed_revenue"))
+        sum2($"value").as("attributed_revenue"))
       .orderBy($"channel")
   }
 
@@ -725,7 +747,7 @@ object Events {
           .otherwise(lit("direct")).as("channel"))
       .groupBy($"channel")
       .agg(count(lit(1)).as("n_purchases"),
-        r2(sum($"value")).as("attributed_revenue"))
+        sum2($"value").as("attributed_revenue"))
       .orderBy($"channel")
   }
 
@@ -769,7 +791,8 @@ object Events {
     fact.join(dimSalted.hint("shuffle_hash"), Seq("skew_key", "salt"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        r2(sum($"value" * $"weight")).as("weighted_value"))
+        r2(usum(u2($"value") * $"weight").cast("double") / 100.0)
+          .as("weighted_value"))
       .orderBy($"event_type")
   }
 
@@ -811,7 +834,7 @@ object Events {
       Tables.load(spark, dir, "events")
         .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
         .groupBy($"event_type", $"day")
-        .agg(sum($"value").as("v")))
+        .agg(usum(u2($"value")).cast("long").as("vc")))
   }
 
   /** B52's z-score finalizer over an already-built (event_type, day, v)
@@ -821,16 +844,24 @@ object Events {
     */
   private[graft] def anomalyFinalize(daily: DataFrame): DataFrame = {
     import daily.sparkSession.implicits._
+    // daily carries integer-cents totals (`vc`): the ≤28-row window
+    // moments are then EXACT (Long / DECIMAL sums), so the z-score
+    // derives from the identical integers in both engines no matter
+    // how either engine evaluates the frame
     val win = Window.partitionBy($"event_type").orderBy($"day")
       .rowsBetween(-28, -1)
+    val s1d = $"s1".cast("double") / 100.0
     daily
-      .withColumn("n_prior", count($"v").over(win))
-      .withColumn("s1", sum($"v").over(win))
-      .withColumn("s2", sum($"v" * $"v").over(win))
+      .withColumn("n_prior", count($"vc").over(win))
+      .withColumn("s1", sum($"vc").over(win))
+      .withColumn("s2", sum(($"vc".cast("decimal(38,0)") * $"vc"))
+        .over(win))
       .filter($"n_prior" >= 7)
+      .withColumn("v", $"vc".cast("double") / 100.0)
       .withColumn("z_score",
-        floor(($"v" - $"s1" / $"n_prior") /
-          sqrt(greatest(($"s2" - $"s1" * $"s1" / $"n_prior")
+        floor(($"v" - s1d / $"n_prior") /
+          sqrt(greatest(($"s2".cast("double") / 10000.0
+            - s1d * s1d / $"n_prior")
             / ($"n_prior" - 1), lit(1e-12))) * 10000.0 + 0.5)
           .cast("double") / 10000.0)
       .select($"event_type", $"day",
@@ -863,11 +894,13 @@ object Events {
     val m = Tables.load(spark, dir, "events")
       .groupBy($"event_type")
       .agg(count(lit(1)).cast("double").as("n"),
-        sum($"value").as("s1"),
-        sum($"value" * $"value").as("s2"))
+        usum(u2($"value")).as("s1c"),
+        usum(u2($"value") * u2($"value")).as("s2c"))
       .select($"event_type", $"n",
-        ($"s1" / $"n").as("m"),
-        (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("v"))
+        ($"s1c".cast("double") / 100.0 / $"n").as("m"),
+        (($"s2c".cast("double") / 10000.0 -
+          ($"s1c".cast("double") / 100.0) *
+          ($"s1c".cast("double") / 100.0) / $"n") / ($"n" - 1)).as("v"))
     val a = m.select($"event_type".as("type_a"), $"n".as("na"),
       $"m".as("ma"), $"v".as("va"))
     val b = m.select($"event_type".as("type_b"), $"n".as("nb"),
@@ -976,7 +1009,7 @@ object Events {
     import spark.implicits._
     val per = Tables.load(spark, dir, "events")
       .groupBy($"user_id")
-      .agg(floor(sum($"value") * 100.0 + 0.5).cast("long").as("v_cents"))
+      .agg(usum(u2($"value")).cast("long").as("v_cents"))
       // sign-aware digit-count bucket (see giniIndex): bucket-desc
       // order equals value-desc order for negative totals too
       .withColumn("bkt", when($"v_cents" >= 0,
@@ -1026,7 +1059,7 @@ object Events {
     import spark.implicits._
     val per = Tables.load(spark, dir, "events")
       .groupBy($"user_id")
-      .agg(floor(sum($"value") * 100.0 + 0.5).cast("long").as("v_cents"))
+      .agg(usum(u2($"value")).cast("long").as("v_cents"))
     giniOfPerUser(per)
   }
 
@@ -1045,10 +1078,14 @@ object Events {
     val w = Window.partitionBy($"bkt").orderBy($"v_cents".desc, $"user_id")
     val ranked = per.join(broadcast(offsets), "bkt")
       .withColumn("rank", row_number().over(w).cast("long") + $"rank_off")
+    // decimal-cast BEFORE the rank·value product (and in the n·t
+    // terms): Long×Long wraps once rank×cents passes ~9e18 — real at
+    // the 100 TB user counts; the oracle multiplies in HUGEINT
     ranked.agg(count(lit(1)).as("n"), sum($"v_cents").as("t"),
-      sum($"rank" * $"v_cents").as("srv"))
+      sum($"rank".cast("decimal(38,0)") * $"v_cents").as("srv"))
       .select($"n",
-        (floor(((lit(2.0) * (($"n" + 1) * $"t" - $"srv")) / ($"n" * $"t")
+        (floor(((lit(2.0) * (($"n" + 1).cast("decimal(38,0)") * $"t"
+          - $"srv")) / ($"n".cast("decimal(38,0)") * $"t")
           - ($"n" + 1).cast("double") / $"n") * 1000000.0 + 0.5)
           / 1000000.0).as("gini"))
   }
@@ -1106,7 +1143,8 @@ object Events {
     "events_gini" ->
       """WITH per AS (
         |  SELECT user_id,
-        |    CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS v
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT))
+        |      AS BIGINT) AS v
         |  FROM events GROUP BY user_id),
         |r AS (
         |  SELECT v, row_number() OVER (ORDER BY v DESC, user_id)
@@ -1114,9 +1152,10 @@ object Events {
         |  FROM per),
         |a AS (
         |  SELECT count(*)::BIGINT AS n, CAST(sum(v) AS BIGINT) AS t,
-        |    CAST(sum(rank * v) AS BIGINT) AS srv
+        |    sum(rank::HUGEINT * v) AS srv
         |  FROM r)
-        |SELECT n, floor(((2.0 * ((n + 1) * t - srv)) / (n * t)
+        |SELECT n, floor(((2.0 * ((n + 1)::HUGEINT * t - srv))
+        |  / (n::HUGEINT * t)
         |  - (n + 1)::DOUBLE / n) * 1000000.0 + 0.5) / 1000000.0
         |  AS gini
         |FROM a""".stripMargin,
@@ -1227,11 +1266,15 @@ object Events {
         |  SELECT d.day_offset, d.n_eligible, a.n_active,
         |    a.n_active::DOUBLE / d.n_eligible AS rate,
         |    d.day_offset::DOUBLE AS dd,
-        |    ln(a.n_active::DOUBLE / d.n_eligible) AS lr
+        |    CAST(floor(ln(a.n_active::DOUBLE / d.n_eligible)
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS lru
         |  FROM denom d JOIN act a USING (day_offset)),
         |f AS (
-        |  SELECT count(*)::DOUBLE AS np, sum(dd) AS sx, sum(lr) AS sy,
-        |    sum(dd * lr) AS sxy, sum(dd * dd) AS sxx
+        |  SELECT count(*)::DOUBLE AS np, sum(dd) AS sx,
+        |    CAST(sum(lru) AS BIGINT)::DOUBLE / 1000000000.0 AS sy,
+        |    CAST(sum(day_offset * lru) AS BIGINT)::DOUBLE
+        |      / 1000000000.0 AS sxy,
+        |    sum(dd * dd) AS sxx
         |  FROM pts),
         |g AS (
         |  SELECT np, sx, sy,
@@ -1289,12 +1332,15 @@ object Events {
         |FROM t ORDER BY isodow, event_type""".stripMargin,
     "events_ab_ttest" ->
       """WITH g AS (
-        |  SELECT event_type, count(*)::DOUBLE AS n, sum(value) AS s1,
-        |    sum(value * value) AS s2
+        |  SELECT event_type, count(*)::DOUBLE AS n,
+        |    sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)) AS s1c,
+        |    sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |      * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s2c
         |  FROM events GROUP BY event_type),
         |m AS (
-        |  SELECT event_type, n, s1 / n AS m,
-        |    (s2 - s1 * s1 / n) / (n - 1) AS v
+        |  SELECT event_type, n, s1c::DOUBLE / 100.0 / n AS m,
+        |    (s2c::DOUBLE / 10000.0 - (s1c::DOUBLE / 100.0)
+        |      * (s1c::DOUBLE / 100.0) / n) / (n - 1) AS v
         |  FROM g)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,
         |  a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
@@ -1311,7 +1357,8 @@ object Events {
     "user_value_concentration" ->
       """WITH per AS (
         |  SELECT user_id,
-        |    CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS v_cents
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT))
+        |      AS BIGINT) AS v_cents
         |  FROM events GROUP BY user_id),
         |r AS (
         |  SELECT user_id, v_cents,
@@ -1331,21 +1378,26 @@ object Events {
         |GROUP BY th.user_frac ORDER BY th.user_frac""".stripMargin,
     "events_anomaly" ->
       """WITH d AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT))
+        |      AS BIGINT) AS vc
         |  FROM events GROUP BY event_type, day),
         |w AS (
-        |  SELECT event_type, day, v,
-        |    count(v) OVER win AS n_prior,
-        |    sum(v) OVER win AS s1,
-        |    sum(v * v) OVER win AS s2
+        |  SELECT event_type, day, vc,
+        |    count(vc) OVER win AS n_prior,
+        |    sum(vc) OVER win AS s1,
+        |    sum(vc::HUGEINT * vc) OVER win AS s2
         |  FROM d
         |  WINDOW win AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
         |z AS (
-        |  SELECT event_type, day,
-        |    floor(v * 100.0 + 0.5) / 100.0 AS daily_value, n_prior,
-        |    floor((v - s1 / n_prior)
-        |      / sqrt(greatest((s2 - s1 * s1 / n_prior) / (n_prior - 1),
+        |  SELECT event_type, day, vc::DOUBLE / 100.0 AS v,
+        |    floor(vc::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0
+        |      AS daily_value, n_prior,
+        |    floor((vc::DOUBLE / 100.0 - s1::DOUBLE / 100.0 / n_prior)
+        |      / sqrt(greatest((s2::DOUBLE / 10000.0
+        |        - (s1::DOUBLE / 100.0) * (s1::DOUBLE / 100.0) / n_prior)
+        |        / (n_prior - 1),
         |        1e-12)) * 10000.0 + 0.5) / 10000.0 AS z_score
         |  FROM w WHERE n_prior >= 7)
         |SELECT event_type, day, daily_value, n_prior, z_score,
@@ -1401,7 +1453,8 @@ object Events {
         |  SELECT range AS skew_key, (range * 7 + 3) % 11 AS weight
         |  FROM range(0, 50))
         |SELECT event_type, count(*) AS n,
-        |  floor(sum(value * weight) * 100.0 + 0.5) / 100.0 AS weighted_value
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT) * weight
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS weighted_value
         |FROM f JOIN d USING (skew_key)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_latest_state" ->
@@ -1479,7 +1532,8 @@ object Events {
         |      ELSE 'direct' END AS channel
         |  FROM j WHERE rn = 1)
         |SELECT channel, count(*) AS n_purchases,
-        |  floor(sum(value) * 100.0 + 0.5) / 100.0
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0
         |    AS attributed_revenue
         |FROM f GROUP BY channel ORDER BY channel""".stripMargin,
     "events_attribution" ->
@@ -1502,7 +1556,8 @@ object Events {
         |    THEN tchannel ELSE 'direct' END AS channel, value
         |  FROM t WHERE event_type = 'purchase')
         |SELECT channel, count(*) AS n_purchases,
-        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS attributed_revenue
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS attributed_revenue
         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
     "events_gap_fill" ->
       """WITH e AS (
@@ -1550,7 +1605,8 @@ object Events {
     "events_type_cube" ->
       """SELECT event_type, (user_id % 4)::BIGINT AS user_bucket,
         |  count(*) AS n,
-        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events
         |GROUP BY CUBE (event_type, (user_id % 4)::BIGINT)
         |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
@@ -1581,7 +1637,8 @@ object Events {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_salted_agg" ->
       """SELECT event_type, count(*) AS n,
-        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_sessionize" ->
       """WITH lagged AS (
@@ -1599,13 +1656,15 @@ object Events {
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
-        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS total_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
         |  count(*) AS n,
-        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin)

@@ -1093,20 +1093,34 @@ object Similarity {
     val vecs = loadVecs(spark, dir).localCheckpoint()
     val edges = knnGraphOn(vecs, k, planes)
       .select($"vec_id", $"neighbor_id")
-    val nbrMean = edges
-      .join(vecs.select($"vec_id".as("neighbor_id"), $"v".as("nv")),
+    // exact-integer cosine: components quantize to 1e-6 units (Long),
+    // the neighbor-SUM vector replaces the neighbor mean (cosine is
+    // scale-invariant, so dividing by k is unnecessary — and dropping
+    // it makes every aggregate an exact integer sum, partition-order
+    // independent: the round-10 anova seam, where a float avg + float
+    // dot here would drift by accumulation order). DECIMAL(38,0)
+    // products ≙ the oracle's HUGEINT. The 1e-6 component quantum
+    // shifts the cosine O(1e-6·√d/‖x‖) — the output's own floor.
+    val qvecs = vecs.select($"vec_id",
+      transform($"v", x => floor(x * 1000000.0 + 0.5).cast("long"))
+        .as("q"))
+    val nbrSum = edges
+      .join(qvecs.select($"vec_id".as("neighbor_id"), $"q".as("nq")),
         "neighbor_id")
-      .select($"vec_id", posexplode($"nv").as(Seq("dim", "x")))
-      .groupBy($"vec_id", $"dim").agg(avg($"x").as("m"))
-    val own = vecs.select($"vec_id", posexplode($"v").as(Seq("dim", "x")))
-    own.join(nbrMean, Seq("vec_id", "dim"))
+      .select($"vec_id", posexplode($"nq").as(Seq("dim", "xq")))
+      .groupBy($"vec_id", $"dim").agg(sum($"xq").as("su"))
+    val own = qvecs.select($"vec_id", posexplode($"q").as(Seq("dim", "xq")))
+    own.join(nbrSum, Seq("vec_id", "dim"))
       .groupBy($"vec_id")
-      .agg(sum($"x" * $"m").as("xm"), sum($"x" * $"x").as("xx"),
-        sum($"m" * $"m").as("mm"))
+      .agg(sum($"xq".cast("decimal(38,0)") * $"su").as("xm"),
+        sum($"xq".cast("decimal(38,0)") * $"xq").as("xx"),
+        sum($"su".cast("decimal(38,0)") * $"su").as("mm"))
       .select($"vec_id",
-        (floor((lit(1.0) - $"xm" / (sqrt($"xx") * sqrt($"mm")))
-          * 1000000.0 + 0.5) / 1000000.0).as("drift"))
-      .orderBy($"drift".desc, $"vec_id")
+        when($"xx" > 0 && $"mm" > 0,
+          floor((lit(1.0) - $"xm".cast("double") /
+            (sqrt($"xx".cast("double")) * sqrt($"mm".cast("double"))))
+            * 1000000.0 + 0.5) / 1000000.0).as("drift"))
+      .orderBy($"drift".desc_nulls_last, $"vec_id")
       .limit(topK)
   }
 
@@ -2035,20 +2049,27 @@ object Similarity {
         |dv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |dims AS (SELECT unnest(range(1, 65)) AS dim),
         |nm AS (
-        |  SELECT de.vec_id, dims.dim, avg(nv.e[dims.dim]) AS m
+        |  SELECT de.vec_id, dims.dim,
+        |    CAST(sum(CAST(floor(nv.e[dims.dim] * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS su
         |  FROM dedges de JOIN dv nv ON nv.vec_id = de.neighbor_id, dims
         |  GROUP BY de.vec_id, dims.dim),
         |own AS (
-        |  SELECT vec_id, dims.dim, e[dims.dim] AS x FROM dv, dims),
+        |  SELECT vec_id, dims.dim,
+        |    CAST(floor(e[dims.dim] * 1000000.0 + 0.5) AS BIGINT) AS xq
+        |  FROM dv, dims),
         |dot AS (
-        |  SELECT o.vec_id, sum(o.x * nm.m) AS xm, sum(o.x * o.x) AS xx,
-        |    sum(nm.m * nm.m) AS mm
+        |  SELECT o.vec_id, sum(o.xq::HUGEINT * nm.su) AS xm,
+        |    sum(o.xq::HUGEINT * o.xq) AS xx,
+        |    sum(nm.su::HUGEINT * nm.su) AS mm
         |  FROM own o JOIN nm ON nm.vec_id = o.vec_id AND nm.dim = o.dim
         |  GROUP BY o.vec_id)
         |SELECT vec_id,
-        |  floor((1.0 - xm / (sqrt(xx) * sqrt(mm))) * 1000000.0 + 0.5)
-        |    / 1000000.0 AS drift
-        |FROM dot ORDER BY drift DESC, vec_id LIMIT 50""".stripMargin),
+        |  CASE WHEN xx > 0 AND mm > 0 THEN
+        |    floor((1.0 - xm::DOUBLE / (sqrt(xx::DOUBLE)
+        |      * sqrt(mm::DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS drift
+        |FROM dot ORDER BY drift DESC NULLS LAST, vec_id LIMIT 50""".stripMargin),
     "knn_mutual_graph" -> (lshGraphCte +
       """,
         |g AS (

@@ -16,6 +16,17 @@ import graft.Tables
   */
 object Stats {
 
+  /** Exact floor-division of a Long sum of cents into dollars,
+    * matching DuckDB's `//` (which floors) rather than Spark's `DIV`
+    * (which truncates toward zero) — the two diverge on negative
+    * totals, which are part of the hostile-data surface. pmod returns
+    * a non-negative remainder, so the adjusted numerator is exactly
+    * divisible and the integer DIV is exact at any magnitude (no
+    * double ever enters the chain).
+    */
+  private def floorDivCents(sumExpr: String): Column =
+    expr(s"($sumExpr - pmod($sumExpr, 100)) DIV 100")
+
   /** B79 — per-segment linear revenue trend: one OLS fit of daily
     * revenue (dollars) against day index PER market segment — the
     * grouped regression a portfolio review reads ("which segments are
@@ -41,16 +52,22 @@ object Stats {
     val daily = orders.join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment".as("segment"),
         to_date($"o_orderdate").as("day"))
-      .agg(expr("sum(cents) DIV 100").as("y"))
+      .agg(floorDivCents("sum(cents)").as("y"))
       .crossJoin(broadcast(minDay))
       .select($"segment", datediff($"day", $"d0").cast("long").as("x"),
         $"y")
+    // decimal-cast BEFORE every Long×Long product (x·y per-row and
+    // the n·sxx / sx·sx closed-form terms): daily dollars × day index
+    // wraps a Long at the 100 TB scale; the oracle multiplies in
+    // HUGEINT
     val m = daily.groupBy($"segment").agg(
       count(lit(1)).as("n_days"),
       sum($"x").as("sx"), sum($"y").as("sy"),
-      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
-    val den = $"n_days" * $"sxx" - $"sx" * $"sx"
-    val slope = ($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+      sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("sxx"))
+    val den = $"n_days" * $"sxx" - $"sx".cast("decimal(38,0)") * $"sx"
+    val slope = ($"n_days" * $"sxy" -
+      $"sx".cast("decimal(38,0)") * $"sy").cast("double") /
       den.cast("double")
     m.select($"segment", $"n_days",
         when(den > 0,
@@ -67,9 +84,12 @@ object Stats {
     * interaction). The contingency grid is the cross join of the
     * DISTINCT types and dows actually present — zero-observed cells
     * included, as the test requires — with expected counts
-    * rowTotal·colTotal/N. Every input is an integer count, so the χ²
-    * sum is the same double in both engines; the grid is
-    * (types × 7)-bounded.
+    * rowTotal·colTotal/N. Every input is an integer count, so each
+    * cell's contribution is the same double in both engines, and the
+    * χ² total folds over the grid in SORTED (event_type, dow) order —
+    * a plain float SUM would accumulate in engine-specific order and
+    * can flip the 6dp floor on ulp-level seams (the round-10 anova
+    * lesson); the grid is (types × 7)-bounded so the fold is cheap.
     */
   def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -96,7 +116,11 @@ object Stats {
         countDistinct($"event_type").as("n_types"),
         countDistinct($"dow").as("n_dows"),
         max($"nn").as("n_events"),
-        sum($"contrib").as("chi2raw"))
+        sort_array(collect_list(struct($"event_type", $"dow",
+          $"contrib"))).as("cs"))
+      .select($"n_types", $"n_dows", $"n_events",
+        aggregate($"cs", lit(0.0),
+          (a, x) => a + x.getField("contrib")).as("chi2raw"))
       .select($"n_types", $"n_dows", $"n_events",
         (floor($"chi2raw" * 1000000.0 + 0.5) / 1000000.0).as("chi2"),
         (($"n_types" - 1) * ($"n_dows" - 1)).as("dof"),
@@ -202,7 +226,9 @@ object Stats {
     * the allocation row set is sources-bounded. Allocations are
     * floored; the remainder goes to the largest N_h·σ_h strata by
     * rank (largest-remainder rounding, deterministic tie-break on
-    * source name).
+    * source name). When EVERY stratum has zero variance (Σ N_h·σ_h =
+    * 0, e.g. one doc per source), Neyman is undefined — fall back to
+    * size-proportional allocation rather than emitting NaN.
     */
   def neymanAllocation(spark: SparkSession, dir: String,
                        budget: Long = 1000L): DataFrame = {
@@ -211,14 +237,21 @@ object Stats {
       .select($"source", length($"text").cast("long").as("len"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"len").as("sl"),
-        sum($"len" * $"len").as("sl2"))
+        sum($"len".cast("decimal(38,0)") * $"len").as("sl2"))
       .withColumn("varl",
         ($"sl2".cast("double") - $"sl".cast("double") * $"sl" / $"n_docs")
           / $"n_docs")
       .withColumn("w", $"n_docs" * sqrt(greatest($"varl", lit(0.0))))
-    val tot = m.agg(sum($"w").as("tw"))
+    // degenerate corpus: every stratum has zero length-variance (e.g.
+    // one doc per source) → tw = 0 would make exact_alloc NaN; fall
+    // back to size-proportional allocation, mirrored in the oracle
+    val tot = m.agg(sum($"w").as("tw"),
+      sum($"n_docs").cast("double").as("tn"))
     val planned = m.crossJoin(broadcast(tot))
-      .withColumn("exact_alloc", lit(budget.toDouble) * $"w" / $"tw")
+      .withColumn("exact_alloc",
+        when($"tw" > 0.0, lit(budget.toDouble) * $"w" / $"tw")
+          .otherwise(lit(budget.toDouble) *
+            $"n_docs".cast("double") / $"tn"))
       .withColumn("alloc_floor", floor($"exact_alloc").cast("long"))
       .withColumn("frac", $"exact_alloc" - $"alloc_floor")
     val short = planned.agg((lit(budget) - sum($"alloc_floor"))
@@ -242,10 +275,13 @@ object Stats {
     * Per-group moments (n, Σc, Σc²) from ONE partial-aggregable pass
     * over integer cents (Σc² in DECIMAL(38,0) — the Long sum wraps at
     * scale); the groups-sized moment frame folds in SORTED group
-    * order, so the 5-double sums are engine-deterministic, and F/η²
-    * derive from exact integers with formula text shared with the
-    * oracle. Zero-variance corpora (SSW = 0) and k < 2 get defined
-    * null statistics.
+    * order ON BOTH SIDES — the oracle replays the identical fold via
+    * an ordered list_reduce, because a plain SQL float SUM accumulates
+    * in engine-specific order and a 1-ulp difference can cross the 4dp
+    * floor (this was round 10's one driver-gate failure). F/η² derive
+    * from exact integers with formula text shared with the oracle.
+    * Zero-variance corpora (SSW = 0) and k < 2 get defined null
+    * statistics.
     */
   def anova(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -254,7 +290,10 @@ object Stats {
         floor($"value" * 100.0 + 0.5).cast("long").as("c"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"c").as("s"),
-        sum(($"c" * $"c").cast("decimal(38,0)")).as("q"))
+        // cast ONE operand to decimal BEFORE multiplying: a Long*Long
+        // per-row product silently wraps past ~3e9 cents; the oracle
+        // multiplies in HUGEINT, so the product must be exact here too
+        sum($"c".cast("decimal(38,0)") * $"c").as("q"))
     val f = g
       .agg(sort_array(collect_list(struct($"event_type", $"n", $"s", $"q")))
         .as("gs"))
@@ -299,10 +338,13 @@ object Stats {
       .withColumn("cents",
         floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg(expr("sum(cents) DIV 100").as("rev"),
+      .agg(floorDivCents("sum(cents)").as("rev"),
         count(lit(1)).as("cnt"))
       .localCheckpoint()
-    def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    // decimal-cast BEFORE the multiply — a Long*Long per-row product
+    // wraps once daily revenue passes ~3e9; the oracle is HUGEINT
+    def dsum(a: Column, b: Column): Column =
+      sum(a.cast("decimal(38,0)") * b)
     val a = daily.select($"day", $"rev",
       explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
       .withColumn("bday", date_add($"day", $"lag"))
@@ -313,9 +355,9 @@ object Stats {
       .groupBy($"lag".cast("long").as("lag"))
       .agg(count(lit(1)).as("n_pairs"),
         sum($"rev").as("sx"), sum($"cnt").as("sy"),
-        dsum($"rev" * $"cnt").as("sxy"),
-        dsum($"rev" * $"rev").as("sxx"),
-        dsum($"cnt" * $"cnt").as("syy"))
+        dsum($"rev", $"cnt").as("sxy"),
+        dsum($"rev", $"rev").as("sxx"),
+        dsum($"cnt", $"cnt").as("syy"))
     val num = $"n_pairs".cast("double") * $"sxy".cast("double") -
       $"sx".cast("double") * $"sy".cast("double")
     val vx = $"n_pairs".cast("double") * $"sxx".cast("double") -
@@ -349,7 +391,7 @@ object Stats {
     cnt.groupBy($"source")
       .agg(sum($"n").as("n_tokens"),
         count(lit(1)).as("vocab"),
-        sum(($"n" * ($"n" - 1)).cast("decimal(38,0)")).as("pairs"))
+        sum($"n".cast("decimal(38,0)") * ($"n" - 1)).as("pairs"))
       .select($"source", $"n_tokens", $"vocab",
         when($"n_tokens" > 1,
           floor((lit(1.0) - $"pairs".cast("double") /
@@ -413,10 +455,10 @@ object Stats {
       .withColumn("cents",
         floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg(expr("sum(cents) DIV 100").as("y"))
+      .agg(floorDivCents("sum(cents)").as("y"))
     val folded = daily
       .agg(count(lit(1)).as("nd"), sum($"y").as("sy"),
-        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
+        sum($"y".cast("decimal(38,0)") * $"y").as("syy"),
         sort_array(collect_list(struct($"day", $"y"))).as("s"))
       .select($"nd", $"sy", $"syy",
         transform($"s", x => x.getField("day")).as("days"),
@@ -518,8 +560,13 @@ object Stats {
         |  FROM ev GROUP BY event_type),
         |f AS (
         |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
-        |    sum(s)::BIGINT AS ss, sum(q::DOUBLE) AS qq,
-        |    sum(s::DOUBLE * s / n) AS aa
+        |    sum(s)::BIGINT AS ss,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(q::DOUBLE ORDER BY event_type), [])),
+        |      (a, x) -> a + x) AS qq,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(s::DOUBLE * s / n ORDER BY event_type), [])),
+        |      (a, x) -> a + x) AS aa
         |  FROM g),
         |d AS (
         |  SELECT k, nn,
@@ -602,16 +649,16 @@ object Stats {
         |m AS (
         |  SELECT segment, count(*) AS n_days,
         |    sum(x) AS sx, sum(y) AS sy,
-        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
         |  FROM daily GROUP BY segment)
         |SELECT segment, n_days,
-        |  CASE WHEN n_days * sxx - sx * sx > 0 THEN
-        |    floor((n_days * sxy - sx * sy)::DOUBLE
-        |      / (n_days * sxx - sx * sx) * 1000000.0 + 0.5) / 1000000.0
+        |  CASE WHEN n_days * sxx - sx::HUGEINT * sx > 0 THEN
+        |    floor((n_days * sxy - sx::HUGEINT * sy)::DOUBLE
+        |      / (n_days * sxx - sx::HUGEINT * sx) * 1000000.0 + 0.5) / 1000000.0
         |  END AS slope,
-        |  CASE WHEN n_days * sxx - sx * sx > 0 THEN
-        |    floor((sy::DOUBLE - (n_days * sxy - sx * sy)::DOUBLE
-        |      / (n_days * sxx - sx * sx) * sx) / n_days * 100.0 + 0.5)
+        |  CASE WHEN n_days * sxx - sx::HUGEINT * sx > 0 THEN
+        |    floor((sy::DOUBLE - (n_days * sxy - sx::HUGEINT * sy)::DOUBLE
+        |      / (n_days * sxx - sx::HUGEINT * sx) * sx) / n_days * 100.0 + 0.5)
         |      / 100.0
         |  END AS intercept
         |FROM m ORDER BY segment""".stripMargin,
@@ -635,8 +682,11 @@ object Stats {
         |  SELECT count(DISTINCT event_type) AS n_types,
         |    count(DISTINCT dow) AS n_dows,
         |    max(nn) AS n_events,
-        |    sum((o - rt::DOUBLE * ct / nn) * (o - rt::DOUBLE * ct / nn)
-        |      / (rt::DOUBLE * ct / nn)) AS chi2raw
+        |    list_reduce(list_prepend(0.0::DOUBLE, coalesce(list(
+        |        (o - rt::DOUBLE * ct / nn) * (o - rt::DOUBLE * ct / nn)
+        |        / (rt::DOUBLE * ct / nn)
+        |        ORDER BY event_type, dow), [])),
+        |      (a, x) -> a + x) AS chi2raw
         |  FROM grid)
         |SELECT n_types, n_dows, n_events,
         |  floor(chi2raw * 1000000.0 + 0.5) / 1000000.0 AS chi2,
@@ -686,7 +736,7 @@ object Stats {
       """WITH m AS (
         |  SELECT source, count(*) AS n_docs,
         |    sum(length(text)::BIGINT) AS sl,
-        |    sum(length(text)::BIGINT * length(text)::BIGINT) AS sl2
+        |    sum(length(text)::HUGEINT * length(text)) AS sl2
         |  FROM documents GROUP BY source),
         |w AS (
         |  SELECT source, n_docs,
@@ -695,13 +745,17 @@ object Stats {
         |      (sl2::DOUBLE - sl::DOUBLE * sl / n_docs) / n_docs, 0.0))
         |      AS w
         |  FROM m),
-        |t AS (SELECT sum(w) AS tw FROM w),
-        |p AS (
+        |t AS (SELECT sum(w) AS tw, sum(n_docs)::DOUBLE AS tn FROM w),
+        |e AS (
         |  SELECT source, n_docs, varl,
-        |    1000.0 * w / tw AS exact_alloc,
-        |    CAST(floor(1000.0 * w / tw) AS BIGINT) AS alloc_floor,
-        |    1000.0 * w / tw - floor(1000.0 * w / tw) AS frac
+        |    CASE WHEN tw > 0 THEN 1000.0 * w / tw
+        |      ELSE 1000.0 * n_docs / tn END AS exact_alloc
         |  FROM w, t),
+        |p AS (
+        |  SELECT source, n_docs, varl, exact_alloc,
+        |    CAST(floor(exact_alloc) AS BIGINT) AS alloc_floor,
+        |    exact_alloc - floor(exact_alloc) AS frac
+        |  FROM e),
         |s AS (SELECT 1000 - sum(alloc_floor) AS rem FROM p)
         |SELECT source, n_docs,
         |  floor(sqrt(greatest(varl, 0.0)) * 10000.0 + 0.5) / 10000.0

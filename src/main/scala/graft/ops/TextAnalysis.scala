@@ -227,7 +227,15 @@ object TextAnalysis {
     val w = tf.join(broadcast(df), "term")
       .select($"doc_id", $"term",
         ($"tf" * log(lit(n) / $"df")).as("w"))
-    val norm = w.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
+    // the norm folds the per-doc term frame in SORTED term order —
+    // engine-deterministic (a float SUM accumulates in partition
+    // order; round-10 anova seam); the frame is doc-vocabulary-sized,
+    // so the collect is bounded by a single document's distinct terms
+    val norm = w.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"term",
+        ($"w" * $"w").as("ww")))).as("tw"))
+      .select($"doc_id", sqrt(aggregate($"tw", lit(0.0),
+        (a, x) => a + x.getField("ww"))).as("nrm"))
     // zero-norm docs (every term in every doc ⇒ idf 0 — the n=1
     // degenerate) carry no TF-IDF signal; drop them on BOTH sides
     // rather than divide by zero
@@ -235,10 +243,14 @@ object TextAnalysis {
       .select($"doc_id", $"term", ($"w" / $"nrm").as("wn"))
     val q = wn.filter($"doc_id" < nQueries)
       .select($"doc_id".as("query_id"), $"term", $"wn".as("qw"))
+    // cosine folds the shared-term frame in sorted term order too
     val scores = wn.join(q, "term")
       .filter($"doc_id" =!= $"query_id")
       .groupBy($"query_id", $"doc_id")
-      .agg(sum($"wn" * $"qw").as("cos"))
+      .agg(sort_array(collect_list(struct($"term",
+        ($"wn" * $"qw").as("p")))).as("tp"))
+      .select($"query_id", $"doc_id", aggregate($"tp", lit(0.0),
+        (a, x) => a + x.getField("p")).as("cos"))
     val topk = udaf(graft.expressions.TopKPairs(k))
     scores.groupBy($"query_id")
       .agg(topk($"cos", $"doc_id").as("top"))
@@ -522,10 +534,19 @@ object TextAnalysis {
     * scale). Token counts are integers, so quantile interpolation
     * matches cross-engine at 4 dp.
     */
-  def docLengthProfile(spark: SparkSession, dir: String): DataFrame = {
+  def docLengthProfile(spark: SparkSession, dir: String,
+                       approx: Boolean = false,
+                       accuracy: Int = 10000): DataFrame = {
     import spark.implicits._
+    // approx=true is the B35-sketch fallback for corpora whose largest
+    // language exceeds one executor's percentile buffer: Spark's
+    // approx_percentile (Greenwald–Khanna) holds O(accuracy) state per
+    // group with rank error ≤ n/accuracy, vs the exact Percentile's
+    // O(distinct-values) buffer. The exact path stays the oracle-gated
+    // default; PercentileFallbackSpec pins the rank-error bound.
     def p(q: Double) =
-      floor(expr(s"percentile(n_tok, $q)") * 10000.0 + 0.5)
+      floor((if (approx) expr(s"approx_percentile(n_tok, $q, $accuracy)")
+             else expr(s"percentile(n_tok, $q)")) * 10000.0 + 0.5)
         .cast("double") / 10000.0
     Tables.load(spark, dir, "documents")
       .select($"lang", size(split($"text", " ")).cast("long").as("n_tok"))
@@ -937,11 +958,20 @@ object TextAnalysis {
     val counts = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(split($"text", "")).as("ch"))
       .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    // per-char contributions c·ln(c) floored to integer 1e-9 units and
+    // summed exactly (DECIMAL(38,0) ≙ oracle HUGEINT) — the E47 KL
+    // discipline: a float SUM over the per-doc char frame accumulates
+    // in partition order and can flip the 6dp output floor on a
+    // 1-ulp seam; the unit floor costs ≤ distinct_chars·1e-9 absolute,
+    // orders of magnitude under the 1e-6 output quantum
     counts.groupBy($"doc_id").agg(
         sum($"c").as("n_chars_e"), count(lit(1)).as("n_distinct_chars"),
-        sum($"c".cast("double") * log($"c".cast("double"))).as("slc"))
+        sum(floor($"c".cast("double") * log($"c".cast("double"))
+          * 1000000000.0 + 0.5).cast("long").cast("decimal(38,0)"))
+          .as("slcu"))
       .select($"doc_id", $"n_chars_e", $"n_distinct_chars",
-        (floor((log($"n_chars_e".cast("double")) - $"slc" / $"n_chars_e")
+        (floor((log($"n_chars_e".cast("double"))
+          - $"slcu".cast("double") / 1000000000.0 / $"n_chars_e")
           / log(lit(2.0)) * 1000000.0 + 0.5).cast("double")
           / 1000000.0).as("entropy_bits"))
       .orderBy($"doc_id")
@@ -1000,14 +1030,30 @@ object TextAnalysis {
     val tf = tokens(spark, dir)
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
     val top = tf.orderBy($"cnt".desc, $"token").limit(topN)
+    // ln(r)/ln(cnt) floor to integer 1e-9 units so the four
+    // regression sums are exact integer sums (DECIMAL(38,0) ≙ oracle
+    // HUGEINT — partition-order independent, the round-10 anova
+    // seam); the unit floor biases each point ≤ 1e-9, orders below
+    // the 1e-6 output quantum. Decimal-cast BEFORE the product: the
+    // Long×Long unit product wraps past ~3e9 units.
     val pts = top
       .withColumn("r", row_number().over(Window.orderBy($"cnt".desc, $"token")))
-      .select(log($"r".cast("double")).as("x"),
-        log($"cnt".cast("double")).as("y"))
+      .select(
+        floor(log($"r".cast("double")) * 1000000000.0 + 0.5)
+          .cast("long").as("xu"),
+        floor(log($"cnt".cast("double")) * 1000000000.0 + 0.5)
+          .cast("long").as("yu"))
     pts
-      .agg(count(lit(1)).cast("double").as("n"), sum($"x").as("sx"),
-        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
-        sum($"x" * $"x").as("sxx"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"xu".cast("decimal(38,0)")).as("sxu"),
+        sum($"yu".cast("decimal(38,0)")).as("syu"),
+        sum($"xu".cast("decimal(38,0)") * $"yu").as("sxyu"),
+        sum($"xu".cast("decimal(38,0)") * $"xu").as("sxxu"))
+      .select($"n",
+        ($"sxu".cast("double") / 1.0e9).as("sx"),
+        ($"syu".cast("double") / 1.0e9).as("sy"),
+        ($"sxyu".cast("double") / 1.0e18).as("sxy"),
+        ($"sxxu".cast("double") / 1.0e18).as("sxx"))
       .withColumn("slope_raw",
         ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
       .select($"n".cast("long").as("n_points"),
@@ -1034,15 +1080,29 @@ object TextAnalysis {
     */
   def heapsFit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // same integer-unit regression sums as zipfFit (1e-9 units,
+    // DECIMAL(38,0) ≙ HUGEINT): exact at any corpus size AND
+    // partition-order independent — this frame is corpus-sized, so an
+    // ordered fold would NOT scale but integer sums map-side combine
     val pts = Tables.load(spark, dir, "documents")
       .withColumn("toks", filter(split($"text", " "), t => t =!= ""))
       .filter(size($"toks") >= 1)
-      .select(log(size($"toks").cast("double")).as("x"),
-        log(size(array_distinct($"toks")).cast("double")).as("y"))
+      .select(
+        floor(log(size($"toks").cast("double")) * 1000000000.0 + 0.5)
+          .cast("long").as("xu"),
+        floor(log(size(array_distinct($"toks")).cast("double"))
+          * 1000000000.0 + 0.5).cast("long").as("yu"))
     pts
-      .agg(count(lit(1)).cast("double").as("n"), sum($"x").as("sx"),
-        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
-        sum($"x" * $"x").as("sxx"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"xu".cast("decimal(38,0)")).as("sxu"),
+        sum($"yu".cast("decimal(38,0)")).as("syu"),
+        sum($"xu".cast("decimal(38,0)") * $"yu").as("sxyu"),
+        sum($"xu".cast("decimal(38,0)") * $"xu").as("sxxu"))
+      .select($"n",
+        ($"sxu".cast("double") / 1.0e9).as("sx"),
+        ($"syu".cast("double") / 1.0e9).as("sy"),
+        ($"sxyu".cast("double") / 1.0e18).as("sxy"),
+        ($"sxxu".cast("double") / 1.0e18).as("sxx"))
       .withColumn("slope_raw",
         ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
       .select($"n".cast("long").as("n_docs"),
@@ -1209,8 +1269,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("nd"))
     val perDoc = tokens(spark, dir)
       .groupBy($"token", $"doc_id").agg(count(lit(1)).as("c"))
+    // decimal-cast before the c·c product (Long wrap at scale; ≙ the
+    // oracle's HUGEINT product)
     val stats = perDoc.groupBy($"token")
-      .agg(sum($"c").as("cnt"), sum($"c" * $"c").as("ss"),
+      .agg(sum($"c").as("cnt"),
+        sum($"c".cast("decimal(38,0)") * $"c").as("ss"),
         count(lit(1)).as("df"))
     stats.orderBy($"cnt".desc, $"token").limit(topN)
       .crossJoin(broadcast(nDocs))
@@ -1609,14 +1672,22 @@ object TextAnalysis {
       .filter($"term".isin(Bm25QueryTerms: _*))
     val tf = toks.groupBy($"doc_id", $"dl", $"term")
       .agg(count(lit(1)).cast("double").as("tf"))
+    // the per-doc score folds over the (≤ |query| terms) frame in
+    // SORTED term order — engine-deterministic; a plain float SUM
+    // accumulates in partition order and can flip the 6dp floor on a
+    // 1-ulp seam (the oracle replays the identical ordered fold)
     tf.join(broadcast(df), "term")
       .withColumn("s",
         $"idf" * $"tf" * (k1 + 1.0) /
           ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / avgdl)))
       .groupBy($"doc_id")
-      .agg(floor(sum($"s") * 1000000.0 + 0.5).cast("double")
-        ./(1000000.0).as("bm25"),
+      .agg(sort_array(collect_list(struct($"term", $"s"))).as("ts"),
         count(lit(1)).as("n_terms"))
+      .select($"doc_id",
+        (floor(aggregate($"ts", lit(0.0),
+          (a, x) => a + x.getField("s")) * 1000000.0 + 0.5)
+          .cast("double") / 1000000.0).as("bm25"),
+        $"n_terms")
       .orderBy($"bm25".desc, $"doc_id")
       .limit(topN)
       .orderBy($"doc_id")
@@ -1822,8 +1893,10 @@ object TextAnalysis {
         |  FROM tf, g GROUP BY term, g.n),
         |s AS (
         |  SELECT tf.doc_id,
-        |    sum(idf.idf * tf.tf * 2.2
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))) AS s,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(idf.idf * tf.tf * 2.2
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))
+        |        ORDER BY term), [])), (a, x) -> a + x) AS s,
         |    count(*) AS n_terms
         |  FROM tf JOIN idf USING (term), g
         |  GROUP BY tf.doc_id)
@@ -1885,15 +1958,20 @@ object TextAnalysis {
         |FROM base ORDER BY doc_id""".stripMargin,
     "text_heaps_fit" ->
       """WITH pts AS (
-        |  SELECT ln(len(t)::DOUBLE) AS x,
-        |    ln(len(list_distinct(t))::DOUBLE) AS y
+        |  SELECT CAST(floor(ln(len(t)::DOUBLE) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS xu,
+        |    CAST(floor(ln(len(list_distinct(t))::DOUBLE)
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS yu
         |  FROM (
         |    SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
         |    FROM documents) u
         |  WHERE len(t) >= 1),
         |s AS (
-        |  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(xu)::DOUBLE / 1.0e9 AS sx,
+        |    sum(yu)::DOUBLE / 1.0e9 AS sy,
+        |    sum(xu::HUGEINT * yu)::DOUBLE / 1.0e18 AS sxy,
+        |    sum(xu::HUGEINT * xu)::DOUBLE / 1.0e18 AS sxx
         |  FROM pts),
         |f AS (
         |  SELECT n, sx, sy,
@@ -1915,10 +1993,18 @@ object TextAnalysis {
         |rk AS (
         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r
         |  FROM top),
-        |pts AS (SELECT ln(r::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM rk),
+        |pts AS (
+        |  SELECT CAST(floor(ln(r::DOUBLE) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS xu,
+        |    CAST(floor(ln(cnt::DOUBLE) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS yu
+        |  FROM rk),
         |s AS (
-        |  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(xu)::DOUBLE / 1.0e9 AS sx,
+        |    sum(yu)::DOUBLE / 1.0e9 AS sy,
+        |    sum(xu::HUGEINT * yu)::DOUBLE / 1.0e18 AS sxy,
+        |    sum(xu::HUGEINT * xu)::DOUBLE / 1.0e18 AS sxx
         |  FROM pts),
         |f AS (
         |  SELECT n, sx, sy,
@@ -1991,7 +2077,7 @@ object TextAnalysis {
         |  WHERE token <> '' GROUP BY token, doc_id),
         |st AS (
         |  SELECT token, CAST(sum(c) AS BIGINT) AS cnt,
-        |    CAST(sum(c * c) AS BIGINT) AS ss, count(*) AS df
+        |    sum(c::HUGEINT * c) AS ss, count(*) AS df
         |  FROM pd GROUP BY token),
         |top AS (SELECT * FROM st ORDER BY cnt DESC, token LIMIT 50),
         |ndc AS (SELECT count(*) AS ndocs FROM documents),
@@ -2109,10 +2195,12 @@ object TextAnalysis {
         |agg AS (
         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_e,
         |    count(*)::BIGINT AS n_distinct_chars,
-        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS slc
+        |    sum(CAST(floor(c::DOUBLE * ln(c::DOUBLE)
+        |      * 1000000000.0 + 0.5) AS HUGEINT)) AS slcu
         |  FROM cc GROUP BY 1)
         |SELECT doc_id, n_chars_e, n_distinct_chars,
-        |  floor((ln(n_chars_e::DOUBLE) - slc / n_chars_e) / ln(2.0)
+        |  floor((ln(n_chars_e::DOUBLE)
+        |    - slcu::DOUBLE / 1000000000.0 / n_chars_e) / ln(2.0)
         |    * 1000000.0 + 0.5) / 1000000.0 AS entropy_bits
         |FROM agg ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
@@ -2312,7 +2400,9 @@ object TextAnalysis {
         |  SELECT tf.doc_id, tf.term, tf.tf * ln(nn.n / dff.df) AS w
         |  FROM tf JOIN dff USING (term), nn),
         |nrm AS (
-        |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        |  SELECT doc_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    coalesce(list(w * w ORDER BY term), [])),
+        |    (a, b) -> a + b)) AS nrm FROM w GROUP BY doc_id),
         |wn AS (
         |  SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn
         |  FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0.0),
@@ -2320,7 +2410,10 @@ object TextAnalysis {
         |  SELECT doc_id AS query_id, term, wn AS qw FROM wn
         |  WHERE doc_id < 5),
         |s AS (
-        |  SELECT q.query_id, wn.doc_id, sum(wn.wn * q.qw) AS cos
+        |  SELECT q.query_id, wn.doc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(wn.wn * q.qw ORDER BY term), [])),
+        |      (a, b) -> a + b) AS cos
         |  FROM wn JOIN q USING (term)
         |  WHERE wn.doc_id <> q.query_id
         |  GROUP BY q.query_id, wn.doc_id),

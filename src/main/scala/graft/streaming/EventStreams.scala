@@ -83,12 +83,19 @@ object EventStreams {
     */
   def windowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // integer-cents streaming state (DECIMAL(38,0) ≙ oracle HUGEINT):
+    // a float sum would accumulate in micro-batch/partition order and
+    // can cross the 2dp floor on a 1-ulp seam (round-10 anova lesson)
     val agg = eventStream(spark, dir)
       .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), (floor(sum($"value") * 100.0 + 0.5) / 100.0).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 100.0 + 0.5).cast("long")
+          .cast("decimal(38,0)")).as("vc"))
     runToCompletion(agg, "graft_stream_window")
       .select($"w.start".cast("timestamp_ntz").as("hour_start"),
-        $"event_type", $"n", $"total_value")
+        $"event_type", $"n",
+        (floor($"vc".cast("double") / 100.0 * 100.0 + 0.5) / 100.0)
+          .as("total_value"))
       .orderBy($"hour_start", $"event_type")
   }
 
@@ -106,13 +113,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         min(unix_micros($"tsm")).as("start_us"),
         max(unix_micros($"tsm")).as("end_us"),
-        (floor(sum($"value") * 100.0 + 0.5) / 100.0).as("total_value"))
+        // integer-cents state: exact, micro-batch-order independent
+        sum(floor($"value" * 100.0 + 0.5).cast("long")
+          .cast("decimal(38,0)")).as("vc"))
     val done = runToCompletion(agg, "graft_stream_session")
     val w = Window.partitionBy($"user_id").orderBy($"start_us")
     done
       .withColumn("session_seq", row_number().over(w).cast("long"))
       .select($"user_id", $"session_seq", $"n_events", $"start_us",
-        $"end_us", $"total_value")
+        $"end_us",
+        (floor($"vc".cast("double") / 100.0 * 100.0 + 0.5) / 100.0)
+          .as("total_value"))
       .orderBy($"user_id", $"session_seq")
   }
 
@@ -201,7 +212,7 @@ object EventStreams {
       .orderBy($"prev_type", $"next_type")
   }
 
-  final case class UserTotals(user_id: Long, n: Long, total_value: Double)
+  final case class UserTotals(user_id: Long, n: Long, total_cents: Long)
 
   /** G4 — custom state machine via `mapGroupsWithState`: per-user
     * running (count, sum) state, emitted on every update. Run over the
@@ -212,13 +223,17 @@ object EventStreams {
   def userRunningTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // integer-cents state: the per-user running sum is exact and
+    // independent of micro-batch/partition arrival order (a Double
+    // state would drift by arrival order — round-10 anova lesson)
     val stream = eventStream(spark, dir)
-      .select($"user_id".as[Long], $"value".as[Double])
+      .select($"user_id".as[Long],
+        floor($"value" * 100.0 + 0.5).cast("long").as[Long])
     val updated = stream.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)],
-         state: GroupState[(Long, Double)]) =>
-          var (n, t) = state.getOption.getOrElse((0L, 0.0))
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (n, t) = state.getOption.getOrElse((0L, 0L))
           rows.foreach { r => n += 1; t += r._2 }
           state.update((n, t))
           UserTotals(user, n, t)
@@ -232,7 +247,9 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     // one input batch → one (final) update per user
     spark.table(name)
-      .select($"user_id", $"n", (floor($"total_value" * 100.0 + 0.5) / 100.0).as("total_value"))
+      .select($"user_id", $"n",
+        (floor($"total_cents".cast("double") / 100.0 * 100.0 + 0.5)
+          / 100.0).as("total_value"))
       .orderBy($"user_id")
   }
 
@@ -399,7 +416,9 @@ object EventStreams {
     import spark.implicits._
     val agg = eventStream(spark, dir)
       .groupBy($"event_type", to_date($"tsm").as("day"))
-      .agg(sum($"value").as("v"))
+      // integer-cents state: the streaming sum is then exact and
+      // micro-batch-order independent (see Events.anomalyFinalize)
+      .agg(sum(floor($"value" * 100.0 + 0.5).cast("long")).as("vc"))
     graft.ops.Events.anomalyFinalize(
       runToCompletion(agg, "graft_stream_anomaly"))
   }
@@ -457,15 +476,27 @@ object EventStreams {
               }
             }
             cur.foreach { s =>
-              state.update(s)
-              // expiry: when the watermark passes last+gap, the
-              // session can no longer be extended — close it.
-              // Clamped above the current watermark: with multi-batch
-              // input a batch can deliver rows whose last+gap already
-              // trails the watermark, and an un-clamped timestamp
-              // makes Spark throw (timeout must be > watermark).
-              state.setTimeoutTimestamp(math.max((s.last + gapUs) / 1000L,
-                state.getCurrentWatermarkMs + 1L))
+              val fireMs = (s.last + gapUs) / 1000L
+              val wm = state.getCurrentWatermarkMs
+              if (fireMs < wm) {
+                // already past the strict-< closure rule, and no
+                // admissible row can extend it (anything late enough
+                // to land inside the gap is below the watermark and
+                // dropped upstream) — emit NOW. Round 10 clamped the
+                // timeout above the watermark instead, which traded
+                // the "timeout must be > watermark" crash for SILENT
+                // LOSS when this is the final batch and the watermark
+                // never advances past the clamp (ADVICE r10 #3).
+                emitted ::= SessTRow(user, s.start, s.last, s.n)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                // fireMs == wm still needs the +1 clamp (Spark
+                // requires the timeout STRICTLY above the watermark);
+                // it then fires iff the watermark advances at all —
+                // exactly the strict-< rule the oracle replays
+                state.setTimeoutTimestamp(math.max(fireMs, wm + 1L))
+              }
             }
             emitted.reverse.iterator
           }
@@ -562,7 +593,59 @@ object EventStreams {
       .orderBy($"event_type")
   }
 
+  /** Declared file-source schema for the ORDERS stream (shared with
+    * StacStreams' synthetic catalog, which derives from orders too).
+    */
+  private[streaming] val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  /** G28 — streaming Benford first-digit gate: B81's fabricated-data
+    * screen placed at INGEST (where a poisoned feed should be caught,
+    * not after it lands). Digit extraction is a stateless projection
+    * over the order stream (exact integer-cents string, no float log
+    * in the digit path); the streaming aggregate holds NINE counters
+    * forever — the cheapest possible stateful monitor. Shares/Benford
+    * deltas are the stream_anomaly "incremental ingest, tiny
+    * finalize" split: computed on the drained 9-row frame, so the
+    * one-shot output equals batch B81 exactly and shares its oracle.
+    */
+  def benfordGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = spark.readStream
+      .schema(EventStreams.ordersSchema)
+      .option("pathGlobFilter", "orders*.parquet")
+      .parquet(dir)
+      .select(floor(abs($"o_totalprice") * 100.0 + 0.5).cast("long")
+        .as("cents"))
+      .filter($"cents" > 0)
+      .select(substring($"cents".cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val drained =
+      runToCompletion(digits, "graft_stream_benford")
+    val tot = drained.agg(sum($"n").as("nn"))
+    drained.crossJoin(broadcast(tot))
+      .select($"digit", $"n",
+        (floor($"n".cast("double") / $"nn" * 1000000.0 + 0.5)
+          / 1000000.0).as("share"),
+        (floor(log10(lit(1.0) + lit(1.0) / $"digit") * 1000000.0 + 0.5)
+          / 1000000.0).as("benford_p"),
+        (floor(($"n".cast("double") / $"nn" -
+          log10(lit(1.0) + lit(1.0) / $"digit")) * 1000000.0 + 0.5)
+          / 1000000.0).as("delta"))
+      .orderBy($"digit")
+  }
+
   val oracles: Map[String, String] = Map(
+    // B81's batch formulation IS the oracle — the drained stream must
+    // converge to the same digit profile (G28, an orders-stream
+    // ingest gate — lives here with the business-stream monitors)
+    "stream_benford" -> graft.ops.Stats.oracles("revenue_benford"),
     "stream_session_timeout" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -662,7 +745,9 @@ object EventStreams {
         |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
         |ORDER BY 1, 2, 3""".stripMargin,
     "stream_user_totals" ->
-      """SELECT user_id, count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+      """SELECT user_id, count(*) AS n,
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup_count" ->
       """SELECT event_type, count(*) AS n_unique FROM (
@@ -672,7 +757,9 @@ object EventStreams {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
-        |  count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        |  count(*) AS n,
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
@@ -692,7 +779,8 @@ object EventStreams {
         |  FROM marked)
         |SELECT user_id, session_id AS session_seq, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
-        |  floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
+        |  floor(sum(CAST(floor(value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS total_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_seq""".stripMargin,
     // G12 streamed ≡ batch B43 ≡ DuckDB: same matrix, same SQL.

@@ -16,18 +16,10 @@ import graft.stac.StacSynth
   */
 object StacStreams {
 
-  private val ordersSchema = StructType(Seq(
-    StructField("o_orderkey", LongType),
-    StructField("o_custkey", LongType),
-    StructField("o_orderstatus", StringType),
-    StructField("o_totalprice", DoubleType),
-    StructField("o_orderdate", TimestampType),
-    StructField("o_orderpriority", StringType)))
-
   private def catalogStream(spark: SparkSession, dir: String): DataFrame =
     StacSynth.catalogFrom(
       spark.readStream
-        .schema(ordersSchema)
+        .schema(EventStreams.ordersSchema)
         .option("pathGlobFilter", "orders*.parquet")
         .parquet(dir))
 
@@ -86,43 +78,6 @@ object StacStreams {
       .orderBy($"granule_id")
   }
 
-  /** G28 — streaming Benford first-digit gate: B81's fabricated-data
-    * screen placed at INGEST (where a poisoned feed should be caught,
-    * not after it lands). Digit extraction is a stateless projection
-    * over the order stream (exact integer-cents string, no float log
-    * in the digit path); the streaming aggregate holds NINE counters
-    * forever — the cheapest possible stateful monitor. Shares/Benford
-    * deltas are the stream_anomaly "incremental ingest, tiny
-    * finalize" split: computed on the drained 9-row frame, so the
-    * one-shot output equals batch B81 exactly and shares its oracle.
-    */
-  def benfordGate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val digits = spark.readStream
-      .schema(ordersSchema)
-      .option("pathGlobFilter", "orders*.parquet")
-      .parquet(dir)
-      .select(floor(abs($"o_totalprice") * 100.0 + 0.5).cast("long")
-        .as("cents"))
-      .filter($"cents" > 0)
-      .select(substring($"cents".cast("string"), 1, 1).cast("long")
-        .as("digit"))
-      .groupBy($"digit").agg(count(lit(1)).as("n"))
-    val drained =
-      EventStreams.runToCompletion(digits, "graft_stream_benford")
-    val tot = drained.agg(sum($"n").as("nn"))
-    drained.crossJoin(broadcast(tot))
-      .select($"digit", $"n",
-        (floor($"n".cast("double") / $"nn" * 1000000.0 + 0.5)
-          / 1000000.0).as("share"),
-        (floor(log10(lit(1.0) + lit(1.0) / $"digit") * 1000000.0 + 0.5)
-          / 1000000.0).as("benford_p"),
-        (floor(($"n".cast("double") / $"nn" -
-          log10(lit(1.0) + lit(1.0) / $"digit")) * 1000000.0 + 0.5)
-          / 1000000.0).as("delta"))
-      .orderBy($"digit")
-  }
-
   /** G9 — streaming fetch: the link stream drives the A20 fetch
     * operator per micro-batch through `foreachBatch` (the sanctioned
     * hook for running an arbitrary batch transform inside a stream),
@@ -163,9 +118,6 @@ object StacStreams {
   }
 
   val oracles: Map[String, String] = Map(
-    // B81's batch formulation IS the oracle — the drained stream must
-    // converge to the same digit profile
-    "stream_benford" -> graft.ops.Stats.oracles("revenue_benford"),
     "stream_stac_daily" -> (StacSynth.sqlCte +
       """SELECT collection, CAST(ts AS DATE) AS day, count(*) AS n_links
         |FROM stac GROUP BY collection, CAST(ts AS DATE)

@@ -155,7 +155,11 @@ object TextStreams {
       .parquet(dir)
       .withColumn("tk", filter(split($"text", " "), t => t =!= ""))
       .withColumn("dl", size($"tk").cast("double"))
-    val termScores = TextAnalysis.Bm25QueryTerms.flatMap { t =>
+    // fold terms in SORTED order so the per-row reduce replays the
+    // oracle's (and batch bm25's) ordered fold exactly — absent terms
+    // contribute +0.0, an IEEE identity, so the three expressions
+    // produce bit-identical doubles
+    val termScores = TextAnalysis.Bm25QueryTerms.sorted.flatMap { t =>
       idf.get(t).map { w =>
         val tf = size(filter($"tk", x => x === t)).cast("double")
         (when(tf > 0.0,

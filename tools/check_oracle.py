@@ -94,7 +94,8 @@ def main(sf_dir, out_dir):
         except Exception as e:
             n_fail += 1
             print(f"ERROR {name}: {e}")
-    print(f"== {n_pass} pass, {n_fail} fail")
+    print(f"== {n_pass} pass, {n_fail} fail "
+          f"(duckdb {duckdb.__version__})")
     return 1 if n_fail else 0
 
 

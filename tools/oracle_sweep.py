@@ -66,9 +66,14 @@ def main(sf_dir, out_dir, out_json):
     def flush(partial):
         n_skip = sum(1 for r in results.values()
                      if r["status"] == "skipped_timeout")
+        # pin the oracle engine version: a DuckDB-side summation-order
+        # or cast-behavior change across versions must read as an
+        # environment change in the artifact, not masquerade as an
+        # operator regression (verdict-r10 task 7)
         summary = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
                    "n_no_oracle": n_noracle, "n_skipped_timeout": n_skip,
-                   "n_total": len(results)}
+                   "n_total": len(results),
+                   "duckdb_version": duckdb.__version__}
         if partial:
             summary["partial"] = True
         with open(out_json, "w") as f:
