@@ -677,9 +677,14 @@ object Curation {
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(raw.agg(sum($"cr").as("tr"))))
       .crossJoin(broadcast(tgt.agg(coalesce(sum($"ct"), lit(0L)).as("tt"))))
-      .select($"b", log(
+      // the log-ratio floors ONCE here (buckets-sized frame) to
+      // integer 1e-9 units, so every per-doc mean downstream is an
+      // exact integer sum / count — a float avg() accumulates in
+      // partition order (round-10 anova seam)
+      .select($"b", floor(log(
         (($"ct" + 1).cast("double") / ($"tt" + buckets)) /
-          (($"cr" + 1).cast("double") / ($"tr" + buckets))).as("lr"))
+          (($"cr" + 1).cast("double") / ($"tr" + buckets)))
+        * 1000000000.0 + 0.5).cast("long").as("lru"))
   }
 
   def importanceWeights(spark: SparkSession, dir: String,
@@ -691,8 +696,10 @@ object Curation {
     bg.join(broadcast(ratio), "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        (floor(avg($"lr") * 1000000.0 + 0.5).cast("double") / 1000000.0)
-          .as("weight"))
+        sum($"lru".cast("decimal(38,0)")).as("slru"))
+      .select($"doc_id", $"n_bigrams",
+        (floor($"slru".cast("double") / 1000000000.0 / $"n_bigrams"
+          * 1000000.0 + 0.5).cast("double") / 1000000.0).as("weight"))
       .orderBy($"doc_id")
   }
 
@@ -867,7 +874,119 @@ object Curation {
       .orderBy($"epoch", $"decile")
   }
 
+  /** H30 — two-sample KS test between the TRAIN and TEST splits on
+    * the E2 quality distribution: did H2's hash split shift the
+    * quality LAW between what the model trains on and what it is
+    * judged on? (H21 checks the language mix — a split can balance
+    * languages and still put the long clean documents in train; this
+    * catches that.) E43's exact machinery pointed at the split axis:
+    * the sup gap is attained at an observed 4dp quality value, ECDFs
+    * are prefix sums over the distinct-quality step frame (4dp ⇒
+    * value-bounded, never corpus-sized), every input to the sup is a
+    * deterministic per-row division, and `max` is order-exact.
+    */
+  def splitQualityKs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextAnalysis.quality(spark, dir)
+      .select($"doc_id", $"quality")
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 32, 1),
+          16, 10).cast("long"))
+      .withColumn("split",
+        when($"bucket" < 12, "train")
+          .when($"bucket" < 14, "val")
+          .otherwise("test"))
+      .filter($"split".isin("train", "test"))
+    val steps = scored.groupBy($"quality".as("x"))
+      .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("ia"),
+        sum(when($"split" === "test", 1L).otherwise(0L)).as("ib"))
+    val ns = scored.agg(
+      sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when($"split" === "test", 1L).otherwise(0L)).as("n_test"))
+    val w = Window.orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps
+      .withColumn("ca", sum($"ia").over(w))
+      .withColumn("cb", sum($"ib").over(w))
+      .crossJoin(broadcast(ns))
+      .filter($"n_train" > 0 && $"n_test" > 0)
+      .withColumn("gap", abs($"ca".cast("double") / $"n_train" -
+        $"cb".cast("double") / $"n_test"))
+      .groupBy($"n_train", $"n_test")
+      .agg(max($"gap").as("d"))
+      .withColumn("crit_05", lit(1.358) *
+        sqrt(($"n_train" + $"n_test").cast("double")
+          / ($"n_train" * $"n_test")))
+      .select($"n_train", $"n_test",
+        (floor($"d" * 1000000.0 + 0.5) / 1000000.0).as("ks_stat"),
+        (floor($"crit_05" * 1000000.0 + 0.5) / 1000000.0).as("crit_05"),
+        ($"d" > $"crit_05").as("reject_05"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "split_quality_ks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks, text
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |      / length(text)::DOUBLE AS punct_ratio,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+        |      / len(toks)::DOUBLE AS stop_ratio,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS uniq_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor((len_score + (1.0 - punct_ratio) + (1.0 - stop_ratio)
+        |      + uniq_ratio) / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM m),
+        |s AS (
+        |  SELECT quality,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 12
+        |      THEN 'train'
+        |    WHEN strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 14
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM q),
+        |f AS (SELECT * FROM s WHERE split IN ('train', 'test')),
+        |steps AS (
+        |  SELECT quality AS x,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ia,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ib
+        |  FROM f GROUP BY quality),
+        |ns AS (
+        |  SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_test
+        |  FROM f),
+        |cdf AS (
+        |  SELECT CAST(sum(ia) OVER (ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        |    CAST(sum(ib) OVER (ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+        |  FROM steps),
+        |g AS (
+        |  SELECT ns.n_train, ns.n_test,
+        |    max(abs(ca::DOUBLE / ns.n_train - cb::DOUBLE / ns.n_test))
+        |      AS d
+        |  FROM cdf, ns
+        |  WHERE ns.n_train > 0 AND ns.n_test > 0
+        |  GROUP BY ns.n_train, ns.n_test),
+        |c AS (
+        |  SELECT *, 1.358 * sqrt((n_train + n_test)::DOUBLE
+        |    / (n_train * n_test)) AS crit FROM g)
+        |SELECT n_train, n_test,
+        |  floor(d * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+        |  floor(crit * 1000000.0 + 0.5) / 1000000.0 AS crit_05,
+        |  d > crit AS reject_05
+        |FROM c""".stripMargin,
     "quality_curriculum" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks, text
@@ -1132,11 +1251,13 @@ object Curation {
         |ttc AS (SELECT coalesce(sum(ct), 0) AS tt FROM tgt),
         |ratio AS (
         |  SELECT raw.bk,
-        |    ln(((coalesce(ct, 0) + 1)::DOUBLE / (tt + 256))
-        |      / ((cr + 1)::DOUBLE / (tr + 256))) AS lr
+        |    CAST(floor(ln(((coalesce(ct, 0) + 1)::DOUBLE / (tt + 256))
+        |      / ((cr + 1)::DOUBLE / (tr + 256))) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS lru
         |  FROM raw LEFT JOIN tgt ON tgt.bk = raw.bk, trc, ttc)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  floor(avg(lr) * 1000000.0 + 0.5) / 1000000.0 AS weight
+        |  floor(sum(lru)::DOUBLE / 1000000000.0 / count(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS weight
         |FROM b JOIN ratio ON ratio.bk = b.bk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "curriculum_order" ->
@@ -1147,11 +1268,13 @@ object Curation {
         |tf AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
         |lp AS (
-        |  SELECT token, ln(cnt::DOUBLE / total::DOUBLE) AS logp
+        |  SELECT token, CAST(floor(ln(cnt::DOUBLE / total::DOUBLE)
+        |    * 1000000000.0 + 0.5) AS BIGINT) AS lpu
         |  FROM tf CROSS JOIN tot),
         |s AS (
         |  SELECT doc_id, count(*) AS n_tok,
-        |    floor(-avg(logp) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
+        |    floor(-(sum(lpu)::DOUBLE / 1000000000.0 / count(*))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
         |  FROM t JOIN lp USING (token) GROUP BY doc_id)
         |SELECT doc_id, n_tok, avg_surprisal,
         |  row_number() OVER (ORDER BY avg_surprisal, doc_id) AS curriculum_rank,

@@ -1309,7 +1309,58 @@ object Dedup {
        |    AND least(a.n, b.n) * 10000 >= greatest(a.n, b.n) * $tNum)
        |""".stripMargin
 
+  /** C24 — exact-dedup storage/compute savings report per source: for
+    * every doc, keeper = min doc_id of its content-hash group; each
+    * NON-keeper's bytes are attributed to ITS OWN source (the source
+    * that pays for crawling and storing the copy — cross-source dup
+    * groups bill the copier, not the originator). Emits per source:
+    * doc count, duplicate count, total vs saved bytes, and the
+    * savings share — the number that decides whether a source earns
+    * a dedup pass at ingest or its duplicates are cheap enough to
+    * carry. One content-hash partial agg + one same-key join, both
+    * corpus-linear (C1's shape); text never shuffles twice — only
+    * the 16-byte hash and byte counts move.
+    */
+  def bytesSaved(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars", md5($"text").as("h"))
+    val keepers = docs.groupBy($"h").agg(min($"doc_id").as("keeper_id"))
+    docs.join(keepers, "h")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"doc_id" =!= $"keeper_id", 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum($"n_chars").as("bytes_total"),
+        sum(when($"doc_id" =!= $"keeper_id", $"n_chars")
+          .otherwise(0L)).as("bytes_saved"))
+      .select($"source", $"n_docs", $"n_dup_docs", $"bytes_total",
+        $"bytes_saved",
+        when($"bytes_total" > 0,
+          floor($"bytes_saved".cast("double") / $"bytes_total"
+            * 1000000.0 + 0.5) / 1000000.0).as("savings_share"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_bytes_saved" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars, md5(text) AS h
+        |  FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keeper_id FROM d GROUP BY h)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+        |  CAST(sum(CASE WHEN doc_id <> keeper_id THEN n_chars
+        |    ELSE 0 END) AS BIGINT) AS bytes_saved,
+        |  CASE WHEN sum(n_chars) > 0 THEN
+        |    floor(sum(CASE WHEN doc_id <> keeper_id THEN n_chars
+        |      ELSE 0 END)::DOUBLE / sum(n_chars) * 1000000.0 + 0.5)
+        |      / 1000000.0
+        |  END AS savings_share
+        |FROM d JOIN k USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "dedup_sorted_neighborhood" -> (shingleCte.replace(
       """sh AS (
       |  SELECT doc_id,""".stripMargin,

@@ -362,7 +362,57 @@ object Multimodal {
       .orderBy($"media_type")
   }
 
+  /** F10 — modality co-occurrence matrix: for every unordered
+    * modality pair, how many documents carry BOTH (diagonal rows =
+    * docs carrying the type at all). The batch-composition input F9's
+    * interleaver needs one level up: F9 balances SINGLE-modality rows
+    * across shards, but a loader feeding a multi-tower model batches
+    * by the attachment SET — co-occurrence says which towers co-fire
+    * and how often, i.e. whether image+audio batches exist at all or
+    * the corpus is effectively unimodal. Attachment sets are the
+    * deterministic synth extension of `withMedia` (primary type by
+    * doc_id%3, +audio for doc_id%5<2, +video for doc_id%7=0 — same
+    * stub-decode boundary as F1–F8).
+    *
+    * Scale shape: the per-doc set explodes to ≤3 typed rows; the
+    * pair join is doc_id-keyed (≤9 pairs per doc, corpus-linear);
+    * output is modality²-bounded. Payloads never move — only doc_id
+    * and a short string.
+    */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = withMedia(spark, dir)
+      .select($"doc_id", explode(array_distinct(filter(array(
+        $"media_type",
+        when($"doc_id" % 5 < 2, lit("audio/wav")),
+        when($"doc_id" % 7 === 0, lit("video/mp4"))),
+        x => x.isNotNull))).as("t"))
+    m.as("a").join(m.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.t" <= $"b.t")
+      .groupBy($"a.t".as("modality_a"), $"b.t".as("modality_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"modality_a", $"modality_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_cooccurrence" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    ['image/png','audio/wav','video/mp4'][(doc_id % 3 + 1)::INT]
+        |      AS prim
+        |  FROM documents),
+        |m AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, prim AS t FROM s
+        |    UNION ALL
+        |    SELECT doc_id, 'audio/wav' AS t FROM s WHERE doc_id % 5 < 2
+        |    UNION ALL
+        |    SELECT doc_id, 'video/mp4' AS t FROM s WHERE doc_id % 7 = 0
+        |  ) u)
+        |SELECT a.t AS modality_a, b.t AS modality_b,
+        |  count(*)::BIGINT AS n_docs
+        |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.t <= b.t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "media_cdc_dedup" ->
       """WITH d AS (
         |  SELECT doc_id,

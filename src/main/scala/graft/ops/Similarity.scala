@@ -1358,10 +1358,18 @@ object Similarity {
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
-    val dims = e.select($"label", posexplode($"embedding").as(Seq("i", "v")))
+    // components quantize to integer 1e-6 units so the per-(label,
+    // dim) mean is an exact integer sum / count — a float avg()
+    // accumulates in partition order and can flip the 4dp floor on a
+    // 1-ulp seam (round-10 anova lesson); the 1e-6 quantum sits two
+    // decades under the output's own 1e-4 floor
+    val dims = e.select($"label", posexplode(transform($"embedding",
+        x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")))
+        .as(Seq("i", "xq")))
       .groupBy($"label", $"i")
       // + 0.0 squashes IEEE negative zero (DuckDB round keeps -0.0)
-      .agg((floor(avg($"v".cast("double")) * 10000.0 + 0.5) / 10000.0 + 0.0).as("centroid_v"))
+      .agg((floor(sum($"xq").cast("double") / count(lit(1))
+        / 1000000.0 * 10000.0 + 0.5) / 10000.0 + 0.0).as("centroid_v"))
     e.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
       .join(dims, "label")
       .select($"label", $"i", $"centroid_v", $"n_vecs")
@@ -1427,11 +1435,15 @@ object Similarity {
     */
   private[graft] def centroidAssignOracle: String =
     """WITH x AS (
-      |  SELECT label, i, embedding[i]::DOUBLE AS v
+      |  SELECT label, i,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5)
+      |      AS BIGINT) AS xq
       |  FROM embeddings,
       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
       |c AS (
-      |  SELECT label, i, floor(avg(v) * 10000.0 + 0.5) / 10000.0 + 0.0 AS cv
+      |  SELECT label, i,
+      |    floor(sum(xq)::DOUBLE / count(*) / 1000000.0
+      |      * 10000.0 + 0.5) / 10000.0 + 0.0 AS cv
       |  FROM x GROUP BY label, i),
       |cvec AS (
       |  SELECT label, array_agg(cv ORDER BY i) AS cva FROM c GROUP BY label),
@@ -1925,7 +1937,88 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** D28 — per-label centroid separation audit: for every label, the
+    * vector count, centroid norm, and the distance from the label
+    * centroid to the GLOBAL centroid — the class-geometry readout
+    * behind "are these labels separable in embedding space at all?"
+    * (collapsed per-label centroids ⇒ the labels carry no linear
+    * signal and any centroid-based router/classifier downstream is
+    * noise; a far-out centroid flags a batch-effect cluster).
+    *
+    * Exactness: components quantize to integer 1e-6 units; per-label
+    * and global per-dim SUMS are exact Long aggregates
+    * (partition-order independent), and the centroid difference per
+    * dim uses the exact integer numerator su_d·N − g_d·n (DECIMAL ≙
+    * HUGEINT) converted to double once; the ≤d-term distance fold
+    * runs in SORTED dim order on both sides. Per-label mean-free:
+    * nothing here ever divides inside the sum.
+    *
+    * Scale shape: one posexplode → (label, dim) partial agg
+    * (corpus-linear); everything after runs on the labels×dims frame.
+    */
+  def labelCentroidSeparation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.load(spark, dir, "embeddings")
+      .select($"label".cast("long").as("label"),
+        posexplode(transform($"embedding",
+          x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")))
+          .as(Seq("dim", "xq")))
+    val per = q.groupBy($"label", $"dim")
+      .agg(sum($"xq").as("su"), count(lit(1)).as("nd"))
+    val glob = per.groupBy($"dim")
+      .agg(sum($"su").as("g"), sum($"nd").as("nn"))
+    val joined = per.join(glob, "dim")
+      .withColumn("diff",
+        ($"su".cast("decimal(38,0)") * $"nn" -
+          $"g".cast("decimal(38,0)") * $"nd").cast("double"))
+    joined.groupBy($"label")
+      .agg(max($"nd").as("n_vecs"), max($"nn").as("n_total"),
+        sum($"su".cast("decimal(38,0)") * $"su").as("ss"),
+        sort_array(collect_list(struct($"dim", $"diff"))).as("ds"))
+      .select($"label", $"n_vecs",
+        (floor(sqrt($"ss".cast("double")) /
+          ($"n_vecs".cast("double") * 1000000.0) * 1000000.0 + 0.5)
+          / 1000000.0).as("centroid_norm"),
+        (floor(sqrt(aggregate($"ds", lit(0.0),
+          (a, x) => a + x.getField("diff") * x.getField("diff"))) /
+          ($"n_vecs".cast("double") * $"n_total" * 1000000.0)
+          * 1000000.0 + 0.5) / 1000000.0).as("dist_to_global"))
+      .orderBy($"label")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "embedding_label_centroids" ->
+      """WITH q AS (
+        |  SELECT label::BIGINT AS label,
+        |    generate_subscripts(embedding, 1)::BIGINT - 1 AS dim,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1000000.0 + 0.5)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT label, dim, sum(xq)::BIGINT AS su,
+        |    count(*)::BIGINT AS nd
+        |  FROM q GROUP BY label, dim),
+        |gtot AS (
+        |  SELECT dim, sum(su)::BIGINT AS g, sum(nd)::BIGINT AS nn
+        |  FROM per GROUP BY dim),
+        |j AS (
+        |  SELECT per.label, per.dim, per.su, per.nd, gtot.nn,
+        |    (per.su::HUGEINT * gtot.nn
+        |      - gtot.g::HUGEINT * per.nd)::DOUBLE AS diff
+        |  FROM per JOIN gtot USING (dim)),
+        |agg AS (
+        |  SELECT label, max(nd) AS n_vecs, max(nn) AS n_total,
+        |    sum(su::HUGEINT * su) AS ss,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(diff * diff ORDER BY dim), [])),
+        |      (a, x) -> a + x) AS d2
+        |  FROM j GROUP BY label)
+        |SELECT label, n_vecs,
+        |  floor(sqrt(ss::DOUBLE) / (n_vecs::DOUBLE * 1000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS centroid_norm,
+        |  floor(sqrt(d2) / (n_vecs::DOUBLE * n_total * 1000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dist_to_global
+        |FROM agg ORDER BY label""".stripMargin,
     "embedding_jl_distortion" ->
       """WITH e AS (
         |  SELECT vec_id, unnest(embedding) AS v,
@@ -2130,11 +2223,15 @@ object Similarity {
     "knn_lsh_multi" -> lshOracleMulti,
     "embedding_centroids" ->
       """WITH x AS (
-        |  SELECT label, i, embedding[i]::DOUBLE AS v
+        |  SELECT label, i,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5)
+        |      AS BIGINT) AS xq
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
         |c AS (
-        |  SELECT label, i - 1 AS i, floor(avg(v) * 10000.0 + 0.5) / 10000.0 + 0.0 AS centroid_v
+        |  SELECT label, i - 1 AS i,
+        |    floor(sum(xq)::DOUBLE / count(*) / 1000000.0
+        |      * 10000.0 + 0.5) / 10000.0 + 0.0 AS centroid_v
         |  FROM x GROUP BY label, i),
         |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
         |SELECT c.label, c.i, c.centroid_v, n.n_vecs

@@ -495,7 +495,185 @@ object Stats {
       .orderBy($"t")
   }
 
+  /** B87 — Spearman rank correlation between daily revenue and daily
+    * order count: the monotone-association check behind "do busier
+    * days actually bill more?" that Pearson gets wrong under heavy
+    * tails (one whale day dominates the covariance; ranks don't
+    * care). Average ranks carry ties exactly: 2·avgrank = 2·minrank +
+    * (t−1) is an INTEGER, so every correlation moment is an exact
+    * integer sum (DECIMAL(38,0) products ≙ HUGEINT) and ρ derives
+    * from one shared double chain — the scale factor 2 cancels.
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded daily
+    * frame in ONE partial-agg pass; ranks/moments run on that frame
+    * (windows over days, never data). Zero rank variance (all-tied
+    * days) → defined null ρ.
+    */
+  def dailySpearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(floorDivCents("sum(cents)").as("rev"),
+        count(lit(1)).as("cnt"))
+    // 2×average-rank (integer): 2·rank + ties − 1, per variable
+    val ranked = daily
+      .withColumn("x", lit(2) * rank().over(W.orderBy($"rev"))
+        + count(lit(1)).over(W.partitionBy($"rev")) - 1)
+      .withColumn("y", lit(2) * rank().over(W.orderBy($"cnt"))
+        + count(lit(1)).over(W.partitionBy($"cnt")) - 1)
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+      sum($"y".cast("decimal(38,0)") * $"y").as("syy"))
+    val covn = $"n" * $"sxy" - $"sx".cast("decimal(38,0)") * $"sy"
+    val vx = $"n" * $"sxx" - $"sx".cast("decimal(38,0)") * $"sx"
+    val vy = $"n" * $"syy" - $"sy".cast("decimal(38,0)") * $"sy"
+    m.select($"n".as("n_days"),
+      when(vx > 0 && vy > 0,
+        floor(covn.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))
+          * 1000000.0 + 0.5) / 1000000.0).as("spearman_rho"))
+      .filter($"n_days" > 0)
+  }
+
+  /** B88 — Theil T inequality index over per-user event value totals:
+    * the decomposable complement of B51's Gini (Theil splits into
+    * between-group + within-group terms, so a mixture owner can
+    * attribute concentration to sources; Gini can't). T = (1/T_tot)·
+    * Σ t·ln t + ln(n/T_tot) from ONE user-keyed partial agg; the
+    * corpus-sized Σ t·ln t floors per-user contributions to integer
+    * 1e-3 units summed exactly (DECIMAL(38,0) ≙ HUGEINT — the E47
+    * discipline: order-exact AND map-side combinable, where a float
+    * sum would drift by partition order). Zero-total corpora get
+    * defined nulls.
+    */
+  def userValueTheil(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, dir, "events")
+      .select($"user_id",
+        floor($"value" * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy($"user_id").agg(sum($"c").as("t"))
+      .filter($"t" > 0)
+    per.agg(count(lit(1)).as("n_users"), sum($"t").as("total_cents"),
+        sum(floor($"t".cast("double") * log($"t".cast("double"))
+          * 1000.0 + 0.5).cast("long").cast("decimal(38,0)"))
+          .as("stlnu"))
+      .select($"n_users", $"total_cents",
+        when($"n_users" > 0 && $"total_cents" > 0,
+          floor(($"stlnu".cast("double") / 1000.0 / $"total_cents"
+            + log($"n_users".cast("double")
+              / $"total_cents")) * 1000000.0 + 0.5) / 1000000.0)
+          .as("theil_t"))
+      .filter($"n_users" > 0)
+  }
+
+  /** B89 — Hill tail-index estimate of the order-value distribution:
+    * α̂ = k / Σᵢ ln(xᵢ/t) over the k largest values with t the
+    * (k+1)-th largest — THE standard "how heavy is this tail?"
+    * number (α ≤ 2 ⇒ infinite variance: means/CIs over such a column
+    * are fiction, which changes how every revenue aggregate upstream
+    * should be read; B82's winsorized mean is the remedy this number
+    * justifies). ln values floor to integer 1e-9 units so the k-sum
+    * is exact (partition-order independent); the top-(k+1) multiset
+    * comes from a TakeOrdered (per-partition heaps — no global sort)
+    * and both engines select the identical value multiset. All-tied
+    * tails (S = 0) get a defined null.
+    */
+  def hillTailIndex(spark: SparkSession, dir: String,
+                    k: Int = 200): DataFrame = {
+    import spark.implicits._
+    val top = Tables.load(spark, dir, "orders")
+      .select(floor($"o_totalprice" * 100.0 + 0.5).cast("long")
+        .as("c"))
+      .filter($"c" > 0)
+      .orderBy($"c".desc)
+      .limit(k + 1)
+      .select($"c",
+        floor(log($"c".cast("double")) * 1000000000.0 + 0.5)
+          .cast("long").as("lnu"))
+    top.agg(count(lit(1)).as("n"), min($"c").as("t_cents"),
+        min($"lnu").as("lnt"), sum($"lnu").as("slnu"))
+      .select(($"n" - 1).as("k_used"), $"t_cents",
+        when($"n" > 1 && $"slnu" - $"n" * $"lnt" > 0,
+          floor(($"n" - 1).cast("double") /
+            (($"slnu" - $"n" * $"lnt").cast("double") / 1000000000.0)
+            * 1000000.0 + 0.5) / 1000000.0).as("hill_alpha"))
+      .filter($"k_used" >= 0)
+  }
+
   val oracles: Map[String, String] = Map(
+    "order_value_hill" ->
+      """WITH top AS (
+        |  SELECT c,
+        |    CAST(floor(ln(c::DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)
+        |      AS lnu
+        |  FROM (
+        |    SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |      AS c
+        |    FROM orders) u
+        |  WHERE c > 0 ORDER BY c DESC LIMIT 201),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n, min(c) AS t_cents,
+        |    min(lnu) AS lnt, sum(lnu)::BIGINT AS slnu
+        |  FROM top)
+        |SELECT n - 1 AS k_used, t_cents,
+        |  CASE WHEN n > 1 AND slnu - n * lnt > 0 THEN
+        |    floor((n - 1)::DOUBLE /
+        |      ((slnu - n * lnt)::DOUBLE / 1000000000.0)
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS hill_alpha
+        |FROM m WHERE n - 1 >= 0""".stripMargin,
+    "daily_spearman" ->
+      """WITH d AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      // 100 AS BIGINT) AS rev,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(2 * rank() OVER (ORDER BY rev)
+        |      + count(*) OVER (PARTITION BY rev) - 1 AS BIGINT) AS x,
+        |    CAST(2 * rank() OVER (ORDER BY cnt)
+        |      + count(*) OVER (PARTITION BY cnt) - 1 AS BIGINT) AS y
+        |  FROM d),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x::HUGEINT * y) AS sxy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy
+        |  FROM r)
+        |SELECT n AS n_days,
+        |  CASE WHEN n * sxx - sx::HUGEINT * sx > 0
+        |      AND n * syy - sy::HUGEINT * sy > 0 THEN
+        |    floor((n * sxy - sx::HUGEINT * sy)::DOUBLE
+        |      / (sqrt((n * sxx - sx::HUGEINT * sx)::DOUBLE)
+        |        * sqrt((n * syy - sy::HUGEINT * sy)::DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS spearman_rho
+        |FROM m WHERE n > 0""".stripMargin,
+    "user_value_theil" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS t
+        |  FROM events GROUP BY user_id),
+        |p2 AS (SELECT t FROM per WHERE t > 0),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n_users,
+        |    CAST(sum(t) AS BIGINT) AS total_cents,
+        |    sum(CAST(floor(t::DOUBLE * ln(t::DOUBLE) * 1000.0 + 0.5)
+        |      AS HUGEINT)) AS stlnu
+        |  FROM p2)
+        |SELECT n_users, total_cents,
+        |  CASE WHEN n_users > 0 AND total_cents > 0 THEN
+        |    floor((stlnu::DOUBLE / 1000.0 / total_cents
+        |      + ln(n_users::DOUBLE / total_cents)) * 1000000.0 + 0.5)
+        |      / 1000000.0
+        |  END AS theil_t
+        |FROM m WHERE n_users > 0""".stripMargin,
     "events_wilson_reach" ->
       """WITH bt AS (
         |  SELECT event_type, count(DISTINCT user_id)::BIGINT AS x

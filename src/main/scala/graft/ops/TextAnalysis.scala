@@ -1146,14 +1146,21 @@ object TextAnalysis {
       .join(first, "w1")
       .join(uni.withColumnRenamed("w", "w2"), "w2")
       .crossJoin(broadcast(uniTotal))
+      // per-pair log-prob floors ONCE (bigram-type-sized frame) to
+      // integer 1e-9 units; the per-doc mean is an exact integer sum
+      // / count — a float avg() accumulates in partition order
+      // (round-10 anova seam)
       .select($"w1", $"w2",
-        log(lit(lambda) * ($"c12".cast("double") / $"c1") +
+        floor(log(lit(lambda) * ($"c12".cast("double") / $"c1") +
           (lit(1.0) - lit(lambda)) * ($"cw".cast("double") / $"tw"))
-          .as("lp"))
+          * 1000000000.0 + 0.5).cast("long").as("lpu"))
     bgr.join(probs, Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        (floor(-avg($"lp") * 1000000.0 + 0.5).cast("double") / 1000000.0)
+        sum($"lpu".cast("decimal(38,0)")).as("slpu"))
+      .select($"doc_id", $"n_bigrams",
+        (floor(-($"slpu".cast("double") / 1000000000.0 / $"n_bigrams")
+          * 1000000.0 + 0.5).cast("double") / 1000000.0)
           .as("avg_surprisal"))
       .orderBy($"doc_id")
   }
@@ -1195,14 +1202,20 @@ object TextAnalysis {
       .join(first, "w1")
       .join(contexts, "w2")
       .crossJoin(broadcast(btypes))
+      // integer 1e-9-unit log-probs (see bigramSurprisal): the
+      // per-doc mean becomes an exact integer sum / count
       .select($"w1", $"w2",
-        log(greatest($"c12".cast("double") - discount, lit(0.0)) / $"c1" +
-          lit(discount) / $"c1" * $"n1f" *
-            ($"n1p".cast("double") / $"bt")).as("lp"))
+        floor(log(greatest($"c12".cast("double") - discount, lit(0.0))
+          / $"c1" + lit(discount) / $"c1" * $"n1f" *
+            ($"n1p".cast("double") / $"bt"))
+          * 1000000000.0 + 0.5).cast("long").as("lpu"))
     bgr.join(probs, Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        (floor(-avg($"lp") * 1000000.0 + 0.5).cast("double") / 1000000.0)
+        sum($"lpu".cast("decimal(38,0)")).as("slpu"))
+      .select($"doc_id", $"n_bigrams",
+        (floor(-($"slpu".cast("double") / 1000000000.0 / $"n_bigrams")
+          * 1000000.0 + 0.5).cast("double") / 1000000.0)
           .as("avg_kn_surprisal"))
       .orderBy($"doc_id")
   }
@@ -1328,13 +1341,21 @@ object TextAnalysis {
     val tok = tokens(spark, dir)
     val tf = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum($"cnt").as("total"))
+    // per-token log-probs floor ONCE (vocab-sized frame) to integer
+    // 1e-9 units; the per-doc mean is then an exact integer sum /
+    // count — a float avg() accumulates in partition order and can
+    // flip the 6dp floor on a 1-ulp seam (round-10 anova lesson)
     val logp = tf.crossJoin(broadcast(total))
       .select($"token",
-        log($"cnt".cast("double") / $"total".cast("double")).as("logp"))
+        floor(log($"cnt".cast("double") / $"total".cast("double"))
+          * 1000000000.0 + 0.5).cast("long").as("lpu"))
     tok.join(broadcast(logp), "token")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tok"),
-        (floor(-avg($"logp") * 1000000.0 + 0.5).cast("double") / 1000000.0)
+        sum($"lpu".cast("decimal(38,0)")).as("slpu"))
+      .select($"doc_id", $"n_tok",
+        (floor(-($"slpu".cast("double") / 1000000000.0 / $"n_tok")
+          * 1000000.0 + 0.5).cast("double") / 1000000.0)
           .as("avg_surprisal"))
       .orderBy($"doc_id")
   }
@@ -1737,7 +1758,116 @@ object TextAnalysis {
       .orderBy($"threshold")
   }
 
+  /** E48 — hapax-legomena vocabulary profile per source: vocabulary
+    * size, hapax (count-1) and dis (count-2) type counts, the hapax
+    * share of the vocabulary, and the type–token ratio. The Zipf
+    * TAIL health check next to E24's slope (which reads the head): a
+    * natural corpus keeps a fat hapax share (~40–60%); templated or
+    * aggressively-deduplicated text collapses it, OCR junk and
+    * tokenizer damage inflate it — either way the vocabulary a BPE
+    * trainer sees is distorted before any model runs. Everything is
+    * exact integer counts from ONE (source, token) partial agg; two
+    * divisions at the sources-sized rollup, 6dp.
+    */
+  def hapaxProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.load(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source", $"token")
+      .agg(count(lit(1)).as("n"))
+    cnt.groupBy($"source")
+      .agg(sum($"n").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when($"n" === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when($"n" === 2, 1L).otherwise(0L)).as("dis"))
+      .select($"source", $"n_tokens", $"vocab", $"hapax", $"dis",
+        (floor($"hapax".cast("double") / $"vocab" * 1000000.0 + 0.5)
+          / 1000000.0).as("hapax_share"),
+        (floor($"vocab".cast("double") / $"n_tokens" * 1000000.0 + 0.5)
+          / 1000000.0).as("type_token_ratio"))
+      .orderBy($"source")
+  }
+
+  /** E49 — character-class mix per source: shares of lowercase
+    * letters / digits / spaces / other, plus an encoding-junk flag
+    * (other-share > 5%) — the first-five-minutes encoding triage on a
+    * new source (mojibake, control bytes, and markup all land in
+    * `other` long before any tokenizer runs; E15's entropy says
+    * "something is off", this says WHAT). Class counts are exact
+    * integer lengths of regexp-stripped text (one scan-side
+    * projection, no explode), rolled up per source; shares are one
+    * division each at the sources-sized frame, 6dp.
+    */
+  def charClassProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, dir, "documents")
+      .select($"source", length($"text").cast("long").as("total"),
+        length(regexp_replace($"text", "[^a-z]", "")).cast("long")
+          .as("letters"),
+        length(regexp_replace($"text", "[^0-9]", "")).cast("long")
+          .as("digits"),
+        length(regexp_replace($"text", "[^ ]", "")).cast("long")
+          .as("spaces"))
+    per.groupBy($"source")
+      .agg(sum($"total").as("n_chars"), sum($"letters").as("letters"),
+        sum($"digits").as("digits"), sum($"spaces").as("spaces"))
+      .withColumn("other",
+        $"n_chars" - $"letters" - $"digits" - $"spaces")
+      .select($"source", $"n_chars", $"letters", $"digits", $"spaces",
+        $"other",
+        (floor($"letters".cast("double") / $"n_chars" * 1000000.0
+          + 0.5) / 1000000.0).as("letter_share"),
+        (floor($"other".cast("double") / $"n_chars" * 1000000.0 + 0.5)
+          / 1000000.0).as("other_share"),
+        ($"other".cast("double") * 20.0 > $"n_chars".cast("double"))
+          .as("junk_flag"))
+      .filter($"n_chars" > 0)
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_char_class_profile" ->
+      """WITH per AS (
+        |  SELECT source, length(text)::BIGINT AS total,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT
+        |      AS letters,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT
+        |      AS digits,
+        |    length(regexp_replace(text, '[^ ]', '', 'g'))::BIGINT
+        |      AS spaces
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(sum(total) AS BIGINT) AS n_chars,
+        |    CAST(sum(letters) AS BIGINT) AS letters,
+        |    CAST(sum(digits) AS BIGINT) AS digits,
+        |    CAST(sum(spaces) AS BIGINT) AS spaces
+        |  FROM per GROUP BY source)
+        |SELECT source, n_chars, letters, digits, spaces,
+        |  n_chars - letters - digits - spaces AS other,
+        |  floor(letters::DOUBLE / n_chars * 1000000.0 + 0.5)
+        |    / 1000000.0 AS letter_share,
+        |  floor((n_chars - letters - digits - spaces)::DOUBLE
+        |    / n_chars * 1000000.0 + 0.5) / 1000000.0 AS other_share,
+        |  (n_chars - letters - digits - spaces)::DOUBLE * 20.0
+        |    > n_chars::DOUBLE AS junk_flag
+        |FROM g WHERE n_chars > 0 ORDER BY source""".stripMargin,
+    "text_hapax_profile" ->
+      """WITH cnt AS (
+        |  SELECT source, token, count(*) AS n FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) u
+        |  WHERE token <> '' GROUP BY source, token)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*)::BIGINT AS vocab,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hapax,
+        |  CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dis,
+        |  floor(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS hapax_share,
+        |  floor(count(*)::DOUBLE / sum(n) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS type_token_ratio
+        |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
     "text_kl_divergence" ->
       """WITH tk AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS token
@@ -2032,12 +2162,14 @@ object TextAnalysis {
         |btc AS (SELECT count(*) AS bt FROM ty),
         |probs AS (
         |  SELECT p.w1, p.w2,
-        |    ln(greatest(p.c12::DOUBLE - 0.75, 0.0) / f.c1
-        |      + 0.75 / f.c1 * f.n1f * (x.n1p::DOUBLE / b.bt)) AS lp
+        |    CAST(floor(ln(greatest(p.c12::DOUBLE - 0.75, 0.0) / f.c1
+        |      + 0.75 / f.c1 * f.n1f * (x.n1p::DOUBLE / b.bt))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS lpu
         |  FROM (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2) p
         |  JOIN fst f USING (w1) JOIN ctx x ON x.w2 = p.w2, btc b)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  floor(-avg(lp) * 1000000.0 + 0.5) / 1000000.0 AS avg_kn_surprisal
+        |  floor(-(sum(lpu)::DOUBLE / 1000000000.0 / count(*))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_kn_surprisal
         |FROM bg JOIN probs USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_mattr" ->
@@ -2106,11 +2238,13 @@ object TextAnalysis {
         |pr AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
         |probs AS (
         |  SELECT p.w1, p.w2,
-        |    ln(0.7 * (p.c12::DOUBLE / f.c1)
-        |      + (1 - 0.7) * (u.cw::DOUBLE / t.tw)) AS lp
+        |    CAST(floor(ln(0.7 * (p.c12::DOUBLE / f.c1)
+        |      + (1 - 0.7) * (u.cw::DOUBLE / t.tw))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS lpu
         |  FROM pr p JOIN fst f USING (w1) JOIN uni u ON u.w = p.w2, tw t)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  floor(-avg(lp) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
+        |  floor(-(sum(lpu)::DOUBLE / 1000000000.0 / count(*))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
         |FROM bg JOIN probs USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
@@ -2121,10 +2255,12 @@ object TextAnalysis {
         |tf AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
         |lp AS (
-        |  SELECT token, ln(cnt::DOUBLE / total::DOUBLE) AS logp
+        |  SELECT token, CAST(floor(ln(cnt::DOUBLE / total::DOUBLE)
+        |    * 1000000000.0 + 0.5) AS BIGINT) AS lpu
         |  FROM tf CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tok,
-        |  floor(-avg(logp) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
+        |  floor(-(sum(lpu)::DOUBLE / 1000000000.0 / count(*))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_surprisal
         |FROM t JOIN lp USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bpe_pair_stats" ->

@@ -253,6 +253,68 @@ object EventStreams {
       .orderBy($"user_id")
   }
 
+  final case class EwmaRow(event_type: String, n_events: Long,
+                           ewma_cents: Double)
+
+  /** G29 — streaming EWMA level monitor per event_type: the live
+    * "what does this metric sit at NOW, smoothed" gauge (λ = 0.25) —
+    * the streaming face of B86's batch EWMA chart, kept as state so
+    * ingest reads the level without any re-scan. State is TWO fields
+    * per type (current ewma, count); rows fold in (event-time,
+    * event_id) order within each batch — the G4/G18 in-order
+    * contract — so the fold is the same deterministic double sequence
+    * in any batch slicing, and the oracle replays it with an ordered
+    * `list_reduce` (an EWMA is inherently sequential: this is the
+    * sorted-fold exactness discipline, not an unordered float sum).
+    * Inputs are exact integer cents; the one division to dollars
+    * happens at output.
+    */
+  def streamEwmaMonitor(spark: SparkSession, dir: String,
+                        alpha: Double = 0.25,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = eventStream(spark, dir, maxFilesPerTrigger)
+      .select($"event_type".as[String], $"event_id".as[Long],
+        expr("ts DIV 1000").as[Long],
+        floor($"value" * 100.0 + 0.5).cast("long").as[Long])
+    val updated = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[(Double, Long)]) =>
+          var (e, n) = state.getOption.getOrElse((0.0, 0L))
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { r =>
+            val c = r._4.toDouble
+            e = if (n == 0L) c else e + alpha * (c - e)
+            n += 1
+          }
+          state.update((e, n))
+          EwmaRow(tpe, n, e)
+      }
+    val name = s"graft_stream_ewma_${counter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    try {
+      val q = updated.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // one input batch → one (final) update per type; multi-batch runs
+    // keep the last update per key (spec feeds time-ordered slices)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"n_events".desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_type", $"n_events",
+        (floor($"ewma_cents" / 100.0 * 10000.0 + 0.5) / 10000.0)
+          .as("ewma"))
+      .orderBy($"event_type")
+  }
+
   final case class FunnelState(t1: Long, t2: Long, t3: Long,
                                upd: Long = 0L)
   final case class FunnelRow(user_id: Long, signup_us: Long,
@@ -646,6 +708,20 @@ object EventStreams {
     // converge to the same digit profile (G28, an orders-stream
     // ingest gate — lives here with the business-stream monitors)
     "stream_benford" -> graft.ops.Stats.oracles("revenue_benford"),
+    "stream_ewma_monitor" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+        |    epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_events,
+        |    list(c::DOUBLE ORDER BY us, event_id) AS cs
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n_events,
+        |  floor(list_reduce(cs, (a, x) -> a + 0.25 * (x - a))
+        |    / 100.0 * 10000.0 + 0.5) / 10000.0 AS ewma
+        |FROM l ORDER BY event_type""".stripMargin,
     "stream_session_timeout" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us FROM events),

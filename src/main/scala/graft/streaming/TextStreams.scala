@@ -101,14 +101,17 @@ object TextStreams {
       .schema(docSchema)
       .option("pathGlobFilter", "documents*.parquet")
       .parquet(dir)
+    // integer 1e-9-unit log-ratio state (see bucketLogRatio): the
+    // streaming sum is exact and micro-batch-order independent
     val scored = graft.ops.Curation.bigramBuckets(docs)
       .join(broadcast(ratio), "b")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), avg($"lr").as("mlr"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"lru".cast("decimal(38,0)")).as("slru"))
     EventStreams.runToCompletion(scored, "graft_stream_importance")
       .select($"doc_id", $"n_bigrams",
-        (floor($"mlr" * 1000000.0 + 0.5).cast("double") / 1000000.0)
-          .as("weight"))
+        (floor($"slru".cast("double") / 1000000000.0 / $"n_bigrams"
+          * 1000000.0 + 0.5).cast("double") / 1000000.0).as("weight"))
       .orderBy($"doc_id")
   }
 

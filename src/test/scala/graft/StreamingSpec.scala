@@ -289,6 +289,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(multiDrift.nonEmpty)
     assert(multiDrift.map(_.toString).toSeq ===
       oneDrift.map(_.toString).toSeq)
+    // the EWMA monitor is order-sensitive like the drift monitor:
+    // three time-sliced batches must fold to the single-batch level
+    val multiEwma = EventStreams.streamEwmaMonitor(spark, tmp,
+      maxFilesPerTrigger = Some(1)).collect()
+    val oneEwma = EventStreams.streamEwmaMonitor(spark, sf).collect()
+    assert(multiEwma.nonEmpty)
+    assert(multiEwma.map(_.toString).toSeq ===
+      oneEwma.map(_.toString).toSeq)
   }
 
   test("session timeout: emits on gap or watermark expiry, withholds open tails") {

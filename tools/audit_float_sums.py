@@ -84,10 +84,10 @@ def ident_product_candidates(q, sql):
     return out
 
 
-def extract_sums(sql):
-    """Yield the argument of every sum(...) with balanced parens."""
+def extract_fn(sql, fn):
+    """Yield the argument of every fn(...) with balanced parens."""
     out = []
-    for m in re.finditer(r"\bsum\s*\(", sql, re.I):
+    for m in re.finditer(rf"\b{fn}\s*\(", sql, re.I):
         i = m.end()
         depth = 1
         j = i
@@ -99,6 +99,25 @@ def extract_sums(sql):
             j += 1
         out.append(sql[i:j - 1].strip())
     return out
+
+
+def extract_sums(sql):
+    return extract_fn(sql, "sum")
+
+
+# avg(x) is sum(x)/count — the same unordered-float-reduction seam.
+# Integer-valued args (exact in double below 2^53) and dyadic scalings
+# (x / 2^k only shifts the exponent) are order-exact; everything else
+# must be converted to integer units or reviewed here.
+AVG_ALLOWLIST = {
+    ("doc_length_profile", "n_tok"): "integer token counts",
+    ("stream_bm25", "dl"): "integer-valued double word counts",
+    ("text_bm25", "dl"): "integer-valued double word counts",
+    ("pack_efficiency", "tok::DOUBLE / 512"):
+        "dyadic: /2^9 only shifts the exponent, addends exact",
+    ("spatial_locality_report", "area"): "integer grid-cell areas",
+    ("curriculum_order", "n_tok"): "integer token counts",
+}
 
 
 FLOAT_PAT = re.compile(
@@ -206,6 +225,19 @@ def main():
     for h in hits:
         tag = "OK  " if h["allowlisted"] else "FLAG"
         print(f"{tag} {h['query']}: sum({h['expr'][:120]})")
+    # avg() pass: any float avg is flagged unless allowlisted; bare
+    # identifiers are flagged too (type-blind) so every avg gets a
+    # reviewed entry
+    avg_hits = []
+    for q, sql in sorted(oracles.items()):
+        for e in extract_fn(sql, "avg"):
+            ok = any(q == aq and snip in e
+                     for (aq, snip) in AVG_ALLOWLIST)
+            avg_hits.append({"query": q, "expr": e, "reviewed": ok})
+    bad_avg = [h for h in avg_hits if not h["reviewed"]]
+    print(f"avg hits: {len(avg_hits)}  unreviewed: {len(bad_avg)}")
+    for h in bad_avg:
+        print(f"AVG  {h['query']}: avg({h['expr'][:120]})")
     # secondary pass: type-blind identifier products
     cand = []
     for q, sql in sorted(oracles.items()):
@@ -222,7 +254,7 @@ def main():
     if len(sys.argv) > 3 and sys.argv[2] == "--json":
         json.dump({"float": hits, "ident": cand},
                   open(sys.argv[3], "w"), indent=1)
-    sys.exit(1 if bad or badc else 0)
+    sys.exit(1 if bad or badc or bad_avg else 0)
 
 
 if __name__ == "__main__":
