@@ -147,7 +147,14 @@ class AdversarialDataSpec extends SparkSpecBase {
     // hostile axes can push through a zero denominator
     "segment_trend", "events_chi2_independence", "revenue_benford",
     "orders_winsorized_mean", "stratified_sample_plan", "events_anova",
-    "revenue_ccf", "text_simpson", "text_heavy_tokens")
+    "revenue_ccf", "text_simpson", "text_heavy_tokens",
+    // round-11 additions: rank correlation (zero rank variance),
+    // inequality/tail indices (ln of non-positive totals, all-tied
+    // tails), KS (an empty split side), and per-source profiles
+    // (zero-length / whitespace-only corpora)
+    "daily_spearman", "user_value_theil", "order_value_hill",
+    "split_quality_ks", "text_hapax_profile", "text_char_class_profile",
+    "dedup_bytes_saved")
 
   private def badNumbers(rows: Array[Row]): Seq[String] =
     rows.iterator.flatMap { r =>

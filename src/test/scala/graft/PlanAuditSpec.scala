@@ -268,4 +268,25 @@ class PlanAuditSpec extends SparkSpecBase {
       s"window not doc-partitioned: $windows")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("order_value_hill: top-k is a TakeOrdered heap, no global sort") {
+    val plan = executedPlan("order_value_hill")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
+
+  test("user_value_theil: one two-phase corpus pass, no windows") {
+    val plan = executedPlan("user_value_theil")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("embedding_label_centroids: dim sums partial-combine, no windows") {
+    val plan = executedPlan("embedding_label_centroids")
+    // (label, dim) and per-label rollups each run partial+final
+    assert("(Object)?HashAggregate".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
