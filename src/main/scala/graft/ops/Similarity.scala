@@ -1986,7 +1986,78 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** D29 — nearest-centroid label purity: assign every vector to its
+    * nearest label centroid (the 4dp-parity assignment G12 already
+    * proves) and report, per TRUE label, how many come home — the
+    * measured answer to D28's geometry question ("the centroids are
+    * separated" ⇒ but do the POINTS respect the separation?). Purity
+    * near 1/|labels| says the labels carry no centroid-linear signal;
+    * the top confusion partner names which pair to merge or re-audit.
+    *
+    * Scale shape: centroids are the labels×dims offline artifact
+    * (bounded collect, the audited kind); assignment is one broadcast
+    * scan with an array-order fold per (vector, label) — corpus-
+    * linear ×|labels|; the rollup is labels²-bounded. Ties in the
+    * argmin break on label (array_min struct order), identically in
+    * the oracle's (dist, label) row_number.
+    */
+  def labelPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = collectedCentroids(spark, dir)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double, Long)]
+        .toDF("label", "n_vecs", "n_correct", "purity", "confused_with")
+        .select($"label", $"n_vecs", $"n_correct", $"purity",
+          $"confused_with".cast("long"))
+    val assigned = assignToCentroids(loadVecs(spark, dir), cents)
+      .select($"vec_id", $"assigned_label".cast("long").as("al"))
+    val truth = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"))
+    val conf = truth.join(assigned, "vec_id")
+      .groupBy($"label", $"al").agg(count(lit(1)).as("n"))
+    conf.groupBy($"label")
+      .agg(sum($"n").as("n_vecs"),
+        sum(when($"al" === $"label", $"n").otherwise(0L))
+          .as("n_correct"),
+        max(when($"al" =!= $"label",
+          struct($"n", (-$"al").as("neg")))).as("mc"))
+      .select($"label", $"n_vecs", $"n_correct",
+        (floor($"n_correct".cast("double") / $"n_vecs" * 10000.0 + 0.5)
+          / 10000.0).as("purity"),
+        (-$"mc.neg").as("confused_with"))
+      .orderBy($"label")
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "embedding_label_purity" -> {
+      // the G12 assignment CTE re-used verbatim, then a truth join +
+      // labels²-bounded confusion rollup
+      val assign = centroidAssignOracle
+        .replace("SELECT vec_id, label AS assigned_label,",
+          "SELECT vec_id, label AS al,")
+        .replace("floor(dist * 1000000.0 + 0.5) / 1000000.0 AS dist\n",
+          "0 AS unused\n")
+      s"""WITH asg AS ($assign),
+         |t AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+         |c AS (
+         |  SELECT t.label, asg.al::BIGINT AS al, count(*) AS n
+         |  FROM t JOIN asg USING (vec_id) GROUP BY 1, 2),
+         |p AS (
+         |  SELECT label, CAST(sum(n) AS BIGINT) AS n_vecs,
+         |    CAST(sum(CASE WHEN al = label THEN n ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM c GROUP BY label),
+         |w AS (
+         |  SELECT label, al, row_number() OVER (
+         |    PARTITION BY label ORDER BY n DESC, al) AS rk
+         |  FROM c WHERE al <> label),
+         |mc AS (SELECT label, al AS confused_with FROM w WHERE rk = 1)
+         |SELECT p.label, p.n_vecs, p.n_correct,
+         |  floor(p.n_correct::DOUBLE / p.n_vecs * 10000.0 + 0.5)
+         |    / 10000.0 AS purity,
+         |  mc.confused_with
+         |FROM p LEFT JOIN mc USING (label) ORDER BY p.label""".stripMargin
+    },
     "embedding_label_centroids" ->
       """WITH q AS (
         |  SELECT label::BIGINT AS label,

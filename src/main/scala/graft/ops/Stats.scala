@@ -605,7 +605,195 @@ object Stats {
       .filter($"k_used" >= 0)
   }
 
+  /** B90 — Mann–Kendall trend test on daily revenue: the
+    * NONPARAMETRIC "is there a monotone trend?" gate (B79's OLS slope
+    * assumes linearity and is whale-day-sensitive; MK counts
+    * concordant pairs, so one outlier day moves S by at most n−1).
+    * S = Σ_{i<j} sign(x_j − x_i) is an exact INTEGER; Var(S) carries
+    * the standard tie correction [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 in
+    * exact DECIMAL(38,0) (≙ HUGEINT — the products wrap a Long once
+    * n passes ~10⁶ days… insurance, not expectation); the
+    * continuity-corrected Z is one shared double chain.
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded daily
+    * frame FIRST; the pair set is days²-bounded (theil_sen stance),
+    * never the corpus. n < 2 or zero variance → defined nulls.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .groupBy($"o_orderdate")
+      .agg(floorDivCents("sum(cents)").as("x"))
+      .localCheckpoint()
+    val a = daily.select($"o_orderdate".as("da"), $"x".as("xa"))
+    val b = daily.select($"o_orderdate".as("db"), $"x".as("xb"))
+    val s = a.join(b, $"da" < $"db")
+      .agg(coalesce(sum(signum(($"xb" - $"xa").cast("double"))
+        .cast("long")), lit(0L)).as("s_stat"))
+    val nf = daily.agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy($"x").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum($"t".cast("decimal(38,0)") * ($"t" - 1) *
+        (lit(2L) * $"t" + 5)), lit(0L).cast("decimal(38,0)"))
+        .as("tsum"))
+    val varNum = $"n".cast("decimal(38,0)") * ($"n" - 1) *
+      (lit(2L) * $"n" + 5) - $"tsum"
+    s.crossJoin(broadcast(nf)).crossJoin(broadcast(ties))
+      .select($"n".as("n_days"), $"s_stat",
+        when(varNum > 0,
+          floor(varNum.cast("double") / 18.0 * 10000.0 + 0.5)
+            / 10000.0).as("var_s"),
+        when(varNum > 0,
+          when($"s_stat" > 0,
+            floor(($"s_stat" - 1).cast("double") /
+              sqrt(varNum.cast("double") / 18.0) * 1000000.0 + 0.5)
+              / 1000000.0)
+            .when($"s_stat" < 0,
+              floor(($"s_stat" + 1).cast("double") /
+                sqrt(varNum.cast("double") / 18.0) * 1000000.0 + 0.5)
+                / 1000000.0)
+            .otherwise(0.0)).as("z"))
+      .withColumn("trend",
+        when($"z".isNotNull, abs($"z") > 1.96))
+      .filter($"n_days" > 0)
+  }
+
+  /** B91 — Wald–Wolfowitz runs test on daily revenue about its
+    * median: the randomness gate ("do high and low days cluster?")
+    * that neither the trend tests (B79/B90 — monotone drift) nor the
+    * drift monitors (B73/B86 — level shifts) ask; too FEW runs means
+    * regimes, too MANY means oscillation (e.g. a batching artifact in
+    * the feed). The median is the exact interpolated percentile of
+    * the daily frame; days equal to it drop (standard treatment);
+    * a/b/R are exact integers from one pass over the calendar-bounded
+    * frame (the run count is a lag window over days, never data) and
+    * μ/σ²/Z derive in one shared double chain (2ab products in
+    * DECIMAL ≙ HUGEINT). Degenerate corpora (a = 0 ∨ b = 0 ∨ n < 2)
+    * get defined nulls.
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .groupBy($"o_orderdate")
+      .agg(floorDivCents("sum(cents)").as("x"))
+    val med = daily.agg(expr("percentile(x, 0.5)").as("med"))
+    val marked = daily.crossJoin(broadcast(med))
+      .filter($"x" =!= $"med")
+      .withColumn("above", ($"x" > $"med").cast("long"))
+    val w = W.orderBy($"o_orderdate")
+    val runs = marked
+      .withColumn("brk",
+        when(lag($"above", 1).over(w).isNull ||
+          lag($"above", 1).over(w) =!= $"above", 1L).otherwise(0L))
+      .agg(coalesce(sum($"brk"), lit(0L)).as("n_runs"),
+        coalesce(sum($"above"), lit(0L)).as("a"),
+        coalesce(sum(lit(1L) - $"above"), lit(0L)).as("b"))
+    val ab2 = $"a".cast("decimal(38,0)") * $"b" * 2
+    val nn = $"a" + $"b"
+    runs
+      .select($"n_runs", $"a".as("n_above"), $"b".as("n_below"),
+        when($"a" > 0 && $"b" > 0,
+          floor((lit(1.0) + ab2.cast("double") / nn) * 10000.0 + 0.5)
+            / 10000.0).as("mu_runs"),
+        when($"a" > 0 && $"b" > 0 && nn > 1 &&
+          ab2 * (ab2 - nn) > 0,
+          floor(($"n_runs" - (lit(1.0) + ab2.cast("double") / nn)) /
+            sqrt((ab2 * (ab2 - nn)).cast("double") /
+              (nn.cast("double") * nn * (nn - 1)))
+            * 1000000.0 + 0.5) / 1000000.0).as("z"))
+      .filter($"n_runs" > 0 || $"n_above" > 0 || $"n_below" > 0)
+  }
+
   val oracles: Map[String, String] = Map(
+    "revenue_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT o_orderdate,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      // 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |s AS (
+        |  SELECT coalesce(CAST(sum(sign(b.x - a.x)) AS BIGINT), 0)
+        |    AS s_stat
+        |  FROM d a JOIN d b ON a.o_orderdate < b.o_orderdate),
+        |nf AS (SELECT count(*)::BIGINT AS n FROM d),
+        |tg AS (SELECT x, count(*)::BIGINT AS t FROM d GROUP BY x),
+        |ts AS (
+        |  SELECT coalesce(sum(t::HUGEINT * (t - 1) * (2 * t + 5)),
+        |    0::HUGEINT) AS tsum
+        |  FROM tg),
+        |m AS (
+        |  SELECT n, s_stat,
+        |    n::HUGEINT * (n - 1) * (2 * n + 5) - tsum AS var_num
+        |  FROM s, nf, ts)
+        |SELECT n AS n_days, s_stat,
+        |  CASE WHEN var_num > 0 THEN
+        |    floor(var_num::DOUBLE / 18.0 * 10000.0 + 0.5) / 10000.0
+        |  END AS var_s,
+        |  CASE WHEN var_num > 0 THEN
+        |    CASE WHEN s_stat > 0 THEN
+        |      floor((s_stat - 1)::DOUBLE /
+        |        sqrt(var_num::DOUBLE / 18.0) * 1000000.0 + 0.5)
+        |        / 1000000.0
+        |    WHEN s_stat < 0 THEN
+        |      floor((s_stat + 1)::DOUBLE /
+        |        sqrt(var_num::DOUBLE / 18.0) * 1000000.0 + 0.5)
+        |        / 1000000.0
+        |    ELSE 0.0 END
+        |  END AS z,
+        |  CASE WHEN var_num > 0 THEN
+        |    abs(CASE WHEN s_stat > 0 THEN
+        |      floor((s_stat - 1)::DOUBLE /
+        |        sqrt(var_num::DOUBLE / 18.0) * 1000000.0 + 0.5)
+        |        / 1000000.0
+        |    WHEN s_stat < 0 THEN
+        |      floor((s_stat + 1)::DOUBLE /
+        |        sqrt(var_num::DOUBLE / 18.0) * 1000000.0 + 0.5)
+        |        / 1000000.0
+        |    ELSE 0.0 END) > 1.96
+        |  END AS trend
+        |FROM m WHERE n > 0""".stripMargin,
+    "revenue_runs_test" ->
+      """WITH d AS (
+        |  SELECT o_orderdate,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      // 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |md AS (SELECT quantile_cont(x, 0.5) AS med FROM d),
+        |mk AS (
+        |  SELECT o_orderdate,
+        |    CASE WHEN x > med THEN 1 ELSE 0 END::BIGINT AS above
+        |  FROM d, md WHERE x <> med),
+        |lg AS (
+        |  SELECT above,
+        |    CASE WHEN lag(above) OVER (ORDER BY o_orderdate) IS NULL
+        |      OR lag(above) OVER (ORDER BY o_orderdate) <> above
+        |      THEN 1 ELSE 0 END::BIGINT AS brk
+        |  FROM mk),
+        |r AS (
+        |  SELECT coalesce(CAST(sum(brk) AS BIGINT), 0) AS n_runs,
+        |    coalesce(CAST(sum(above) AS BIGINT), 0) AS a,
+        |    coalesce(CAST(sum(1 - above) AS BIGINT), 0) AS b
+        |  FROM lg)
+        |SELECT n_runs, a AS n_above, b AS n_below,
+        |  CASE WHEN a > 0 AND b > 0 THEN
+        |    floor((1.0 + (a::HUGEINT * b * 2)::DOUBLE / (a + b))
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS mu_runs,
+        |  CASE WHEN a > 0 AND b > 0 AND a + b > 1
+        |      AND a::HUGEINT * b * 2 * (a::HUGEINT * b * 2 - (a + b))
+        |        > 0 THEN
+        |    floor((n_runs - (1.0 + (a::HUGEINT * b * 2)::DOUBLE
+        |        / (a + b))) /
+        |      sqrt((a::HUGEINT * b * 2
+        |          * (a::HUGEINT * b * 2 - (a + b)))::DOUBLE /
+        |        ((a + b)::DOUBLE * (a + b) * (a + b - 1)))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS z
+        |FROM r WHERE n_runs > 0 OR n_above > 0 OR n_below > 0""".stripMargin,
     "order_value_hill" ->
       """WITH top AS (
         |  SELECT c,

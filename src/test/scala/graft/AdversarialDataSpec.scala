@@ -154,7 +154,7 @@ class AdversarialDataSpec extends SparkSpecBase {
     // (zero-length / whitespace-only corpora)
     "daily_spearman", "user_value_theil", "order_value_hill",
     "split_quality_ks", "text_hapax_profile", "text_char_class_profile",
-    "dedup_bytes_saved")
+    "dedup_bytes_saved", "revenue_mann_kendall", "revenue_runs_test")
 
   private def badNumbers(rows: Array[Row]): Seq[String] =
     rows.iterator.flatMap { r =>
