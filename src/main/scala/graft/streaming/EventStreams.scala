@@ -315,6 +315,63 @@ object EventStreams {
       .orderBy($"event_type")
   }
 
+  /** G30 — streaming EXACT percentiles via a bounded-domain value
+    * histogram as state: per (event_type, distinct value) one counter,
+    * forever (the 2dp metric domain bounds distinct values at ~33k per
+    * type — fixed state on an unbounded stream, where a true streaming
+    * quantile would need a GK/KLL sketch and surrender exactness).
+    * This is the third state pattern next to G25 (KMV set sketch) and
+    * G27 (Misra–Gries): when the DOMAIN is bounded, the exact
+    * histogram IS the constant-memory summary. The drained histogram
+    * finalizes into interpolated p50/p90/p99 with the classic
+    * pos = q·(n−1) rank interpolation written identically in the
+    * oracle (rank selection against the cumulative histogram — no
+    * per-type value materialization even at finalize).
+    */
+  def streamValuePercentiles(spark: SparkSession, dir: String,
+                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val hist = eventStream(spark, dir, maxFilesPerTrigger)
+      .groupBy($"event_type", $"value".as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val drained = runToCompletion(hist, "graft_stream_vpct")
+    val w = W.partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = drained
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("prev", $"cum" - $"cnt")
+      .localCheckpoint()
+    val ns = drained.groupBy($"event_type").agg(sum($"cnt").as("n"))
+    val qs = Seq(0.5, 0.9, 0.99).toDF("q")
+    val pos = ns.crossJoin(broadcast(qs))
+      .withColumn("posd", $"q" * ($"n" - 1).cast("double"))
+      .withColumn("klo", floor($"posd").cast("long") + 1)
+      .withColumn("khi", ceil($"posd").cast("long") + 1)
+    val vlo = pos.join(cum.select($"event_type", $"v".as("vlo"),
+        $"cum", $"prev"),
+      Seq("event_type")).filter($"klo" > $"prev" && $"klo" <= $"cum")
+      .select($"event_type", $"q", $"n", $"posd", $"khi", $"vlo")
+    val vhi = cum.select($"event_type".as("et2"), $"v".as("vhi"),
+      $"cum".as("cum2"), $"prev".as("prev2"))
+    val interp = vlo.join(vhi, $"event_type" === $"et2" &&
+        $"khi" > $"prev2" && $"khi" <= $"cum2")
+      .select($"event_type", $"q",
+        ($"vlo" + ($"posd" - floor($"posd")) * ($"vhi" - $"vlo"))
+          .as("p"), $"n")
+    interp.groupBy($"event_type")
+      .agg(max($"n").as("nn"),
+        max(when($"q" === 0.5, $"p")).as("r50"),
+        max(when($"q" === 0.9, $"p")).as("r90"),
+        max(when($"q" === 0.99, $"p")).as("r99"))
+      .select($"event_type",
+        (floor($"r50" * 10000.0 + 0.5).cast("double") / 10000.0).as("p50"),
+        (floor($"r90" * 10000.0 + 0.5).cast("double") / 10000.0).as("p90"),
+        (floor($"r99" * 10000.0 + 0.5).cast("double") / 10000.0).as("p99"),
+        $"nn".as("n"))
+      .orderBy($"event_type")
+  }
+
   final case class FunnelState(t1: Long, t2: Long, t3: Long,
                                upd: Long = 0L)
   final case class FunnelRow(user_id: Long, signup_us: Long,
@@ -708,6 +765,42 @@ object EventStreams {
     // converge to the same digit profile (G28, an orders-stream
     // ingest gate — lives here with the business-stream monitors)
     "stream_benford" -> graft.ops.Stats.oracles("revenue_benford"),
+    "stream_value_percentiles" ->
+      """WITH hist AS (
+        |  SELECT event_type, value AS v, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY event_type, value),
+        |cum AS (
+        |  SELECT event_type, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM hist),
+        |c2 AS (SELECT *, cum - cnt AS prev FROM cum),
+        |ns AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM hist
+        |  GROUP BY event_type),
+        |pos AS (
+        |  SELECT event_type, n, q, q * (n - 1)::DOUBLE AS posd,
+        |    CAST(floor(q * (n - 1)::DOUBLE) AS BIGINT) + 1 AS klo,
+        |    CAST(ceil(q * (n - 1)::DOUBLE) AS BIGINT) + 1 AS khi
+        |  FROM ns, (SELECT unnest([0.5, 0.9, 0.99]) AS q) u),
+        |vlo AS (
+        |  SELECT p.event_type, p.q, p.n, p.posd, p.khi, c.v AS vlo
+        |  FROM pos p JOIN c2 c ON c.event_type = p.event_type
+        |    AND p.klo > c.prev AND p.klo <= c.cum),
+        |ip AS (
+        |  SELECT l.event_type, l.q, l.n,
+        |    l.vlo + (l.posd - floor(l.posd)) * (c.v - l.vlo) AS p
+        |  FROM vlo l JOIN c2 c ON c.event_type = l.event_type
+        |    AND l.khi > c.prev AND l.khi <= c.cum)
+        |SELECT event_type,
+        |  floor(max(CASE WHEN q = 0.5 THEN p END) * 10000.0 + 0.5)
+        |    / 10000.0 AS p50,
+        |  floor(max(CASE WHEN q = 0.9 THEN p END) * 10000.0 + 0.5)
+        |    / 10000.0 AS p90,
+        |  floor(max(CASE WHEN q = 0.99 THEN p END) * 10000.0 + 0.5)
+        |    / 10000.0 AS p99,
+        |  max(n) AS n
+        |FROM ip GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_ewma_monitor" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -297,6 +297,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(multiEwma.nonEmpty)
     assert(multiEwma.map(_.toString).toSeq ===
       oneEwma.map(_.toString).toSeq)
+    // the value histogram is a commutative count state — arbitrary
+    // batch slicing lands exactly on the single-batch percentiles
+    val multiPct = EventStreams.streamValuePercentiles(spark, tmp,
+      maxFilesPerTrigger = Some(1)).collect()
+    val onePct = EventStreams.streamValuePercentiles(spark, sf).collect()
+    assert(multiPct.nonEmpty)
+    assert(multiPct.map(_.toString).toSeq ===
+      onePct.map(_.toString).toSeq)
   }
 
   test("session timeout: emits on gap or watermark expiry, withholds open tails") {
