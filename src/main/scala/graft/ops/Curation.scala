@@ -923,7 +923,117 @@ object Curation {
         ($"d" > $"crit_05").as("reject_05"))
   }
 
+  /** H31 — filter selection-bias audit: per language, what did E28's
+    * Gopher gate actually REMOVE? Kept-vs-dropped doc counts, mean
+    * lengths, and the standardized mean difference
+    * (μ_k − μ_d)/√((σ²_k + σ²_d)/2) — a |SMD| ≳ 0.8 says the filter
+    * is doing LENGTH selection in that language, not quality
+    * selection, which skews the surviving mix exactly like skipping
+    * H5's reweighting (the classic "the filter silently deleted the
+    * long-form German" failure). Moments are exact integers from one
+    * conditional rollup (keep∈{0,1} gates the sums; Σlen² rides
+    * DECIMAL(38,0) ≙ HUGEINT); the SMD is one shared double chain;
+    * one-sided languages get defined nulls.
+    *
+    * Scale shape: E28's corpus-linear explode→rollup produces the
+    * flags; ONE more doc-keyed join + langs-sized conditional
+    * aggregate. Nothing new shuffles beyond the flag join.
+    */
+  def selectionBiasAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flags = TextAnalysis.gopherRules(spark, dir)
+      .select($"doc_id", $"keep")
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val g = docs.join(flags, "doc_id")
+      .groupBy($"lang").agg(
+        sum($"keep").as("n_keep"),
+        sum(lit(1L) - $"keep").as("n_drop"),
+        sum($"keep" * $"n_chars").as("slk"),
+        sum((lit(1L) - $"keep") * $"n_chars").as("sld"),
+        sum(($"keep" * $"n_chars").cast("decimal(38,0)") * $"n_chars")
+          .as("sl2k"),
+        sum(((lit(1L) - $"keep") * $"n_chars").cast("decimal(38,0)")
+          * $"n_chars").as("sl2d"))
+    // greatest(n, 1) keeps the division defined under ANSI when a
+    // language is ALL-kept or ALL-dropped (hostile fixture) — the
+    // affected side's sums are 0 so the value is 0, and the when()
+    // guards below exclude it from the output anyway
+    val muk = $"slk".cast("double") / greatest($"n_keep", lit(1L))
+    val mud = $"sld".cast("double") / greatest($"n_drop", lit(1L))
+    val vk = $"sl2k".cast("double") / greatest($"n_keep", lit(1L)) -
+      muk * muk
+    val vd = $"sl2d".cast("double") / greatest($"n_drop", lit(1L)) -
+      mud * mud
+    g.select($"lang", $"n_keep", $"n_drop",
+        when($"n_keep" > 0,
+          floor(muk * 100.0 + 0.5) / 100.0).as("mean_len_keep"),
+        when($"n_drop" > 0,
+          floor(mud * 100.0 + 0.5) / 100.0).as("mean_len_drop"),
+        when($"n_keep" > 0 && $"n_drop" > 0 && vk + vd > 0.0,
+          floor((muk - mud) / sqrt((vk + vd) / 2.0) * 10000.0 + 0.5)
+            / 10000.0).as("smd"))
+      .orderBy($"lang")
+  }
+
   val oracles: Map[String, String] = Map(
+    "selection_bias_audit" ->
+      ("""WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM w WHERE w <> ''
+        |  GROUP BY doc_id, w),
+        |stats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(sum(length(w) * c) AS BIGINT) AS sum_len,
+        |    count(*) AS n_distinct, max(c) AS top_c,
+        |    count(*) FILTER (w IN ('""" +
+        TextAnalysis.Stopwords.mkString("', '") +
+      """')) AS n_stop_types
+        |  FROM wc GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, n_words, n_stop_types,
+        |    floor(sum_len::DOUBLE / n_words * 10000.0 + 0.5) / 10000.0
+        |      AS mean_word_len,
+        |    floor(top_c::DOUBLE / n_words * 1000000.0 + 0.5) / 1000000.0
+        |      AS top_word_frac
+        |  FROM stats),
+        |k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_words BETWEEN 50 AND 100000
+        |      AND mean_word_len BETWEEN 3.0 AND 10.0
+        |      AND n_stop_types >= 2 AND top_word_frac <= 0.1
+        |      THEN 1 ELSE 0 END::BIGINT AS keep
+        |  FROM r),
+        |g AS (
+        |  SELECT d.lang,
+        |    CAST(sum(k.keep) AS BIGINT) AS n_keep,
+        |    CAST(sum(1 - k.keep) AS BIGINT) AS n_drop,
+        |    CAST(sum(k.keep * d.n_chars) AS BIGINT) AS slk,
+        |    CAST(sum((1 - k.keep) * d.n_chars) AS BIGINT) AS sld,
+        |    sum((k.keep * d.n_chars)::HUGEINT * d.n_chars) AS sl2k,
+        |    sum(((1 - k.keep) * d.n_chars)::HUGEINT * d.n_chars)
+        |      AS sl2d
+        |  FROM documents d JOIN k USING (doc_id)
+        |  GROUP BY d.lang),
+        |m AS (
+        |  SELECT lang, n_keep, n_drop,
+        |    slk::DOUBLE / n_keep AS muk, sld::DOUBLE / n_drop AS mud,
+        |    sl2k::DOUBLE / n_keep
+        |      - (slk::DOUBLE / n_keep) * (slk::DOUBLE / n_keep) AS vk,
+        |    sl2d::DOUBLE / n_drop
+        |      - (sld::DOUBLE / n_drop) * (sld::DOUBLE / n_drop) AS vd
+        |  FROM g)
+        |SELECT lang, n_keep, n_drop,
+        |  CASE WHEN n_keep > 0 THEN
+        |    floor(muk * 100.0 + 0.5) / 100.0 END AS mean_len_keep,
+        |  CASE WHEN n_drop > 0 THEN
+        |    floor(mud * 100.0 + 0.5) / 100.0 END AS mean_len_drop,
+        |  CASE WHEN n_keep > 0 AND n_drop > 0 AND vk + vd > 0.0 THEN
+        |    floor((muk - mud) / sqrt((vk + vd) / 2.0) * 10000.0 + 0.5)
+        |      / 10000.0 END AS smd
+        |FROM m ORDER BY lang""").stripMargin,
     "split_quality_ks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks, text

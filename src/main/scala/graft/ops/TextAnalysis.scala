@@ -11,7 +11,7 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+  private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
     "on", "for", "with")
 
   /** Per-language discriminator word lists for the heuristic

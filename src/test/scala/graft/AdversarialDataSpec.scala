@@ -154,7 +154,8 @@ class AdversarialDataSpec extends SparkSpecBase {
     // (zero-length / whitespace-only corpora)
     "daily_spearman", "user_value_theil", "order_value_hill",
     "split_quality_ks", "text_hapax_profile", "text_char_class_profile",
-    "dedup_bytes_saved", "revenue_mann_kendall", "revenue_runs_test")
+    "dedup_bytes_saved", "revenue_mann_kendall", "revenue_runs_test",
+    "selection_bias_audit")
 
   private def badNumbers(rows: Array[Row]): Seq[String] =
     rows.iterator.flatMap { r =>

@@ -67,6 +67,8 @@ REVIEWED_IDENT_PRODUCTS = {
         "integral-valued double qty: exact below 2^53",
     ("q6_forecast_revenue", "floor(l_extendedprice * 100.0 + 0.5)"):
         "integer cents × integer hundredths in HUGEINT",
+    ("selection_bias_audit", "k.keep * d.n_chars"):
+        "0/1 gate × BIGINT length: integer sum (squares ride HUGEINT)",
 }
 
 
