@@ -35,6 +35,15 @@ object Analytics {
     */
   private def u2(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
 
+  /** Quantity → Long via explicit nearest quantization floor(x+0.5),
+    * textually mirrored in the oracles as
+    * `CAST(floor(l_quantity + 0.5) AS BIGINT)`. A bare Spark
+    * `cast("long")` truncates toward zero while DuckDB's `::BIGINT`
+    * rounds to nearest — identical on the integral generators but a
+    * silent divergence on non-integral hostile quantities.
+    */
+  private def qlong(c: Column): Column = floor(c + 0.5).cast("long")
+
   /** Order-exact sum of per-row Long unit products (DECIMAL(38,0) ≙
     * HUGEINT; cast BEFORE any cross-row accumulation).
     */
@@ -81,7 +90,7 @@ object Analytics {
     Tables.load(spark, dir, "lineitem")
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .select($"l_returnflag", $"l_linestatus",
-        $"l_quantity".cast("long").as("qty"),
+        qlong($"l_quantity").as("qty"),
         u2($"l_extendedprice").as("pc"),
         u2($"l_discount").as("dh"), u2($"l_tax").as("th"))
       .groupBy($"l_returnflag", $"l_linestatus")
@@ -587,7 +596,7 @@ object Analytics {
     import spark.implicits._
     val pv = Tables.load(spark, dir, "lineitem")
       .groupBy($"l_partkey")
-      .agg(usum(u2($"l_extendedprice") * $"l_quantity".cast("long"))
+      .agg(usum(u2($"l_extendedprice") * qlong($"l_quantity"))
         .as("v"))
     val thresh = pv.agg(
       (sum($"v").cast("double") / count(lit(1)) * 1.5).as("thresh"))
@@ -625,7 +634,7 @@ object Analytics {
     import spark.implicits._
     val big = Tables.load(spark, dir, "lineitem")
       .groupBy($"l_orderkey")
-      .agg(sum($"l_quantity".cast("long")).as("qty"))
+      .agg(sum(qlong($"l_quantity")).as("qty"))
       .filter($"qty" > minQty)
     Tables.load(spark, dir, "orders")
       .join(big, $"o_orderkey" === $"l_orderkey")
@@ -1445,7 +1454,7 @@ object Analytics {
         $"l_orderkey" === $"o_orderkey")
       .withColumn("profit",
         rev4($"l_extendedprice", $"l_discount") -
-          lit(60L) * u2($"p_retailprice") * $"l_quantity".cast("long"))
+          lit(60L) * u2($"p_retailprice") * qlong($"l_quantity"))
       .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
       .agg(r2(dollars(usum($"profit"), 10000.0)).as("sum_profit"))
       .orderBy($"nation", $"o_year".desc)
@@ -1583,7 +1592,7 @@ object Analytics {
     import spark.implicits._
     val lineitem = Tables.load(spark, dir, "lineitem")
     val thresholds = lineitem.groupBy($"l_partkey".as("tp"))
-      .agg((sum($"l_quantity".cast("long")).cast("double")
+      .agg((sum(qlong($"l_quantity")).cast("double")
         / count(lit(1)) * 0.2).as("qty_thresh"))
     val brandParts = Tables.load(spark, dir, "part")
       .filter($"p_brand" === brand).select($"p_partkey")
@@ -1632,7 +1641,7 @@ object Analytics {
     val shipped = Tables.load(spark, dir, "lineitem")
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
       .groupBy($"l_partkey", $"l_suppkey")
-      .agg(sum($"l_quantity".cast("long")).as("supp_qty"))
+      .agg(sum(qlong($"l_quantity")).as("supp_qty"))
     val totals = shipped.groupBy($"l_partkey".as("tp"))
       .agg(sum($"supp_qty").as("part_qty"))
     val dominant = shipped
@@ -2138,7 +2147,7 @@ object Analytics {
         |  floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
         |    * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
         |    - 60 * CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
-        |    * l_quantity::BIGINT)::DOUBLE / 10000.0 * 100.0 + 0.5)
+        |    * CAST(floor(l_quantity + 0.5) AS BIGINT))::DOUBLE / 10000.0 * 100.0 + 0.5)
         |    / 100.0 AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -2211,7 +2220,7 @@ object Analytics {
     "q17_small_qty_revenue" ->
       """WITH thr AS (
         |  SELECT l_partkey,
-        |    sum(l_quantity::BIGINT)::DOUBLE / count(*) * 0.2
+        |    sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::DOUBLE / count(*) * 0.2
         |      AS qty_thresh
         |  FROM lineitem GROUP BY l_partkey)
         |SELECT floor(sum(
@@ -2237,7 +2246,7 @@ object Analytics {
     "q20_dominant_suppliers" ->
       """WITH pq AS (
         |  SELECT l_partkey, l_suppkey,
-        |    sum(l_quantity::BIGINT) AS supp_qty
+        |    sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS supp_qty
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_name LIKE 'red%'
         |  GROUP BY 1, 2),
@@ -2287,7 +2296,7 @@ object Analytics {
       """WITH pv AS (
         |  SELECT l_partkey,
         |    sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
-        |      * l_quantity::BIGINT) AS v
+        |      * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS v
         |  FROM lineitem GROUP BY l_partkey)
         |SELECT l_partkey,
         |  floor(v::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS value FROM pv
@@ -2301,9 +2310,9 @@ object Analytics {
         |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
-        |  SELECT l_orderkey, sum(l_quantity::BIGINT) AS qty
+        |  SELECT l_orderkey, sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty
         |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING sum(l_quantity::BIGINT) > 300.0)
+        |  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 300.0)
         |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
         |  floor(qty * 100.0 + 0.5) / 100.0 AS total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
@@ -2342,8 +2351,10 @@ object Analytics {
         |ORDER BY side, nationkey""".stripMargin,
     "geomean_order_value" ->
       """SELECT o_orderpriority,
-        |  floor(exp(sum(CAST(floor(ln(o_totalprice)
-        |      * 1000000000000.0 + 0.5) AS HUGEINT))::DOUBLE
+        |  floor(exp(sum(CASE WHEN o_totalprice > 0
+        |      THEN CAST(floor(ln(o_totalprice)
+        |        * 1000000000000.0 + 0.5) AS HUGEINT)
+        |      ELSE 0 END)::DOUBLE
         |    / 1000000000000.0 / count(*)) * 10000.0 + 0.5)
         |    / 10000.0 AS geomean_value,
         |  count(*) AS n_orders
@@ -2634,7 +2645,7 @@ object Analytics {
     "q1_pricing_summary" ->
       """WITH u AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    l_quantity::BIGINT AS qty,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pc,
         |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS dh,
         |    CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS th

@@ -949,8 +949,9 @@ object Curation {
       .groupBy($"lang").agg(
         sum($"keep").as("n_keep"),
         sum(lit(1L) - $"keep").as("n_drop"),
-        sum($"keep" * $"n_chars").as("slk"),
-        sum((lit(1L) - $"keep") * $"n_chars").as("sld"),
+        sum(($"keep" * $"n_chars").cast("decimal(38,0)")).as("slk"),
+        sum(((lit(1L) - $"keep") * $"n_chars").cast("decimal(38,0)"))
+          .as("sld"),
         sum(($"keep" * $"n_chars").cast("decimal(38,0)") * $"n_chars")
           .as("sl2k"),
         sum(((lit(1L) - $"keep") * $"n_chars").cast("decimal(38,0)")
@@ -1010,8 +1011,8 @@ object Curation {
         |  SELECT d.lang,
         |    CAST(sum(k.keep) AS BIGINT) AS n_keep,
         |    CAST(sum(1 - k.keep) AS BIGINT) AS n_drop,
-        |    CAST(sum(k.keep * d.n_chars) AS BIGINT) AS slk,
-        |    CAST(sum((1 - k.keep) * d.n_chars) AS BIGINT) AS sld,
+        |    sum((k.keep * d.n_chars)::HUGEINT) AS slk,
+        |    sum(((1 - k.keep) * d.n_chars)::HUGEINT) AS sld,
         |    sum((k.keep * d.n_chars)::HUGEINT * d.n_chars) AS sl2k,
         |    sum(((1 - k.keep) * d.n_chars)::HUGEINT * d.n_chars)
         |      AS sl2d

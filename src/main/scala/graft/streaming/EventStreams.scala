@@ -268,6 +268,14 @@ object EventStreams {
     * sorted-fold exactness discipline, not an unordered float sum).
     * Inputs are exact integer cents; the one division to dollars
     * happens at output.
+    *
+    * ACROSS batches the fold relies on the source delivering monotone
+    * event-time slices (true for the file source over time-ordered
+    * files, asserted by the specs). Because a violated contract would
+    * produce a silently DIFFERENT EWMA than the oracle, the state
+    * carries the max (ts, event_id) already folded and the operator
+    * fails fast — not silently diverges — when a batch delivers a row
+    * at or before that mark (out-of-order delivery).
     */
   def streamEwmaMonitor(spark: SparkSession, dir: String,
                         alpha: Double = 0.25,
@@ -281,14 +289,22 @@ object EventStreams {
     val updated = stream.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (tpe: String, rows: Iterator[(String, Long, Long, Long)],
-         state: GroupState[(Double, Long)]) =>
-          var (e, n) = state.getOption.getOrElse((0.0, 0L))
+         state: GroupState[(Double, Long, Long, Long)]) =>
+          var (e, n, maxUs, maxId) =
+            state.getOption.getOrElse((0.0, 0L, Long.MinValue, Long.MinValue))
           rows.toSeq.sortBy(r => (r._3, r._2)).foreach { r =>
+            if (r._3 < maxUs || (r._3 == maxUs && r._2 <= maxId))
+              throw new IllegalStateException(
+                s"streamEwmaMonitor[$tpe]: out-of-order batch — row " +
+                  s"(ts=${r._3}, id=${r._2}) at or before folded max " +
+                  s"(ts=$maxUs, id=$maxId); the sequential fold's " +
+                  "monotone-slice contract is violated")
             val c = r._4.toDouble
             e = if (n == 0L) c else e + alpha * (c - e)
             n += 1
+            maxUs = r._3; maxId = r._2
           }
-          state.update((e, n))
+          state.update((e, n, maxUs, maxId))
           EwmaRow(tpe, n, e)
       }
     val name = s"graft_stream_ewma_${counter.incrementAndGet()}"
