@@ -1151,9 +1151,12 @@ object Analytics {
     * inputs on every run and cluster layout. Long accumulation would
     * wrap: second-order terms reach ~1.1e12, so a Long sum crosses
     * 2^63 near sf≈1.5 worst-case; decimal headroom is 1e38 (≈1e24 at
-    * 100 TB). Driver check is rows-only (the solve is not SQL); the
-    * spec replays the moments and solve serially and asserts the
-    * recovered coefficients.
+    * 100 TB). The solve itself is [[RidgeFormula]] — a shared-text
+    * Cramer expansion both engines evaluate on the identical moment
+    * doubles — so the query carries a FULL hash oracle (the moments
+    * pin the data plane; the formula pins the solve). RMSE comes from
+    * the same moment vector (RSS = syy − 2βᵀXᵀy + βᵀXᵀXβ): one data
+    * pass total, down from two.
     */
   def lineitemRidge(spark: SparkSession, dir: String,
                     lambda: Double = 1.0): DataFrame = {
@@ -1167,6 +1170,8 @@ object Analytics {
         floor($"l_extendedprice" * (lit(1.0) - $"l_discount") *
           (lit(1.0) + $"l_tax") + 0.5).cast("long").as("y"))
     def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    require(lambda == 1.0,
+      "RidgeFormula pins λ=1 into the shared oracle text")
     val m = rows.agg(
       count(lit(1)).as("n"),
       dsum($"x1").as("s1"), dsum($"x2").as("s2"), dsum($"x3").as("s3"),
@@ -1175,7 +1180,7 @@ object Analytics {
       dsum($"x1" * $"x3").as("s13"), dsum($"x2" * $"x2").as("s22"),
       dsum($"x2" * $"x3").as("s23"), dsum($"x3" * $"x3").as("s33"),
       dsum($"x1" * $"y").as("s1y"), dsum($"x2" * $"y").as("s2y"),
-      dsum($"x3" * $"y").as("s3y")).head()
+      dsum($"x3" * $"y").as("s3y"), dsum($"y" * $"y").as("syy")).head()
     def g(name: String): Double = m.get(m.fieldIndex(name)) match {
       case null                       => 0.0  // empty-input sums
       case l: java.lang.Long          => l.toDouble
@@ -1185,49 +1190,14 @@ object Analytics {
     val n = g("n")
     if (n == 0.0)  // empty lineitem: nothing to fit
       return Seq.empty[(String, Double)].toDF("term", "value")
-    // A = XᵀX + λI (features ordered x1, x2, x3, 1), b = Xᵀy
-    val a = Array(
-      Array(g("s11") + lambda, g("s12"), g("s13"), g("s1")),
-      Array(g("s12"), g("s22") + lambda, g("s23"), g("s2")),
-      Array(g("s13"), g("s23"), g("s33") + lambda, g("s3")),
-      Array(g("s1"), g("s2"), g("s3"), n + lambda))
-    val b = Array(g("s1y"), g("s2y"), g("s3y"), g("sy"))
-    val beta = solveGaussian(a, b)
-    val rmse = rows.select(
-      sqrt(avg(pow($"y" - (lit(beta(0)) * $"x1" + lit(beta(1)) * $"x2" +
-        lit(beta(2)) * $"x3" + lit(beta(3))), 2.0))).as("rmse"))
-      .head().getDouble(0)
-    Seq(("coef_price", beta(0)), ("coef_price_disc", beta(1)),
-      ("coef_price_tax", beta(2)), ("intercept", beta(3)),
-      ("train_rmse", rmse), ("n_rows", n))
+    val sol = RidgeFormula.solve(
+      RidgeFormula.momentNames.map(nm => nm -> g(nm)).toMap)
+    Seq(("coef_price", sol("beta0")), ("coef_price_disc", sol("beta1")),
+      ("coef_price_tax", sol("beta2")), ("intercept", sol("beta3")),
+      ("train_rmse", sol("rmse")), ("n_rows", n))
       .toDF("term", "value")
       .withColumn("value", floor($"value" * 1000000.0 + 0.5) / 1000000.0)
       .orderBy($"term")
-  }
-
-  /** In-place Gaussian elimination with partial pivoting for the tiny
-    * (d ≤ a-few) normal-equation systems of [[lineitemRidge]].
-    */
-  private def solveGaussian(a: Array[Array[Double]],
-                            b: Array[Double]): Array[Double] = {
-    val d = b.length
-    for (col <- 0 until d) {
-      val p = (col until d).maxBy(r => math.abs(a(r)(col)))
-      val (ta, tb) = (a(col), b(col)); a(col) = a(p); a(p) = ta
-      b(col) = b(p); b(p) = tb
-      for (r <- col + 1 until d) {
-        val f = a(r)(col) / a(col)(col)
-        for (c <- col until d) a(r)(c) -= f * a(col)(c)
-        b(r) -= f * b(col)
-      }
-    }
-    val x = new Array[Double](d)
-    for (r <- d - 1 to 0 by -1) {
-      var s = b(r)
-      for (c <- r + 1 until d) s -= a(r)(c) * x(c)
-      x(r) = s / a(r)(r)
-    }
-    x
   }
 
   def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
@@ -1796,6 +1766,43 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    // B72: the data plane (quantization + exact HUGEINT moments) in
+    // SQL, the solve as RidgeFormula's shared-text Cramer expansion —
+    // both engines run the identical IEEE chain on identical moments
+    "lineitem_ridge" ->
+      ("""WITH r AS (
+        |  SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS e,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS dc,
+        |    CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS tc,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * (1.0 + l_tax) + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |x AS (SELECT e AS x1, e * dc AS x2, e * tc AS x3, y FROM r),
+        |m AS (SELECT count(*) AS n,
+        |  sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2,
+        |  sum(x3::HUGEINT) AS s3, sum(y::HUGEINT) AS sy,
+        |  sum((x1 * x1)::HUGEINT) AS s11, sum((x1 * x2)::HUGEINT) AS s12,
+        |  sum((x1 * x3)::HUGEINT) AS s13, sum((x2 * x2)::HUGEINT) AS s22,
+        |  sum((x2 * x3)::HUGEINT) AS s23, sum((x3 * x3)::HUGEINT) AS s33,
+        |  sum((x1 * y)::HUGEINT) AS s1y, sum((x2 * y)::HUGEINT) AS s2y,
+        |  sum((x3 * y)::HUGEINT) AS s3y, sum((y * y)::HUGEINT) AS syy
+        |  FROM x),
+        |""".stripMargin + RidgeFormula.oracleTail +
+      """rfv AS (SELECT * FROM rf WHERE n > 0.0)
+        |SELECT term, value FROM (
+        |  SELECT 'coef_price' AS term,
+        |    floor(beta0 * 1000000.0 + 0.5) / 1000000.0 AS value FROM rfv
+        |  UNION ALL SELECT 'coef_price_disc',
+        |    floor(beta1 * 1000000.0 + 0.5) / 1000000.0 FROM rfv
+        |  UNION ALL SELECT 'coef_price_tax',
+        |    floor(beta2 * 1000000.0 + 0.5) / 1000000.0 FROM rfv
+        |  UNION ALL SELECT 'intercept',
+        |    floor(beta3 * 1000000.0 + 0.5) / 1000000.0 FROM rfv
+        |  UNION ALL SELECT 'train_rmse',
+        |    floor(rmse * 1000000.0 + 0.5) / 1000000.0 FROM rfv
+        |  UNION ALL SELECT 'n_rows',
+        |    floor(n * 1000000.0 + 0.5) / 1000000.0 FROM rfv)
+        |ORDER BY term""".stripMargin),
     "revenue_bootstrap_ci" -> {
       val ts = poissonCum48.mkString(", ")
       s"""WITH r AS (

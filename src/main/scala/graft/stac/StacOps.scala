@@ -309,22 +309,44 @@ object StacOps {
   }
 
   /** A10 — distributed spatial sort: range-repartition on the Hilbert
-    * key (sampling-based global ordering, no driver collect — the
-    * scale replacement for the reference's `stac_json_links.sort`,
-    * write.py:196-211). Returns per-partition hilbert ranges, which
-    * the spec asserts are disjoint and ordered.
+    * key (sampling-based global ordering, no driver collect of data —
+    * the scale replacement for the reference's
+    * `stac_json_links.sort`, write.py:196-211). Emits every granule
+    * with its GLOBAL rank, computed without a global window: ranks
+    * come from per-partition row_numbers plus partition offsets (the
+    * bucketed-offset house pattern; the offsets frame is ≤
+    * `partitions` rows). The DuckDB oracle recomputes the rank as
+    * `row_number() OVER (ORDER BY hilbert, granule_id)` — so the
+    * hash gate proves the range partitions are disjoint AND ordered:
+    * any boundary overlap or misordered partition would shift ranks
+    * and fail the compare (the property the old rows-only spec could
+    * only assert in-engine).
     */
   def spatialSort(spark: SparkSession, dir: String,
                   partitions: Int = 16): DataFrame = {
     import spark.implicits._
-    hilbertIndexQuery(spark, dir)
-      .repartitionByRange(partitions, $"hilbert")
-      .sortWithinPartitions($"hilbert")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val sorted = hilbertIndexQuery(spark, dir)
+      .select($"granule_id", $"hilbert")
+      .repartitionByRange(partitions, $"hilbert", $"granule_id")
+      .sortWithinPartitions($"hilbert", $"granule_id")
       .withColumn("part_id", spark_partition_id())
-      .groupBy($"part_id")
-      .agg(min($"hilbert").as("min_h"), max($"hilbert").as("max_h"),
-        count(lit(1)).as("n"))
-      .orderBy($"part_id")
+    // Both branches below hang off the SAME range exchange inside ONE
+    // job, so Spark reuses the shuffle stage and they see identical
+    // (sampled) boundaries — two separate actions would re-sample and
+    // could disagree. The offsets window is global but runs over the
+    // ≤ `partitions`-row counts frame, not the data.
+    val offsets = sorted.groupBy($"part_id")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum($"cnt").over(
+        W.orderBy($"part_id").rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"part_id", $"off")
+    val w = W.partitionBy($"part_id").orderBy($"hilbert", $"granule_id")
+    sorted.join(broadcast(offsets), "part_id")
+      .withColumn("rank", row_number().over(w).cast("long") + $"off")
+      .select($"rank", $"granule_id", $"hilbert")
+      .orderBy($"rank")
   }
 
   /** A12 — failed-link accounting per day (reference: fetch.py:53-66
@@ -770,6 +792,11 @@ object StacOps {
     "hilbert_index" -> (hilbertIdxSql +
       """SELECT granule_id, gx, gy, hilbert, morton FROM idx
         |ORDER BY granule_id""".stripMargin),
+    "spatial_sort" -> (hilbertIdxSql +
+      """SELECT row_number() OVER (ORDER BY hilbert, granule_id)
+        |    ::BIGINT AS rank,
+        |  granule_id, hilbert FROM idx
+        |ORDER BY rank""".stripMargin),
     "spatial_locality_report" -> (hilbertIdxSql +
       s""", stacked AS (
         |  SELECT 'hilbert' AS scheme, hilbert // ${LocalitySpan} AS bucket,

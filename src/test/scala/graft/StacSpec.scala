@@ -47,14 +47,15 @@ class StacSpec extends SparkSpecBase {
     assert(jan95L.getLong(3) === 17L)
   }
 
-  test("spatial sort yields disjoint, ordered hilbert ranges") {
-    val parts = StacOps.spatialSort(spark, sf, 8).collect()
-    assert(parts.length > 1)
-    val sorted = parts.sortBy(_.getInt(0))
-    for (i <- 1 until sorted.length) {
-      assert(sorted(i - 1).getLong(2) <= sorted(i).getLong(1),
-        s"partition ${i - 1} max overlaps partition $i min")
-    }
+  test("spatial sort: bucketed-offset ranks ≡ the global hilbert order") {
+    val rows = StacOps.spatialSort(spark, sf, 8).collect()
+    assert(rows.length > 1)
+    // ranks are the exact sequence 1..n (disjoint, ordered ranges —
+    // any boundary overlap would duplicate or skip a rank)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length.toLong))
+    // and the emitted order IS the (hilbert, granule_id) total order
+    val keys = rows.map(r => (r.getLong(2), r.getLong(1)))
+    assert(keys.toSeq === keys.toSeq.sorted)
   }
 
   test("writeMonthly: partitioned zstd layout, skip-existing, completeness") {
