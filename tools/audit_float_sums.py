@@ -69,6 +69,11 @@ REVIEWED_IDENT_PRODUCTS = {
         "integer cents × integer hundredths in HUGEINT",
     ("selection_bias_audit", "k.keep * d.n_chars"):
         "0/1 gate × BIGINT length: integer sum (squares ride HUGEINT)",
+    ("q11_part_value_share", "CAST(floor(l_quantity + 0.5) AS BIGINT)"):
+        "HUGEINT cents × nearest-quantized BIGINT qty: exact product",
+    ("q9_product_profit",
+     "100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)"):
+        "HUGEINT cents × integer hundredths: exact product",
 }
 
 
@@ -197,6 +202,12 @@ def is_float_expr(e):
     # exact integer casts inside the expr (HUGEINT/BIGINT products)
     # are integer terms — blank them before the float heuristics
     e = strip_hugeint_products(e)
+    # a CASE whose branches are an integer term and an integer literal
+    # sums exactly regardless of what float math sits in the GUARD —
+    # the condition picks the branch, it never enters the sum
+    if re.match(r"^\s*CASE\s+WHEN\s.*\sTHEN\s+INTTERM\s+"
+                r"ELSE\s+\d+\s+END\s*$", e, re.I | re.S):
+        return False
     if FLOAT_PAT.search(e):
         return True
     if DIV_PAT.search(e):
