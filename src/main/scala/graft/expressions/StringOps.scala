@@ -56,3 +56,33 @@ object FirstLink {
     null
   }
 }
+
+/** Porter stem of a lowercase word ([[graft.text.PorterStemmer]],
+  * the published 1980 step tables) as a native codegen'd expression —
+  * the verdict-r11 stretch: the registry's last scalar ScalaUDF. The
+  * stemmer itself is the same pure function; what the Expression
+  * buys is staying inside whole-stage codegen (no ScalaUDF
+  * encoder/serializer hop, null handling generated) on the
+  * vocabulary-sized frames it runs over.
+  */
+case class PorterStem(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "porter_stem"
+
+  override def nullSafeEval(w: Any): Any =
+    PorterStem.compute(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      w => s"graft.expressions.PorterStem.compute($w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PorterStem {
+  def compute(w: UTF8String): UTF8String =
+    UTF8String.fromString(graft.text.PorterStemmer.stem(w.toString))
+}

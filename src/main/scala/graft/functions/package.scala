@@ -60,6 +60,9 @@ package object functions {
   def first_link(links: Column, prefix: String, suffix: String): Column =
     toCol(FirstLink(toExpr(links), prefix, suffix))
 
+  /** Codegen'd Porter stem of a lowercase word. */
+  def porter_stem(w: Column): Column = toCol(PorterStem(toExpr(w)))
+
   /** Register graft functions for SQL use on this session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -493,22 +493,23 @@ object TextAnalysis {
     * per-language fold ratio and length shift so the indexing layer
     * can decide whether stemming pays for this corpus.
     *
-    * Scale shape: the E21 BPE discipline — the stemmer (a pure Scala
-    * function; [[graft.text.PorterStemmer]]) runs once per DISTINCT
-    * (lang, word), so the UDF cost is vocabulary-sized, never
-    * corpus-sized; everything downstream is a langs-sized partial
-    * agg on integer sums. Rows-only by declaration (no SQL engine
-    * ships Porter); the spec pins the published algorithm's
-    * canonical vectors.
+    * Scale shape: the E21 BPE discipline — the stemmer (the codegen'd
+    * [[graft.expressions.PorterStem]] expression over
+    * [[graft.text.PorterStemmer]]) runs once per DISTINCT
+    * (lang, word), so the cost is vocabulary-sized, never
+    * corpus-sized, and stays inside whole-stage codegen (r12: was the
+    * registry's last scalar ScalaUDF); everything downstream is a
+    * langs-sized partial agg on integer sums. Rows-only by
+    * declaration (no SQL engine ships Porter); the spec pins the
+    * published algorithm's canonical vectors.
     */
   def stemReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stemU = udf((w: String) => graft.text.PorterStemmer.stem(w))
     val words = Tables.load(spark, dir, "documents")
       .select($"lang", explode(split(lower($"text"), " ")).as("w"))
       .filter($"w".rlike("^[a-z]+$"))
       .distinct()
-      .withColumn("stem", stemU($"w"))
+      .withColumn("stem", graft.functions.porter_stem($"w"))
     words
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_words"),

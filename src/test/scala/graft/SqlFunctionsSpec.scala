@@ -15,4 +15,18 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(r.getSeq[Long](2).length === 8)
     assert(r.getLong(3) !== 0L)
   }
+
+  test("porter_stem expression ≡ PorterStemmer.stem through the codegen path") {
+    import spark.implicits._
+    val words = Seq("caresses", "ponies", "relational",
+      "generalizations", "hopping", "sky", "a", "oscillators")
+    val got = words.toDF("w")
+      .select(graft.functions.porter_stem($"w"))
+      .as[String].collect()
+    assert(got.toSeq === words.map(graft.text.PorterStemmer.stem))
+    // null-safety through the generated code
+    val nulls = Seq[Option[String]](Some("falling"), None).toDF("w")
+      .select(graft.functions.porter_stem($"w")).collect()
+    assert(nulls(0).getString(0) === "fall" && nulls(1).isNullAt(0))
+  }
 }
