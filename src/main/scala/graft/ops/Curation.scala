@@ -977,7 +977,85 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** H32 — integer waterfilling budget allocator: given each source's
+    * available token supply and a total training budget B (here
+    * ⌊total/2⌋ — derived from the data, so the fill level is
+    * non-trivial at every SF), find the unique level λ with
+    * Σᵢ min(availᵢ, λ) ≤ B maximal: small sources contribute
+    * everything they have (saturated), large sources are capped at
+    * the common level — the allocation a mixing pipeline computes
+    * BEFORE sampling so no source is over-asked. The classic
+    * waterfill solve (sort by supply, prefix sums, first segment
+    * where the remaining budget fits) runs entirely on the
+    * sources-sized frame; λ is one exact integer floor-division
+    * (budget−prefix) div (segments remaining), so every column is
+    * integer-exact cross-engine, including the undistributed
+    * remainder (budget − Σ alloc = (budget−prefix) mod segments).
+    *
+    * Scale shape: ONE corpus pass (per-source token sums, scan-side
+    * projection + partial agg); the sort, windows, and the
+    * first-feasible argmin all run on the |sources|-row frame.
+    */
+  def budgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val avail = Tables.load(spark, dir, "documents")
+      .select($"source",
+        size(filter(split($"text", " "), t => t =!= "")).cast("long")
+          .as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("available"))
+    val tot = avail.agg(sum($"available").as("total"),
+      count(lit(1)).as("k"))
+    val wAsc = Window.orderBy($"available", $"source")
+    // sources-sized frame: the global windows are |sources|-bounded
+    val ranked = avail.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total DIV 2"))
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("pprev", coalesce(sum($"available").over(
+        wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // first feasible segment: the level lives where the remaining
+    // budget fits under this source's supply ceiling
+    val seg = ranked
+      .filter($"pprev" + $"available" * ($"k" - $"i" + 1L) >= $"budget")
+      .agg(min(struct($"i", $"pprev")).as("s"))
+      .select($"s.i".as("li"), $"s.pprev".as("lp"))
+    ranked.crossJoin(broadcast(seg))
+      .withColumn("level", expr("(budget - lp) DIV (k - li + 1)"))
+      .select($"source", $"available", $"level",
+        least($"available", $"level").as("alloc"),
+        ($"available" <= $"level").as("saturated"),
+        expr("(budget - lp) % (k - li + 1)").as("unallocated"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "budget_waterfill" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+        |      ::BIGINT AS available
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(available)::BIGINT AS total, count(*) AS k
+        |      FROM a),
+        |r AS (
+        |  SELECT a.source, a.available, t.k, t.total // 2 AS budget,
+        |    row_number() OVER (ORDER BY a.available, a.source) AS i,
+        |    coalesce(sum(a.available) OVER (
+        |      ORDER BY a.available, a.source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS pprev
+        |  FROM a, t),
+        |f AS (
+        |  SELECT i AS li, pprev AS lp FROM r
+        |  WHERE pprev + available * (k - i + 1) >= budget
+        |  ORDER BY i LIMIT 1)
+        |SELECT r.source, r.available,
+        |  (r.budget - f.lp) // (r.k - f.li + 1) AS level,
+        |  least(r.available,
+        |    (r.budget - f.lp) // (r.k - f.li + 1)) AS alloc,
+        |  r.available <= (r.budget - f.lp) // (r.k - f.li + 1)
+        |    AS saturated,
+        |  (r.budget - f.lp) % (r.k - f.li + 1) AS unallocated
+        |FROM r, f ORDER BY r.source""".stripMargin,
     "selection_bias_audit" ->
       ("""WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -155,7 +155,11 @@ class AdversarialDataSpec extends SparkSpecBase {
     "daily_spearman", "user_value_theil", "order_value_hill",
     "split_quality_ks", "text_hapax_profile", "text_char_class_profile",
     "dedup_bytes_saved", "revenue_mann_kendall", "revenue_runs_test",
-    "selection_bias_audit")
+    "selection_bias_audit",
+    // round-12: integer divisions over data-derived budgets (empty /
+    // single-source / zero-token corpora exercise the k−li+1 and
+    // total DIV 2 seams)
+    "budget_waterfill")
 
   private def badNumbers(rows: Array[Row]): Seq[String] =
     rows.iterator.flatMap { r =>

@@ -562,4 +562,41 @@ class CurationSpec extends SparkSpecBase {
     val separated = (0L until 40L).count(i => h2(i) != h2(i + 100000L))
     assert(separated > 0, "doc-hash split kept every dup pair together")
   }
+
+  test("budget waterfill ≡ serial waterfill; allocation exactly exhausts the budget") {
+    import spark.implicits._
+    val rows = graft.ops.Curation.budgetWaterfill(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // serial replay from the same per-source supplies
+    val avail = Tables.load(spark, sf, "documents")
+      .select($"source", size(org.apache.spark.sql.functions.filter(
+        split($"text", " "), t => t =!= "")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("a"))
+      .as[(String, Long)].collect().sortBy(r => (r._2, r._1))
+    val total = avail.map(_._2).sum
+    val budget = total / 2
+    val k = avail.length
+    var lp = 0L
+    var li = 0
+    while (lp + avail(li)._2 * (k - li) < budget) { lp += avail(li)._2; li += 1 }
+    val level = (budget - lp) / (k - li)
+    val rem = (budget - lp) % (k - li)
+    val bySource = rows.map(r => r.getAs[String]("source") -> r).toMap
+    avail.foreach { case (s, a) =>
+      val r = bySource(s)
+      assert(r.getAs[Long]("level") === level)
+      assert(r.getAs[Long]("alloc") === math.min(a, level), s"alloc($s)")
+      assert(r.getAs[Boolean]("saturated") === (a <= level))
+      assert(r.getAs[Long]("unallocated") === rem)
+    }
+    // the defining property: allocations + remainder exhaust the
+    // budget exactly, and no source is over-asked
+    assert(rows.map(_.getAs[Long]("alloc")).sum + rem === budget)
+    rows.foreach(r => assert(
+      r.getAs[Long]("alloc") <= r.getAs[Long]("available")))
+    // non-trivial at the gate SF: at least one saturated small source
+    // OR the level caps at least one large source
+    assert(rows.exists(_.getAs[Boolean]("saturated")) ||
+      rows.exists(r => r.getAs[Long]("alloc") < r.getAs[Long]("available")))
+  }
 }
