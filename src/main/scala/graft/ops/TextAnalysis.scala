@@ -224,7 +224,12 @@ object TextAnalysis {
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       .filter($"df".cast("double") <= lit(dfCutFrac) * lit(n))
-    val w = tf.join(broadcast(df), "term")
+    // df is VOCABULARY-sized — it grows with the corpus (Heaps' law),
+    // so the broadcast decision belongs to AQE's runtime stats, not a
+    // hint: forced broadcast of a Heaps frame is an OOM at 100 TB,
+    // while AQE still broadcasts it whenever it is actually small
+    // (r12 sweep: same plan at every test SF)
+    val w = tf.join(df, "term")
       .select($"doc_id", $"term",
         ($"tf" * log(lit(n) / $"df")).as("w"))
     // the norm folds the per-doc term frame in SORTED term order —
@@ -306,7 +311,7 @@ object TextAnalysis {
       .select($"wd", ($"deg".cast("double") / $"freq").as("wscore"))
     val scored = phrases
       .select($"doc_id", $"run", $"phrase", explode($"ws").as("wd"))
-      .join(broadcast(wordStats), "wd")
+      .join(wordStats, "wd")
       .groupBy($"doc_id", $"run", $"phrase")
       .agg(sort_array(collect_list($"wscore")).as("ss"))
       .select($"phrase",
@@ -711,8 +716,8 @@ object TextAnalysis {
     big.filter($"cab" >= minCount)
       .withColumn("a", split($"gram", " ", -1).getItem(0))
       .withColumn("b", split($"gram", " ", -1).getItem(1))
-      .join(broadcast(uni.select($"t".as("a"), $"c".as("ca"))), "a")
-      .join(broadcast(uni.select($"t".as("b"), $"c".as("cb"))), "b")
+      .join(uni.select($"t".as("a"), $"c".as("ca")), "a")
+      .join(uni.select($"t".as("b"), $"c".as("cb")), "b")
       .crossJoin(broadcast(tot))
       .select($"gram", $"cab".as("support"),
         roundP(log(($"cab".cast("double") / $"n_big") /
@@ -784,7 +789,7 @@ object TextAnalysis {
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = W.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
-    terms.join(broadcast(df), "term")
+    terms.join(df, "term")
       .withColumn("tfidf",
         floor($"tf" * log(lit(n) / $"df") * 1000000.0 + 0.5)
           .cast("double") / 1000000.0)
@@ -1350,7 +1355,7 @@ object TextAnalysis {
       .select($"token",
         floor(log($"cnt".cast("double") / $"total".cast("double"))
           * 1000000000.0 + 0.5).cast("long").as("lpu"))
-    tok.join(broadcast(logp), "token")
+    tok.join(logp, "token")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tok"),
         sum($"lpu".cast("decimal(38,0)")).as("slpu"))
@@ -1560,7 +1565,7 @@ object TextAnalysis {
     val vocab = tokens(spark, dir).select($"token").distinct()
       .select($"token", nTokensUdf($"token").as("n_bpe"))
     tokens(spark, dir)
-      .join(broadcast(vocab), "token")
+      .join(vocab, "token")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_ws_tokens"),
         sum($"n_bpe").cast("long").as("n_bpe_tokens"))
