@@ -1027,7 +1027,275 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** H33 — quality-threshold retention sweep: the report a quality-
+    * gate rollout runs FIRST (C15's threshold sweep for the E2 score
+    * instead of near-dup Jaccard): per candidate cutoff — docs and
+    * tokens kept, corpus shares, surviving languages, and the WORST
+    * per-language doc retention (a cutoff that looks mild globally
+    * can silently wipe a low-resource language — H31's bias audit
+    * pointwise; this is the curve you pick the threshold FROM).
+    *
+    * Scale shape: the corpus collapses ONCE to the (4dp-quality ×
+    * lang) grid (quality-domain-bounded, never corpus-sized); the
+    * 7-threshold fan-out crosses the GRID, and per-language zeros are
+    * restored from the langs-sized total frame so wiped-out languages
+    * report share 0 instead of vanishing. All counts exact integers;
+    * one division per share, 6dp.
+    */
+  def qualityThresholdSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val thresholds = Seq(0.66, 0.70, 0.72, 0.74, 0.76, 0.78, 0.80)
+    val scored = graft.ops.TextAnalysis
+      .withQualityScore(Tables.load(spark, dir, "documents"))
+      .select($"lang", $"quality",
+        size($"toks").cast("long").as("tk"))
+    val grid = scored.groupBy($"quality", $"lang")
+      .agg(count(lit(1)).as("nd"), sum($"tk").as("nt"))
+    val langTot = grid.groupBy($"lang").agg(sum($"nd").as("ld"))
+    val tot = grid.agg(sum($"nd").as("td"), sum($"nt").as("tt"))
+    val th = thresholds.toDF("threshold")
+    val keptLang = grid.crossJoin(broadcast(th))
+      .filter($"quality" >= $"threshold")
+      .groupBy($"threshold", $"lang")
+      .agg(sum($"nd").as("kd"), sum($"nt").as("kt"))
+    val perLang = langTot.crossJoin(broadcast(th))
+      .join(keptLang, Seq("threshold", "lang"), "left")
+      .na.fill(0L, Seq("kd", "kt"))
+      .select($"threshold", $"lang", $"kd", $"kt",
+        (floor($"kd".cast("double") / $"ld" * 1000000.0 + 0.5)
+          / 1000000.0).as("lshare"))
+    perLang.groupBy($"threshold")
+      .agg(sum($"kd").as("n_docs_kept"), sum($"kt").as("n_tokens_kept"),
+        sum(when($"kd" > 0, 1L).otherwise(0L)).as("n_langs_surviving"),
+        min($"lshare").as("min_lang_doc_share"))
+      .crossJoin(broadcast(tot))
+      .select($"threshold", $"n_docs_kept", $"n_tokens_kept",
+        (floor($"n_docs_kept".cast("double") / $"td" * 1000000.0 + 0.5)
+          / 1000000.0).as("doc_share"),
+        (floor($"n_tokens_kept".cast("double") / $"tt" * 1000000.0
+          + 0.5) / 1000000.0).as("token_share"),
+        $"n_langs_surviving", $"min_lang_doc_share")
+      .orderBy($"threshold")
+  }
+
+  /** H34 — deterministic k-fold cross-validation plan: every doc
+    * assigned a content-stable fold (48-bit md5 prefix mod k — the
+    * H2 discipline widened past one hex digit so the mod-k bias is
+    * 2⁻⁴⁸-negligible, no RNG state, replay-safe), reported as the
+    * (fold × lang) balance audit: docs, tokens, within-fold language
+    * share vs the overall mix, absolute deviation (H21's split audit
+    * generalized to k symmetric folds — the check that every fold is
+    * a fair miniature BEFORE anyone trains k models on it).
+    *
+    * Scale shape: fold assignment is a scan-side projection (no
+    * shuffle); everything after is a (k × langs)-bounded rollup; the
+    * lang-keyed joins broadcast label-domain frames (bounded, unlike
+    * Heaps-law vocabularies).
+    */
+  def kfoldPlan(spark: SparkSession, dir: String, k: Int = 5)
+      : DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("fold",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")),
+          1, 12), 16, 10).cast("long") % k)
+      .withColumn("tk", size(split($"text", " ")).cast("long"))
+    val perFold = docs.groupBy($"fold", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens"))
+    val foldTot = perFold.groupBy($"fold").agg(sum($"n_docs").as("nf"))
+    val overall = docs.groupBy($"lang").agg(count(lit(1)).as("no"))
+      .crossJoin(broadcast(
+        docs.agg(count(lit(1)).cast("double").as("ntot"))))
+      .select($"lang",
+        (floor($"no" / $"ntot" * 1000000.0 + 0.5) / 1000000.0)
+          .as("overall_share"))
+    perFold.join(broadcast(foldTot), "fold")
+      .join(broadcast(overall), "lang")
+      .select($"fold", $"lang", $"n_docs", $"n_tokens",
+        (floor($"n_docs".cast("double") / $"nf" * 1000000.0 + 0.5)
+          / 1000000.0).as("share"),
+        $"overall_share")
+      .withColumn("abs_dev",
+        (floor(abs($"share" - $"overall_share") * 1000000.0 + 0.5)
+          / 1000000.0))
+      .orderBy($"fold", $"lang")
+  }
+
+  /** H35 — training-order locality audit: did H7's deterministic
+    * shuffle actually MIX the corpus? Per source: of the adjacent
+    * (rank i−1, rank i) pairs whose right member is this source, how
+    * often is the left member the SAME source, vs the exact
+    * expectation under independence ((n_s−1)/(N−1)) — a locality
+    * ratio ≫ 1 means source runs survived into training order (batch
+    * gradients correlate; the failure mode shuffling exists to
+    * prevent), ratio ≈ 1 certifies the mix. WITHOUT a global sort:
+    * within-bucket adjacency is a lag window PER H7 hash bucket, and
+    * the 16 bucket-boundary pairs come from per-bucket min/max
+    * structs on the buckets-sized frame (hex-prefix bucket order
+    * concatenates to the global (sk, doc_id) order, so
+    * bucket-local + boundary pairs ARE the global adjacency set —
+    * the oracle ranks globally and matches bit-exact).
+    */
+  def shuffleLocalityAudit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .withColumn("sk",
+        md5(concat(lit("shuffle:"), $"doc_id".cast("string"))
+          .cast("binary")))
+      .withColumn("bkt", conv(substring($"sk", 1, 1), 16, 10)
+        .cast("int"))
+    val w = Window.partitionBy($"bkt").orderBy($"sk", $"doc_id")
+    val within = keyed
+      .withColumn("prev_src", lag($"source", 1).over(w))
+      .filter($"prev_src".isNotNull)
+      .select($"source", $"prev_src")
+    // (sk, doc_id) is unique, so the trailing source field never
+    // decides the struct min/max
+    val ends = keyed.groupBy($"bkt")
+      .agg(min(struct($"sk", $"doc_id", $"source")).as("f"),
+        max(struct($"sk", $"doc_id", $"source")).as("l"))
+    val wb = Window.orderBy($"bkt")
+    val boundary = ends
+      .withColumn("prev_last", lag($"l", 1).over(wb))
+      .filter($"prev_last".isNotNull)
+      .select($"f.source".as("source"),
+        $"prev_last.source".as("prev_src"))
+    val adjacent = within.unionAll(boundary)
+    val adjStats = adjacent.groupBy($"source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"source" === $"prev_src", 1L).otherwise(0L))
+          .as("n_same"))
+    val totals = keyed.groupBy($"source").agg(count(lit(1)).as("ns"))
+      .crossJoin(broadcast(keyed.agg(count(lit(1)).as("n"))))
+    totals.join(adjStats, Seq("source"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_same"))
+      .select($"source", $"ns".as("n_docs"), $"n_pairs", $"n_same",
+        when($"n_pairs" > 0,
+          floor($"n_same".cast("double") / $"n_pairs" * 1000000.0
+            + 0.5) / 1000000.0).as("same_share"),
+        when($"n" > 1,
+          floor(($"ns" - 1).cast("double") / ($"n" - 1) * 1000000.0
+            + 0.5) / 1000000.0).as("expected_share"))
+      .withColumn("locality_ratio",
+        when($"n_pairs" > 0 && $"expected_share" > 0.0,
+          floor($"same_share" / $"expected_share" * 10000.0 + 0.5)
+            / 10000.0))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "shuffle_locality_audit" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |ordered AS (
+        |  SELECT source,
+        |    lag(source) OVER (ORDER BY sk, doc_id) AS prev_src
+        |  FROM k),
+        |adj AS (
+        |  SELECT source, count(*)::BIGINT AS n_pairs,
+        |    sum(CASE WHEN source = prev_src THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_same
+        |  FROM ordered WHERE prev_src IS NOT NULL GROUP BY source),
+        |tot AS (
+        |  SELECT source, count(*)::BIGINT AS ns FROM k GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM k),
+        |j AS (
+        |  SELECT t.source, t.ns AS n_docs,
+        |    coalesce(a.n_pairs, 0)::BIGINT AS n_pairs,
+        |    coalesce(a.n_same, 0)::BIGINT AS n_same,
+        |    CASE WHEN coalesce(a.n_pairs, 0) > 0 THEN
+        |      floor(coalesce(a.n_same, 0)::DOUBLE
+        |        / coalesce(a.n_pairs, 0) * 1000000.0 + 0.5)
+        |        / 1000000.0 END AS same_share,
+        |    CASE WHEN nn.n > 1 THEN
+        |      floor((t.ns - 1)::DOUBLE / (nn.n - 1) * 1000000.0 + 0.5)
+        |        / 1000000.0 END AS expected_share
+        |  FROM tot t LEFT JOIN adj a ON a.source = t.source, nn)
+        |SELECT source, n_docs, n_pairs, n_same, same_share,
+        |  expected_share,
+        |  CASE WHEN n_pairs > 0 AND expected_share > 0.0 THEN
+        |    floor(same_share / expected_share * 10000.0 + 0.5)
+        |      / 10000.0 END AS locality_ratio
+        |FROM j ORDER BY source""".stripMargin,
+    "quality_threshold_sweep" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks, text
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |m AS (
+        |  SELECT lang, len(toks)::BIGINT AS tk,
+        |    floor(((least(length(text)::DOUBLE / 500.0, 1.0))
+        |      + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |        / length(text)::DOUBLE)
+        |      + (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+        |        / len(toks)::DOUBLE)
+        |      + len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+        |      / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM t),
+        |grid AS (
+        |  SELECT quality, lang, count(*)::BIGINT AS nd,
+        |    sum(tk)::BIGINT AS nt
+        |  FROM m GROUP BY 1, 2),
+        |lt AS (SELECT lang, sum(nd)::BIGINT AS ld FROM grid GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(nd)::BIGINT AS td, sum(nt)::BIGINT AS tt
+        |  FROM grid),
+        |th AS (SELECT unnest([0.66, 0.70, 0.72, 0.74, 0.76, 0.78,
+        |  0.80])::DOUBLE AS threshold),
+        |kl AS (
+        |  SELECT threshold, lang, sum(nd)::BIGINT AS kd,
+        |    sum(nt)::BIGINT AS kt
+        |  FROM grid, th WHERE quality >= threshold GROUP BY 1, 2),
+        |pl AS (
+        |  SELECT th.threshold, lt.lang,
+        |    coalesce(kl.kd, 0)::BIGINT AS kd,
+        |    coalesce(kl.kt, 0)::BIGINT AS kt,
+        |    floor(coalesce(kl.kd, 0)::DOUBLE / lt.ld
+        |      * 1000000.0 + 0.5) / 1000000.0 AS lshare
+        |  FROM lt CROSS JOIN th
+        |  LEFT JOIN kl ON kl.threshold = th.threshold
+        |    AND kl.lang = lt.lang)
+        |SELECT threshold, sum(kd)::BIGINT AS n_docs_kept,
+        |  sum(kt)::BIGINT AS n_tokens_kept,
+        |  floor(sum(kd)::DOUBLE / any_value(td) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS doc_share,
+        |  floor(sum(kt)::DOUBLE / any_value(tt) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS token_share,
+        |  sum(CASE WHEN kd > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_langs_surviving,
+        |  min(lshare) AS min_lang_doc_share
+        |FROM pl, tot GROUP BY threshold ORDER BY threshold""".stripMargin,
+    "kfold_plan" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |      ::BIGINT % 5 AS fold,
+        |    len(string_split(text, ' '))::BIGINT AS tk
+        |  FROM documents),
+        |pf AS (
+        |  SELECT fold, lang, count(*)::BIGINT AS n_docs,
+        |    sum(tk)::BIGINT AS n_tokens
+        |  FROM d GROUP BY 1, 2),
+        |ft AS (SELECT fold, sum(n_docs)::BIGINT AS nf FROM pf GROUP BY 1),
+        |ov AS (
+        |  SELECT lang,
+        |    floor(count(*)::DOUBLE /
+        |      (SELECT count(*)::DOUBLE FROM d) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS overall_share
+        |  FROM d GROUP BY lang)
+        |SELECT pf.fold, pf.lang, pf.n_docs, pf.n_tokens,
+        |  floor(pf.n_docs::DOUBLE / ft.nf * 1000000.0 + 0.5)
+        |    / 1000000.0 AS share,
+        |  ov.overall_share,
+        |  floor(abs(floor(pf.n_docs::DOUBLE / ft.nf * 1000000.0 + 0.5)
+        |    / 1000000.0 - ov.overall_share) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS abs_dev
+        |FROM pf JOIN ft USING (fold) JOIN ov USING (lang)
+        |ORDER BY fold, lang""".stripMargin,
     "budget_waterfill" ->
       """WITH a AS (
         |  SELECT source,

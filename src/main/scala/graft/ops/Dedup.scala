@@ -722,36 +722,7 @@ object Dedup {
     val pairs = lshVerifiedPairs(docs, threshold, 128, 32)
       .select($"doc_a", $"doc_b").localCheckpoint()
     docs.unpersist()
-    // Adaptive execution, same gate style as Spark's broadcast-join
-    // threshold: the verified near-dup pair set is vastly smaller than
-    // the corpus (it's the DUPLICATES, not the documents). When it fits
-    // comfortably on the driver, an O(E·α) union-find replaces O(log d)
-    // full shuffle rounds (~12 jobs of fixed overhead); above the gate,
-    // the distributed min-label + pointer-jump loop below handles any
-    // edge volume. Both produce the identical min-doc_id-per-component
-    // labeling.
-    val labels: DataFrame =
-      if (pairs.count() <= driverCcMaxEdges) {
-        val es = pairs.as[(Long, Long)].collect()
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        es.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val ra = find(a); val rb = find(b)
-          // min root wins every union ⇒ a root IS its component minimum
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        spark.createDataFrame(
-          parent.keys.toSeq.sorted.map(d => (d, find(d))))
-          .toDF("doc_id", "label")
-      } else distributedComponents(pairs, maxIters)
+    val labels = adaptiveComponents(pairs, maxIters, driverCcMaxEdges)
 
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
     labels
@@ -770,6 +741,45 @@ object Dedup {
     * plan. Plain propagation needs O(diameter) rounds; the jump halves
     * the remaining diameter every round → O(log d) rounds.
     */
+  /** Adaptive connected components over an undirected pair frame
+    * (`doc_a`, `doc_b`) → (`doc_id`, `label` = component-minimum id).
+    * Same gate style as Spark's broadcast-join threshold: a verified
+    * near-dup / mutual-kNN pair set is vastly smaller than the corpus
+    * (it's the RELATED rows, not the rows). When it fits comfortably
+    * on the driver, an O(E·α) union-find replaces O(log d) full
+    * shuffle rounds (~12 jobs of fixed overhead); above the gate, the
+    * distributed min-label + pointer-jump loop handles any edge
+    * volume. Both paths produce the identical min-id-per-component
+    * labeling (spec-proved bit-identical).
+    */
+  private[ops] def adaptiveComponents(pairs: DataFrame,
+                                      maxIters: Int = 20,
+                                      driverCcMaxEdges: Long = 4000000L)
+      : DataFrame = {
+    import pairs.sparkSession.implicits._
+    if (pairs.count() <= driverCcMaxEdges) {
+      val es = pairs.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // min root wins every union ⇒ a root IS its component minimum
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairs.sparkSession.createDataFrame(
+        parent.keys.toSeq.sorted.map(d => (d, find(d))))
+        .toDF("doc_id", "label")
+    } else distributedComponents(pairs, maxIters)
+  }
+
   private def distributedComponents(pairs: DataFrame,
                                     maxIters: Int): DataFrame = {
     import pairs.sparkSession.implicits._

@@ -964,6 +964,39 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** D30 — embedding cluster report: connected components over the
+    * D17 MUTUAL-kNN graph (reciprocated edges only — the standard
+    * robustification that keeps hub vectors from gluing unrelated
+    * regions together), labeled min-id-per-component with cluster
+    * sizes: the semantic-community discovery pass behind
+    * cluster-and-cap curation (cap each semantic cluster's doc count
+    * the way C10 caps near-dup groups) and embedding-space QA ("why
+    * is 40% of the corpus one cluster?"). Reuses C6's ADAPTIVE CC
+    * kernel (driver union-find under the 4M-edge gate, distributed
+    * min-label + pointer-jumping above — both spec-proved identical),
+    * so the scale path is already proven; the mutual-edge build is
+    * one self-join of the k-bounded directed edge list.
+    */
+  def embeddingClusters(spark: SparkSession, dir: String, k: Int = 5,
+                        planes: Int = 12, maxIters: Int = 20)
+      : DataFrame = {
+    import spark.implicits._
+    val g = knnGraphOn(loadVecs(spark, dir), k, planes)
+      .localCheckpoint()
+    val rev = g.select($"vec_id".as("b2"), $"neighbor_id".as("a2"))
+    val pairs = g.filter($"vec_id" < $"neighbor_id")
+      .join(rev, $"vec_id" === $"a2" && $"neighbor_id" === $"b2")
+      .select($"vec_id".as("doc_a"), $"neighbor_id".as("doc_b"))
+      .localCheckpoint()
+    val labels = Dedup.adaptiveComponents(pairs, maxIters)
+    val sizes = labels.groupBy($"label")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"doc_id".as("vec_id"), $"label".as("cluster_id"),
+        $"cluster_size")
+      .orderBy($"vec_id")
+  }
+
   /** D20 — neighbor-set Jaccard link prediction on the undirected kNN
     * graph: for node pairs that share ≥1 neighbor but are NOT already
     * connected, score |N(a)∩N(b)| / |N(a)∪N(b)| and emit the top
@@ -2246,6 +2279,34 @@ object Similarity {
         |  ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
         |WHERE a.vec_id < a.neighbor_id
         |ORDER BY vec_a, vec_b""".stripMargin),
+    "embedding_clusters" ->
+      (lshGraphCte.replaceFirst("WITH seeds", "WITH RECURSIVE seeds") +
+      """,
+        |g AS (
+        |  SELECT src_id AS vec_id, neighbor_id FROM scored
+        |  WHERE rnk <= 5),
+        |mu AS (
+        |  SELECT a.vec_id AS doc_a, a.neighbor_id AS doc_b
+        |  FROM g a JOIN g b
+        |    ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+        |  WHERE a.vec_id < a.neighbor_id),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM mu
+        |  UNION ALL SELECT doc_b, doc_a FROM mu),
+        |reach(doc_id, lab) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT e.doc_a, r.lab FROM reach r
+        |  JOIN edges e ON e.doc_b = r.doc_id),
+        |comp AS (
+        |  SELECT doc_id, min(lab) AS cluster_id
+        |  FROM reach GROUP BY doc_id),
+        |sized AS (
+        |  SELECT cluster_id, count(*) AS cluster_size
+        |  FROM comp GROUP BY cluster_id)
+        |SELECT c.doc_id AS vec_id, c.cluster_id, s.cluster_size
+        |FROM comp c JOIN sized s USING (cluster_id)
+        |ORDER BY vec_id""".stripMargin),
     "knn_label_check" -> labelCheckOracle,
     "knn_label_prop" -> labelPropOracle,
     "knn_graph_pagerank" -> pagerankOracle,

@@ -708,7 +708,464 @@ object Stats {
       .filter($"n_runs" > 0 || $"n_above" > 0 || $"n_below" > 0)
   }
 
+  /** B92 — Kruskal–Wallis H test across event types on `value`: the
+    * k-group NONPARAMETRIC gate next to B83's ANOVA (F assumes
+    * normal-ish residuals; H ranks the pooled values, so one whale
+    * event moves each rank sum by at most N). Ranks come from the
+    * DISTINCT-CENTS frame, not the corpus (the G30 bounded-domain
+    * stance): the corpus collapses once to (cents, type) counts, a
+    * cumulative window over the domain-bounded distinct-value frame
+    * yields each value's 2×average-rank as an exact INTEGER
+    * (2·cum + t + 1), and per-group rank sums are exact
+    * DECIMAL(38,0) products. H and its tie-corrected form divide in
+    * one shared double chain; the cross-group Σ R²/n fold is
+    * type-ordered on BOTH engines (the B83 list_reduce discipline).
+    * All-tied corpora (tie correction 0) → defined null h_adj.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val v = Tables.load(spark, dir, "events")
+      .select($"event_type",
+        floor($"value" * 100.0 + 0.5).cast("long").as("c"))
+    val byCT = v.groupBy($"c", $"event_type")
+      .agg(count(lit(1)).as("ng"))
+    val byC = byCT.groupBy($"c").agg(sum($"ng").as("t"))
+    val before = W.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byC
+      .withColumn("cum", coalesce(sum($"t").over(before), lit(0L)))
+      .select($"c", (lit(2L) * $"cum" + $"t" + 1).as("r2"))
+    val g = byCT.join(ranked, "c")
+      .groupBy($"event_type")
+      .agg(sum($"ng").as("n"),
+        sum($"ng".cast("decimal(38,0)") * $"r2").as("s2"))
+    val ties = byC
+      .agg(coalesce(sum($"t".cast("decimal(38,0)") * $"t" * $"t"
+        - $"t"), lit(java.math.BigDecimal.ZERO)).as("tsum"))
+    val f = g
+      .agg(sort_array(collect_list(struct($"event_type", $"n", $"s2")))
+        .as("gs"))
+      .select(size($"gs").cast("long").as("k"),
+        aggregate($"gs", lit(0L), (a, x) => a + x.getField("n"))
+          .as("nn"),
+        // Σ_g R_g²/n_g with R_g = s2_g/2 — double fold in pinned
+        // type order, shared verbatim with the oracle's list_reduce
+        aggregate($"gs", lit(0.0), (a, x) =>
+          a + x.getField("s2").cast("double") * x.getField("s2")
+            / x.getField("n") / 4.0).as("rr"))
+      .crossJoin(broadcast(ties))
+    val h = lit(12.0) / ($"nn".cast("double") * ($"nn" + 1)) * $"rr" -
+      lit(3.0) * ($"nn" + 1)
+    val corr = lit(1.0) - $"tsum".cast("double") /
+      ($"nn".cast("decimal(38,0)") * $"nn" * $"nn" - $"nn")
+        .cast("double")
+    f.select($"k", $"nn", ($"k" - 1).as("df"),
+        when($"nn" > 1, floor(h * 10000.0 + 0.5) / 10000.0)
+          .as("h_stat"),
+        when($"nn" > 1 && corr > 0.0,
+          floor(h / corr * 10000.0 + 0.5) / 10000.0).as("h_adj"))
+      .filter($"nn" > 0)
+  }
+
+  /** B93 — Jarque–Bera normality test on order totals: skewness,
+    * excess kurtosis, and JB = n/6·(S² + K²/4) — the moment-based
+    * "can I even use a z-interval on this column?" gate that reads
+    * B89's tail verdict from the other side. Values quantize to
+    * nearest-DOLLAR Longs so the raw power sums Σx..Σx⁴ stay exact
+    * DECIMAL(38,0) (≙ HUGEINT) even at ~10¹² rows (cents⁴ would
+    * overflow 38 digits at that scale — the quantization unit is
+    * chosen FOR the fourth moment); every central moment then
+    * derives from the five exact integers in one double chain shared
+    * verbatim with the oracle. Zero-variance corpora → defined
+    * nulls.
+    */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.load(spark, dir, "orders")
+      .select(floor($"o_totalprice" + 0.5).cast("long").as("x"))
+    val m = x.agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("s2"),
+      sum($"x".cast("decimal(38,0)") * $"x" * $"x").as("s3"),
+      sum($"x".cast("decimal(38,0)") * $"x" * $"x" * $"x").as("s4"))
+    val n = $"n".cast("double")
+    val mu = $"s1".cast("double") / n
+    val m2 = $"s2".cast("double") / n - mu * mu
+    val m3 = $"s3".cast("double") / n - lit(3.0) * mu *
+      ($"s2".cast("double") / n) + lit(2.0) * mu * mu * mu
+    val m4 = $"s4".cast("double") / n - lit(4.0) * mu *
+      ($"s3".cast("double") / n) + lit(6.0) * mu * mu *
+      ($"s2".cast("double") / n) - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / (m2 * sqrt(m2))
+    val exk = m4 / (m2 * m2) - 3.0
+    val jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    m.select($"n".as("n_orders"),
+        when($"n" > 0 && m2 > 0.0,
+          floor(skew * 1000000.0 + 0.5) / 1000000.0).as("skewness"),
+        when($"n" > 0 && m2 > 0.0,
+          floor(exk * 1000000.0 + 0.5) / 1000000.0).as("ex_kurtosis"),
+        when($"n" > 0 && m2 > 0.0,
+          floor(jb * 10000.0 + 0.5) / 10000.0).as("jb_stat"),
+        when($"n" > 0 && m2 > 0.0, jb > 5.991).as("reject_normal"))
+      .filter($"n_orders" > 0)
+  }
+
+  /** B94 — Kendall τ-b between daily revenue and daily order count:
+    * the PAIR-counting monotone-association check next to B87's
+    * Spearman (τ's pair counts have a direct probabilistic reading —
+    * P(concordant) − P(discordant) — and its tie treatment is
+    * exact-by-construction rather than via average ranks). Concordant
+    * / discordant / per-variable tie counts are exact INTEGERS off
+    * the days²-bounded pair frame (the theil_sen/mann_kendall
+    * stance: the corpus collapses to the calendar-bounded daily
+    * frame FIRST, and the pair join never touches data rows); τ-b
+    * divides in one shared double chain. All-tied variables (a zero
+    * denominator factor) → defined null.
+    */
+  def dailyKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .groupBy($"o_orderdate")
+      .agg(floorDivCents("sum(cents)").as("x"),
+        count(lit(1)).as("y"))
+      .localCheckpoint()
+    val a = daily.select($"o_orderdate".as("da"), $"x".as("xa"),
+      $"y".as("ya"))
+    val b = daily.select($"o_orderdate".as("db"), $"x".as("xb"),
+      $"y".as("yb"))
+    val pairs = a.join(b, $"da" < $"db")
+    val m = pairs.agg(count(lit(1)).as("n0"),
+      coalesce(sum(when(signum($"xb" - $"xa") * signum($"yb" - $"ya")
+        > 0, 1L).otherwise(0L)), lit(0L)).as("conc"),
+      coalesce(sum(when(signum($"xb" - $"xa") * signum($"yb" - $"ya")
+        < 0, 1L).otherwise(0L)), lit(0L)).as("disc"),
+      coalesce(sum(when($"xa" === $"xb", 1L).otherwise(0L)), lit(0L))
+        .as("tx"),
+      coalesce(sum(when($"ya" === $"yb", 1L).otherwise(0L)), lit(0L))
+        .as("ty"))
+    val den = ($"n0" - $"tx").cast("decimal(38,0)") * ($"n0" - $"ty")
+    m.crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select($"n_days", $"n0".as("n_pairs"), $"conc".as("concordant"),
+        $"disc".as("discordant"),
+        when(den > 0,
+          floor(($"conc" - $"disc").cast("double") /
+            sqrt(den.cast("double")) * 1000000.0 + 0.5) / 1000000.0)
+          .as("tau_b"))
+      .filter($"n_days" > 0)
+  }
+
+  /** B95 — Durbin–Watson statistic on the residuals of the daily
+    * revenue OLS trend: DW = Σ(eᵢ−eᵢ₋₁)²/Σeᵢ² — the serial-
+    * correlation gate that says whether B79-style OLS standard
+    * errors can be believed at all (positively autocorrelated
+    * residuals make every trend look more significant than it is;
+    * B71's ACF reads the raw series, DW reads what the FIT left
+    * behind). Slope/intercept derive from exact integer moments
+    * (the segment_trend chain); each residual quantizes to integer
+    * 1e-6 units so BOTH sums are exact DECIMAL(38,0) over the
+    * calendar-bounded daily frame — the successive difference is a
+    * lag window over days, never data. Zero-residual fits (perfect
+    * line) → defined null DW.
+    */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("cents",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+    val minDay = orders.agg(min(to_date($"o_orderdate")).as("d0"))
+    val daily = orders
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(floorDivCents("sum(cents)").as("y"))
+      .crossJoin(broadcast(minDay))
+      .select($"day", datediff($"day", $"d0").cast("long").as("x"),
+        $"y")
+      .localCheckpoint()
+    val mo = daily.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("sxx"))
+    val den = $"n" * $"sxx" - $"sx".cast("decimal(38,0)") * $"sx"
+    // intercept from the same moments AFTER b: a = (Σy − b·Σx)/n
+    val fit = mo.select($"n",
+      when(den > 0, ($"n" * $"sxy" -
+        $"sx".cast("decimal(38,0)") * $"sy").cast("double") /
+        den.cast("double")).otherwise(lit(0.0)).as("b"),
+      $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"))
+      .select($"n", $"b",
+        when($"n" > 0, ($"syd" - $"b" * $"sxd") / $"n")
+          .otherwise(lit(0.0)).as("a"))
+    val resid = daily.crossJoin(broadcast(fit))
+      .select($"day",
+        floor(($"y".cast("double") - $"a" - $"b" * $"x")
+          * 1000000.0 + 0.5).cast("long").as("u"))
+    val w = W.orderBy($"day")
+    val sums = resid
+      .withColumn("du", $"u" - lag($"u", 1).over(w))
+      .agg(count(lit(1)).as("n_days"),
+        coalesce(sum($"u".cast("decimal(38,0)") * $"u"),
+          lit(java.math.BigDecimal.ZERO)).as("see"),
+        coalesce(sum($"du".cast("decimal(38,0)") * $"du"),
+          lit(java.math.BigDecimal.ZERO)).as("sdd"))
+    sums.select($"n_days",
+        when($"n_days" > 1 && $"see" > 0,
+          floor($"sdd".cast("double") / $"see".cast("double")
+            * 1000000.0 + 0.5) / 1000000.0).as("dw"),
+        when($"n_days" > 1 && $"see" > 0,
+          floor((lit(1.0) - $"sdd".cast("double") /
+            $"see".cast("double") / 2.0) * 1000000.0 + 0.5)
+            / 1000000.0).as("rho_hat"))
+      .filter($"n_days" > 0)
+  }
+
+  /** B96 — Brown–Forsythe variance-homogeneity test across event
+    * types: one-way ANOVA on |2·value − 2·median_g| — the
+    * heteroscedasticity GATE a B83/B55 reading should clear first
+    * (unequal spreads inflate F; the median-centered variant is the
+    * robust form of Levene's test). The 2× trick keeps everything
+    * integer: percentile(·, 0.5) of Longs is either a Long or a
+    * half-integer, so 2·median is exact and the absolute deviations
+    * are exact Longs in one scan-side projection; the F statistic
+    * reuses the B83 chain on exact DECIMAL(38,0) moment sums with
+    * the type-ordered fold. Scale shape: one grouped exact-percentile
+    * pass (types-sized, broadcast back) + one grouped moment pass.
+    * Zero within-group deviation → defined null F.
+    */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type",
+        floor($"value" * 100.0 + 0.5).cast("long").as("c"))
+    val med = ev.groupBy($"event_type")
+      .agg(floor(expr("percentile(c, 0.5)") * 2.0 + 0.5).cast("long")
+        .as("m2"))
+    val g = ev.join(broadcast(med), "event_type")
+      .select($"event_type", abs(lit(2L) * $"c" - $"m2").as("z"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"z").as("s"),
+        sum($"z".cast("decimal(38,0)") * $"z").as("q"))
+    val f = g
+      .agg(sort_array(collect_list(struct($"event_type", $"n", $"s", $"q")))
+        .as("gs"))
+      .select(size($"gs").cast("long").as("k"),
+        aggregate($"gs", lit(0L), (a, x) => a + x.getField("n")).as("nn"),
+        aggregate($"gs", lit(0L), (a, x) => a + x.getField("s")).as("ss"),
+        aggregate($"gs", lit(0.0),
+          (a, x) => a + x.getField("q").cast("double")).as("qq"),
+        aggregate($"gs", lit(0.0), (a, x) =>
+          a + x.getField("s").cast("double") * x.getField("s")
+            / x.getField("n")).as("aa"))
+      .select($"k", $"nn",
+        ($"aa" - $"ss".cast("double") * $"ss" / $"nn").as("ssb"),
+        ($"qq" - $"aa").as("ssw"))
+    f.select($"k", $"nn",
+        when($"k" > 1 && $"nn" > $"k" && $"ssw" > 0.0,
+          floor(($"ssb" / ($"k" - 1)) / ($"ssw" / ($"nn" - $"k"))
+            * 10000.0 + 0.5) / 10000.0).as("f_stat"))
+      .filter($"nn" > 0)
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_kruskal_wallis" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |ct AS (
+        |  SELECT c, event_type, count(*)::BIGINT AS ng
+        |  FROM v GROUP BY 1, 2),
+        |cv AS (SELECT c, sum(ng)::BIGINT AS t FROM ct GROUP BY 1),
+        |rk AS (
+        |  SELECT c,
+        |    2 * coalesce(sum(t) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2
+        |  FROM cv),
+        |g AS (
+        |  SELECT event_type, sum(ng)::BIGINT AS n,
+        |    sum(ng::HUGEINT * r2) AS s2
+        |  FROM ct JOIN rk USING (c) GROUP BY 1),
+        |tie AS (
+        |  SELECT coalesce(sum(t::HUGEINT * t * t - t), 0::HUGEINT)
+        |    AS tsum
+        |  FROM cv),
+        |f AS (
+        |  SELECT count(*)::BIGINT AS k,
+        |    coalesce(sum(n), 0)::BIGINT AS nn,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(s2::DOUBLE * s2 / n / 4.0
+        |        ORDER BY event_type), [])),
+        |      (a, x) -> a + x) AS rr
+        |  FROM g),
+        |h AS (
+        |  SELECT k, nn,
+        |    12.0 / (nn::DOUBLE * (nn + 1)) * rr - 3.0 * (nn + 1)
+        |      AS h_raw,
+        |    1.0 - tsum::DOUBLE /
+        |      (nn::HUGEINT * nn * nn - nn)::DOUBLE AS corr
+        |  FROM f, tie)
+        |SELECT k, nn, k - 1 AS df,
+        |  CASE WHEN nn > 1 THEN
+        |    floor(h_raw * 10000.0 + 0.5) / 10000.0 END AS h_stat,
+        |  CASE WHEN nn > 1 AND corr > 0.0 THEN
+        |    floor(h_raw / corr * 10000.0 + 0.5) / 10000.0 END AS h_adj
+        |FROM h WHERE nn > 0""".stripMargin,
+    "orders_jarque_bera" ->
+      """WITH x AS (
+        |  SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+        |  FROM orders),
+        |m0 AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s1,
+        |    sum(x::HUGEINT * x) AS s2, sum(x::HUGEINT * x * x) AS s3,
+        |    sum(x::HUGEINT * x * x * x) AS s4
+        |  FROM x),
+        |m1 AS (
+        |  SELECT n, s2, s3, s4, s1::DOUBLE / n::DOUBLE AS mu
+        |  FROM m0),
+        |m2 AS (
+        |  SELECT n, mu,
+        |    s2::DOUBLE / n::DOUBLE - mu * mu AS m2,
+        |    s3::DOUBLE / n::DOUBLE - 3.0 * mu * (s2::DOUBLE / n::DOUBLE)
+        |      + 2.0 * mu * mu * mu AS m3,
+        |    s4::DOUBLE / n::DOUBLE - 4.0 * mu * (s3::DOUBLE / n::DOUBLE)
+        |      + 6.0 * mu * mu * (s2::DOUBLE / n::DOUBLE)
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m1),
+        |st AS (
+        |  SELECT n, m2,
+        |    m3 / (m2 * sqrt(m2)) AS skew,
+        |    m4 / (m2 * m2) - 3.0 AS exk
+        |  FROM m2),
+        |jb AS (
+        |  SELECT n, m2, skew, exk,
+        |    n::DOUBLE / 6.0 * (skew * skew + exk * exk / 4.0) AS jb
+        |  FROM st)
+        |SELECT n AS n_orders,
+        |  CASE WHEN n > 0 AND m2 > 0.0 THEN
+        |    floor(skew * 1000000.0 + 0.5) / 1000000.0 END AS skewness,
+        |  CASE WHEN n > 0 AND m2 > 0.0 THEN
+        |    floor(exk * 1000000.0 + 0.5) / 1000000.0 END AS ex_kurtosis,
+        |  CASE WHEN n > 0 AND m2 > 0.0 THEN
+        |    floor(jb * 10000.0 + 0.5) / 10000.0 END AS jb_stat,
+        |  CASE WHEN n > 0 AND m2 > 0.0 THEN jb > 5.991
+        |    END AS reject_normal
+        |FROM jb WHERE n > 0""".stripMargin,
+    "daily_kendall" ->
+      """WITH d AS (
+        |  SELECT o_orderdate,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      // 100 AS BIGINT) AS x,
+        |    count(*)::BIGINT AS y
+        |  FROM orders GROUP BY o_orderdate),
+        |p AS (
+        |  SELECT count(*)::BIGINT AS n0,
+        |    coalesce(sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) > 0
+        |      THEN 1 ELSE 0 END), 0)::BIGINT AS conc,
+        |    coalesce(sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) < 0
+        |      THEN 1 ELSE 0 END), 0)::BIGINT AS disc,
+        |    coalesce(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END), 0)
+        |      ::BIGINT AS tx,
+        |    coalesce(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END), 0)
+        |      ::BIGINT AS ty
+        |  FROM d a JOIN d b ON a.o_orderdate < b.o_orderdate),
+        |nf AS (SELECT count(*)::BIGINT AS n_days FROM d)
+        |SELECT n_days, n0 AS n_pairs, conc AS concordant,
+        |  disc AS discordant,
+        |  CASE WHEN (n0 - tx)::HUGEINT * (n0 - ty) > 0 THEN
+        |    floor((conc - disc)::DOUBLE /
+        |      sqrt(((n0 - tx)::HUGEINT * (n0 - ty))::DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS tau_b
+        |FROM p, nf WHERE n_days > 0""".stripMargin,
+    "revenue_durbin_watson" ->
+      """WITH o AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |d0 AS (SELECT min(day) AS d0 FROM o),
+        |daily AS (
+        |  SELECT day, sum(cents) // 100 AS y
+        |  FROM o GROUP BY 1),
+        |dx AS (
+        |  SELECT day, datediff('day', d0.d0, daily.day)::BIGINT AS x, y
+        |  FROM daily, d0),
+        |mo AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x::HUGEINT * y) AS sxy,
+        |    sum(x::HUGEINT * x) AS sxx
+        |  FROM dx),
+        |fit AS (
+        |  SELECT n,
+        |    CASE WHEN n * sxx - sx::HUGEINT * sx > 0 THEN
+        |      (n * sxy - sx::HUGEINT * sy)::DOUBLE /
+        |        (n * sxx - sx::HUGEINT * sx)::DOUBLE
+        |    ELSE 0.0 END AS b,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+        |  FROM mo),
+        |fit2 AS (
+        |  SELECT n, b,
+        |    CASE WHEN n > 0 THEN (syd - b * sxd) / n ELSE 0.0 END AS a
+        |  FROM fit),
+        |resid AS (
+        |  SELECT day,
+        |    CAST(floor((y::DOUBLE - a - b * x) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS u
+        |  FROM dx, fit2),
+        |lagd AS (
+        |  SELECT u, u - lag(u) OVER (ORDER BY day) AS du
+        |  FROM resid),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS n_days,
+        |    coalesce(sum(u::HUGEINT * u), 0::HUGEINT) AS see,
+        |    coalesce(sum(du::HUGEINT * du), 0::HUGEINT) AS sdd
+        |  FROM lagd)
+        |SELECT n_days,
+        |  CASE WHEN n_days > 1 AND see > 0 THEN
+        |    floor(sdd::DOUBLE / see::DOUBLE * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS dw,
+        |  CASE WHEN n_days > 1 AND see > 0 THEN
+        |    floor((1.0 - sdd::DOUBLE / see::DOUBLE / 2.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS rho_hat
+        |FROM s WHERE n_days > 0""".stripMargin,
+    "events_brown_forsythe" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    CAST(floor(quantile_cont(c, 0.5) * 2.0 + 0.5) AS BIGINT)
+        |      AS m2
+        |  FROM ev GROUP BY 1),
+        |z AS (
+        |  SELECT ev.event_type, abs(2 * c - m2)::BIGINT AS z
+        |  FROM ev JOIN med USING (event_type)),
+        |g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(z)::BIGINT AS s, sum(z::HUGEINT * z) AS q
+        |  FROM z GROUP BY event_type),
+        |f AS (
+        |  SELECT count(*)::BIGINT AS k,
+        |    coalesce(sum(n), 0)::BIGINT AS nn,
+        |    coalesce(sum(s), 0)::BIGINT AS ss,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(q::DOUBLE ORDER BY event_type), [])),
+        |      (a, x) -> a + x) AS qq,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      coalesce(list(s::DOUBLE * s / n ORDER BY event_type), [])),
+        |      (a, x) -> a + x) AS aa
+        |  FROM g),
+        |d AS (
+        |  SELECT k, nn,
+        |    aa - ss::DOUBLE * ss / nn AS ssb,
+        |    qq - aa AS ssw
+        |  FROM f)
+        |SELECT k, nn,
+        |  CASE WHEN k > 1 AND nn > k AND ssw > 0.0 THEN
+        |    floor((ssb / (k - 1)) / (ssw / (nn - k)) * 10000.0 + 0.5)
+        |      / 10000.0 END AS f_stat
+        |FROM d WHERE nn > 0""".stripMargin,
     "revenue_mann_kendall" ->
       """WITH d AS (
         |  SELECT o_orderdate,

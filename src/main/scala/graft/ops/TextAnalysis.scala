@@ -1831,7 +1831,154 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** E50 — windowed (skip-gram) PMI collocations: token pairs scored
+    * by PMI over a forward context window of w tokens — the word2vec/
+    * SGNS co-occurrence statistic (E33's adjacent-bigram PMI finds
+    * fixed phrases; the window finds ASSOCIATES that need not touch —
+    * "query … optimizer", "train … checkpoint"). One posexplode +
+    * slice turns each token into ≤w forward pairs (corpus×w rows,
+    * linear — never a per-doc self-join); pair and unigram counts are
+    * exact partial-agg integers; PMI is one shared double chain, 4dp.
+    * The unigram joins are vocabulary-keyed and deliberately carry NO
+    * broadcast hint (Heaps' law: vocabulary grows with the corpus —
+    * AQE decides from runtime stats).
+    */
+  def windowPmi(spark: SparkSession, dir: String, window: Int = 4,
+                minCount: Int = 5, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+    val pairs = toks
+      .select($"toks", posexplode($"toks"))
+      .select($"col".as("a"),
+        explode(slice($"toks", $"pos" + 2, lit(window))).as("b"))
+    val cp = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+    val uni = toks.select(explode($"toks").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum($"c").cast("double").as("n_uni"))
+      .crossJoin(cp.agg(sum($"cab").cast("double").as("n_pair")))
+    cp.filter($"cab" >= minCount)
+      .join(uni.select($"t".as("a"), $"c".as("ca")), "a")
+      .join(uni.select($"t".as("b"), $"c".as("cb")), "b")
+      .crossJoin(broadcast(tot))
+      .select(concat_ws(" ", $"a", $"b").as("pair"),
+        $"cab".as("support"),
+        roundP(log(($"cab".cast("double") / $"n_pair") /
+          (($"ca".cast("double") / $"n_uni") *
+            ($"cb".cast("double") / $"n_uni")))).as("pmi"))
+      .orderBy($"pmi".desc, $"pair")
+      .limit(topK)
+  }
+
+  /** E51 — bigram conditional entropy H(w₂|w₁) per source: how
+    * predictable is the next token given the current one — THE
+    * redundancy-rate number that separates templated/boilerplate
+    * sources (low H: the next token is nearly determined) from
+    * genuinely diverse prose, one level up from E15's character
+    * entropy and the corpus-health complement of E23's per-doc
+    * surprisal. H(w₂|w₁) = H(bigrams) − H(first tokens) =
+    * (Σc_a·ln c_a − Σc_ab·ln c_ab)/N, so both corpus-scale ln-sums
+    * ride the E47 integer-unit discipline (floored 1e-9 units in
+    * DECIMAL(38,0) ≙ HUGEINT — order-exact, map-side combinable);
+    * the bits conversion is one shared double chain at the
+    * sources-sized rollup, 6dp.
+    */
+  def bigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .select($"source", explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => struct(element_at($"toks", i).as("a"),
+          element_at($"toks", i + 1).as("b")))).as("g"))
+      .groupBy($"source", $"g.a".as("a"), $"g.b".as("b"))
+      .agg(count(lit(1)).as("cab"))
+    def lnUnits(c: Column): Column =
+      floor(c.cast("double") * log(c.cast("double"))
+        * 1000000000.0 + 0.5).cast("long").cast("decimal(38,0)")
+    val perA = big.groupBy($"source", $"a")
+      .agg(sum($"cab").as("ca"))
+      .groupBy($"source")
+      .agg(sum(lnUnits($"ca")).as("slca"))
+    val perAB = big.groupBy($"source")
+      .agg(sum($"cab").as("n_bigrams"), count(lit(1)).as("vocab_bigrams"),
+        sum(lnUnits($"cab")).as("slcab"))
+    perAB.join(perA, "source")
+      .select($"source", $"n_bigrams", $"vocab_bigrams",
+        (floor((log($"n_bigrams".cast("double"))
+          - $"slcab".cast("double") / 1000000000.0 / $"n_bigrams")
+          / log(lit(2.0)) * 1000000.0 + 0.5).cast("double")
+          / 1000000.0).as("h_bigram_bits"),
+        (floor(($"slca".cast("double") - $"slcab".cast("double"))
+          / 1000000000.0 / $"n_bigrams"
+          / log(lit(2.0)) * 1000000.0 + 0.5).cast("double")
+          / 1000000.0).as("h_cond_bits"))
+      .orderBy($"source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_window_pmi" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (
+        |  SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+        |pairs AS (
+        |  SELECT toks[i] AS a, unnest(toks[i + 1 : i + 4]) AS b
+        |  FROM p),
+        |cp AS (
+        |  SELECT a, b, count(*)::BIGINT AS cab
+        |  FROM pairs GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |tot AS (
+        |  SELECT (SELECT sum(c)::DOUBLE FROM uni) AS n_uni,
+        |         (SELECT sum(cab)::DOUBLE FROM cp) AS n_pair)
+        |SELECT cp.a || ' ' || cp.b AS pair, cp.cab AS support,
+        |  floor(ln((cp.cab::DOUBLE / tot.n_pair) /
+        |    ((ua.c::DOUBLE / tot.n_uni) * (ub.c::DOUBLE / tot.n_uni)))
+        |    * 10000.0 + 0.5) / 10000.0 AS pmi
+        |FROM cp
+        |JOIN uni ua ON ua.w = cp.a
+        |JOIN uni ub ON ub.w = cp.b, tot
+        |WHERE cp.cab >= 5
+        |ORDER BY pmi DESC, pair LIMIT 50""".stripMargin,
+    "text_bigram_entropy" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT source, a, b, count(*)::BIGINT AS cab FROM (
+        |    SELECT source, toks[i] AS a, toks[i + 1] AS b
+        |    FROM (SELECT source, toks,
+        |      unnest(range(1, len(toks))) AS i FROM t))
+        |  GROUP BY 1, 2, 3),
+        |pa AS (
+        |  SELECT source,
+        |    sum(CAST(floor(ca::DOUBLE * ln(ca::DOUBLE)
+        |      * 1000000000.0 + 0.5) AS HUGEINT)) AS slca
+        |  FROM (SELECT source, a, sum(cab)::BIGINT AS ca
+        |        FROM bg GROUP BY 1, 2)
+        |  GROUP BY source),
+        |pab AS (
+        |  SELECT source, sum(cab)::BIGINT AS n_bigrams,
+        |    count(*)::BIGINT AS vocab_bigrams,
+        |    sum(CAST(floor(cab::DOUBLE * ln(cab::DOUBLE)
+        |      * 1000000000.0 + 0.5) AS HUGEINT)) AS slcab
+        |  FROM bg GROUP BY source)
+        |SELECT pab.source, n_bigrams, vocab_bigrams,
+        |  floor((ln(n_bigrams::DOUBLE)
+        |    - slcab::DOUBLE / 1000000000.0 / n_bigrams)
+        |    / ln(2.0) * 1000000.0 + 0.5) / 1000000.0 AS h_bigram_bits,
+        |  floor((slca::DOUBLE - slcab::DOUBLE)
+        |    / 1000000000.0 / n_bigrams
+        |    / ln(2.0) * 1000000.0 + 0.5) / 1000000.0 AS h_cond_bits
+        |FROM pab JOIN pa ON pa.source = pab.source
+        |ORDER BY pab.source""".stripMargin,
     "text_char_class_profile" ->
       """WITH per AS (
         |  SELECT source, length(text)::BIGINT AS total,

@@ -495,6 +495,40 @@ object EventStreams {
       .orderBy($"user_id", $"signup_us", $"purchase_us")
   }
 
+  /** G31 — stream-STATIC dimension enrichment join: the arriving
+    * event stream LEFT-joins the batch `customer` dim on user key and
+    * rolls revenue up per (market segment, event type) — the
+    * canonical ingest-time enrichment every production feed runs
+    * (attach the dim attributes WHILE the data lands, not in a
+    * nightly re-join). The static side is a plain batch DataFrame:
+    * Spark re-plans it per micro-batch (picking up dim updates
+    * between triggers) and the join itself is STATELESS — no
+    * watermark, no join state store, unlike G5's stream-stream shape;
+    * with a small dim AQE broadcasts it every trigger, so the stream
+    * side never shuffles. Revenue state is integer cents
+    * (DECIMAL(38,0) ≙ oracle HUGEINT — micro-batch-order exact);
+    * unmatched users land in an explicit 'UNKNOWN' segment so dim
+    * gaps are visible, not dropped.
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = graft.Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val agg = eventStream(spark, dir)
+      .join(cust, $"user_id" === $"c_custkey", "left")
+      .withColumn("segment",
+        coalesce($"c_mktsegment", lit("UNKNOWN")))
+      .groupBy($"segment", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value" * 100.0 + 0.5).cast("long")
+          .cast("decimal(38,0)")).as("vc"))
+    runToCompletion(agg, "graft_stream_enrich")
+      .select($"segment", $"event_type", $"n_events",
+        (floor($"vc".cast("double") / 100.0 * 100.0 + 0.5) / 100.0)
+          .as("total_value"))
+      .orderBy($"segment", $"event_type")
+  }
+
   /** G22 — stream-stream LEFT OUTER interval join: every signup,
     * matched to its same-user purchases in the following day, OR
     * emitted once with null purchase columns — the "did NOT convert
@@ -940,6 +974,14 @@ object EventStreams {
         |    date_trunc('hour', ts) AS hour
         |  FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_static_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  e.event_type, count(*)::BIGINT AS n_events,
+        |  floor(sum(CAST(floor(e.value * 100.0 + 0.5) AS HUGEINT)
+        |    )::DOUBLE / 100.0 * 100.0 + 0.5) / 100.0 AS total_value
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2
+        |ORDER BY segment, event_type""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
         |  count(*) AS n,

@@ -159,7 +159,13 @@ class AdversarialDataSpec extends SparkSpecBase {
     // round-12: integer divisions over data-derived budgets (empty /
     // single-source / zero-token corpora exercise the k−li+1 and
     // total DIV 2 seams)
-    "budget_waterfill")
+    "budget_waterfill",
+    // round-12 (cont.): rank/moment tests — zero rank variance
+    // (all-tied values), zero central variance (JB), a 2-day
+    // calendar (Kendall pair frame, DW lag), zero within-group
+    // deviation (Brown–Forsythe)
+    "events_kruskal_wallis", "orders_jarque_bera", "daily_kendall",
+    "revenue_durbin_watson", "events_brown_forsythe")
 
   private def badNumbers(rows: Array[Row]): Seq[String] =
     rows.iterator.flatMap { r =>
