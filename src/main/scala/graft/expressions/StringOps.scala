@@ -65,6 +65,54 @@ object FirstLink {
   * encoder/serializer hop, null handling generated) on the
   * vocabulary-sized frames it runs over.
   */
+/** Σ_b floor(c_b·ln(c_b)·10⁹ + 0.5) over the byte histogram of a
+  * binary payload — the exact-integer building block of byte-level
+  * Shannon entropy (the E15 discipline applied INSIDE the expression:
+  * per-byte-value contributions floor to integer 1e-9 units before
+  * the sum, so the result is a Long independent of any float
+  * accumulation order and the oracle's per-char integer sum matches
+  * bit-exact). One codegen'd pass over the payload; the 256-counter
+  * histogram lives on the stack, so the expression streams payloads
+  * of any size in whole-stage codegen.
+  */
+case class ByteLogUnits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "byte_log_units"
+
+  override def nullSafeEval(b: Any): Any =
+    ByteLogUnits.compute(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.expressions.ByteLogUnits.compute($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteLogUnits {
+  def compute(bytes: Array[Byte]): Long = {
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) {
+      counts(bytes(i) & 0xff) += 1
+      i += 1
+    }
+    var units = 0L
+    var v = 0
+    while (v < 256) {
+      val c = counts(v)
+      if (c > 1) // c == 1 contributes ln(1) = 0 exactly
+        units += math.floor(c.toDouble * math.log(c.toDouble)
+          * 1000000000.0 + 0.5).toLong
+      v += 1
+    }
+    units
+  }
+}
+
 case class PorterStem(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType

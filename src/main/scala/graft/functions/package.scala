@@ -63,6 +63,11 @@ package object functions {
   /** Codegen'd Porter stem of a lowercase word. */
   def porter_stem(w: Column): Column = toCol(PorterStem(toExpr(w)))
 
+  /** Codegen'd Σ floor(c·ln c·1e9+0.5) over a binary payload's byte
+    * histogram (exact-integer byte-entropy building block).
+    */
+  def byte_log_units(b: Column): Column = toCol(ByteLogUnits(toExpr(b)))
+
   /** Register graft functions for SQL use on this session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

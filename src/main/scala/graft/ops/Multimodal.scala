@@ -394,7 +394,65 @@ object Multimodal {
       .orderBy($"modality_a", $"modality_b")
   }
 
+  /** F11 — payload byte-entropy triage: Shannon entropy of each
+    * binary payload's BYTE distribution — the pre-decode storage-QA
+    * gate that catches what no codec ever sees: near-zero entropy =
+    * constant filler / truncated writes, entropy ≈ 8 bits on a
+    * payload that should be raw PCM/bitmap = double-compressed or
+    * encrypted bytes mislabeled as media. Runs on the opaque binary
+    * column itself via [[graft.expressions.ByteLogUnits]] — one
+    * codegen'd pass per payload, 256-counter stack histogram,
+    * per-byte-value ln-contributions floored to integer 1e-9 units
+    * INSIDE the expression (the E15 discipline), so the corpus-side
+    * arithmetic is exact Longs and the bits conversion is one shared
+    * double chain. (Oracle equivalence uses payload = UTF-8 text, so
+    * byte counts equal char counts on the ASCII corpus; the operator
+    * itself is pure binary.)
+    */
+  def payloadEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withMedia(spark, dir)
+      .select($"doc_id", $"media_type", $"n_bytes",
+        graft.functions.byte_log_units($"payload").as("units"))
+      .select($"doc_id", $"media_type", $"n_bytes",
+        when($"n_bytes" > 0,
+          floor((log($"n_bytes".cast("double"))
+            - $"units".cast("double") / 1000000000.0 / $"n_bytes")
+            / log(lit(2.0)) * 1000000.0 + 0.5).cast("double")
+            / 1000000.0).as("entropy_bits"))
+      .withColumn("suspicious",
+        when($"entropy_bits".isNotNull,
+          $"entropy_bits" < 1.0 || $"entropy_bits" > 7.5))
+      .orderBy($"doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_payload_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes,
+        |    sum(CAST(floor(c::DOUBLE * ln(c::DOUBLE)
+        |      * 1000000000.0 + 0.5) AS HUGEINT)) AS units
+        |  FROM cc GROUP BY 1),
+        |e AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END
+        |      AS media_type,
+        |    n_bytes,
+        |    CASE WHEN n_bytes > 0 THEN
+        |      floor((ln(n_bytes::DOUBLE)
+        |        - units::DOUBLE / 1000000000.0 / n_bytes) / ln(2.0)
+        |        * 1000000.0 + 0.5) / 1000000.0 END AS entropy_bits
+        |  FROM agg)
+        |SELECT doc_id, media_type, n_bytes, entropy_bits,
+        |  CASE WHEN entropy_bits IS NOT NULL THEN
+        |    entropy_bits < 1.0 OR entropy_bits > 7.5 END AS suspicious
+        |FROM e ORDER BY doc_id""".stripMargin,
     "multimodal_cooccurrence" ->
       """WITH s AS (
         |  SELECT doc_id,

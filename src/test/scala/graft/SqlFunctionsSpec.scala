@@ -29,4 +29,28 @@ class SqlFunctionsSpec extends SparkSpecBase {
       .select(graft.functions.porter_stem($"w")).collect()
     assert(nulls(0).getString(0) === "fall" && nulls(1).isNullAt(0))
   }
+
+  test("byte_log_units ≡ per-byte floor(c·ln c·1e9+.5) sum via codegen") {
+    import spark.implicits._
+    def ref(bytes: Array[Byte]): Long =
+      bytes.groupBy(b => b & 0xff).values
+        .map(g => math.floor(g.length.toDouble *
+          math.log(g.length.toDouble) * 1e9 + 0.5).toLong)
+        .sum
+    val payloads = Seq("aaaa", "abab", "abcd", "", "x",
+      new String(Array.tabulate(300)(i => (i % 7 + 'a').toChar)))
+      .map(_.getBytes("UTF-8"))
+    val got = payloads.toDF("b")
+      .select(graft.functions.byte_log_units($"b")).as[Long].collect()
+    assert(got.toSeq === payloads.map(ref))
+    // full byte range incl. negative JVM bytes (0x80-0xff)
+    val bin = Array.tabulate[Byte](512)(i => (i % 256).toByte)
+    val one = Seq(bin).toDF("b")
+      .select(graft.functions.byte_log_units($"b")).as[Long].collect()
+    assert(one(0) === ref(bin))
+    val nulls = Seq[Option[Array[Byte]]](Some("zz".getBytes), None)
+      .toDF("b").select(graft.functions.byte_log_units($"b")).collect()
+    assert(nulls(0).getLong(0) === ref("zz".getBytes) &&
+      nulls(1).isNullAt(0))
+  }
 }
