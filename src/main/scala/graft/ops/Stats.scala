@@ -967,7 +967,94 @@ object Stats {
       .filter($"nn" > 0)
   }
 
+  /** B97 — two-proportion z-test on user conversion between the two
+    * deterministic user buckets (user_id mod 2 — the hash-split A/B
+    * shape): does bucket A convert (≥1 purchase) at a different RATE
+    * than bucket B? This is the single most common product-experiment
+    * readout; B55/B75 compare continuous VALUES, this compares the
+    * binomial proportions those tests can't touch. z = (p̂_a − p̂_b) /
+    * √(p̂(1−p̂)(1/n_a + 1/n_b)) with the pooled p̂ — every input an
+    * exact integer (user counts / converter counts from ONE per-user
+    * partial agg), the z one shared double chain; Wilson-style
+    * degenerate guards (empty bucket, pooled rate 0 or 1) → defined
+    * nulls. pmod keeps the bucket assignment sign-stable on hostile
+    * negative ids (Spark % and DuckDB % agree on negatives, but both
+    * would split negatives into a THIRD bucket −1).
+    */
+  def abProportionTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("grp", pmod($"user_id", lit(2L)) === 0L)
+    val m = per.groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("x"))
+      .agg(sum(when($"grp", $"n")).as("n_a"),
+        sum(when($"grp", $"x")).as("x_a"),
+        sum(when(!$"grp", $"n")).as("n_b"),
+        sum(when(!$"grp", $"x")).as("x_b"))
+      .na.fill(0L, Seq("n_a", "x_a", "n_b", "x_b"))
+    val pa = $"x_a".cast("double") / $"n_a"
+    val pb = $"x_b".cast("double") / $"n_b"
+    val pp = ($"x_a" + $"x_b").cast("double") / ($"n_a" + $"n_b")
+    val z = (pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
+    m.select($"n_a", $"x_a",
+        when($"n_a" > 0, floor(pa * 1000000.0 + 0.5) / 1000000.0)
+          .as("p_a"),
+        $"n_b", $"x_b",
+        when($"n_b" > 0, floor(pb * 1000000.0 + 0.5) / 1000000.0)
+          .as("p_b"),
+        when($"n_a" > 0 && $"n_b" > 0 && pp > 0.0 && pp < 1.0,
+          floor(z * 1000000.0 + 0.5) / 1000000.0).as("z"),
+        when($"n_a" > 0 && $"n_b" > 0 && pp > 0.0 && pp < 1.0,
+          abs(floor(z * 1000000.0 + 0.5) / 1000000.0) > 1.96)
+          .as("significant"))
+      .filter($"n_a" + $"n_b" > 0)
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_ab_proportion" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS conv,
+        |    ((user_id % 2) + 2) % 2 = 0 AS grp
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT grp, count(*)::BIGINT AS n, sum(conv)::BIGINT AS x
+        |  FROM per GROUP BY grp),
+        |m AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN grp THEN n END), 0)::BIGINT AS n_a,
+        |    coalesce(sum(CASE WHEN grp THEN x END), 0)::BIGINT AS x_a,
+        |    coalesce(sum(CASE WHEN NOT grp THEN n END), 0)::BIGINT
+        |      AS n_b,
+        |    coalesce(sum(CASE WHEN NOT grp THEN x END), 0)::BIGINT
+        |      AS x_b
+        |  FROM g),
+        |d AS (
+        |  SELECT n_a, x_a, n_b, x_b,
+        |    x_a::DOUBLE / n_a AS pa, x_b::DOUBLE / n_b AS pb,
+        |    (x_a + x_b)::DOUBLE / (n_a + n_b) AS pp
+        |  FROM m)
+        |SELECT n_a, x_a,
+        |  CASE WHEN n_a > 0 THEN
+        |    floor(pa * 1000000.0 + 0.5) / 1000000.0 END AS p_a,
+        |  n_b, x_b,
+        |  CASE WHEN n_b > 0 THEN
+        |    floor(pb * 1000000.0 + 0.5) / 1000000.0 END AS p_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0.0 AND pp < 1.0 THEN
+        |    floor((pa - pb) / sqrt(pp * (1.0 - pp)
+        |      * (1.0 / n_a + 1.0 / n_b)) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS z,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0.0 AND pp < 1.0 THEN
+        |    abs(floor((pa - pb) / sqrt(pp * (1.0 - pp)
+        |      * (1.0 / n_a + 1.0 / n_b)) * 1000000.0 + 0.5)
+        |      / 1000000.0) > 1.96 END AS significant
+        |FROM d WHERE n_a + n_b > 0""".stripMargin,
     "events_kruskal_wallis" ->
       """WITH v AS (
         |  SELECT event_type,

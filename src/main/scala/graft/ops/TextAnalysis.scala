@@ -1918,7 +1918,92 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** E52 — pairwise Jensen–Shannon divergence between source unigram
+    * distributions: the SYMMETRIC, always-finite corpus-similarity
+    * matrix next to E47's source-vs-rest KL (KL is directional and
+    * needs smoothing to stay finite; JS is the metric√-able number a
+    * mixture owner reads as "how different are these two feeds
+    * really?"). No smoothing needed: the disjoint-support mass
+    * contributes exactly ln2·((1−P∩) + (1−Q∩)), so the WHOLE
+    * computation runs on the intersection join — per ordered source
+    * pair, per-token contributions p·ln(2p/(p+q)) + q·ln(2q/(p+q))
+    * floor to integer 1e-12 units (E47 discipline: exact
+    * DECIMAL(38,0) sums, order-free) and the two intersection masses
+    * are exact Longs; one shared double chain assembles JS, 6dp.
+    *
+    * Scale shape: one (source, token) partial agg, one vocab-keyed
+    * self-join (corpus-SUBLINEAR output: Σ_t C(sources_with_t, 2) ≤
+    * vocab·pairs², never corpus rows; NO broadcast hint — Heaps'
+    * law), one pairs²-sized rollup.
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.load(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val srcs = cnt.groupBy($"source").agg(sum($"c").as("n"))
+    val a = cnt.select($"source".as("source_a"), $"token",
+      $"c".as("ca"))
+    val b = cnt.select($"source".as("source_b"), $"token",
+      $"c".as("cb"))
+    val joined = a.join(b, "token").filter($"source_a" < $"source_b")
+      .join(broadcast(srcs.select($"source".as("source_a"),
+        $"n".as("na"))), "source_a")
+      .join(broadcast(srcs.select($"source".as("source_b"),
+        $"n".as("nb"))), "source_b")
+    val p = $"ca".cast("double") / $"na"
+    val q = $"cb".cast("double") / $"nb"
+    val contrib = p * log(lit(2.0) * p / (p + q)) +
+      q * log(lit(2.0) * q / (p + q))
+    joined
+      .select($"source_a", $"source_b", $"na", $"nb", $"ca", $"cb",
+        floor(contrib * 1e12 + 0.5).cast("long")
+          .cast("decimal(38,0)").as("u"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_common_tokens"),
+        max($"na").as("na"), max($"nb").as("nb"),
+        sum($"ca").as("sp"), sum($"cb").as("sq"), sum($"u").as("su"))
+      .select($"source_a", $"source_b", $"n_common_tokens",
+        (floor(($"su".cast("double") / 1e12 +
+          log(lit(2.0)) * ((lit(1.0) - $"sp".cast("double") / $"na") +
+            (lit(1.0) - $"sq".cast("double") / $"nb"))) / 2.0
+          * 1000000.0 + 0.5) / 1000000.0).as("js_divergence"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_js_divergence" ->
+      """WITH cnt AS (
+        |  SELECT source, t AS token, count(*)::BIGINT AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |srcs AS (
+        |  SELECT source, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+        |j AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    na.n AS na, nb.n AS nb, a.c AS ca, b.c AS cb,
+        |    CAST(floor((a.c::DOUBLE / na.n *
+        |        ln(2.0 * (a.c::DOUBLE / na.n) /
+        |          (a.c::DOUBLE / na.n + b.c::DOUBLE / nb.n))
+        |      + b.c::DOUBLE / nb.n *
+        |        ln(2.0 * (b.c::DOUBLE / nb.n) /
+        |          (a.c::DOUBLE / na.n + b.c::DOUBLE / nb.n)))
+        |      * 1e12 + 0.5) AS HUGEINT) AS u
+        |  FROM cnt a JOIN cnt b ON b.token = a.token
+        |    AND a.source < b.source
+        |  JOIN srcs na ON na.source = a.source
+        |  JOIN srcs nb ON nb.source = b.source)
+        |SELECT source_a, source_b,
+        |  count(*)::BIGINT AS n_common_tokens,
+        |  floor((sum(u)::DOUBLE / 1e12 +
+        |    ln(2.0) * ((1.0 - sum(ca)::DOUBLE / any_value(na)) +
+        |      (1.0 - sum(cb)::DOUBLE / any_value(nb)))) / 2.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS js_divergence
+        |FROM j GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "text_window_pmi" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents

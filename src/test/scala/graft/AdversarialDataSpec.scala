@@ -165,7 +165,12 @@ class AdversarialDataSpec extends SparkSpecBase {
     // calendar (Kendall pair frame, DW lag), zero within-group
     // deviation (Brown–Forsythe)
     "events_kruskal_wallis", "orders_jarque_bera", "daily_kendall",
-    "revenue_durbin_watson", "events_brown_forsythe")
+    "revenue_durbin_watson", "events_brown_forsythe",
+    // proportion test (all-/zero-converter buckets), JS divergence
+    // (single-source corpus → empty pair frame), payload entropy
+    // (single-char and punctuation-only payloads)
+    "events_ab_proportion", "text_js_divergence",
+    "multimodal_payload_entropy")
 
   private def badNumbers(rows: Array[Row]): Seq[String] =
     rows.iterator.flatMap { r =>
