@@ -289,4 +289,51 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("events_kruskal_wallis: corpus collapses to the value grid " +
+    "before any window") {
+    val plan = executedPlan("events_kruskal_wallis")
+    // the (cents, type) and cents collapses each run partial+final;
+    // the rank window then rides the domain-bounded frame
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("shuffle_locality_audit: adjacency window is bucket-partitioned") {
+    val plan = executedPlan("shuffle_locality_audit")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // the corpus-sized lag window must carry the H7 hash bucket; the
+    // only unpartitioned window is the 16-row bucket-ends frame
+    assert(windows.exists(_.contains("bkt#")),
+      s"no bucket-partitioned window: $windows\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("text_js_divergence: source pairing is a token equi-join") {
+    val plan = executedPlan("text_js_divergence")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val equiJoinKeys =
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\S* \[([^\]]*)\]""".r
+    val joins = equiJoinKeys.findAllMatchIn(plan).map(_.group(2)).toSeq
+    assert(joins.exists(_.contains("token#")),
+      s"self-join lacks the token key: $joins\n$plan")
+  }
+
+  test("multimodal_payload_entropy: scan-side projection, " +
+    "no data shuffle beyond the presentation sort") {
+    val plan = executedPlan("multimodal_payload_entropy")
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.substring(0, cut) else plan
+    assert(!finalPlan.contains("HashAggregate"),
+      s"no aggregate expected:\n$finalPlan")
+    assert("Exchange".r.findAllIn(finalPlan).size <= 1,
+      s"expected only the presentation range exchange:\n$finalPlan")
+    // the expression runs inside whole-stage codegen, not interpreted
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*byte_log_units".r
+      .findFirstIn(finalPlan).isDefined,
+      s"byte_log_units not in a codegen stage:\n$finalPlan")
+  }
 }
