@@ -1275,6 +1275,55 @@ object Dedup {
   /** DuckDB-side shingle CTE shared by the jaccard oracles (and the
     * H12 split-leakage oracle in [[Curation]]).
     */
+  /** C25 — shingle-space saturation pre-flight: the ONE report to run
+    * BEFORE any near-dup rollout, answering "will candidate
+    * generation explode on this corpus?" The round-12 scaling
+    * rehearsal measured exactly this failure shape: when the
+    * 3-shingle space saturates (distinct shingles plateau while
+    * postings keep growing), per-shingle document frequencies grow
+    * linearly with the corpus and ANY bucket-based candidate scheme
+    * does Σ df·(df−1)/2 pair work — quadratic BY DATA, invisible to
+    * plan audits. Output: distinct shingles, postings, max df, the
+    * projected all-pair bucket work (exact DECIMAL ≙ HUGEINT — it
+    * overflows a Long precisely when it matters), saturation =
+    * postings/distinct, and the log₂ df histogram whose upper
+    * buckets ARE the explosion. One explode + one shingle-keyed
+    * partial agg + a log₂-buckets rollup: corpus-linear, the cost of
+    * one LSH signature pass.
+    */
+  def shingleSaturation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = withShingles(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+    // ⌊log₂ df⌋ via binary-string length — exact integer path (a
+    // float log at an exact power-of-two boundary is a 1-ulp flip
+    // away from the wrong bucket on one engine)
+    val hist = df
+      .withColumn("bucket", (length(bin($"df")) - 1).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum($"df").as("n_postings"),
+        max($"df").as("max_df"),
+        sum($"df".cast("decimal(38,0)") * ($"df" - 1) / 2)
+          .cast("decimal(38,0)").as("pair_work"))
+    val tot = hist.agg(
+      coalesce(sum($"n_shingles"), lit(0L)).as("t_shingles"),
+      coalesce(sum($"n_postings"), lit(0L)).as("t_postings"),
+      coalesce(sum($"pair_work".cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+        .as("t_pair_work"))
+    hist.crossJoin(broadcast(tot))
+      .select($"bucket".as("df_log2_bucket"), $"n_shingles",
+        $"n_postings", $"max_df", $"pair_work",
+        $"t_shingles".as("total_shingles"),
+        $"t_postings".as("total_postings"),
+        $"t_pair_work".as("total_pair_work"),
+        (floor($"t_postings".cast("double") / $"t_shingles"
+          * 1000000.0 + 0.5) / 1000000.0).as("saturation"))
+      .orderBy($"df_log2_bucket")
+  }
+
   private[ops] val shingleCte =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1653,6 +1702,31 @@ object Dedup {
         |FROM h GROUP BY paragraph_hash
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY paragraph_hash""".stripMargin,
+    "dedup_shingle_saturation" -> (shingleCte.stripSuffix("\n")
+      .stripSuffix(",") + ",\n" +
+      """post AS (SELECT unnest(s) AS shingle, doc_id FROM sh),
+        |dfc AS (
+        |  SELECT shingle, count(*)::BIGINT AS df
+        |  FROM post GROUP BY 1),
+        |hist AS (
+        |  SELECT (length(printf('%b', df)) - 1)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS n_shingles,
+        |    sum(df)::BIGINT AS n_postings,
+        |    max(df)::BIGINT AS max_df,
+        |    CAST(sum(df::HUGEINT * (df - 1) // 2) AS DECIMAL(38,0))
+        |      AS pair_work
+        |  FROM dfc GROUP BY 1),
+        |tot AS (
+        |  SELECT coalesce(sum(n_shingles), 0)::BIGINT AS ts,
+        |    coalesce(sum(n_postings), 0)::BIGINT AS tp,
+        |    CAST(coalesce(sum(pair_work), 0) AS DECIMAL(38,0)) AS tw
+        |  FROM hist)
+        |SELECT bucket AS df_log2_bucket, n_shingles, n_postings,
+        |  max_df, pair_work, ts AS total_shingles,
+        |  tp AS total_postings, tw AS total_pair_work,
+        |  floor(tp::DOUBLE / ts * 1000000.0 + 0.5) / 1000000.0
+        |    AS saturation
+        |FROM hist, tot ORDER BY df_log2_bucket""".stripMargin),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
