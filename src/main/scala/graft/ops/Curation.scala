@@ -1186,7 +1186,140 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** H36 — curation funnel waterfall: the stage-by-stage retention
+    * table every dataset paper publishes (C4/RefinedWeb style) —
+    * raw → exact dedup (C1 keepers) → near-dup removal (C6 cluster
+    * keepers) → quality gate (E2 ≥ 0.75), each stage reporting docs,
+    * tokens, the step retention vs the previous stage, and the
+    * cumulative retention vs raw. E7's composite pipeline EXECUTES
+    * these stages; this is the accounting view that says where the
+    * corpus actually went — the first table a curation review reads
+    * and the one that catches a mis-tuned gate eating 60% of a crawl.
+    *
+    * Scale shape: per-doc stage flags come from C1's hash partial
+    * agg, C6's (gated, duplicates-sized) drop set broadcast, and the
+    * scan-side quality score; the waterfall itself is ONE conditional
+    * aggregate over the flagged corpus + a 4-row stack of the result
+    * — no stage re-scans the corpus.
+    */
+  def curationFunnel(spark: SparkSession, dir: String,
+                     qualityMin: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("tk", size(split($"text", " ")).cast("long"))
+    val exactKeep = docs
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id").withColumn("exact_keep", lit(true))
+    val nearDrop = Dedup.clusters(spark, dir)
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id").withColumn("near_drop", lit(true))
+    val q = graft.ops.TextAnalysis.quality(spark, dir)
+      .select($"doc_id", $"quality")
+    val flagged = docs.select($"doc_id", $"tk")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(broadcast(nearDrop), Seq("doc_id"), "left")
+      .join(q, Seq("doc_id"), "left")
+      .na.fill(false, Seq("exact_keep", "near_drop"))
+      .withColumn("s1", $"exact_keep")
+      .withColumn("s2", $"s1" && !$"near_drop")
+      .withColumn("s3", $"s2" && $"quality".isNotNull &&
+        $"quality" >= qualityMin)
+    val m = flagged.agg(
+      count(lit(1)).as("d0"), sum($"tk").as("t0"),
+      sum(when($"s1", 1L).otherwise(0L)).as("d1"),
+      sum(when($"s1", $"tk").otherwise(0L)).as("t1"),
+      sum(when($"s2", 1L).otherwise(0L)).as("d2"),
+      sum(when($"s2", $"tk").otherwise(0L)).as("t2"),
+      sum(when($"s3", 1L).otherwise(0L)).as("d3"),
+      sum(when($"s3", $"tk").otherwise(0L)).as("t3"))
+    m.select(expr(
+        """stack(4,
+          |  0L, 'raw',          d0, t0, CAST(NULL AS BIGINT),
+          |  1L, 'exact_dedup',  d1, t1, d0,
+          |  2L, 'near_dup',     d2, t2, d1,
+          |  3L, 'quality_gate', d3, t3, d2)
+          |AS (stage, stage_name, n_docs, n_tokens, prev_docs)"""
+          .stripMargin), $"d0")
+      .select($"stage", $"stage_name", $"n_docs", $"n_tokens",
+        when($"prev_docs" > 0,
+          floor($"n_docs".cast("double") / $"prev_docs" * 1000000.0
+            + 0.5) / 1000000.0).as("step_share"),
+        when($"d0" > 0,
+          floor($"n_docs".cast("double") / $"d0" * 1000000.0 + 0.5)
+            / 1000000.0).as("retained_share"))
+      .orderBy($"stage")
+  }
+
   val oracles: Map[String, String] = Map(
+    "curation_funnel" -> (Dedup.shingleCte
+      .replace("WITH toks", "WITH RECURSIVE toks")
+      .stripSuffix("\n") + Dedup.candCte(8000) + ",\n" +
+      """pairs AS (
+        |  SELECT c.da AS doc_a, c.db AS doc_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, lab) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT e.doc_a, r.lab FROM reach r
+        |  JOIN edges e ON e.doc_b = r.doc_id),
+        |comp AS (
+        |  SELECT doc_id, min(lab) AS cluster_id
+        |  FROM reach GROUP BY doc_id),
+        |ndrop AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+        |ek AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |qual AS (
+        |  SELECT doc_id,
+        |    floor(((least(length(text)::DOUBLE / 500.0, 1.0))
+        |      + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+        |        / length(text)::DOUBLE)
+        |      + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is','on','for','with')))::DOUBLE
+        |        / len(string_split(text, ' '))::DOUBLE)
+        |      + len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |        / len(string_split(text, ' '))::DOUBLE)
+        |      / 4.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |fl AS (
+        |  SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS tk,
+        |    ek.doc_id IS NOT NULL AS s1,
+        |    ek.doc_id IS NOT NULL AND nd.doc_id IS NULL AS s2,
+        |    ek.doc_id IS NOT NULL AND nd.doc_id IS NULL
+        |      AND q.quality IS NOT NULL AND q.quality >= 0.75 AS s3
+        |  FROM documents d
+        |  LEFT JOIN ek ON ek.doc_id = d.doc_id
+        |  LEFT JOIN ndrop nd ON nd.doc_id = d.doc_id
+        |  LEFT JOIN qual q ON q.doc_id = d.doc_id),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS d0, sum(tk)::BIGINT AS t0,
+        |    sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+        |    sum(CASE WHEN s1 THEN tk ELSE 0 END)::BIGINT AS t1,
+        |    sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+        |    sum(CASE WHEN s2 THEN tk ELSE 0 END)::BIGINT AS t2,
+        |    sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+        |    sum(CASE WHEN s3 THEN tk ELSE 0 END)::BIGINT AS t3
+        |  FROM fl),
+        |st AS (
+        |  SELECT 0::BIGINT AS stage, 'raw' AS stage_name,
+        |    d0 AS n_docs, t0 AS n_tokens,
+        |    CAST(NULL AS BIGINT) AS prev_docs, d0 FROM m
+        |  UNION ALL SELECT 1, 'exact_dedup', d1, t1, d0, d0 FROM m
+        |  UNION ALL SELECT 2, 'near_dup', d2, t2, d1, d0 FROM m
+        |  UNION ALL SELECT 3, 'quality_gate', d3, t3, d2, d0 FROM m)
+        |SELECT stage, stage_name, n_docs, n_tokens,
+        |  CASE WHEN prev_docs > 0 THEN
+        |    floor(n_docs::DOUBLE / prev_docs * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS step_share,
+        |  CASE WHEN d0 > 0 THEN
+        |    floor(n_docs::DOUBLE / d0 * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS retained_share
+        |FROM st ORDER BY stage""".stripMargin),
     "shuffle_locality_audit" ->
       """WITH k AS (
         |  SELECT doc_id, source,
