@@ -978,10 +978,25 @@ object Similarity {
     * one self-join of the k-bounded directed edge list.
     */
   def embeddingClusters(spark: SparkSession, dir: String, k: Int = 5,
-                        planes: Int = 12, maxIters: Int = 20)
+                        planesMin: Int = 12, maxIters: Int = 20)
       : DataFrame = {
     import spark.implicits._
-    val g = knnGraphOn(loadVecs(spark, dir), k, planes)
+    val vecs = loadVecs(spark, dir)
+    // occupancy-constant LSH: the x1000 scaling run showed a FIXED
+    // plane count saturating (bucket occupancy grows linearly with
+    // vectors → candidate verification quadratic — the shingle-
+    // saturation mechanism in embedding space). Buckets must track
+    // N/8: planes = smallest p ≥ 12 with 2^p·8 ≥ N, computed by the
+    // same integer bit-length formula as the oracle (a float log2 at
+    // a power-of-two boundary is a 1-ulp plane-count flip). At the
+    // committed corpus sizes (N ≤ 2¹⁵) this stays exactly 12, so the
+    // adaptive dial changes nothing the oracles pinned.
+    val n = vecs.count()
+    val planes =
+      if (n <= 8L * 4096) planesMin
+      else (64 - java.lang.Long.numberOfLeadingZeros((n + 7) / 8 - 1))
+        .toInt
+    val g = knnGraphOn(vecs, k, planes)
       .localCheckpoint()
     val rev = g.select($"vec_id".as("b2"), $"neighbor_id".as("a2"))
     val pairs = g.filter($"vec_id" < $"neighbor_id")
@@ -2280,7 +2295,15 @@ object Similarity {
         |WHERE a.vec_id < a.neighbor_id
         |ORDER BY vec_a, vec_b""".stripMargin),
     "embedding_clusters" ->
-      (lshGraphCte.replaceFirst("WITH seeds", "WITH RECURSIVE seeds") +
+      (lshGraphCte
+        .replaceFirst("WITH seeds",
+          """WITH RECURSIVE nplanes AS (
+            |  SELECT CASE WHEN count(*) <= 32768 THEN 12
+            |    ELSE length(printf('%b', ((count(*) + 7) // 8) - 1))
+            |    END::INT AS np
+            |  FROM embeddings),
+            |seeds""".stripMargin)
+        .replace("range(0, 12)", "range(0, (SELECT np FROM nplanes))") +
       """,
         |g AS (
         |  SELECT src_id AS vec_id, neighbor_id FROM scored

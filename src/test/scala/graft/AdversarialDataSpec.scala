@@ -170,7 +170,10 @@ class AdversarialDataSpec extends SparkSpecBase {
     // (single-source corpus → empty pair frame), payload entropy
     // (single-char and punctuation-only payloads)
     "events_ab_proportion", "text_js_divergence",
-    "multimodal_payload_entropy")
+    "multimodal_payload_entropy",
+    // funnel shares (zero-doc stages), saturation ratio (identical
+    // triplicate docs drive max-df buckets)
+    "curation_funnel", "dedup_shingle_saturation")
 
   private def badNumbers(rows: Array[Row]): Seq[String] =
     rows.iterator.flatMap { r =>
