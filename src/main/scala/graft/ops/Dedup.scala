@@ -1285,8 +1285,13 @@ object Dedup {
     * does Σ df·(df−1)/2 pair work — quadratic BY DATA, invisible to
     * plan audits. Output: distinct shingles, postings, max df, the
     * projected all-pair bucket work (exact DECIMAL ≙ HUGEINT — it
-    * overflows a Long precisely when it matters), saturation =
-    * postings/distinct, and the log₂ df histogram whose upper
+    * overflows a Long precisely when it matters), saturation_ppm =
+    * round(postings/distinct · 10⁶) as a BIGINT — computed by exact
+    * integer rounding `(2·tp·10⁶ + ts) div (2·ts)` on BOTH engines so
+    * no DOUBLE ever exists to render or 1-ulp-flip across
+    * engine/DuckDB versions (the r12 driver-gate hash fail was
+    * isolated to this one float column) — and the log₂ df histogram
+    * whose upper
     * buckets ARE the explosion. One explode + one shingle-keyed
     * partial agg + a log₂-buckets rollup: corpus-linear, the cost of
     * one LSH signature pass.
@@ -1319,8 +1324,9 @@ object Dedup {
         $"t_shingles".as("total_shingles"),
         $"t_postings".as("total_postings"),
         $"t_pair_work".as("total_pair_work"),
-        (floor($"t_postings".cast("double") / $"t_shingles"
-          * 1000000.0 + 0.5) / 1000000.0).as("saturation"))
+        expr("CAST((CAST(t_postings AS DECIMAL(38,0)) * 2000000 " +
+          "+ t_shingles) DIV (2 * t_shingles) AS BIGINT)")
+          .as("saturation_ppm"))
       .orderBy($"df_log2_bucket")
   }
 
@@ -1724,8 +1730,8 @@ object Dedup {
         |SELECT bucket AS df_log2_bucket, n_shingles, n_postings,
         |  max_df, pair_work, ts AS total_shingles,
         |  tp AS total_postings, tw AS total_pair_work,
-        |  floor(tp::DOUBLE / ts * 1000000.0 + 0.5) / 1000000.0
-        |    AS saturation
+        |  ((2 * tp::HUGEINT * 1000000 + ts) // (2 * ts))::BIGINT
+        |    AS saturation_ppm
         |FROM hist, tot ORDER BY df_log2_bucket""".stripMargin),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
