@@ -647,15 +647,33 @@ object Similarity {
     * LSH buckets: each vector probes its own bucket plus all 1-bit
     * flips, scores only the vectors it collides with, and keeps top-k.
     *
-    * Scale shape: bucketing is one projection pass; the probe side
-    * explodes to (planes+1)×n rows but the equi-join on bucket is a
-    * plain shuffle join whose candidate count LSH bounds (AQE splits
-    * any hot bucket); the B37 k-bounded heap partial-aggregates
-    * map-side, so the per-source rollup moves ≤ sources×k rows — never
-    * the candidate set. Edges are only as complete as the LSH recall —
-    * the high-similarity regime (near-dup neighbors) is exactly where
-    * sign-LSH recall concentrates, and the DuckDB oracle re-derives
-    * the same buckets bit-exactly, so the check is still exact.
+    * Scale shape (r13 restructure — the r12 x1000 rehearsal killed
+    * the old form at 500k×64-double vectors): the bucket equi-join
+    * runs ID-ONLY — 16-byte (id, bucket) rows on both sides — so LSH
+    * bucket skew (sign buckets on clustered embeddings are HEAVILY
+    * skewed; the old run pinned 3/32 cores streaming hot-bucket
+    * candidates whose rows each carried two 512-byte vectors) now
+    * costs 16 bytes/candidate and a hot bucket's SMJ match-group
+    * buffer is KB-sized ids instead of the spilled MB vector array
+    * the old run re-read once per probe row (quadratic disk IO on
+    * the hot bucket — the actual kill mechanism). Vectors attach
+    * AFTER candidate generation by two id-keyed lookup joins,
+    * adaptively: when the vector table fits an executor (n ≤ 2²¹ ≈
+    * 2M × 520 B ≈ 1 GB) both lookups BROADCAST, so the candidate-id
+    * stream never shuffles with a payload and cosine + the map-side
+    * k-bounded heap pipeline in one stage; above that the lookups
+    * are plain id-keyed shuffle joins — uniformly-hashed keys (no
+    * bucket skew), the cluster-scale path where broadcast would OOM
+    * the driver. The B37 heap partial-aggregates map-side either
+    * way, so the per-source rollup moves ≤ sources×k rows.
+    * Bit-identical to the old form (same candidate set — a pair
+    * collides on at most ONE probe since the probe values are
+    * distinct — same cosine, same deterministic top-k), so every
+    * pinned oracle hash is unchanged. Edges are only as complete as
+    * the LSH recall — the high-similarity regime (near-dup
+    * neighbors) is exactly where sign-LSH recall concentrates, and
+    * the DuckDB oracle re-derives the same buckets bit-exactly, so
+    * the check is still exact.
     */
   def knnGraph(spark: SparkSession, dir: String,
                k: Int = 5, planes: Int = 12): DataFrame =
@@ -664,15 +682,27 @@ object Similarity {
   private[graft] def knnGraphOn(vecs: DataFrame, k: Int,
                                 planes: Int): DataFrame = {
     import vecs.sparkSession.implicits._
-    val bucketed = lshBucketsOn(vecs, planes)
-    val probes = lshBucketsOn(vecs, planes)
-      .select($"vec_id".as("src_id"), $"v".as("sv"), $"bucket".as("sbucket"))
+    val ids = lshBucketsOn(vecs, planes)
+      .select($"vec_id", $"bucket").localCheckpoint()
+    val probes = ids
+      .select($"vec_id".as("src_id"), $"bucket".as("sbucket"))
       .withColumn("probe", explode(array(
         ($"sbucket" +: (0 until planes).map(p =>
           $"sbucket".bitwiseXOR(lit(1L << p)))): _*)))
+      .select($"src_id", $"probe")
+    val cand = ids
+      .join(probes, $"bucket" === $"probe" && $"vec_id" =!= $"src_id")
+      .select($"src_id", $"vec_id")
+    val fits = vecs.count() <= (1L << 21)
+    def lk(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    val nv = lk(vecs.select($"vec_id", $"v"))
+    val sv = lk(vecs.select($"vec_id".as("src_id"), $"v".as("srcv")))
     val topk = udaf(graft.expressions.TopKPairs(k))
-    bucketed.join(probes, $"bucket" === $"probe" && $"vec_id" =!= $"src_id")
-      .withColumn("cos", cosine($"sv", $"v"))
+    cand
+      .join(nv, "vec_id")
+      .join(sv, "src_id")
+      .withColumn("cos", cosine($"srcv", $"v"))
+      .select($"src_id", $"vec_id", $"cos")
       .groupBy($"src_id")
       .agg(topk($"cos", $"vec_id").as("top"))
       .select($"src_id", posexplode($"top").as(Seq("idx", "p")))
