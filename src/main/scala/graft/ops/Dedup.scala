@@ -1155,8 +1155,9 @@ object Dedup {
     * corpus pass assigns cells, the cell equi-join bounds pairs to
     * cell sizes (cells scale with corpus — n²/cells per cell), and
     * the drop set is a distinct projection joined back corpus-linear.
-    * Centroid floats are engine-specific → rows-only driver check +
-    * DedupSpec equivalence against an in-memory per-cell reference.
+    * FULL-HASH oracle since r13: [[OracleU64.lloydReplay]] re-derives
+    * the sampled Lloyd training bit-exactly in DuckDB (plus the
+    * DedupSpec equivalence against an in-memory per-cell reference).
     */
   def semanticDedup(spark: SparkSession, dir: String,
                     threshold: Double = 0.45, cells: Int = 8,
@@ -1407,7 +1408,38 @@ object Dedup {
       .orderBy($"source")
   }
 
+  /** C11 oracle — the lineitem_ridge discipline applied to k-means:
+    * the ENGINE's whole training pipeline replays bit-exactly in
+    * DuckDB, so the former rows-only check becomes a full hash gate.
+    * Every float fold is index-ordered on both engines: the training
+    * sample is the hash64-ordered prefix ([[Similarity.sampleTrainingSet]]
+    * — fnv1a64+splitmix64 replayed via [[OracleU64]], the simhash
+    * pattern), strided init centroids, ONE Lloyd step whose argmin
+    * uses the same sequential squared-distance fold
+    * (`list_reduce(list_prepend(0.0, …))` ≙ the SquaredDistance
+    * while-loop) with (d, i) tie order, per-dim means summed in
+    * sample order (the pinned k-group-fold house rule), empty cells
+    * keeping their init value, and the final within-cell cosine
+    * threshold on `list_cosine_similarity` (already pinned ≙ the
+    * CosineSimilarity expression by the D7 graph oracles). IEEE
+    * doubles make every op deterministic once the order matches, so
+    * `cos >= t` flips identically on both engines.
+    */
+  private def semanticDedupOracle: String =
+    OracleU64.lloydReplay(k = 8, iters = 1) +
+    s""",
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id AS dropped
+       |  FROM fa a JOIN fa b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN vx va ON va.vec_id = a.vec_id
+       |  JOIN vx vb ON vb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(va.v, vb.v) >= 0.45)
+       |SELECT f.vec_id, f.cell::BIGINT AS cell, d.dropped IS NULL AS kept
+       |FROM fa f LEFT JOIN drops d ON d.dropped = f.vec_id
+       |ORDER BY f.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_semantic" -> semanticDedupOracle,
     "dedup_bytes_saved" ->
       """WITH d AS (
         |  SELECT doc_id, source, n_chars, md5(text) AS h
@@ -2036,4 +2068,81 @@ private[ops] object OracleU64 {
   def mixStep3(e: String): String =
     mulMod(xor64(e, shr(e, 27)), BigInt("10723151780598845931"))
   def mixStep4(e: String): String = xor64(e, shr(e, 31))
+
+  /** Bit-exact DuckDB replay of the engine's sampled Lloyd training
+    * ([[Similarity.sampleTrainingSet]] + [[Similarity.lloydTrain]] +
+    * [[Similarity.assignCells]]): emits CTEs `vx` (vec_id, v DOUBLE[])
+    * … `fa` (vec_id, cell) with every float fold index-ordered to
+    * match the engine (sequential squared-distance fold, (d, i)
+    * argmin ties, per-dim means summed in hash-sample order, empty
+    * cells keeping the previous centroid). Iterations are UNROLLED —
+    * `iters` assign/mean CTE pairs — because the replay must evaluate
+    * in one fixed dependency chain, not a recursive fixpoint.
+    */
+  /** Sequential fold of (p[j]−c[j])² over j — the engine's
+    * SquaredDistance while-loop, order-exact (64-dim vectors).
+    */
+  def dist2Fold(p: String, c: String): String =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+      s"j -> ($p[j] - $c[j]) * ($p[j] - $c[j]))), (a, b) -> a + b)"
+
+  def lloydReplay(k: Int, iters: Int, cap: Int = 2048): String = {
+    val fnvStep = "(((h // 256) * 256 + " +
+      "xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT) * " +
+      s"1099511628211::HUGEINT) % $Two64"
+    def dist2(p: String, c: String): String = dist2Fold(p, c)
+    def iter(i: Int): String = {
+      val prev = if (i == 1) "ini" else s"ct${i - 1}"
+      s"""sa$i AS (
+         |  SELECT pos, i AS cell FROM (
+         |    SELECT p.pos, c.i,
+         |      row_number() OVER (PARTITION BY p.pos
+         |        ORDER BY ${dist2("p.v", "c.c")}, c.i) AS r
+         |    FROM spts p, $prev c) WHERE r = 1),
+         |ms$i AS (
+         |  SELECT s.cell, d.j,
+         |    list_reduce(list_prepend(0.0, list(p.v[d.j] ORDER BY p.pos)),
+         |      (a, b) -> a + b) / count(*) AS m
+         |  FROM sa$i s JOIN spts p USING (pos),
+         |    (SELECT unnest(range(1, 65)) AS j) d
+         |  GROUP BY s.cell, d.j),
+         |ct$i AS (
+         |  SELECT pv.i, coalesce(mm.cl, pv.c) AS c
+         |  FROM $prev pv LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY j) AS cl FROM ms$i GROUP BY cell
+         |  ) mm ON mm.cell = pv.i),""".stripMargin
+    }
+    val last = if (iters == 0) "ini" else s"ct$iters"
+    s"""WITH vx AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+       |  FROM embeddings),
+       |hf AS (
+       |  SELECT vec_id, list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      [unicode(c)::HUGEINT
+       |       for c in string_split(vec_id::VARCHAR, '')]),
+       |    (h, c) -> $fnvStep) AS f
+       |  FROM vx),
+       |hx AS (SELECT vec_id, ${xor64("f", "24301::HUGEINT")} AS x FROM hf),
+       |h1 AS (SELECT vec_id, ${mixStep1("x")} AS x FROM hx),
+       |h2 AS (SELECT vec_id, ${mixStep2("x")} AS x FROM h1),
+       |h3 AS (SELECT vec_id, ${mixStep3("x")} AS x FROM h2),
+       |h4 AS (SELECT vec_id, ${u2s(mixStep4("x"))} AS h FROM h3),
+       |samp AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS pos
+       |  FROM h4 ORDER BY h, vec_id LIMIT $cap),
+       |spts AS (SELECT s.pos, x.v FROM samp s JOIN vx x USING (vec_id)),
+       |ns AS (SELECT count(*)::BIGINT AS n FROM spts),
+       |ini AS (
+       |  SELECT t.i, p.v AS c
+       |  FROM (SELECT unnest(range(0, $k)) AS i) t, ns, spts p
+       |  WHERE p.pos = least(t.i * greatest(1, ns.n // $k), ns.n - 1)),
+       |${(1 to iters).map(iter).mkString("\n")}
+       |fa AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT x.vec_id, c.i,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist2("x.v", "c.c")}, c.i) AS r
+       |    FROM vx x, $last c) WHERE r = 1)""".stripMargin
+  }
 }

@@ -1131,8 +1131,10 @@ object Similarity {
     * projection); the stats are one partial-aggregable groupBy(cell)
     * over a cells-sized frame.
     *
-    * No SQL oracle (cells come from iterative sampled k-means); the
-    * invariants are spec-asserted and the driver records rows-only.
+    * FULL-HASH oracle since r13 (was rows-only): the sampled k-means
+    * replays bit-exactly in DuckDB via [[graft.ops.OracleU64.lloydReplay]]
+    * with the 5 Lloyd steps unrolled; the invariants stay
+    * spec-asserted.
     */
   def ivfCellStats(spark: SparkSession, dir: String,
                    cells: Int = 16): DataFrame = {
@@ -2107,6 +2109,100 @@ object Similarity {
   }
 
   private val oraclesBase: Map[String, String] = Map(
+    // D2a — full-hash via the OracleU64.lloydReplay bit-exact training
+    // replay (r13; was rows-only): cells = 8, one Lloyd step, then the
+    // nprobe = 4 nearest-cell probes per query ((d, i) tie order = the
+    // engine's array_sort-of-struct), within-probed-cells cosine and
+    // the pinned (cos DESC, vec_id) window top-5.
+    "knn_ivf" ->
+      (graft.ops.OracleU64.lloydReplay(k = 8, iters = 1) + s""",
+         |qp AS (
+         |  SELECT query_id, i AS probe_cell FROM (
+         |    SELECT q.vec_id AS query_id, c.i,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${graft.ops.OracleU64.dist2Fold("q.v", "c.c")},
+         |          c.i) AS r
+         |    FROM vx q, ct1 c WHERE q.vec_id < 10) WHERE r <= 4),
+         |scored AS (
+         |  SELECT p.query_id, f.vec_id AS neighbor_id,
+         |    list_cosine_similarity(qv.v, nv.v) AS cos,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY list_cosine_similarity(qv.v, nv.v) DESC,
+         |        f.vec_id) AS rnk
+         |  FROM qp p
+         |  JOIN fa f ON f.cell = p.probe_cell AND f.vec_id <> p.query_id
+         |  JOIN vx qv ON qv.vec_id = p.query_id
+         |  JOIN vx nv ON nv.vec_id = f.vec_id)
+         |SELECT query_id, rnk::BIGINT AS rnk, neighbor_id,
+         |  floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+         |FROM scored WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin),
+    // D23 — full-hash (r13; was rows-only): same replayed index, the
+    // four probe settings UNROLLED and unioned, recall counted against
+    // the brute-force exact top-5 derived in-query.
+    "knn_ivf_nprobe_sweep" ->
+      (graft.ops.OracleU64.lloydReplay(k = 8, iters = 1) + s""",
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM vx
+         |       WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, x.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(q.qv, x.v) DESC,
+         |          x.vec_id) AS rnk
+         |    FROM qs q, vx x WHERE x.vec_id <> q.query_id)
+         |  WHERE rnk <= 5),
+         |pr AS (
+         |  SELECT q.query_id, c.i AS probe_cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${graft.ops.OracleU64.dist2Fold("q.qv", "c.c")},
+         |        c.i) AS r
+         |  FROM qs q, ct1 c),
+         |${Seq(1, 2, 4, 8).map { np =>
+            s"""got$np AS (
+               |  SELECT query_id, neighbor_id FROM (
+               |    SELECT p.query_id, f.vec_id AS neighbor_id,
+               |      row_number() OVER (PARTITION BY p.query_id
+               |        ORDER BY list_cosine_similarity(qv.v, nv.v) DESC,
+               |          f.vec_id) AS rnk
+               |    FROM (SELECT query_id, probe_cell FROM pr
+               |          WHERE r <= $np) p
+               |    JOIN fa f ON f.cell = p.probe_cell
+               |      AND f.vec_id <> p.query_id
+               |    JOIN vx qv ON qv.vec_id = p.query_id
+               |    JOIN vx nv ON nv.vec_id = f.vec_id)
+               |  WHERE rnk <= 5),
+               |r$np AS (
+               |  SELECT $np::BIGINT AS nprobe,
+               |    (SELECT count(*) FROM got$np g
+               |     JOIN exact e ON e.query_id = g.query_id
+               |       AND e.neighbor_id = g.neighbor_id)::BIGINT AS n_hits,
+               |    (SELECT count(*) FROM exact)::BIGINT AS n_total)"""
+              .stripMargin
+          }.mkString(",\n")}
+         |SELECT nprobe, n_hits, n_total,
+         |  floor(n_hits::DOUBLE / n_total * 1000000.0 + 0.5) / 1000000.0
+         |    AS recall
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r8)
+         |ORDER BY nprobe""".stripMargin),
+    // D19 — full-hash via the OracleU64.lloydReplay bit-exact training
+    // replay (r13; was rows-only): cells = 16, 5 unrolled Lloyd steps,
+    // then the same count/share/imbalance arithmetic left-to-right.
+    "knn_ivf_cell_stats" ->
+      (OracleU64.lloydReplay(k = 16, iters = 5) +
+        """,
+          |per AS (
+          |  SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n
+          |  FROM fa GROUP BY 1),
+          |tot AS (
+          |  SELECT sum(n)::DOUBLE AS total,
+          |    count(*)::DOUBLE AS nonempty FROM per)
+          |SELECT cell, n,
+          |  floor(n / total * 10000.0 + 0.5) / 10000.0 AS share,
+          |  floor(n * nonempty / total * 10000.0 + 0.5) / 10000.0
+          |    AS imbalance
+          |FROM per, tot ORDER BY cell""".stripMargin),
     "embedding_label_purity" -> {
       // the G12 assignment CTE re-used verbatim, then a truth join +
       // labels²-bounded confusion rollup

@@ -97,6 +97,57 @@ def check_mode():
     sys.exit(0)
 
 
+# Why each declared rows-only query has no DuckDB oracle (round-12
+# verdict task 5): one line per key, rendered as a footnote table.
+# "order-dependent float reduction" = the engine aggregates doubles
+# over corpus partitions, so the value depends on partition/merge
+# order — no SQL replay can pin it bit-exactly (unlike the sampled
+# driver-side Lloyd queries, which r13 converted via
+# OracleU64.lloydReplay's index-ordered folds).
+NO_ORACLE_WHY = {
+    "events_approx_users": "HLL++ sketch internals (Spark-private "
+        "registers/bias tables) have no DuckDB counterpart; ScalaTest "
+        "pins the error bound vs exact",
+    "events_approx_percentiles": "GK summary internals are "
+        "Spark-private; ScalaTest pins the rank-window bound",
+    "events_hll_merge": "same HLL++ internals as events_approx_users, "
+        "plus sketch-merge state",
+    "embedding_kmeans": "distributed Lloyd uses corpus-wide avg() — "
+        "order-dependent float reduction (the sampled driver-side "
+        "variants replay instead)",
+    "embedding_pca": "power iteration's per-step gradient is a "
+        "corpus-wide float sum — order-dependent float reduction",
+    "quality_lr": "each GD step's gradient is a corpus-wide float "
+        "sum — order-dependent float reduction; spec replays serially",
+    "knn_pq": "per-subspace codebooks train on slice folds; the ADC "
+        "scores are sums of engine-float table hits — replay would "
+        "need 8 unrolled lloydReplay blocks per subspace (possible, "
+        "deferred); spec pins planted-copy recall",
+    "knn_pq_distortion": "per-subspace MSE is a corpus-wide avg() — "
+        "order-dependent float reduction",
+    "knn_ivfpq": "inherits knn_pq's per-subspace codebooks on "
+        "residuals",
+    "knn_mmr_topk": "greedy sequential argmax over the shortlist; a "
+        "k-step recursive-CTE replay is possible in principle, "
+        "deferred; spec replays the greedy serially",
+    "bpe_merge_seq": "k greedy merge steps each rewrite per-word "
+        "token lists — sequential list surgery with no tractable SQL "
+        "form; spec replays single-threaded",
+    "bpe_encode": "applies the bpe_merge_seq-trained merge list",
+    "text_stem_report": "full Porter 1980 stemmer has no SQL form; "
+        "spec pins the paper's canonical vectors",
+    "tokenizer_fertility": "BPE-derived (bpe_encode's merge list)",
+    "mgrs_to_latlon": "UTM inverse projection is an iterative trig "
+        "series; replicating Scala math ops bit-exactly in SQL is "
+        "not worth the risk; spec pins known coordinates",
+    "dedup_semantic": "CONVERTED r13 — full hash via lloydReplay",
+    "knn_ivf": "CONVERTED r13 — full hash via lloydReplay",
+    "knn_ivf_nprobe_sweep": "CONVERTED r13 — full hash via "
+        "lloydReplay",
+    "knn_ivf_cell_stats": "CONVERTED r13 — full hash via lloydReplay",
+}
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--check":
         check_mode()
@@ -148,6 +199,16 @@ def main():
         chk = "oracle" if key in oracle else "rows-only"
         st = corr.get(key, "—")
         print(f"| `{key}` | {row} | `{path}:{line}` | {chk} | {st} |")
+    noracle = sorted(k for k, _ in reg if k not in oracle)
+    if noracle:
+        print()
+        print("## Why the rows-only queries have no DuckDB oracle")
+        print()
+        print("| queries key | reason |")
+        print("|---|---|")
+        for k in noracle:
+            why = NO_ORACLE_WHY.get(k, "UNDOCUMENTED — add a reason")
+            print(f"| `{k}` | {why} |")
     if missing_row:
         print(file=sys.stderr)
         print(f"WARN: no SURVEY row found for: {missing_row}",
