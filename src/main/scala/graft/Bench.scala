@@ -45,12 +45,30 @@ object Bench {
     // 3-decimal (ms) precision keeps the JSON line short enough for the
     // driver's bounded stdout-tail window — full nanos overflowed it
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    // run-conditions stamp (round-12 verdict task 7): cross-round
+    // ratios need their ambient-noise context — the same binary
+    // measured 1.16x apart between the driver run and the round-end
+    // run under different host load. /proc/loadavg is Linux-only;
+    // stamp -1 where unavailable rather than failing the bench.
+    def loadAvg(): (Double, Double, Double) =
+      try {
+        val parts = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")
+        (parts(0).toDouble, parts(1).toDouble, parts(2).toDouble)
+      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    val loadStart = loadAvg()
+    def conditions: String = {
+      val l = loadAvg()
+      s""","load_avg_start":${f(loadStart._1)}""" +
+        s""","load_avg_end":[${f(l._1)},${f(l._2)},${f(l._3)}]""" +
+        s""","cpus":$cpus"""
+    }
     def jsonLine(rs: Seq[(String, Double)], partial: Boolean): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       val total = rs.map(_._2).sum
       val part = if (partial) ",\"partial\":true" else ""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$part}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$conditions$part}"""
     }
     def writeOut(s: String): Unit = {
       val p = java.nio.file.Paths.get(outPath)
@@ -172,7 +190,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${f(acc.map(_._2).sum)},"unit":"sec"""" +
           s""","queries":$qs,"queries_elided":${acc.size - kept.size}""" +
-          s""","queries_full":"bench_out.json","sf":"$sfDir"$extras}"""
+          s""","queries_full":"bench_out.json","sf":"$sfDir"$conditions$extras}"""
       }
     println(out)
     spark.stop()
