@@ -25,6 +25,21 @@ object GraftSession {
       // native type for; read as BIGINT nanos and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        ObjectAggFallbackGroups.toString)
+
+  /** Every graft UDAF (TopKPairs, TopKHeap, MisraGries, KmvSketch,
+    * sketch-as-state) keeps O(k)-bounded per-group state, so the
+    * ObjectHashAggregate hash map is the right path far past Spark's
+    * 128-group default — at that default the partial aggregate falls
+    * back to SORTING its entire input per task, which on the 500k-
+    * vector kNN-graph rehearsal meant externally sorting 65M candidate
+    * rows (measured: tens of GB of spill killed the run; the hash map
+    * for the same stage is ~100 MB of k-bounded heaps). 2^21 groups
+    * ≈ 600 MB/task worst-case keeps the fallback for genuinely
+    * unbounded group cardinalities.
+    */
+  val ObjectAggFallbackGroups: Int = 1 << 21
 
   /** Create a session and register graft SQL functions. */
   def getOrCreate(master: String = "local[*]"): SparkSession = {
@@ -39,6 +54,9 @@ object GraftSession {
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      ObjectAggFallbackGroups.toString)
     // graft optimizer rules, for sessions not built via `builder`
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.RewriteSetOps)) {

@@ -682,19 +682,37 @@ object Similarity {
   private[graft] def knnGraphOn(vecs: DataFrame, k: Int,
                                 planes: Int): DataFrame = {
     import vecs.sparkSession.implicits._
+    val parts = vecs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // repartition BEFORE checkpoint: a single-file parquet corpus
+    // reads as 2-3 splits, and everything downstream of the
+    // checkpoint (the probe explode and the whole fused
+    // candidate-scoring stage) would inherit that near-serial
+    // parallelism — the x1000 rehearsal measured the 3.4B-candidate
+    // pipeline pinned to 2 cores for exactly this reason.
     val ids = lshBucketsOn(vecs, planes)
-      .select($"vec_id", $"bucket").localCheckpoint()
+      .select($"vec_id", $"bucket")
+      .repartition(parts).localCheckpoint()
     val probes = ids
       .select($"vec_id".as("src_id"), $"bucket".as("sbucket"))
       .withColumn("probe", explode(array(
         ($"sbucket" +: (0 until planes).map(p =>
           $"sbucket".bitwiseXOR(lit(1L << p)))): _*)))
       .select($"src_id", $"probe")
-    val cand = ids
-      .join(probes, $"bucket" === $"probe" && $"vec_id" =!= $"src_id")
-      .select($"src_id", $"vec_id")
     val fits = vecs.count() <= (1L << 21)
     def lk(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    // broadcast the 16-byte/row id table into the candidate join so
+    // fan-out happens WHERE EACH PROBE ROW LIVES (uniformly spread by
+    // the repartition above), never in a bucket-keyed shuffle: sign
+    // buckets are degenerately skewed on anisotropic embeddings — the
+    // x1000 corpus puts 8% of vectors in the two all-same-sign
+    // buckets (measured occ 20k at mean 9.4), and a bucket-
+    // partitioned exchange would hand ONE task that bucket's ~1B
+    // candidate pairs. Above the broadcast gate the join falls back
+    // to a shuffle of 16-byte rows, where AQE's skew split applies.
+    val cand = lk(ids)
+      .join(probes, $"bucket" === $"probe" && $"vec_id" =!= $"src_id")
+      .select($"src_id", $"vec_id")
     val nv = lk(vecs.select($"vec_id", $"v"))
     val sv = lk(vecs.select($"vec_id".as("src_id"), $"v".as("srcv")))
     val topk = udaf(graft.expressions.TopKPairs(k))
