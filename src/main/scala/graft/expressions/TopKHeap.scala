@@ -27,8 +27,18 @@ case class TopKPairs(k: Int)
     s.sortBy { case (v, id) => (-v, id) }.take(k)
 
   override def zero: Seq[(Double, Long)] = Seq.empty
+  // fast path: b is sorted (trim invariant), so when the buffer is
+  // full and x sorts at-or-after the kth element, the result is b
+  // unchanged — no allocation, no sort. With bounded k almost every
+  // input row takes this branch (the x1000 kNN-graph rehearsal feeds
+  // 3.4B candidate rows into 500k k=5 buffers; the full-sort-per-row
+  // form was the measured hot frame).
   override def reduce(b: Seq[(Double, Long)],
-                      x: (Double, Long)): Seq[(Double, Long)] = trim(b :+ x)
+                      x: (Double, Long)): Seq[(Double, Long)] =
+    if (b.length >= k && {
+      val (lv, lid) = b.last; x._1 < lv || (x._1 == lv && x._2 >= lid)
+    }) b
+    else trim(b :+ x)
   override def merge(a: Seq[(Double, Long)],
                      b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(a ++ b)
   override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
