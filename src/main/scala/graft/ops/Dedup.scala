@@ -2086,10 +2086,82 @@ private[ops] object OracleU64 {
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
       s"j -> ($p[j] - $c[j]) * ($p[j] - $c[j]))), (a, b) -> a + b)"
 
-  def lloydReplay(k: Int, iters: Int, cap: Int = 2048): String = {
+  /** CTE block `vx` (vec_id, v DOUBLE[]) → `spts` (pos, v): the
+    * hash64-ordered training-sample prefix ([[Similarity.sampleTrainingSet]]
+    * — fnv1a64(vec_id) ^ 0x5EED then splitmix64, HUGEINT arithmetic)
+    * shared by [[lloydReplay]] and the D31 power-iteration replay.
+    * Emitted WITHOUT the leading `WITH` so callers can prepend their
+    * own CTEs.
+    */
+  def hashSampleCtes(cap: Int): String = {
     val fnvStep = "(((h // 256) * 256 + " +
       "xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT) * " +
       s"1099511628211::HUGEINT) % $Two64"
+    s"""vx AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+       |  FROM embeddings),
+       |hf AS (
+       |  SELECT vec_id, list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      [unicode(c)::HUGEINT
+       |       for c in string_split(vec_id::VARCHAR, '')]),
+       |    (h, c) -> $fnvStep) AS f
+       |  FROM vx),
+       |hx AS (SELECT vec_id, ${xor64("f", "24301::HUGEINT")} AS x FROM hf),
+       |h1 AS (SELECT vec_id, ${mixStep1("x")} AS x FROM hx),
+       |h2 AS (SELECT vec_id, ${mixStep2("x")} AS x FROM h1),
+       |h3 AS (SELECT vec_id, ${mixStep3("x")} AS x FROM h2),
+       |h4 AS (SELECT vec_id, ${u2s(mixStep4("x"))} AS h FROM h3),
+       |samp AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS pos
+       |  FROM h4 ORDER BY h, vec_id LIMIT $cap),
+       |spts AS (SELECT s.pos, x.v FROM samp s JOIN vx x USING (vec_id))"""
+      .stripMargin
+  }
+
+  /** CTE block appended after [[hashSampleCtes]] and a caller-provided
+    * `mvec(mv)` centroid-list CTE: `iters` UNROLLED power-iteration
+    * steps over the mean-centered sample, ending in `uvec(ul)` — the
+    * top-principal-component replay of
+    * [[graft.ops.Similarity.powerIterTrain]]. Every float fold is
+    * ordered to match the engine exactly: the per-row projection is
+    * an index-ordered fold, the per-dimension gradient folds in
+    * sample (pos) order, the norm folds index-ordered, and the
+    * normalizing division is one IEEE op per component.
+    */
+  def powerIterCtes(iters: Int): String = {
+    def step(t: Int): String = {
+      val prev = if (t == 1) "pv0" else s"pv${t - 1}"
+      s"""ps$t AS (
+         |  SELECT y.pos, list_reduce(
+         |    list_prepend(0.0::DOUBLE,
+         |      [y.yv[i] * $prev.vl[i] for i in range(1, 65)]),
+         |    (a, b) -> a + b) AS s
+         |  FROM sy y, $prev),
+         |pw$t AS (
+         |  SELECT d.j, list_reduce(
+         |    list_prepend(0.0::DOUBLE,
+         |      list(ps$t.s * y.yv[d.j] ORDER BY y.pos)),
+         |    (a, b) -> a + b) AS w
+         |  FROM ps$t JOIN sy y USING (pos),
+         |    (SELECT unnest(range(1, 65)) AS j) d
+         |  GROUP BY d.j),
+         |pl$t AS (SELECT list(w ORDER BY j) AS wl FROM pw$t),
+         |pn$t AS (SELECT sqrt(list_reduce(
+         |    list_prepend(0.0::DOUBLE, [wl[i] * wl[i] for i in range(1, 65)]),
+         |    (a, b) -> a + b)) AS nrm FROM pl$t),
+         |pv$t AS (SELECT [wl[i] / nrm for i in range(1, 65)] AS vl
+         |  FROM pl$t, pn$t),""".stripMargin
+    }
+    s"""sy AS (
+       |  SELECT p.pos, [p.v[i] - mv[i] for i in range(1, 65)] AS yv
+       |  FROM spts p, mvec),
+       |pv0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vl),
+       |${(1 to iters).map(step).mkString("\n")}
+       |uvec AS (SELECT vl AS ul FROM pv$iters)""".stripMargin
+  }
+
+  def lloydReplay(k: Int, iters: Int, cap: Int = 2048): String = {
     def dist2(p: String, c: String): String = dist2Fold(p, c)
     def iter(i: Int): String = {
       val prev = if (i == 1) "ini" else s"ct${i - 1}"
@@ -2113,25 +2185,7 @@ private[ops] object OracleU64 {
          |  ) mm ON mm.cell = pv.i),""".stripMargin
     }
     val last = if (iters == 0) "ini" else s"ct$iters"
-    s"""WITH vx AS (
-       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-       |  FROM embeddings),
-       |hf AS (
-       |  SELECT vec_id, list_reduce(
-       |    list_prepend(14695981039346656037::HUGEINT,
-       |      [unicode(c)::HUGEINT
-       |       for c in string_split(vec_id::VARCHAR, '')]),
-       |    (h, c) -> $fnvStep) AS f
-       |  FROM vx),
-       |hx AS (SELECT vec_id, ${xor64("f", "24301::HUGEINT")} AS x FROM hf),
-       |h1 AS (SELECT vec_id, ${mixStep1("x")} AS x FROM hx),
-       |h2 AS (SELECT vec_id, ${mixStep2("x")} AS x FROM h1),
-       |h3 AS (SELECT vec_id, ${mixStep3("x")} AS x FROM h2),
-       |h4 AS (SELECT vec_id, ${u2s(mixStep4("x"))} AS h FROM h3),
-       |samp AS (
-       |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS pos
-       |  FROM h4 ORDER BY h, vec_id LIMIT $cap),
-       |spts AS (SELECT s.pos, x.v FROM samp s JOIN vx x USING (vec_id)),
+    s"""WITH ${hashSampleCtes(cap)},
        |ns AS (SELECT count(*)::BIGINT AS n FROM spts),
        |ini AS (
        |  SELECT t.i, p.v AS c

@@ -599,18 +599,158 @@ object Similarity {
              k: Int = 5, numQueries: Int = 10, planes: Int = 16): DataFrame =
     knnLshOn(loadVecs(spark, dir), k, numQueries, planes)
 
+  /** D31 — LSH anisotropy-mitigation report: bucket health (bucket
+    * count, max occupancy, exact within-bucket candidate-pair bound
+    * Σ occ·(occ−1)/2) for raw sign-LSH next to the two standard
+    * mitigations — MEAN-CENTERED (sign(x·p − μ·p)) and TOP-PC-REMOVED
+    * (bucket the residual after projecting out the dominant principal
+    * component) — the deploy-time check this round's x1000 rehearsal
+    * showed every sign-LSH rollout needs. On anisotropic embeddings
+    * the all-same-sign buckets absorb a constant FRACTION of the
+    * corpus (measured: 8% of 500k vectors, occ 20k at mean 9.4), so
+    * the true candidate set grows quadratically no matter how many
+    * planes are added — planes cannot split vectors they all agree
+    * on. The report says WHICH mitigation works before anyone pays
+    * for a kNN build: on this corpus family centering barely moves
+    * max occupancy (the skew is a variance direction, not an offset)
+    * while PC removal collapses it ~40× (26.8k → 681 at 500k vectors,
+    * candidate pairs 877M → 43M) — the D16 diagnostic made
+    * actionable.
+    *
+    * Exactness: μ comes from per-dimension EXACT integer-unit sums
+    * (Σ round(x_j·1e6) as BIGINT — associative, partitioning cannot
+    * move it; the D22 discipline) then one double division per
+    * dimension; the PC comes from [[powerIterTrain]] — 5
+    * power-iteration steps over the hash-sampled centered training
+    * set with every fold sequential in sample/index order; plane
+    * thresholds μ·p, u·p, μ·u are index-ordered folds. The DuckDB
+    * oracle replays ALL of it bit-exactly (sample via
+    * [[OracleU64.hashSampleCtes]], iteration via
+    * [[OracleU64.powerIterCtes]]), so all three variants' bucket
+    * assignments — and therefore the integer outputs — hash-match.
+    *
+    * Scale shape: one corpus pass of 64 integer column aggregates
+    * (one 65-column row to the driver), one bounded sample collect
+    * (2048 rows — training cost decoupled from corpus size), one
+    * corpus pass bucketing all variants (the 3× explode), a
+    * bucket-keyed count and a 3-group rollup — all partial-
+    * aggregable, nothing pair-shaped.
+    */
+  def lshCenteredReport(spark: SparkSession, dir: String,
+                        planes: Int = 12): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val vecs = loadVecs(spark, dir)
+    // coalesce: sum() over an EMPTY corpus is null, and the driver
+    // row read below must still work (EmptyInputSpec shape)
+    val aggs = (0 until dim).map(j =>
+      coalesce(sum(floor(element_at($"v", j + 1) * 1000000.0 + 0.5)
+        .cast("long")), lit(0L)).as(s"s$j")) :+ count(lit(1)).as("n")
+    val row = vecs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(dim)
+    val mean = Array.tabulate(dim) { j =>
+      if (n == 0L) 0.0
+      else row.getLong(j).toDouble / (n.toDouble * 1000000.0)
+    }
+    val u = powerIterTrain(sampleTrainingSet(vecs, 2048), mean, 5)
+    def foldWith(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    val planesArr = planeComponents(planes)
+    val thr = planesArr.map(pl => foldWith(pl, mean))
+    val upl = planesArr.map(pl => foldWith(pl, u))
+    val muu = foldWith(mean, u)
+    val planesLit = typedLit(planesArr.map(_.toSeq).toSeq)
+    def bucketCol(cond: Int => org.apache.spark.sql.Column) =
+      (0 until planes).map { p =>
+        when(graft.functions.dot_product(
+          element_at($"planes", p + 1), $"v") >= cond(p),
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    vecs.withColumn("planes", planesLit)
+      // per-row PC projection, computed once and reused by all planes
+      .withColumn("dxu",
+        graft.functions.dot_product(typedLit(u.toSeq), $"v"))
+      .select(explode(array(
+        struct(lit("raw").as("variant"),
+          bucketCol(_ => lit(0.0)).as("bucket")),
+        struct(lit("centered").as("variant"),
+          bucketCol(p => lit(thr(p))).as("bucket")),
+        struct(lit("pc_removed").as("variant"),
+          // sign((x−μ−((x−μ)·u)u)·p) ⟺ x·p ≥ μ·p + ((x·u)−(μ·u))·(u·p)
+          bucketCol(p => lit(thr(p)) + ($"dxu" - lit(muu)) * lit(upl(p)))
+            .as("bucket")))).as("vb"))
+      .select($"vb.variant".as("variant"), $"vb.bucket".as("bucket"))
+      .groupBy($"variant", $"bucket").agg(count(lit(1)).as("occ"))
+      .groupBy($"variant")
+      .agg(count(lit(1)).as("n_buckets"),
+        max($"occ").as("max_occupancy"),
+        // occ·(occ−1) is always even, so the shift is an exact halve
+        shiftright(sum($"occ" * ($"occ" - 1)), 1).as("candidate_pairs"))
+      .orderBy($"variant")
+  }
+
+  /** Deterministic top-principal-component estimate for D31: `iters`
+    * power-iteration steps over the (hash-sampled, mean-centered)
+    * training set, every fold sequential in sample/index order so the
+    * DuckDB replay ([[OracleU64.powerIterCtes]]) is bit-exact. The
+    * unnormalized gradient accumulates per dimension in sample order
+    * (the pinned k-group-fold house rule); the L2 norm folds
+    * index-ordered; sqrt and the normalizing division are single
+    * correctly-rounded IEEE ops.
+    */
+  private[graft] def powerIterTrain(sample: Array[Array[Double]],
+                                    mean: Array[Double],
+                                    iters: Int): Array[Double] = {
+    val dim = 64
+    if (sample.isEmpty) return new Array[Double](dim)
+    val y = sample.map(x => Array.tabulate(dim)(j => x(j) - mean(j)))
+    var v = Array.fill(dim)(0.125)
+    var t = 0
+    while (t < iters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < y.length) {
+        val yi = y(i)
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += yi(j) * v(j); j += 1 }
+        j = 0
+        while (j < dim) { w(j) += s * yi(j); j += 1 }
+        i += 1
+      }
+      var nn = 0.0
+      var j = 0
+      while (j < dim) { nn += w(j) * w(j); j += 1 }
+      val nrm = math.sqrt(nn)
+      v = Array.tabulate(dim)(j => w(j) / nrm)
+      t += 1
+    }
+    v
+  }
+
   /** Deterministic single-table hyperplane bucketing shared by D2b and
     * D7: plane components are splitmix64-derived (seed p·64+j), the
     * bucket is the sign bitmask — exactly re-derivable in DuckDB.
     */
-  private def lshBucketsOn(vecs: DataFrame, planes: Int): DataFrame = {
-    import vecs.sparkSession.implicits._
+  /** The splitmix64-derived hyperplane table shared by every sign-LSH
+    * variant (seed p·64+j) — kept in one place so the engine and the
+    * DuckDB replays cannot drift.
+    */
+  private[graft] def planeComponents(planes: Int): Array[Array[Double]] = {
     val dim = 64
-    def planeComponent(p: Int, j: Int): Double = {
+    Array.tabulate(planes, dim) { (p, j) =>
       val h = graft.expressions.Hash64.splitmix64(p.toLong * dim + j)
       (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
     }
-    val planesArr = Array.tabulate(planes, dim)(planeComponent)
+  }
+
+  private def lshBucketsOn(vecs: DataFrame, planes: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val planesArr = planeComponents(planes)
     val planesLit = typedLit(planesArr.map(_.toSeq).toSeq)
     vecs
       .withColumn("planes", planesLit)
@@ -2126,7 +2266,100 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** D31 oracle — all three bucket variants replayed bit-exactly: the
+    * splitmix64 plane table (the lshGraphCte chain), per-dimension
+    * exact integer-unit sums, one double division per dimension, the
+    * hash-sample + unrolled power iteration for the top PC, the
+    * index-ordered μ·p / u·p / μ·u folds, and the same
+    * `dot ≥ threshold` sign tests; all outputs are integers.
+    */
+  private def lshCenteredOracle: String = {
+    import OracleU64._
+    s"""WITH seeds AS (
+       |  SELECT p, j, (p * 64 + j)::HUGEINT AS x0
+       |  FROM (SELECT unnest(range(0, 12)) AS p),
+       |       (SELECT unnest(range(0, 64)) AS j)),
+       |m1 AS (SELECT p, j, ${mixStep1("x0")} AS x FROM seeds),
+       |m2 AS (SELECT p, j, ${mixStep2("x")} AS x FROM m1),
+       |m3 AS (SELECT p, j, ${mixStep3("x")} AS x FROM m2),
+       |m4 AS (SELECT p, j, ${mixStep4("x")} AS h FROM m3),
+       |comps AS (SELECT p, j,
+       |  ${shr("h", 11)}::DOUBLE / 4503599627370496.0 * 2.0 - 1.0 AS comp
+       |  FROM m4),
+       |planes AS (
+       |  SELECT p, array_agg(comp ORDER BY j) AS pl FROM comps GROUP BY p),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |ds AS (SELECT unnest(range(1, 65)) AS j),
+       |sums AS (
+       |  SELECT d.j,
+       |    CAST(sum(CAST(floor(v.e[d.j] * 1000000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS s,
+       |    count(*)::BIGINT AS n
+       |  FROM v, ds d GROUP BY d.j),
+       |mn AS (SELECT j, s::DOUBLE / (n * 1000000)::DOUBLE AS m FROM sums),
+       |mvec AS (SELECT list(m ORDER BY j) AS mv FROM mn),
+       |${OracleU64.hashSampleCtes(2048)},
+       |${OracleU64.powerIterCtes(5)},
+       |thr AS (
+       |  SELECT p,
+       |    list_reduce(
+       |      list_prepend(0.0::DOUBLE, [pl[i] * mv[i] for i in range(1, 65)]),
+       |      (a, b) -> a + b) AS t,
+       |    list_reduce(
+       |      list_prepend(0.0::DOUBLE, [pl[i] * ul[i] for i in range(1, 65)]),
+       |      (a, b) -> a + b) AS u
+       |  FROM planes, mvec, uvec),
+       |muu AS (
+       |  SELECT list_reduce(
+       |    list_prepend(0.0::DOUBLE, [mv[i] * ul[i] for i in range(1, 65)]),
+       |    (a, b) -> a + b) AS m
+       |  FROM mvec, uvec),
+       |dots AS (
+       |  SELECT vec_id, p, list_reduce(
+       |    list_prepend(0.0::DOUBLE, [pl[i] * e[i] for i in range(1, 65)]),
+       |    (a, b) -> a + b) AS d
+       |  FROM v CROSS JOIN planes),
+       |dxu AS (
+       |  SELECT vec_id, list_reduce(
+       |    list_prepend(0.0::DOUBLE, [ul[i] * e[i] for i in range(1, 65)]),
+       |    (a, b) -> a + b) AS s
+       |  FROM v, uvec),
+       |braw AS (
+       |  SELECT vec_id, CAST(coalesce(
+       |    sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) END), 0) AS BIGINT)
+       |    AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |bctr AS (
+       |  SELECT dd.vec_id, CAST(coalesce(
+       |    sum(CASE WHEN dd.d >= th.t THEN (1::BIGINT << dd.p) END), 0)
+       |    AS BIGINT) AS bucket
+       |  FROM dots dd JOIN thr th ON th.p = dd.p GROUP BY dd.vec_id),
+       |bpc AS (
+       |  SELECT dd.vec_id, CAST(coalesce(
+       |    sum(CASE WHEN dd.d >= th.t + (du.s - mu.m) * th.u
+       |        THEN (1::BIGINT << dd.p) END), 0)
+       |    AS BIGINT) AS bucket
+       |  FROM dots dd
+       |  JOIN thr th ON th.p = dd.p
+       |  JOIN dxu du ON du.vec_id = dd.vec_id, muu mu
+       |  GROUP BY dd.vec_id),
+       |occ AS (
+       |  SELECT 'raw' AS variant, bucket, count(*)::BIGINT AS o
+       |  FROM braw GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'centered', bucket, count(*)::BIGINT
+       |  FROM bctr GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'pc_removed', bucket, count(*)::BIGINT
+       |  FROM bpc GROUP BY 1, 2)
+       |SELECT variant, count(*)::BIGINT AS n_buckets,
+       |  max(o)::BIGINT AS max_occupancy,
+       |  (CAST(sum(o * (o - 1)) AS BIGINT) // 2)::BIGINT AS candidate_pairs
+       |FROM occ GROUP BY variant ORDER BY variant""".stripMargin
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "knn_lsh_centered" -> lshCenteredOracle,
     // D2a — full-hash via the OracleU64.lloydReplay bit-exact training
     // replay (r13; was rows-only): cells = 8, one Lloyd step, then the
     // nprobe = 4 nearest-cell probes per query ((d, i) tie order = the

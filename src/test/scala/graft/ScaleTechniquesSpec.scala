@@ -224,4 +224,47 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp"),
       s"expected narrow ReadSchema in:\n${plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")}")
   }
+
+  test("D31 lsh anisotropy report: bounded stats, deterministic, PC dominates every axis") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x as double)) as v")
+    val n = vecs.count()
+    val got = graft.ops.Similarity.lshCenteredReport(spark, sf).collect()
+    assert(got.map(_.getString(0)).sorted ===
+      Array("centered", "pc_removed", "raw"))
+    got.foreach { r =>
+      val (buckets, maxOcc, pairs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(buckets >= 1 && buckets <= n)
+      assert(maxOcc >= 1 && maxOcc <= n)
+      // pairs at least the hot bucket's, at most the all-pairs bound
+      assert(pairs >= maxOcc * (maxOcc - 1) / 2)
+      assert(pairs <= n * (n - 1) / 2)
+    }
+    // determinism: a second run is row-identical
+    val again = graft.ops.Similarity.lshCenteredReport(spark, sf).collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // the trained direction is unit-norm and its Rayleigh quotient on
+    // the centered sample dominates every coordinate axis (the
+    // property that makes pc_removed a top-component removal and not
+    // an arbitrary rotation)
+    val sample = graft.ops.Similarity.sampleTrainingSet(vecs, 2048)
+    val dim = 64
+    val mean = Array.tabulate(dim)(j => sample.map(_(j)).sum / sample.length)
+    val u = graft.ops.Similarity.powerIterTrain(sample, mean, 5)
+    assert(math.abs(u.map(x => x * x).sum - 1.0) < 1e-9)
+    def rq(d: Array[Double]): Double = sample.map { x =>
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += (x(j) - mean(j)) * d(j); j += 1 }
+      s * s
+    }.sum
+    val axisBest = (0 until dim).map { j =>
+      rq(Array.tabulate(dim)(i => if (i == j) 1.0 else 0.0))
+    }.max
+    assert(rq(u) >= axisBest,
+      s"power-iteration direction (rq ${rq(u)}) must dominate the " +
+        s"best coordinate axis (rq $axisBest)")
+  }
 }
