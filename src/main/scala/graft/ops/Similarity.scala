@@ -2358,8 +2358,70 @@ object Similarity {
        |FROM occ GROUP BY variant ORDER BY variant""".stripMargin
   }
 
+  /** D14 oracle (r13; was rows-only): the greedy MMR selection
+    * UNROLLED — k row-number argmax steps over the m=16 shortlist,
+    * each step scoring 0.5·rel − 0.5·max(cos to selected) with the
+    * engine's exact float ops (`list_cosine_similarity` ≙ the pinned
+    * CosineSimilarity fold; one multiply and one subtract per score;
+    * (score DESC, vec_id) tie order ≙ the driver loop's min-id tie
+    * break). Selection happens on RAW floats exactly like the engine;
+    * only the emitted score is 6-dp floored.
+    */
+  private def mmrOracle(k: Int = 5, m: Int = 16,
+                        numQueries: Int = 10): String = {
+    def step(t: Int): String = {
+      val prev = s"sel${t - 1}"
+      s"""st$t AS (
+         |  SELECT query_id, cid, e, score FROM (
+         |    SELECT c.query_id, c.cid, c.e,
+         |      0.5 * c.cos - 0.5 * (
+         |        SELECT max(list_cosine_similarity(c.e, s.e))
+         |        FROM $prev s WHERE s.query_id = c.query_id) AS score,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY 0.5 * c.cos - 0.5 * (
+         |          SELECT max(list_cosine_similarity(c.e, s.e))
+         |          FROM $prev s WHERE s.query_id = c.query_id) DESC,
+         |          c.cid) AS r
+         |    FROM sl c
+         |    WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |      WHERE s.query_id = c.query_id AND s.cid = c.cid))
+         |  WHERE r = 1),
+         |sel$t AS (
+         |  SELECT query_id, rnk, cid, score, e FROM $prev
+         |  UNION ALL
+         |  SELECT query_id, $t AS rnk, cid, score, e FROM st$t),"""
+        .stripMargin
+    }
+    s"""WITH mq AS (
+       |  SELECT vec_id AS query_id, [x::DOUBLE for x in embedding] AS qv
+       |  FROM embeddings WHERE vec_id < $numQueries),
+       |mv AS (
+       |  SELECT vec_id, [x::DOUBLE for x in embedding] AS e
+       |  FROM embeddings),
+       |sl AS (
+       |  SELECT query_id, cid, cos, e FROM (
+       |    SELECT mq.query_id, x.vec_id AS cid,
+       |      list_cosine_similarity(mq.qv, x.e) AS cos, x.e,
+       |      row_number() OVER (PARTITION BY mq.query_id
+       |        ORDER BY list_cosine_similarity(mq.qv, x.e) DESC,
+       |          x.vec_id) AS r
+       |    FROM mq, mv x WHERE x.vec_id <> mq.query_id) WHERE r <= $m),
+       |sel1 AS (
+       |  SELECT query_id, 1 AS rnk, cid, score, e FROM (
+       |    SELECT query_id, cid, e, 0.5 * cos - 0.5 * 0.0 AS score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY 0.5 * cos - 0.5 * 0.0 DESC, cid) AS r
+       |    FROM sl) WHERE r = 1),
+       |${(2 to k).map(step).mkString("\n")}
+       |fin AS (SELECT * FROM sel$k)
+       |SELECT query_id, rnk::BIGINT AS rnk, cid AS vec_id,
+       |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+       |FROM fin ORDER BY query_id, rnk""".stripMargin
+  }
+
   private val oraclesBase: Map[String, String] = Map(
     "knn_lsh_centered" -> lshCenteredOracle,
+    "knn_mmr_topk" -> mmrOracle(),
     // D2a — full-hash via the OracleU64.lloydReplay bit-exact training
     // replay (r13; was rows-only): cells = 8, one Lloyd step, then the
     // nprobe = 4 nearest-cell probes per query ((d, i) tie order = the

@@ -127,9 +127,8 @@ NO_ORACLE_WHY = {
         "order-dependent float reduction",
     "knn_ivfpq": "inherits knn_pq's per-subspace codebooks on "
         "residuals",
-    "knn_mmr_topk": "greedy sequential argmax over the shortlist; a "
-        "k-step recursive-CTE replay is possible in principle, "
-        "deferred; spec replays the greedy serially",
+    "knn_mmr_topk": "CONVERTED r13 - full hash via the unrolled "
+        "k-step greedy argmax replay",
     "bpe_merge_seq": "k greedy merge steps each rewrite per-word "
         "token lists — sequential list surgery with no tractable SQL "
         "form; spec replays single-threaded",
