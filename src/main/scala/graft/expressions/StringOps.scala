@@ -134,3 +134,85 @@ object PorterStem {
   def compute(w: UTF8String): UTF8String =
     UTF8String.fromString(graft.text.PorterStemmer.stem(w.toString))
 }
+
+/** One BPE merge pass: rewrite a symbol array by fusing every
+  * adjacent (a, b) pair left-to-right — E20's training-step rewrite
+  * as a codegen'd expression (was a Scala UDF; the frames are
+  * vocabulary-sized, so this is codegen hygiene — no interpreted-UDF
+  * boundary in the whole-stage pipeline — rather than wall-time).
+  * Byte-equivalent to the driver-side [[graft.ops.BpeMerge.merge]]
+  * used by the spec replays.
+  */
+case class BpeMergeStep(first: Expression, second: Expression,
+                        third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+  override def prettyName: String = "bpe_merge_step"
+
+  override def nullSafeEval(s: Any, a: Any, b: Any): Any =
+    BpeMergeStep.compute(s.asInstanceOf[ArrayData],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, a, b) =>
+      s"${ev.value} = graft.expressions.BpeMergeStep.compute($s, $a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object BpeMergeStep {
+  def compute(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && cur.equals(a) && syms.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Per-word BPE token count after replaying a trained merge list in
+  * training order — E21's vocabulary encoder as a codegen'd
+  * expression (was a Scala UDF). The merge list is a driver-side
+  * constant embedded via `addReferenceObj`, so the expression stays
+  * inside whole-stage codegen with zero per-row closure dispatch.
+  */
+case class BpeEncodedLength(child: Expression,
+                            merges: Array[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_encoded_length"
+
+  override def nullSafeEval(w: Any): Any =
+    graft.ops.BpeMerge.encodedLength(w.asInstanceOf[UTF8String].toString,
+      merges)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges, "scala.Tuple2[]")
+    defineCodeGen(ctx, ev, w =>
+      s"graft.ops.BpeMerge.encodedLength($w.toString(), $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}

@@ -63,6 +63,15 @@ package object functions {
   /** Codegen'd Porter stem of a lowercase word. */
   def porter_stem(w: Column): Column = toCol(PorterStem(toExpr(w)))
 
+  /** One BPE merge pass over a symbol array (E20's training rewrite). */
+  def bpe_merge_step(syms: Column, a: Column, b: Column): Column =
+    toCol(BpeMergeStep(toExpr(syms), toExpr(a), toExpr(b)))
+
+  /** Per-word BPE token count for a trained merge list (E21). */
+  def bpe_encoded_length(w: Column,
+                         merges: Array[(String, String)]): Column =
+    toCol(BpeEncodedLength(toExpr(w), merges))
+
   /** Codegen'd Σ floor(c·ln c·1e9+0.5) over a binary payload's byte
     * histogram (exact-integer byte-entropy building block).
     */

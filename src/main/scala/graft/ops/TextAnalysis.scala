@@ -1513,7 +1513,6 @@ object TextAnalysis {
   def bpeMerges(spark: SparkSession, dir: String,
                 steps: Int = 6): DataFrame = {
     import spark.implicits._
-    val mergeUdf = udf(BpeMerge.merge _)
     var words = tokens(spark, dir)
       .filter(length($"token") >= 2)
       .groupBy($"token").agg(count(lit(1)).as("f"))
@@ -1533,7 +1532,8 @@ object TextAnalysis {
           best(0).getLong(2))
         merges += ((step.toLong, a, b, cnt))
         words = words
-          .withColumn("syms", mergeUdf($"syms", lit(a), lit(b)))
+          .withColumn("syms",
+            graft.functions.bpe_merge_step($"syms", lit(a), lit(b)))
           .localCheckpoint()
       }
     }
@@ -1549,9 +1549,11 @@ object TextAnalysis {
     * runs ONCE PER DISTINCT WORD (the E17/E20 vocabulary trick: the
     * corpus token stream never re-tokenizes), and the encoded
     * vocabulary broadcast-joins back to the doc stream, whose only
-    * shuffle stays doc_id-keyed. Per-word merge application is a
-    * Scala UDF over the vocabulary — E20's measured stance
-    * (interpreted HOFs 20–90× slower; input is vocabulary-sized).
+    * shuffle stays doc_id-keyed. Per-word merge application is the
+    * codegen'd [[graft.expressions.BpeEncodedLength]] expression over
+    * the vocabulary (r13; was a Scala UDF — the trained merge list
+    * embeds as a codegen reference object, so the encode stays inside
+    * whole-stage codegen).
     * Merge order replays training order; rows-only + ≡-reference
     * spec, like E20 (the merge list is data-derived, so no SQL
     * oracle can re-state it declaratively).
@@ -1561,9 +1563,9 @@ object TextAnalysis {
     import spark.implicits._
     val merges = bpeMerges(spark, dir, steps).collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val nTokensUdf = udf((w: String) => BpeMerge.encodedLength(w, merges))
     val vocab = tokens(spark, dir).select($"token").distinct()
-      .select($"token", nTokensUdf($"token").as("n_bpe"))
+      .select($"token",
+        graft.functions.bpe_encoded_length($"token", merges).as("n_bpe"))
     tokens(spark, dir)
       .join(vocab, "token")
       .groupBy($"doc_id")
