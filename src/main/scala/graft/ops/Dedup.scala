@@ -2115,7 +2115,8 @@ private[ops] object OracleU64 {
        |samp AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS pos
        |  FROM h4 ORDER BY h, vec_id LIMIT $cap),
-       |spts AS (SELECT s.pos, x.v FROM samp s JOIN vx x USING (vec_id))"""
+       |spts AS MATERIALIZED (
+       |  SELECT s.pos, x.v FROM samp s JOIN vx x USING (vec_id))"""
       .stripMargin
   }
 
@@ -2161,42 +2162,69 @@ private[ops] object OracleU64 {
        |uvec AS (SELECT vl AS ul FROM pv$iters)""".stripMargin
   }
 
-  def lloydReplay(k: Int, iters: Int, cap: Int = 2048): String = {
-    def dist2(p: String, c: String): String = dist2Fold(p, c)
+  /** Sequential fold of (p[j]−c[j])² over j = 1..dim — the engine's
+    * while-loop with an arbitrary dimensionality (PQ subspaces).
+    */
+  def dist2FoldDim(p: String, c: String, dim: Int): String =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, " +
+      s"${dim + 1}), j -> ($p[j] - $c[j]) * ($p[j] - $c[j]))), " +
+      "(a, b) -> a + b)"
+
+  /** Namespaced Lloyd-training CTE block over a caller-provided
+    * points CTE `src` (pos, v with `dim` components): strided init,
+    * `iters` assign/mean steps with index/pos-ordered folds, ending
+    * in the centroid CTE named by [[lloydLast]] — the generalization
+    * of [[lloydReplay]]'s body that lets several trainings (the PQ
+    * subspace codebooks) coexist in one query. Emitted WITHOUT a
+    * trailing comma.
+    */
+  def lloydBlock(sfx: String, k: Int, iters: Int, dim: Int,
+                 src: String): String = {
+    def dist2(p: String, c: String): String = dist2FoldDim(p, c, dim)
     def iter(i: Int): String = {
-      val prev = if (i == 1) "ini" else s"ct${i - 1}"
-      s"""sa$i AS (
+      val prev = if (i == 1) s"ini$sfx" else s"ct$sfx${i - 1}"
+      s"""sa$sfx$i AS MATERIALIZED (
          |  SELECT pos, i AS cell FROM (
          |    SELECT p.pos, c.i,
          |      row_number() OVER (PARTITION BY p.pos
          |        ORDER BY ${dist2("p.v", "c.c")}, c.i) AS r
-         |    FROM spts p, $prev c) WHERE r = 1),
-         |ms$i AS (
+         |    FROM $src p, $prev c) WHERE r = 1),
+         |ms$sfx$i AS MATERIALIZED (
          |  SELECT s.cell, d.j,
          |    list_reduce(list_prepend(0.0, list(p.v[d.j] ORDER BY p.pos)),
          |      (a, b) -> a + b) / count(*) AS m
-         |  FROM sa$i s JOIN spts p USING (pos),
-         |    (SELECT unnest(range(1, 65)) AS j) d
+         |  FROM sa$sfx$i s JOIN $src p USING (pos),
+         |    (SELECT unnest(range(1, ${dim + 1})) AS j) d
          |  GROUP BY s.cell, d.j),
-         |ct$i AS (
+         |ct$sfx$i AS MATERIALIZED (
          |  SELECT pv.i, coalesce(mm.cl, pv.c) AS c
          |  FROM $prev pv LEFT JOIN (
-         |    SELECT cell, list(m ORDER BY j) AS cl FROM ms$i GROUP BY cell
+         |    SELECT cell, list(m ORDER BY j) AS cl FROM ms$sfx$i GROUP BY cell
          |  ) mm ON mm.cell = pv.i),""".stripMargin
     }
-    val last = if (iters == 0) "ini" else s"ct$iters"
+    (s"""ns$sfx AS (SELECT count(*)::BIGINT AS n FROM $src),
+        |ini$sfx AS MATERIALIZED (
+        |  SELECT t.i, p.v AS c
+        |  FROM (SELECT unnest(range(0, $k)) AS i) t, ns$sfx, $src p
+        |  WHERE p.pos = least(t.i * greatest(1, ns$sfx.n // $k),
+        |    ns$sfx.n - 1)),
+        |${(1 to iters).map(iter).mkString("\n")}""".stripMargin)
+      .stripSuffix(",")
+  }
+
+  /** Name of the final centroid CTE emitted by [[lloydBlock]]. */
+  def lloydLast(sfx: String, iters: Int): String =
+    if (iters == 0) s"ini$sfx" else s"ct$sfx$iters"
+
+  def lloydReplay(k: Int, iters: Int, cap: Int = 2048): String = {
+    val last = lloydLast("", iters)
     s"""WITH ${hashSampleCtes(cap)},
-       |ns AS (SELECT count(*)::BIGINT AS n FROM spts),
-       |ini AS (
-       |  SELECT t.i, p.v AS c
-       |  FROM (SELECT unnest(range(0, $k)) AS i) t, ns, spts p
-       |  WHERE p.pos = least(t.i * greatest(1, ns.n // $k), ns.n - 1)),
-       |${(1 to iters).map(iter).mkString("\n")}
+       |${lloydBlock("", k, iters, 64, "spts")},
        |fa AS (
        |  SELECT vec_id, i AS cell FROM (
        |    SELECT x.vec_id, c.i,
        |      row_number() OVER (PARTITION BY x.vec_id
-       |        ORDER BY ${dist2("x.v", "c.c")}, c.i) AS r
+       |        ORDER BY ${dist2Fold("x.v", "c.c")}, c.i) AS r
        |    FROM vx x, $last c) WHERE r = 1)""".stripMargin
   }
 }

@@ -1269,14 +1269,27 @@ object Similarity {
         struct(graft.functions.squared_distance(c, typedLit(cv)).as("d"),
           lit(i).as("code"))
       }: _*)), 1).getField("d")
+    // r13 (was a corpus-wide float avg — order-DEPENDENT, so the same
+    // corpus could report different ulps under different partitionings
+    // at 100 TB): per-row squared errors quantize to exact 1e-6
+    // integer units FIRST (the D22 discipline), sum in DECIMAL(38,0)
+    // (associative — partitioning cannot move it), and the mean
+    // rounds half-up by exact integer arithmetic. Also what makes the
+    // DuckDB full-hash replay possible.
     val per = vecs.select(
-      (0 until m).map(s => minD(subCol(s), books(s)).as(s"d$s")): _*)
-    val aggs = (0 until m).map(s => avg(col(s"d$s")).as(s"m$s"))
+      (0 until m).map(s =>
+        floor(minD(subCol(s), books(s)) * 1000000.0 + 0.5)
+          .cast("decimal(38,0)").as(s"d$s")): _*)
+    val aggs = (0 until m).map(s => sum(col(s"d$s")).as(s"m$s")) :+
+      count(lit(1)).as("n")
     val r = per.agg(aggs.head, aggs.tail: _*).collect()(0)
     if (r.isNullAt(0))  // empty corpus: no vectors, no distortion rows
       return Seq.empty[(Long, Double)].toDF("subspace", "mse")
+    val n = BigInt(r.getLong(m))
     (0 until m).map { s =>
-      (s.toLong, math.floor(r.getDouble(s) * 1000000.0 + 0.5) / 1000000.0)
+      val su = BigInt(r.getDecimal(s).toBigInteger)
+      val mseMicro = (su * 2 + n) / (n * 2) // exact half-up of su/n
+      (s.toLong, mseMicro.toDouble / 1000000.0)
     }.toDF("subspace", "mse").orderBy($"subspace")
   }
 
@@ -2419,9 +2432,214 @@ object Similarity {
        |FROM fin ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** D5 oracle (r13; was rows-only): the whole PQ pipeline replayed
+    * bit-exactly — the hash-ordered sample sliced into m=8 subspaces,
+    * each trained by its own namespaced [[OracleU64.lloydBlock]]
+    * (ks=16, 2 Lloyd steps, 8-dim folds), the corpus encoded by
+    * per-subspace argmin with (d, code) tie order, per-query ADC
+    * lookup tables from the same sequential squared-distance fold,
+    * and the approximate distance folded over subspaces IN s ORDER
+    * (the engine's `reduce(_ + _)` is a left fold) before the
+    * (adc, vec_id) top-5 window.
+    */
+  private def pqOracle(k: Int = 5, numQueries: Int = 10, m: Int = 8,
+                       ks: Int = 16, lloydIters: Int = 2): String = {
+    import OracleU64._
+    val subDim = 64 / m
+    def slice(v: String, s: Int): String =
+      s"$v[${s * subDim + 1}:${(s + 1) * subDim}]"
+    val sliceCtes = (0 until m).map { s =>
+      s"pts$s AS (SELECT pos, ${slice("v", s)} AS v FROM spts)"
+    }.mkString(",\n")
+    val books = (0 until m)
+      .map(s => lloydBlock(s"p$s", ks, lloydIters, subDim, s"pts$s"))
+      .mkString(",\n")
+    def ct(s: Int): String = lloydLast(s"p$s", lloydIters)
+    val encArms = (0 until m).map { s =>
+      s"""    SELECT x.vec_id, $s AS s, c.i AS code,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${dist2FoldDim(slice("x.v", s), "c.c", subDim)},
+         |          c.i) AS r
+         |    FROM vx x, ${ct(s)} c""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    val bookUnion = (0 until m).map { s =>
+      s"SELECT $s AS s, i, c FROM ${ct(s)}"
+    }.mkString(" UNION ALL ")
+    val lutDist = dist2FoldDim(s"q.sq[sc.s + 1]", "sc.c", subDim)
+    s"""WITH ${hashSampleCtes(2048)},
+       |$sliceCtes,
+       |$books,
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, s, code FROM (
+       |$encArms) WHERE r = 1),
+       |qs AS (
+       |  SELECT vec_id AS query_id,
+       |    [${(0 until m).map(s => slice("v", s)).mkString(", ")}] AS sq
+       |  FROM vx WHERE vec_id < $numQueries),
+       |lut AS MATERIALIZED (
+       |  SELECT q.query_id, sc.s, sc.i AS code, $lutDist AS d
+       |  FROM qs q, ($bookUnion) sc),
+       |adc AS (
+       |  SELECT e.vec_id, l.query_id,
+       |    list_reduce(list_prepend(0.0, list(l.d ORDER BY l.s)),
+       |      (a, b) -> a + b) AS adc
+       |  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+       |  GROUP BY e.vec_id, l.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id AS neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, vec_id) AS rnk
+       |  FROM adc WHERE vec_id <> query_id)
+       |SELECT query_id, rnk::BIGINT AS rnk, neighbor_id,
+       |  floor(adc * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** D6 oracle (r13; was rows-only): the full IVF-PQ composition
+    * replayed — the coarse quantizer is a 64-dim [[OracleU64.lloydBlock]],
+    * the sample's residuals (against each point's nearest cell, (d, i)
+    * tie order) slice into m=8 subspaces each trained by its own
+    * namespaced block, the corpus assigns + residual-encodes in SQL
+    * with the same folds, per-(query, probed-cell) residual lookup
+    * tables come from the (d², i)-sorted nprobe=4 probe set, and the
+    * ADC folds subspaces in s order before the (adc, vec_id) top-5.
+    */
+  private def ivfPqOracle(k: Int = 5, numQueries: Int = 10,
+                          cells: Int = 8, nprobe: Int = 4, m: Int = 8,
+                          ks: Int = 16, lloydIters: Int = 2): String = {
+    import OracleU64._
+    val subDim = 64 / m
+    def slice(v: String, s: Int): String =
+      s"$v[${s * subDim + 1}:${(s + 1) * subDim}]"
+    val coarse = lloydBlock("", cells, lloydIters, 64, "spts")
+    val cct = lloydLast("", lloydIters)
+    val sliceCtes = (0 until m).map { s =>
+      s"rpts$s AS (SELECT pos, ${slice("v", s)} AS v FROM rs)"
+    }.mkString(",\n")
+    val books = (0 until m)
+      .map(s => lloydBlock(s"q$s", ks, lloydIters, subDim, s"rpts$s"))
+      .mkString(",\n")
+    def ct(s: Int): String = lloydLast(s"q$s", lloydIters)
+    val encArms = (0 until m).map { s =>
+      s"""    SELECT cr.vec_id, $s AS s, c.i AS code,
+         |      row_number() OVER (PARTITION BY cr.vec_id
+         |        ORDER BY ${dist2FoldDim(slice("cr.rv", s), "c.c", subDim)},
+         |          c.i) AS r
+         |    FROM cr, ${ct(s)} c""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    val bookUnion = (0 until m).map { s =>
+      s"SELECT $s AS s, i, c FROM ${ct(s)}"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${hashSampleCtes(2048)},
+       |$coarse,
+       |rsa AS MATERIALIZED (
+       |  SELECT pos, cell FROM (
+       |    SELECT p.pos, c.i AS cell,
+       |      row_number() OVER (PARTITION BY p.pos
+       |        ORDER BY ${dist2Fold("p.v", "c.c")}, c.i) AS r
+       |    FROM spts p, $cct c) WHERE r = 1),
+       |rs AS MATERIALIZED (
+       |  SELECT p.pos, [p.v[j] - c.c[j] for j in range(1, 65)] AS v
+       |  FROM spts p JOIN rsa USING (pos) JOIN $cct c ON c.i = rsa.cell),
+       |$sliceCtes,
+       |$books,
+       |ca AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT x.vec_id, c.i AS cell,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${dist2Fold("x.v", "c.c")}, c.i) AS r
+       |    FROM vx x, $cct c) WHERE r = 1),
+       |cr AS MATERIALIZED (
+       |  SELECT x.vec_id, ca.cell,
+       |    [x.v[j] - c.c[j] for j in range(1, 65)] AS rv
+       |  FROM vx x JOIN ca USING (vec_id) JOIN $cct c ON c.i = ca.cell),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, s, code FROM (
+       |$encArms) WHERE r = 1),
+       |qp AS MATERIALIZED (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.i AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dist2Fold("q.v", "c.c")}, c.i) AS r
+       |    FROM vx q, $cct c WHERE q.vec_id < $numQueries)
+       |  WHERE r <= $nprobe),
+       |qr AS MATERIALIZED (
+       |  SELECT qp.query_id, qp.cell,
+       |    [qp.qv[j] - c.c[j] for j in range(1, 65)] AS rv
+       |  FROM qp JOIN $cct c ON c.i = qp.cell),
+       |lut AS MATERIALIZED (
+       |  SELECT qr.query_id, qr.cell, sc.s, sc.i AS code,
+       |    ${dist2FoldDim(s"qr.srv[sc.s + 1]", "sc.c", subDim)} AS d
+       |  FROM (SELECT query_id, cell,
+       |          [${(0 until m).map(s => slice("rv", s)).mkString(", ")}]
+       |            AS srv
+       |        FROM qr) qr, ($bookUnion) sc),
+       |adc AS (
+       |  SELECT e.vec_id, l.query_id,
+       |    list_reduce(list_prepend(0.0, list(l.d ORDER BY l.s)),
+       |      (a, b) -> a + b) AS adc
+       |  FROM enc e
+       |  JOIN ca ON ca.vec_id = e.vec_id
+       |  JOIN lut l ON l.cell = ca.cell AND l.s = e.s AND l.code = e.code
+       |  GROUP BY e.vec_id, l.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id AS neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, vec_id) AS rnk
+       |  FROM adc WHERE vec_id <> query_id)
+       |SELECT query_id, rnk::BIGINT AS rnk, neighbor_id,
+       |  floor(adc * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** D21 oracle (r13; was rows-only): the same per-subspace codebook
+    * replay as [[pqOracle]], then per-row MIN squared error (float
+    * min is order-independent), 1e-6-unit quantization, HUGEINT sum
+    * ≙ the engine's DECIMAL(38,0), and the exact integer half-up
+    * mean (2·Σ + n) / (2·n).
+    */
+  private def pqDistortionOracle(m: Int = 8, ks: Int = 16,
+                                 lloydIters: Int = 2): String = {
+    import OracleU64._
+    val subDim = 64 / m
+    def slice(v: String, s: Int): String =
+      s"$v[${s * subDim + 1}:${(s + 1) * subDim}]"
+    val sliceCtes = (0 until m).map { s =>
+      s"pts$s AS (SELECT pos, ${slice("v", s)} AS v FROM spts)"
+    }.mkString(",\n")
+    val books = (0 until m)
+      .map(s => lloydBlock(s"p$s", ks, lloydIters, subDim, s"pts$s"))
+      .mkString(",\n")
+    def ct(s: Int): String = lloydLast(s"p$s", lloydIters)
+    val distArms = (0 until m).map { s =>
+      s"""    SELECT x.vec_id, $s AS s,
+         |      ${dist2FoldDim(slice("x.v", s), "c.c", subDim)} AS d
+         |    FROM vx x, ${ct(s)} c""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""WITH ${hashSampleCtes(2048)},
+       |$sliceCtes,
+       |$books,
+       |md AS MATERIALIZED (
+       |  SELECT vec_id, s,
+       |    CAST(floor(min(d) * 1000000.0 + 0.5) AS HUGEINT) AS du
+       |  FROM (
+       |$distArms) GROUP BY vec_id, s),
+       |ag AS (
+       |  SELECT s, sum(du) AS su, count(*)::HUGEINT AS n
+       |  FROM md GROUP BY s)
+       |SELECT s::BIGINT AS subspace,
+       |  ((su * 2 + n) // (n * 2))::DOUBLE / 1000000.0 AS mse
+       |FROM ag ORDER BY subspace""".stripMargin
+  }
+
   private val oraclesBase: Map[String, String] = Map(
     "knn_lsh_centered" -> lshCenteredOracle,
     "knn_mmr_topk" -> mmrOracle(),
+    "knn_pq" -> pqOracle(),
+    "knn_ivfpq" -> ivfPqOracle(),
+    "knn_pq_distortion" -> pqDistortionOracle(),
     // D2a — full-hash via the OracleU64.lloydReplay bit-exact training
     // replay (r13; was rows-only): cells = 8, one Lloyd step, then the
     // nprobe = 4 nearest-cell probes per query ((d, i) tie order = the
@@ -2429,7 +2647,7 @@ object Similarity {
     // the pinned (cos DESC, vec_id) window top-5.
     "knn_ivf" ->
       (graft.ops.OracleU64.lloydReplay(k = 8, iters = 1) + s""",
-         |qp AS (
+         |qp AS MATERIALIZED (
          |  SELECT query_id, i AS probe_cell FROM (
          |    SELECT q.vec_id AS query_id, c.i,
          |      row_number() OVER (PARTITION BY q.vec_id

@@ -119,23 +119,23 @@ NO_ORACLE_WHY = {
         "corpus-wide float sum — order-dependent float reduction",
     "quality_lr": "each GD step's gradient is a corpus-wide float "
         "sum — order-dependent float reduction; spec replays serially",
-    "knn_pq": "per-subspace codebooks train on slice folds; the ADC "
-        "scores are sums of engine-float table hits — replay would "
-        "need 8 unrolled lloydReplay blocks per subspace (possible, "
-        "deferred); spec pins planted-copy recall",
-    "knn_pq_distortion": "per-subspace MSE is a corpus-wide avg() — "
-        "order-dependent float reduction",
-    "knn_ivfpq": "inherits knn_pq's per-subspace codebooks on "
-        "residuals",
+    "knn_pq": "CONVERTED r13 - full hash via 8 namespaced lloydBlock "
+        "subspace replays + s-ordered ADC fold",
+    "knn_pq_distortion": "CONVERTED r13 - engine moved to 1e-6-unit "
+        "integer sums (partitioning-exact), then fully replayable",
+    "knn_ivfpq": "CONVERTED r13 - coarse + 8 residual-subspace "
+        "lloydBlocks, per-(query, probed-cell) residual LUTs",
     "knn_mmr_topk": "CONVERTED r13 - full hash via the unrolled "
         "k-step greedy argmax replay",
     "bpe_merge_seq": "k greedy merge steps each rewrite per-word "
         "token lists — sequential list surgery with no tractable SQL "
         "form; spec replays single-threaded",
-    "bpe_encode": "applies the bpe_merge_seq-trained merge list",
+    "bpe_encode": "CONVERTED r13 - nested replace chain over the "
+        "replayed merge winners",
     "text_stem_report": "full Porter 1980 stemmer has no SQL form; "
         "spec pins the paper's canonical vectors",
-    "tokenizer_fertility": "BPE-derived (bpe_encode's merge list)",
+    "tokenizer_fertility": "CONVERTED r13 - rolls up the replayed "
+        "bpe_encode counts",
     "mgrs_to_latlon": "UTM inverse projection is an iterative trig "
         "series; replicating Scala math ops bit-exactly in SQL is "
         "not worth the risk; spec pins known coordinates",
