@@ -1975,7 +1975,108 @@ object TextAnalysis {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** BPE training replay (r13; E20/E21/E42 were rows-only): symbol
+    * lists become marker-wrapped strings — ⟨sym⟩⟨sym⟩… with ⟨ = chr(1)
+    * and ⟩ = chr(2), characters the corpus cannot contain — because
+    * the engine's left-to-right single-pass merge
+    * ([[graft.ops.BpeMerge.merge]]) is EXACTLY non-overlapping string
+    * `replace` of ⟨a⟩⟨b⟩ with ⟨ab⟩ on that representation (the scan
+    * resumes after the substituted text, so [a,a,a,a] → [aa,aa] and
+    * the suffix of a longer symbol can never false-match — the
+    * wrapper characters anchor whole symbols). Each of the `steps`
+    * training rounds is one weighted adjacent-pair count (exact
+    * integers), one (cnt DESC, a, b) argmax, and one `replace`
+    * rewrite; everything downstream (encode, per-doc counts,
+    * fertility) is integer arithmetic plus single floored divisions
+    * of exact integers. Emits CTEs `bs1..bsN` (step winners) and
+    * `ebpe` (token, n_bpe).
+    */
+  private def bpeReplayCtes(steps: Int = 6): String = {
+    val L = "chr(1)"
+    val R = "chr(2)"
+    def step(t: Int): String = {
+      val prev = s"bw${t - 1}"
+      s"""bl$t AS (
+         |  SELECT f, string_split(s[2:length(s) - 1], $R || $L) AS l
+         |  FROM $prev),
+         |pc$t AS MATERIALIZED (
+         |  SELECT p.pr.a AS a, p.pr.b AS b, sum(p.f)::BIGINT AS cnt
+         |  FROM (
+         |    SELECT f, unnest(list_transform(range(1, length(l)),
+         |      j -> {'a': l[j], 'b': l[j + 1]})) AS pr
+         |    FROM bl$t) p
+         |  GROUP BY 1, 2),
+         |bs$t AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM pc$t ORDER BY cnt DESC, a, b LIMIT 1),
+         |bw$t AS MATERIALIZED (
+         |  SELECT w.f, replace(w.s,
+         |    $L || bs.a || $R || $L || bs.b || $R,
+         |    $L || bs.a || bs.b || $R) AS s
+         |  FROM $prev w, bs$t bs),""".stripMargin
+    }
+    s"""btok AS MATERIALIZED (
+       |  SELECT t AS token, count(*)::BIGINT AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE length(t) >= 2 GROUP BY t),
+       |bw0 AS MATERIALIZED (
+       |  SELECT f, $L || array_to_string(string_split(token, ''),
+       |    $R || $L) || $R AS s
+       |  FROM btok),
+       |${(1 to steps).map(step).mkString("\n")}
+       |bvoc AS MATERIALIZED (
+       |  SELECT DISTINCT t AS token FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |ebpe AS MATERIALIZED (
+       |  SELECT token,
+       |    (length(es) - length(replace(es, $L, '')))::BIGINT AS n_bpe
+       |  FROM (
+       |    SELECT token, ${(1 to steps).foldLeft(
+             s"$L || array_to_string(string_split(token, ''), $R || $L) " +
+               s"|| $R") { (acc, t) =>
+             s"replace($acc,\n      $L || b$t.a || $R || $L || b$t.b || " +
+               s"$R, $L || b$t.a || b$t.b || $R)"
+           }} AS es
+       |    FROM bvoc${(1 to steps).map(t => s", bs$t b$t").mkString})),
+       |edoc AS MATERIALIZED (
+       |  SELECT d.doc_id, count(*)::BIGINT AS n_ws_tokens,
+       |    sum(e.n_bpe)::BIGINT AS n_bpe_tokens
+       |  FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    FROM documents) d
+       |  JOIN ebpe e USING (token)
+       |  WHERE d.token <> ''
+       |  GROUP BY d.doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "bpe_merge_seq" -> (s"WITH ${bpeReplayCtes(6)}\n" +
+      (1 to 6).map(t =>
+        s"SELECT $t::BIGINT AS step, a AS left_sym, b AS right_sym, " +
+          s"cnt AS pair_count FROM bs$t").mkString("\nUNION ALL\n") +
+      "\nORDER BY step"),
+    "bpe_encode" -> (s"WITH ${bpeReplayCtes(6)}\n" +
+      """SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+        |  floor(n_bpe_tokens * 1000000.0 / n_ws_tokens + 0.5)
+        |    / 1000000.0 AS compression
+        |FROM edoc ORDER BY doc_id""".stripMargin),
+    "tokenizer_fertility" -> (s"WITH ${bpeReplayCtes(6)},\n" +
+      """meta AS (
+        |  SELECT doc_id, lang, length(text)::BIGINT AS nc
+        |  FROM documents),
+        |fr AS (
+        |  SELECT m.lang, count(*)::BIGINT AS n_docs,
+        |    sum(e.n_ws_tokens)::BIGINT AS n_words,
+        |    sum(e.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+        |    sum(m.nc)::BIGINT AS n_chars
+        |  FROM edoc e JOIN meta m USING (doc_id)
+        |  GROUP BY m.lang)
+        |SELECT lang, n_docs, n_words, n_bpe_tokens,
+        |  floor(n_bpe_tokens * 1000000.0 / n_words + 0.5)
+        |    / 1000000.0 AS fertility,
+        |  floor(n_chars * 1000000.0 / n_bpe_tokens + 0.5)
+        |    / 1000000.0 AS chars_per_token
+        |FROM fr ORDER BY lang""".stripMargin),
     "text_js_divergence" ->
       """WITH cnt AS (
         |  SELECT source, t AS token, count(*)::BIGINT AS c FROM (
