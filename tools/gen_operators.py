@@ -114,7 +114,13 @@ NO_ORACLE_WHY = {
         "plus sketch-merge state",
     "embedding_kmeans": "distributed Lloyd uses corpus-wide avg() — "
         "order-dependent float reduction (the sampled driver-side "
-        "variants replay instead)",
+        "variants replay instead). Centroid-quantization conversion "
+        "(1e-6-unit integer centroid emission + lloydReplay) was "
+        "assessed r14 and REJECTED: the distributed path's per-"
+        "partition partial avg() merge order differs run-to-run, so "
+        "even quantized centroids are not replay-stable — unlike the "
+        "sampled variants, whose index-ordered folds are. This tier "
+        "is final.",
     "embedding_pca": "power iteration's per-step gradient is a "
         "corpus-wide float sum — order-dependent float reduction",
     "quality_lr": "each GD step's gradient is a corpus-wide float "
