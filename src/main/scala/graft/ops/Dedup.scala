@@ -1319,12 +1319,20 @@ object Dedup {
       coalesce(sum($"pair_work".cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
         .as("t_pair_work"))
+    // pair_work / total_pair_work exceed BIGINT by design, so they
+    // leave the operator as canonical digit STRINGS, not DECIMAL:
+    // DECIMAL(38,0) ≙ HUGEINT is value-exact across engines but its
+    // *rendering* is not pinned (r12/r13 driver-gate hash fails
+    // tracked the registry's only DECIMAL output schema) — a digit
+    // string is. Registry invariant: no DECIMAL output columns
+    // (NoDecimalOutputSpec).
     hist.crossJoin(broadcast(tot))
       .select($"bucket".as("df_log2_bucket"), $"n_shingles",
-        $"n_postings", $"max_df", $"pair_work",
+        $"n_postings", $"max_df",
+        $"pair_work".cast("string").as("pair_work"),
         $"t_shingles".as("total_shingles"),
         $"t_postings".as("total_postings"),
-        $"t_pair_work".as("total_pair_work"),
+        $"t_pair_work".cast("string").as("total_pair_work"),
         expr("CAST((CAST(t_postings AS DECIMAL(38,0)) * 2000000 " +
           "+ t_shingles) DIV (2 * t_shingles) AS BIGINT)")
           .as("saturation_ppm"))
@@ -1760,8 +1768,9 @@ object Dedup {
         |    CAST(coalesce(sum(pair_work), 0) AS DECIMAL(38,0)) AS tw
         |  FROM hist)
         |SELECT bucket AS df_log2_bucket, n_shingles, n_postings,
-        |  max_df, pair_work, ts AS total_shingles,
-        |  tp AS total_postings, tw AS total_pair_work,
+        |  max_df, pair_work::VARCHAR AS pair_work,
+        |  ts AS total_shingles, tp AS total_postings,
+        |  tw::VARCHAR AS total_pair_work,
         |  ((2 * tp::HUGEINT * 1000000 + ts) // (2 * ts))::BIGINT
         |    AS saturation_ppm
         |FROM hist, tot ORDER BY df_log2_bucket""".stripMargin),
