@@ -38,6 +38,29 @@ object GraftSession {
     * for the same stage is ~100 MB of k-bounded heaps). 2^21 groups
     * ≈ 600 MB/task worst-case keeps the fallback for genuinely
     * unbounded group cardinalities.
+    *
+    * AUDITED INVARIANT (r14 — the raise also covers Spark built-ins
+    * with unbounded per-group state: collect_list/collect_set/exact
+    * percentile). The threshold only changes behavior when a task
+    * sees MORE than 128 groups; every registered use of those
+    * built-ins falls in one of two safe classes, re-checked against
+    * all ~50 sites this round:
+    *  1. Few groups per task (event_type / lang / day / bucket /
+    *     stats-frame keys, or post-aggregate rollups the scaladocs
+    *     mark "never corpus-sized"): already on the hash path at the
+    *     128 default — the raise is a no-op for them.
+    *  2. High-cardinality entity keys (doc_id / vec_id / custkey)
+    *     whose per-group list is SEMANTICALLY bounded (tokens or
+    *     shingles per document, days per calendar, k per heap): the
+    *     hash map's worst case is the task's own input partition
+    *     held as objects — sized by spark.sql.shuffle.partitions /
+    *     files.maxPartitionBytes, the same knobs that bound every
+    *     other per-task buffer at scale.
+    * The dangerous quadrant — an UNBOUNDED per-group collect under a
+    * >128-cardinality key — has no registered instance. A new query
+    * adding one must not rely on this default: scope the threshold
+    * back down around its action (SQLConf is read at execution time)
+    * or pre-bound the group state (window + filter before collect).
     */
   val ObjectAggFallbackGroups: Int = 1 << 21
 

@@ -2137,7 +2137,9 @@ private[ops] object OracleU64 {
     * ordered to match the engine exactly: the per-row projection is
     * an index-ordered fold, the per-dimension gradient folds in
     * sample (pos) order, the norm folds index-ordered, and the
-    * normalizing division is one IEEE op per component.
+    * normalizing division is one IEEE op per component. A zero norm
+    * (degenerate centered sample) keeps the previous iterate — the
+    * same fixed-point rule as the engine's early return.
     */
   def powerIterCtes(iters: Int): String = {
     def step(t: Int): String = {
@@ -2160,8 +2162,9 @@ private[ops] object OracleU64 {
          |pn$t AS (SELECT sqrt(list_reduce(
          |    list_prepend(0.0::DOUBLE, [wl[i] * wl[i] for i in range(1, 65)]),
          |    (a, b) -> a + b)) AS nrm FROM pl$t),
-         |pv$t AS (SELECT [wl[i] / nrm for i in range(1, 65)] AS vl
-         |  FROM pl$t, pn$t),""".stripMargin
+         |pv$t AS (SELECT CASE WHEN nrm = 0 THEN $prev.vl
+         |    ELSE [wl[i] / nrm for i in range(1, 65)] END AS vl
+         |  FROM pl$t, pn$t, $prev),""".stripMargin
     }
     s"""sy AS (
        |  SELECT p.pos, [p.v[i] - mv[i] for i in range(1, 65)] AS yv

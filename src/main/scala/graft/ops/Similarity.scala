@@ -25,7 +25,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.cosine_similarity(a, b)
 
-  private def loadVecs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def loadVecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "embeddings")
       .withColumn("v", transform($"embedding", x => x.cast("double")))
@@ -726,6 +726,12 @@ object Similarity {
       var j = 0
       while (j < dim) { nn += w(j) * w(j); j += 1 }
       val nrm = math.sqrt(nn)
+      // degenerate centered sample (all points equal the mean, or a
+      // gradient that cancels exactly): w = 0 ⇒ nrm = 0, and dividing
+      // would poison every downstream threshold with NaN. Keep the
+      // previous iterate — once w is 0 it stays 0, so this is a fixed
+      // point, mirrored in OracleU64.powerIterCtes' CASE.
+      if (nrm == 0.0) return v
       v = Array.tabulate(dim)(j => w(j) / nrm)
       t += 1
     }
@@ -798,8 +804,10 @@ object Similarity {
     * the old run re-read once per probe row (quadratic disk IO on
     * the hot bucket — the actual kill mechanism). Vectors attach
     * AFTER candidate generation by two id-keyed lookup joins,
-    * adaptively: when the vector table fits an executor (n ≤ 2²¹ ≈
-    * 2M × 520 B ≈ 1 GB) both lookups BROADCAST, so the candidate-id
+    * adaptively: when the vector table's estimated BYTES (n·(8·dim +
+    * overhead), r14 — a row gate is blind to dimensionality and
+    * admits >8 GB broadcasts at 512 dims) fit the broadcast ceiling
+    * both lookups BROADCAST, so the candidate-id
     * stream never shuffles with a payload and cosine + the map-side
     * k-bounded heap pipeline in one stage; above that the lookups
     * are plain id-keyed shuffle joins — uniformly-hashed keys (no
@@ -819,8 +827,27 @@ object Similarity {
                k: Int = 5, planes: Int = 12): DataFrame =
     knnGraphOn(loadVecs(spark, dir), k, planes)
 
+  /** Estimated in-memory bytes of one broadcast vector table: dim
+    * doubles + array/row overhead per row. The r13 gate admitted
+    * `rows ≤ 2²¹` blind to dimensionality — at production 512-dim
+    * embeddings that is ~8.4 GB per broadcast, over Spark's hard 8 GB
+    * cap, so the "protected" path would hard-fail instead of taking
+    * the shuffle fallback one line below. Bytes, not rows.
+    */
+  private[graft] def vecBroadcastBytes(n: Long, dim: Int): Long =
+    n * (dim.toLong * 8L + 48L)
+
+  /** Ceiling per broadcast vector table: conservative 900 MB — two
+    * vector tables broadcast simultaneously, the driver retains every
+    * broadcast it builds alongside its own state, and the 8 GB Spark
+    * limit is a hard failure, not a fallback.
+    */
+  private[graft] val VecBroadcastCeiling: Long = 900L << 20
+
   private[graft] def knnGraphOn(vecs: DataFrame, k: Int,
-                                planes: Int): DataFrame = {
+                                planes: Int,
+                                maxBroadcastBytes: Long =
+                                  VecBroadcastCeiling): DataFrame = {
     import vecs.sparkSession.implicits._
     val parts = vecs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
@@ -839,8 +866,18 @@ object Similarity {
         ($"sbucket" +: (0 until planes).map(p =>
           $"sbucket".bitwiseXOR(lit(1L << p)))): _*)))
       .select($"src_id", $"probe")
-    val fits = vecs.count() <= (1L << 21)
-    def lk(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    // count off the 16-byte checkpointed id frame (no second scan of
+    // the source), dim off one sampled row; gate each broadcast on
+    // estimated BYTES. The id table used in the candidate join is
+    // ~32 B/row in memory — its ceiling is separate and far higher,
+    // so the skew protection (fan-out where the probe row lives)
+    // stays active well past the vector gate.
+    val n = ids.count()
+    val dim = vecs.select(size($"v")).as[Int].take(1)
+      .headOption.getOrElse(0)
+    val fitsVec = vecBroadcastBytes(n, dim) <= maxBroadcastBytes
+    val fitsIds = n * 32L <= (512L << 20)
+    def lk(df: DataFrame): DataFrame = if (fitsVec) broadcast(df) else df
     // broadcast the 16-byte/row id table into the candidate join so
     // fan-out happens WHERE EACH PROBE ROW LIVES (uniformly spread by
     // the repartition above), never in a bucket-keyed shuffle: sign
@@ -850,7 +887,7 @@ object Similarity {
     // partitioned exchange would hand ONE task that bucket's ~1B
     // candidate pairs. Above the broadcast gate the join falls back
     // to a shuffle of 16-byte rows, where AQE's skew split applies.
-    val cand = lk(ids)
+    val cand = (if (fitsIds) broadcast(ids) else ids)
       .join(probes, $"bucket" === $"probe" && $"vec_id" =!= $"src_id")
       .select($"src_id", $"vec_id")
     val nv = lk(vecs.select($"vec_id", $"v"))

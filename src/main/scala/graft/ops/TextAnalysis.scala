@@ -1498,6 +1498,18 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Tokens containing U+0001/U+0002 are excluded from the BPE
+    * universe on BOTH engines: the DuckDB replay encodes symbol
+    * boundaries with those two code points, so a token carrying one
+    * would silently mis-parse there while the engine's array
+    * representation handled it — a hash seam. A symmetric filter (one
+    * predicate here, one LIKE pair in the replay's btok/bvoc) turns
+    * the replay's silent assumption into a shared contract; no
+    * natural-text corpus contains the C0 controls it excludes.
+    */
+  private def bpeMarkerToken(c: Column): Column =
+    c.contains("\u0001") || c.contains("\u0002")
+
   /** E20 — BPE merge training loop (the iterative extension of E17's
     * single pair count): k greedy merge steps over the corpus-weighted
     * vocabulary. Each step counts adjacent symbol pairs across the
@@ -1514,7 +1526,7 @@ object TextAnalysis {
                 steps: Int = 6): DataFrame = {
     import spark.implicits._
     var words = tokens(spark, dir)
-      .filter(length($"token") >= 2)
+      .filter(length($"token") >= 2 && !bpeMarkerToken($"token"))
       .groupBy($"token").agg(count(lit(1)).as("f"))
       .select($"f", split($"token", "").as("syms"))
       .localCheckpoint()
@@ -1564,6 +1576,7 @@ object TextAnalysis {
     val merges = bpeMerges(spark, dir, steps).collect()
       .map(r => (r.getString(1), r.getString(2)))
     val vocab = tokens(spark, dir).select($"token").distinct()
+      .filter(!bpeMarkerToken($"token"))
       .select($"token",
         graft.functions.bpe_encoded_length($"token", merges).as("n_bpe"))
     tokens(spark, dir)
@@ -1989,7 +2002,16 @@ object TextAnalysis {
     * rewrite; everything downstream (encode, per-doc counts,
     * fertility) is integer arithmetic plus single floored divisions
     * of exact integers. Emits CTEs `bs1..bsN` (step winners) and
-    * `ebpe` (token, n_bpe).
+    * `ebpe` (token, n_bpe). An EXHAUSTED step (no adjacent pairs
+    * left — the engine's `if (best.nonEmpty)` skip) must not
+    * collapse the replay: `bx$t` substitutes a sentinel winner
+    * (⟩,⟨ — markers can never appear inside a symbol, so its replace
+    * pattern cannot match) whenever `bs$t` is empty, keeping every
+    * downstream cross join a no-op instead of empty; `bs$t` itself
+    * stays empty so bpe_merge_seq emits exactly the engine's rows.
+    * Marker safety is a shared contract, not an assumption: both
+    * engines exclude tokens containing U+0001/U+0002
+    * ([[bpeMarkerToken]] ↔ the btok/bvoc NOT-LIKE pair).
     */
   private def bpeReplayCtes(steps: Int = 6): String = {
     val L = "chr(1)"
@@ -2008,16 +2030,23 @@ object TextAnalysis {
          |  GROUP BY 1, 2),
          |bs$t AS MATERIALIZED (
          |  SELECT a, b, cnt FROM pc$t ORDER BY cnt DESC, a, b LIMIT 1),
+         |bx$t AS MATERIALIZED (
+         |  SELECT a, b FROM bs$t
+         |  UNION ALL
+         |  SELECT $R AS a, $L AS b
+         |  WHERE NOT EXISTS (SELECT 1 FROM bs$t)),
          |bw$t AS MATERIALIZED (
          |  SELECT w.f, replace(w.s,
          |    $L || bs.a || $R || $L || bs.b || $R,
          |    $L || bs.a || bs.b || $R) AS s
-         |  FROM $prev w, bs$t bs),""".stripMargin
+         |  FROM $prev w, bx$t bs),""".stripMargin
     }
     s"""btok AS MATERIALIZED (
        |  SELECT t AS token, count(*)::BIGINT AS f FROM (
        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-       |  WHERE length(t) >= 2 GROUP BY t),
+       |  WHERE length(t) >= 2
+       |    AND t NOT LIKE '%' || $L || '%'
+       |    AND t NOT LIKE '%' || $R || '%' GROUP BY t),
        |bw0 AS MATERIALIZED (
        |  SELECT f, $L || array_to_string(string_split(token, ''),
        |    $R || $L) || $R AS s
@@ -2026,7 +2055,9 @@ object TextAnalysis {
        |bvoc AS MATERIALIZED (
        |  SELECT DISTINCT t AS token FROM (
        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-       |  WHERE t <> ''),
+       |  WHERE t <> ''
+       |    AND t NOT LIKE '%' || $L || '%'
+       |    AND t NOT LIKE '%' || $R || '%'),
        |ebpe AS MATERIALIZED (
        |  SELECT token,
        |    (length(es) - length(replace(es, $L, '')))::BIGINT AS n_bpe
@@ -2037,7 +2068,7 @@ object TextAnalysis {
              s"replace($acc,\n      $L || b$t.a || $R || $L || b$t.b || " +
                s"$R, $L || b$t.a || b$t.b || $R)"
            }} AS es
-       |    FROM bvoc${(1 to steps).map(t => s", bs$t b$t").mkString})),
+       |    FROM bvoc${(1 to steps).map(t => s", bx$t b$t").mkString})),
        |edoc AS MATERIALIZED (
        |  SELECT d.doc_id, count(*)::BIGINT AS n_ws_tokens,
        |    sum(e.n_bpe)::BIGINT AS n_bpe_tokens

@@ -267,4 +267,55 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       s"power-iteration direction (rq ${rq(u)}) must dominate the " +
         s"best coordinate axis (rq $axisBest)")
   }
+
+  test("kNN-graph vector broadcast gate is byte-based and falls " +
+    "back to the shuffle path past the ceiling") {
+    import graft.ops.Similarity
+    // gate math: rows alone must not admit an over-limit broadcast.
+    // 2^21 rows of 512-dim vectors ≈ 8.7 GB — the r13 row gate
+    // admitted this; the byte gate must not.
+    assert(Similarity.vecBroadcastBytes(1L << 21, 512) >
+      Similarity.VecBroadcastCeiling)
+    // the committed x1000 rehearsal shape (500k × 64 dims ≈ 280 MB)
+    // stays on the broadcast path
+    assert(Similarity.vecBroadcastBytes(500000L, 64) <=
+      Similarity.VecBroadcastCeiling)
+    // and the ceiling itself sits safely under Spark's hard 8 GB cap
+    assert(Similarity.VecBroadcastCeiling < (8L << 30))
+
+    // end-to-end: same tiny frame, gate forced closed vs open. With
+    // auto-broadcast off, every BroadcastExchange in the executed
+    // plan comes from the operator's own hints.
+    val vecs = graft.ops.Similarity.loadVecs(spark,
+      "/root/testdata/sf0.001")
+    val was = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def nBroadcasts(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count() // finalize AQE
+        df.queryExecution.executedPlan.toString
+          .sliding("BroadcastExchange".length)
+          .count(_ == "BroadcastExchange")
+      }
+      val shuffled = Similarity.knnGraphOn(vecs, 3, 8,
+        maxBroadcastBytes = 0L)
+      val hinted = Similarity.knnGraphOn(vecs, 3, 8)
+      // the 16-byte id table broadcasts under its OWN (higher) gate
+      // on both paths — skew protection outlives the vector gate;
+      // only the two vector lookups may differ.
+      val nShuffled = nBroadcasts(shuffled)
+      val nHinted = nBroadcasts(hinted)
+      assert(nShuffled <= 1,
+        s"gate closed: vector lookups must take the shuffle path " +
+          s"(saw $nShuffled BroadcastExchanges)")
+      assert(nHinted >= nShuffled + 2,
+        s"gate open: both vector lookups broadcast " +
+          s"(closed=$nShuffled, open=$nHinted)")
+      // both paths produce the identical graph (hashes unchanged)
+      assert(shuffled.collect().map(_.toString).toSeq ===
+        hinted.collect().map(_.toString).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
+    }
+  }
 }
