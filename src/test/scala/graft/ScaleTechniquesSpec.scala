@@ -318,4 +318,33 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
     }
   }
+
+  test("SQ8-routed kNN graph: exact when the rescore margin covers " +
+    "all candidates, high-recall at the production margin") {
+    import graft.ops.Similarity
+    val vecs = Similarity.loadVecs(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.knnGraphOn(vecs, 5, 12).collect()
+      .map(_.toString).toSeq
+    // margin covering every LSH candidate per source → stage 2
+    // re-ranks the full candidate set → bit-identical to the exact
+    // path (proves the routing rewires only the scoring, never the
+    // candidate set or the final heap rule)
+    val covered = Similarity.knnGraphOn(vecs, 5, 12,
+      sq8RouteMinRows = 0L, rescoreFactor = 10000).collect()
+      .map(_.toString).toSeq
+    assert(covered === exact)
+    // production margin (k·4 shortlist): recall@k of the edge set
+    // must be high — int8 quantization misranks only near-ties
+    val routed = Similarity.knnGraphOn(vecs, 5, 12,
+      sq8RouteMinRows = 0L).collect()
+    val exactEdges = exact.size
+    val routedSet = routed.map(_.toString).toSet
+    val hit = exact.count(routedSet.contains)
+    assert(routed.length === exactEdges,
+      "SQ8 route must emit the same per-source edge counts")
+    assert(hit.toDouble / exactEdges >= 0.97,
+      s"SQ8 route recall too low: $hit/$exactEdges")
+    // the committed gate stays above every oracle-pinned corpus size
+    assert(Similarity.Sq8RouteMinRows > 50000L)
+  }
 }
