@@ -827,6 +827,20 @@ object Similarity {
                k: Int = 5, planes: Int = 12): DataFrame =
     knnGraphOn(loadVecs(spark, dir), k, planes)
 
+  /** D32 — the kNN graph THROUGH the SQ8 two-stage route, forced at
+    * any corpus size (`sq8RouteMinRows = 0`): what [[knnGraph]]
+    * becomes above 400k vectors runs here under the driver's
+    * full-hash gate at every committed SF, so the production scale
+    * path is oracle-checked, not just spec-bounded. Every stage is
+    * exactly replayable — splitmix64 buckets, integer code vectors
+    * (floor(x/scale + 0.5)), an exact integer dot, one deterministic
+    * double multiply chain, and the (value DESC, id ASC) heap rule at
+    * both the k·4 shortlist and the final k.
+    */
+  def knnGraphSq8(spark: SparkSession, dir: String,
+                  k: Int = 5, planes: Int = 12): DataFrame =
+    knnGraphOn(loadVecs(spark, dir), k, planes, sq8RouteMinRows = 0L)
+
   /** Estimated in-memory bytes of one broadcast vector table: dim
     * doubles + array/row overhead per row. The r13 gate admitted
     * `rows ≤ 2²¹` blind to dimensionality — at production 512-dim
@@ -1668,14 +1682,21 @@ object Similarity {
              rescoreFactor: Int = 3): DataFrame = {
     import spark.implicits._
     val vecs = loadVecs(spark, dir)
-    val quant = sq8Codes(vecs)
+    // codegen'd SQ8 kernels (r14): byte-packed codes + integer dot —
+    // value-identical to the interpreted sq8Codes/zip_with/aggregate
+    // form (same scale clamp, same floor(x/scale+0.5) codes, same
+    // exact integer sum, same multiply order), but the corpus-sized
+    // scoring scan stays inside whole-stage codegen instead of
+    // per-element closure dispatch (measured 48.8 s → int8 dot at
+    // x1000/500k vectors before the rewrite).
+    val quant = vecs
+      .withColumn("scale", graft.functions.sq8_scale($"v"))
+      .withColumn("codes", graft.functions.sq8_pack($"v", $"scale"))
     val queries = quant.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"),
         $"scale".as("qscale"), $"codes".as("qcodes"))
     val approx = quant.join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .withColumn("iprod",
-        aggregate(zip_with($"qcodes", $"codes", (a, b) => (a * b).cast("long")),
-          lit(0L), (s, x) => s + x))
+      .withColumn("iprod", graft.functions.sq8_dot($"qcodes", $"codes"))
       .withColumn("approx", $"iprod".cast("double") * $"scale" * $"qscale")
     val topc = udaf(graft.expressions.TopKPairs(k * rescoreFactor))
     val cands = approx.groupBy($"query_id")
@@ -1974,6 +1995,52 @@ object Similarity {
     """
       |SELECT src_id AS vec_id, rnk, neighbor_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
       |FROM scored WHERE rnk <= 5
+      |ORDER BY vec_id, rnk""".stripMargin
+
+  /** D32 oracle: the same candidate CTE chain, scored in two stages —
+    * SQ8 codes (max|x|/127 clamped scale, floor(x/scale+0.5) integer
+    * codes ≡ [[graft.expressions.Sq8Pack]]), exact-integer dot ×
+    * the two scales in the engine's left-associated multiply order,
+    * k·4 shortlist by (approx DESC, id), exact float cosine re-rank
+    * by (cos DESC, id) — both row_number replays of the TopKPairs
+    * heap rule.
+    */
+  private def sq8GraphOracle: String = lshGraphCte +
+    """,
+      |sq8sc AS (
+      |  SELECT vec_id, e,
+      |    greatest(list_aggregate([abs(x) for x in e], 'max') / 127.0,
+      |      1e-30) AS scale
+      |  FROM v),
+      |sq8cod AS (
+      |  SELECT vec_id, scale,
+      |    [floor(e[i] / scale + 0.5)::BIGINT for i in range(1, 65)] AS c
+      |  FROM sq8sc),
+      |sq8s1 AS (
+      |  SELECT src_id, vec_id,
+      |    row_number() OVER (PARTITION BY src_id
+      |      ORDER BY ap DESC, vec_id) AS crnk
+      |  FROM (
+      |    SELECT cd.src_id, cd.vec_id,
+      |      (CAST(list_reduce(list_prepend(0::BIGINT,
+      |        [sq.c[i] * nq.c[i] for i in range(1, 65)]),
+      |        (a, b) -> a + b) AS DOUBLE) * sq.scale) * nq.scale AS ap
+      |    FROM (SELECT src_id, vec_id FROM cand) cd
+      |    JOIN sq8cod sq ON sq.vec_id = cd.src_id
+      |    JOIN sq8cod nq ON nq.vec_id = cd.vec_id)),
+      |sq8s2 AS (
+      |  SELECT s.src_id, s.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q2.e, n2.e) AS cos,
+      |    row_number() OVER (PARTITION BY s.src_id
+      |      ORDER BY list_cosine_similarity(q2.e, n2.e) DESC,
+      |        s.vec_id) AS rnk
+      |  FROM sq8s1 s
+      |  JOIN v q2 ON q2.vec_id = s.src_id
+      |  JOIN v n2 ON n2.vec_id = s.vec_id
+      |  WHERE s.crnk <= 20)
+      |SELECT src_id AS vec_id, rnk, neighbor_id,
+      |  floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      |FROM sq8s2 WHERE rnk <= 5
       |ORDER BY vec_id, rnk""".stripMargin
 
   /** D9 oracle: majority vote over the graph edges, smallest label on
@@ -2975,6 +3042,7 @@ object Similarity {
         |SELECT bucket, count(*) AS n_members, min(vec_id) AS rep_vec_id
         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin),
     "knn_graph" -> lshGraphOracle,
+    "knn_graph_sq8" -> sq8GraphOracle,
     "knn_graph_triangles" -> trianglesOracle,
     "knn_graph_closeness" -> closenessOracle,
     "knn_link_prediction" -> (lshGraphCte +
