@@ -828,7 +828,7 @@ object Similarity {
     knnGraphOn(loadVecs(spark, dir), k, planes)
 
   /** D32 — the kNN graph THROUGH the SQ8 two-stage route, forced at
-    * any corpus size (`sq8RouteMinRows = 0`): what [[knnGraph]]
+    * any corpus size (`forceSq8`): what [[knnGraph]]
     * becomes above 400k vectors runs here under the driver's
     * full-hash gate at every committed SF, so the production scale
     * path is oracle-checked, not just spec-bounded. Every stage is
@@ -839,7 +839,7 @@ object Similarity {
     */
   def knnGraphSq8(spark: SparkSession, dir: String,
                   k: Int = 5, planes: Int = 12): DataFrame =
-    knnGraphOn(loadVecs(spark, dir), k, planes, sq8RouteMinRows = 0L)
+    knnGraphOn(loadVecs(spark, dir), k, planes, forceSq8 = true)
 
   /** Estimated in-memory bytes of one broadcast vector table: dim
     * doubles + array/row overhead per row. The r13 gate admitted
@@ -858,22 +858,11 @@ object Similarity {
     */
   private[graft] val VecBroadcastCeiling: Long = 900L << 20
 
-  /** Rows at which the exact-float candidate scoring yields to the
-    * SQ8 two-stage route (int8 shortlist → exact float re-rank of
-    * k·rescoreFactor per source): above every oracle-pinned corpus
-    * size (sf0.1 carries 50k vectors), below the x1000 rehearsal's
-    * 500k, so committed hashes never change while the rehearsal
-    * exercises the production path. Candidate-stage payload drops 8×
-    * (dim bytes vs 8·dim), which both shrinks the shuffle and admits
-    * broadcasts 8× longer under the byte gate.
-    */
-  private[graft] val Sq8RouteMinRows: Long = 400000L
-
   private[graft] def knnGraphOn(vecs: DataFrame, k: Int,
                                 planes: Int,
                                 maxBroadcastBytes: Long =
                                   VecBroadcastCeiling,
-                                sq8RouteMinRows: Long = Sq8RouteMinRows,
+                                forceSq8: Boolean = false,
                                 rescoreFactor: Int = 4): DataFrame = {
     import vecs.sparkSession.implicits._
     val parts = vecs.sparkSession.conf
@@ -918,19 +907,26 @@ object Similarity {
       .join(probes, $"bucket" === $"probe" && $"vec_id" =!= $"src_id")
       .select($"src_id", $"vec_id")
     // scored: (src_id, vec_id, cos) for every surviving candidate.
-    // Exact route: float cosine on the full candidate stream. SQ8
-    // route (n ≥ sq8RouteMinRows): stage 1 scores candidates with the
-    // codegen'd int8 dot over byte-packed codes (~8× less payload
-    // through the same joins — at the x1000 rehearsal that stage is
-    // 3.4B candidate × 560 B lookups on the exact path), keeps
+    // THE ROUTE FOLLOWS THE BYTE GATE (r14, measured at 512 dims):
+    // while the vector tables broadcast, the exact fused path wins —
+    // one stage, no second pass (61 s vs the route's 82 s at
+    // 150k×512). The moment they DON'T fit, the exact path must
+    // shuffle the candidate stream with a full vector payload —
+    // measured infeasible at 250k×512 (48 GB of spill in 500 s,
+    // killed by a disk guard, ~2 TB projected) — so exactly there
+    // the SQ8 two-stage route takes over: stage 1 scores candidates
+    // with the codegen'd int8 dot over byte-packed codes (8× less
+    // payload; the 568 B/row code table still BROADCASTS 8× past the
+    // vector gate — 142 MB where the vectors are 1.04 GB), keeps
     // k·rescoreFactor per source in the same k-bounded heap, and
-    // stage 2 re-ranks ONLY that shortlist (≤ n·k·rescoreFactor rows)
-    // with exact float cosine. Approximation surface: a true top-k
-    // neighbor is lost only if the int8 misranking exceeds the
-    // (rescoreFactor−1)·k margin — and only beyond the gate, where no
-    // oracle pins hashes.
+    // stage 2 re-ranks ONLY that shortlist (≤ n·k·rescoreFactor
+    // rows) with exact float cosine: 151 s where exact dies.
+    // Approximation surface: a true top-k neighbor is lost only if
+    // the int8 misranking exceeds the (rescoreFactor−1)·k margin —
+    // and only past the gate, where no oracle pins hashes (every
+    // committed corpus broadcasts).
     val scored =
-      if (n >= sq8RouteMinRows) {
+      if (forceSq8 || !fitsVec) {
         val quant = vecs.select($"vec_id", $"v")
           .withColumn("scale", graft.functions.sq8_scale($"v"))
           .select($"vec_id", $"scale",

@@ -330,13 +330,13 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     // path (proves the routing rewires only the scoring, never the
     // candidate set or the final heap rule)
     val covered = Similarity.knnGraphOn(vecs, 5, 12,
-      sq8RouteMinRows = 0L, rescoreFactor = 10000).collect()
+      forceSq8 = true, rescoreFactor = 10000).collect()
       .map(_.toString).toSeq
     assert(covered === exact)
     // production margin (k·4 shortlist): recall@k of the edge set
     // must be high — int8 quantization misranks only near-ties
     val routed = Similarity.knnGraphOn(vecs, 5, 12,
-      sq8RouteMinRows = 0L).collect()
+      forceSq8 = true).collect()
     val exactEdges = exact.size
     val routedSet = routed.map(_.toString).toSet
     val hit = exact.count(routedSet.contains)
@@ -344,7 +344,10 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       "SQ8 route must emit the same per-source edge counts")
     assert(hit.toDouble / exactEdges >= 0.97,
       s"SQ8 route recall too low: $hit/$exactEdges")
-    // the committed gate stays above every oracle-pinned corpus size
-    assert(Similarity.Sq8RouteMinRows > 50000L)
+    // the route trigger IS the byte gate: every oracle-pinned corpus
+    // broadcasts (so takes the exact path), and the largest committed
+    // shape sits well under the ceiling
+    assert(Similarity.vecBroadcastBytes(50000L, 64) <=
+      Similarity.VecBroadcastCeiling)
   }
 }
