@@ -110,6 +110,132 @@ object MinHashSignature {
   }
 }
 
+/** Distinct 3-token shingles of a token array — the scan-side input of
+  * every graft.ops.Dedup operator. Bit-identical to the SQL chain
+  * `array_distinct(transform(sequence(1, greatest(n-2, 1)),
+  * i => concat_ws(' ', slice(toks, i, 3))))` that the DuckDB oracles
+  * replay: first-occurrence order, null tokens skipped by concat_ws,
+  * and the n<3 guard emitting one short shingle. The SQL chain runs as
+  * interpreted higher-order functions allocating a slice array per
+  * window; this is one codegen'd pass with a LinkedHashSet dedup.
+  */
+case class Shingle3Distinct(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  override def nullSafeEval(arr: Any): Any =
+    Shingle3Distinct.compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Shingle3Distinct.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Shingle3Distinct {
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val count = math.max(n - 2, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 0
+    while (i < count) {
+      val hi = math.min(i + 3, n)
+      val parts = new Array[UTF8String](hi - i)
+      var j = i
+      while (j < hi) {
+        // concat_ws skips nulls; UTF8String.concatWs does the same
+        parts(j - i) = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(Sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+}
+
+/** Salted-md5 MinHash signature — the PORTABLE-SQL hash family of the
+  * LSH-tuning / estimator-error reports (graft.ops.Dedup C20/C21).
+  * Element j = min over shingles s of the unsigned integer value of
+  * the first 6 digest bytes of md5("j:" + s) — bit-identical to the
+  * SQL chain `conv(substring(md5(concat_ws(':', j, s)), 1, 12), 16,
+  * 10)` that the DuckDB oracles replay verbatim, including concat_ws's
+  * null-skipping (a null shingle hashes the bare salt digits) and
+  * array_min's empty→null.
+  *
+  * Why it exists: the equivalent SQL chain runs as interpreted
+  * higher-order functions (transform × array_min × hex-string conv),
+  * materializing a 32-char hex string and a decimal string per
+  * (shingle, hash). This computes the same values in one scan-side
+  * pass over the shingle array with no intermediate strings — the
+  * oracle SQL is unchanged, only the engine side gets cheaper.
+  */
+case class SaltedMd5MinHash(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "salted_md5_minhash"
+
+  override def nullSafeEval(arr: Any): Any =
+    SaltedMd5MinHash.compute(arr.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.SaltedMd5MinHash.compute($a, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SaltedMd5MinHash {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)  // array_min over an empty transform is null per hash
+      return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val md = digests.get()
+    // per-hash salt prefix "j:" as utf8 bytes, computed once per call
+    val salts = Array.tabulate(numHashes)(j => (j.toString + ":").getBytes("UTF-8"))
+    var i = 0
+    while (i < n) {
+      val sb: Array[Byte] =
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      var j = 0
+      while (j < numHashes) {
+        md.reset()
+        if (sb == null) {
+          // concat_ws skips null args: md5 of the bare digits, no colon
+          val s = salts(j)
+          md.update(s, 0, s.length - 1)
+        } else {
+          md.update(salts(j))
+          md.update(sb)
+        }
+        val d = md.digest()
+        val v = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
 /** 64-bit SimHash over an array of string tokens: per-bit vote of
   * token hashes (+1 if bit set, −1 otherwise), sign of the vote is the
   * output bit. Near-duplicate docs land within small hamming distance.

@@ -28,6 +28,21 @@ package object functions {
   def minhash(shingles: Column, numHashes: Int, seed: Long = 0L): Column =
     toCol(MinHashSignature(toExpr(shingles), numHashes, seed))
 
+  /** Distinct 3-token shingles of a token array, first-occurrence
+    * order — bit-identical to array_distinct(transform(sequence(1,
+    * greatest(n-2,1)), i => concat_ws(' ', slice(toks, i, 3)))).
+    */
+  def shingles3(toks: Column): Column =
+    toCol(Shingle3Distinct(toExpr(toks)))
+
+  /** Salted-md5 MinHash signature (the portable-SQL hash family of
+    * the C20/C21 tuning reports): element j = min over shingles of the
+    * first 48 bits of md5(j + ":" + s) — bit-identical to
+    * conv(substring(md5(concat_ws(':', j, s)), 1, 12), 16, 10).
+    */
+  def salted_md5_minhash(shingles: Column, numHashes: Int): Column =
+    toCol(SaltedMd5MinHash(toExpr(shingles), numHashes))
+
   /** 64-bit SimHash over an array of string tokens. */
   def simhash64(tokens: Column): Column =
     toCol(SimHash64(toExpr(tokens)))
@@ -108,5 +123,12 @@ package object functions {
       "built-in")
     registry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "shingles3", exprs => Shingle3Distinct(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "salted_md5_minhash",
+      exprs => SaltedMd5MinHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

@@ -18,11 +18,13 @@ import graft.functions.{minhash, simhash64}
   */
 object Dedup {
 
-  /** Distinct 3-token shingles of `text` (split on single space). */
+  /** Distinct 3-token shingles of `text` (split on single space) —
+    * codegen'd one-pass expression, bit-identical to the interpreted
+    * HOF chain the DuckDB oracles replay (equivalence pinned on the
+    * real corpus by SqlFunctionsSpec).
+    */
   private[ops] def shingleCol: Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-      i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+    graft.functions.shingles3(col("toks"))
 
   private[ops] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
@@ -452,12 +454,11 @@ object Dedup {
     val tNum = math.round(threshold * 10000).toInt
     val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh", size($"sh").as("sz"))
+    // codegen'd scan-side signature, bit-identical to the oracle's
+    // conv(substring(md5(concat_ws(':', i, s)), 1, 12), 16, 10) chain
+    // (SaltedMd5MinHashSpec pins the equivalence on the real corpus)
     val sigs = docs.select($"doc_id",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform($"sh", s =>
-          conv(substring(md5(concat_ws(":", i.cast("string"), s)
-            .cast("binary")), 1, 12), 16, 10).cast("long"))))
-        .as("sig"))
+      graft.functions.salted_md5_minhash($"sh", numHashes).as("sig"))
       .cache()
     val bucketStats = bandsGrid.map { b =>
       val r = numHashes / b
@@ -525,12 +526,9 @@ object Dedup {
     val tNum = math.round(threshold * 10000).toInt
     val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh", size($"sh").as("sz"))
+    // same codegen'd signature as C20 — oracle chain unchanged
     val sigs = docs.select($"doc_id",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform($"sh", s =>
-          conv(substring(md5(concat_ws(":", i.cast("string"), s)
-            .cast("binary")), 1, 12), 16, 10).cast("long"))))
-        .as("sig"))
+      graft.functions.salted_md5_minhash($"sh", numHashes).as("sig"))
     prefixFilteredPairs(docs, tNum)
       .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")

@@ -8,12 +8,16 @@ class SqlFunctionsSpec extends SparkSpecBase {
       """SELECT hilbert_index(3, 4, 14) AS h,
         |       morton_index(3, 4, 14) AS m,
         |       minhash(array('a b c', 'b c d'), 8) AS sig,
-        |       simhash64(array('tok1', 'tok2', 'tok3')) AS sh
+        |       simhash64(array('tok1', 'tok2', 'tok3')) AS sh,
+        |       shingles3(array('a', 'b', 'c', 'd')) AS sg,
+        |       salted_md5_minhash(array('a b c'), 4) AS smh
         |""".stripMargin).collect()(0)
     assert(r.getLong(0) === graft.expressions.HilbertIndex.xy2d(14, 3, 4))
     assert(r.getLong(1) === graft.expressions.MortonIndex.interleave(14, 3, 4))
     assert(r.getSeq[Long](2).length === 8)
     assert(r.getLong(3) !== 0L)
+    assert(r.getSeq[String](4) === Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](5).length === 4)
   }
 
   test("porter_stem expression ≡ PorterStemmer.stem through the codegen path") {
@@ -28,6 +32,83 @@ class SqlFunctionsSpec extends SparkSpecBase {
     val nulls = Seq[Option[String]](Some("falling"), None).toDF("w")
       .select(graft.functions.porter_stem($"w")).collect()
     assert(nulls(0).getString(0) === "fall" && nulls(1).isNullAt(0))
+  }
+
+  test("shingles3 ≡ the array_distinct/transform/slice SQL chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def sqlChain(toks: org.apache.spark.sql.Column) =
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+    // real corpus, including order of elements (<=> on the arrays)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("toks", split($"text", " "))
+    val mism = docs
+      .select(graft.functions.shingles3($"toks").as("fast"),
+        sqlChain($"toks").as("ref"))
+      .filter(not($"fast" <=> $"ref")).count()
+    assert(mism === 0L)
+    // short arrays (n<3: one stub shingle), repeats, empty tokens,
+    // empty array, null element (concat_ws skips it)
+    val tricky = Seq(
+      Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", "a", "a", "a"), Seq("", "", ""), Seq("x", "", "y", ""),
+      Seq("a b", "c", "d", "a", "b c", "d")).toDF("toks")
+      .select(graft.functions.shingles3($"toks").as("fast"),
+        sqlChain($"toks").as("ref"))
+    assert(tricky.filter(not($"fast" <=> $"ref")).count() === 0L)
+    val withNull = spark.sql(
+      "SELECT array('x', CAST(NULL AS STRING), 'y', 'z') AS toks")
+      .select(graft.functions.shingles3($"toks").as("fast"),
+        sqlChain($"toks").as("ref"))
+    assert(withNull.filter(not($"fast" <=> $"ref")).count() === 0L)
+    val empty = spark.sql("SELECT CAST(array() AS ARRAY<STRING>) AS toks")
+      .select(graft.functions.shingles3($"toks").as("fast"),
+        sqlChain($"toks").as("ref"))
+    assert(empty.filter(not($"fast" <=> $"ref")).count() === 0L)
+  }
+
+  test("salted_md5_minhash ≡ the oracle's conv/substring/md5 SQL chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val numHashes = 16
+    def sqlChain(sh: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(sh, s =>
+          conv(substring(md5(concat_ws(":", i.cast("string"), s)
+            .cast("binary")), 1, 12), 16, 10).cast("long"))))
+    // real corpus: every document's 3-token shingle set (the C20/C21
+    // input shape), both paths equal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .withColumn("sh", array_distinct(transform(
+        sequence(lit(1), greatest(size($"toks") - 2, lit(1))),
+        i => concat_ws(" ", slice($"toks", i, lit(3))))))
+    val mismatches = docs
+      .select(graft.functions.salted_md5_minhash($"sh", numHashes)
+        .as("fast"), sqlChain($"sh").as("ref"))
+      .filter(not($"fast" <=> $"ref")).count()
+    assert(mismatches === 0L)
+    // adversarial literals: unicode, embedded colon/salt collisions,
+    // empty string, null element (concat_ws skips it), empty array
+    val tricky = Seq(
+      Seq("a", "b", "c"), Seq(""), Seq("0:x", ":", "::"),
+      Seq("héllo wörld", "日本語 シングル", "emoji 🚀 test"),
+      Seq("1:same", "same")).toDF("sh")
+      .select(graft.functions.salted_md5_minhash($"sh", numHashes)
+        .as("fast"), sqlChain($"sh").as("ref"))
+    assert(tricky.filter(not($"fast" <=> $"ref")).count() === 0L)
+    val withNullElem = spark.sql(
+      "SELECT array('x', CAST(NULL AS STRING), 'y') AS sh")
+      .select(graft.functions.salted_md5_minhash($"sh", numHashes)
+        .as("fast"), sqlChain($"sh").as("ref"))
+    assert(withNullElem.filter(not($"fast" <=> $"ref")).count() === 0L)
+    val emptyArr = spark.sql("SELECT CAST(array() AS ARRAY<STRING>) AS sh")
+      .select(graft.functions.salted_md5_minhash($"sh", numHashes)
+        .as("fast"), sqlChain($"sh").as("ref"))
+    assert(emptyArr.filter(not($"fast" <=> $"ref")).count() === 0L)
   }
 
   test("byte_log_units ≡ per-byte floor(c·ln c·1e9+.5) sum via codegen") {
