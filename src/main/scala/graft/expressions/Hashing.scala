@@ -236,6 +236,82 @@ object SaltedMd5MinHash {
   }
 }
 
+/** Sliding n-token-gram MD5 digests of a token array — the scan-side
+  * input of the exact-substring span dedup (graft.ops.Dedup C13).
+  * Element i = the 16-byte md5 digest of tokens[i..i+n-1] joined with
+  * a single space, null tokens skipped exactly like concat_ws. Gram
+  * EQUALITY is all the consumer uses, so this replaces the
+  * `transform(sequence..., i => md5(concat_ws(' ', slice(toks, i+1,
+  * n)).cast('binary')))` chain with the raw digest instead of its
+  * 32-char hex rendering: the interpreted per-window slice/concat
+  * allocations disappear into one codegen'd pass, and the gram
+  * shuffle key drops from 32-byte strings to 16-byte binaries. MD5's
+  * 128 bits (not a 64-bit hash) is deliberate: at 10¹² grams a 64-bit
+  * key expects thousands of birthday collisions — silent false
+  * duplicate spans — while 128 bits stays collision-free.
+  * Empty result when the array has fewer than n tokens (the caller's
+  * size(toks) >= n guard makes this unreachable there).
+  */
+case class GramMd5(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "gram_md5"
+
+  override def nullSafeEval(arr: Any): Any =
+    GramMd5.compute(arr.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.GramMd5.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramMd5 {
+  private val Space = " ".getBytes("UTF-8")
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    val count = sz - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    // token bytes materialized once, reused across the n windows
+    // each token participates in
+    val toks = new Array[Array[Byte]](sz)
+    var i = 0
+    while (i < sz) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = digests.get()
+    val out = new Array[Any](count)
+    i = 0
+    while (i < count) {
+      md.reset()
+      var first = true
+      var j = i
+      while (j < i + n) {
+        val tb = toks(j)
+        if (tb != null) { // concat_ws skips null elements entirely
+          if (!first) md.update(Space)
+          md.update(tb)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = md.digest()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** 64-bit SimHash over an array of string tokens: per-bit vote of
   * token hashes (+1 if bit set, −1 otherwise), sign of the vote is the
   * output bit. Near-duplicate docs land within small hamming distance.

@@ -43,6 +43,12 @@ package object functions {
   def salted_md5_minhash(shingles: Column, numHashes: Int): Column =
     toCol(SaltedMd5MinHash(toExpr(shingles), numHashes))
 
+  /** Sliding n-token-gram 16-byte MD5 digests (null tokens skipped
+    * like concat_ws); element i covers tokens[i..i+n-1].
+    */
+  def gram_md5(toks: Column, n: Int): Column =
+    toCol(GramMd5(toExpr(toks), n))
+
   /** 64-bit SimHash over an array of string tokens. */
   def simhash64(tokens: Column): Column =
     toCol(SimHash64(toExpr(tokens)))
@@ -129,6 +135,10 @@ package object functions {
       "salted_md5_minhash",
       exprs => SaltedMd5MinHash(exprs(0),
         exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "gram_md5",
+      exprs => GramMd5(exprs(0), exprs(1).eval().asInstanceOf[Int]),
       "built-in")
   }
 }

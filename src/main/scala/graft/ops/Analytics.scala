@@ -968,6 +968,10 @@ object Analytics {
     */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // checkpoint the calendar-bounded daily frame (≤ days rows): the
+    // pair join consumes it on BOTH sides and the intercept pass a
+    // third time — without it each consumer re-runs the corpus scan
+    // + agg (measured 3 × ~2 s of the query's 8.7 s at sf0.1)
     val daily = Tables.load(spark, dir, "orders")
       .withColumn("cents",
         floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
@@ -975,24 +979,45 @@ object Analytics {
       .agg(floorDivCents("sum(cents)").as("x"))
       .select(datediff(to_date($"o_orderdate"), lit("1992-01-01"))
         .cast("long").as("t"), $"x")
-    val a = daily.select($"t".as("ta"), $"x".as("xa"))
+      .localCheckpoint()
+    // repartition the STREAM side BEFORE the theta-join: the tiny
+    // daily frame reads as one partition, and the nested-loop join
+    // inherits the stream side's layout — without this the
+    // days²-pair production AND every downstream pass over the
+    // checkpoint are pinned to one core (the same near-serial-
+    // parallelism trap as the kNN-graph checkpoint). Spreading the
+    // ≤days-row side first costs a trivial shuffle and makes the
+    // join output land already parallel.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val a = daily.select($"t".as("ta"), $"x".as("xa")).repartition(parts)
     val b = daily.select($"t".as("tb"), $"x".as("xb"))
     // materialize the pair frame ONCE (days²-bounded): median,
     // boundaries, and profile would otherwise each recompute the join
-    val slopes = a.join(b, $"ta" < $"tb")
+    val slopes = a.join(broadcast(b), $"ta" < $"tb")
       .select((($"xb" - $"xa").cast("double") /
         ($"tb" - $"ta").cast("double")).as("s"))
       .localCheckpoint()
-    // quantiles by H7 BUCKETED-OFFSET RANK SELECTION, not the exact
-    // Percentile aggregate: Percentile buffers every distinct value
-    // in one boxed map (measured ~17 s on 2.9M pairs); here value
-    // buckets split the range, per-bucket row_number + broadcast
-    // offsets give the exact global rank, and only the ≤18 ranks the
-    // 9 interpolation points touch are fetched (bounded artifact —
-    // the audited percentile-boundary collect). The interpolation
-    // formula v_lo + (pos−⌊pos⌋)(v_hi−v_lo) is written identically
-    // in the oracle's SQL, so parity is by construction.
-    val statRow = slopes.agg(count(lit(1)), min($"s"), max($"s")).head()
+    // quantiles by EQUAL-FREQUENCY BUCKETED RANK SELECTION, not the
+    // exact Percentile aggregate: Percentile buffers every distinct
+    // value in one boxed map (measured ~17 s on 2.9M pairs), and
+    // equal-WIDTH buckets collapse under the slope distribution's
+    // heavy tail (min/max ride 1-day outliers, so ~all mass lands in
+    // 1-2 central buckets and the rank sort goes single-threaded —
+    // measured 5-6 s). Bucket BOUNDARIES come from an
+    // approx_percentile sketch — approximation only ever places
+    // boundaries, never values: the global rank of a row is its exact
+    // per-bucket row_number plus the exact driver-side prefix of exact
+    // bucket counts, so the fetched order statistics are exact
+    // wherever the boundaries fall. Only the ≤18 ranks the 9
+    // interpolation points touch are fetched (bounded artifact — the
+    // audited percentile-boundary collect). The interpolation formula
+    // v_lo + (pos−⌊pos⌋)(v_hi−v_lo) is written identically in the
+    // oracle's SQL, so parity is by construction.
+    val nB = 64
+    val statRow = slopes.agg(count(lit(1)),
+      expr(s"approx_percentile(s, array(${
+        (1 until nB).map(i => s"${i.toDouble / nB}").mkString(",")}), 10000)"))
+      .head()
     val nPairs = statRow.getLong(0)
     if (nPairs == 0L)  // <2 distinct days: no slopes, no fit
       return Seq.empty[(Long, Double, Double, Double, Long)]
@@ -1002,24 +1027,44 @@ object Analytics {
     val wantedRanks = (1 to 9)
       .flatMap(k => Seq(math.floor(qpos(k)).toLong + 1,
         math.ceil(qpos(k)).toLong + 1)).distinct
-    val (mn, mx) = (statRow.getDouble(1), statRow.getDouble(2))
-    val nB = 1024
-    val width = (mx - mn) / nB
     val W = org.apache.spark.sql.expressions.Window
-    val bucketed =
-      if (width > 0)
-        slopes.withColumn("bkt",
-          least(floor(($"s" - mn) / width), lit(nB - 1)).cast("int"))
-      else slopes.withColumn("bkt", lit(0))
-    val offs = bucketed.groupBy($"bkt").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum($"c").over(W.orderBy($"bkt")
-        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .select($"bkt", $"off")
-    val atRank = bucketed.join(broadcast(offs), "bkt")
-      .withColumn("r",
-        row_number().over(W.partitionBy($"bkt").orderBy($"s")) + $"off")
-      .filter($"r".isin(wantedRanks: _*))
-      .select($"r", $"s").as[(Long, Double)].collect().toMap
+    // ~n/64-row buckets by construction; the same boundary array is
+    // the bucket assignment in BOTH passes, so counts and local ranks
+    // can never disagree on a row's bucket
+    val sketchBounds = typedLit(statRow.getSeq[Double](1))
+    val bucketed = slopes.withColumn("bkt",
+      size(filter(sketchBounds, bv => $"s" > bv)))
+    // bucket counts collapse to ≤nB rows (bounded artifact, like the
+    // percentile-boundary collect); prefix offsets driver-side, then
+    // ONLY the ≤18 buckets that contain a wanted rank are sorted —
+    // a global row_number window here shuffled every pair row into
+    // one AQE-coalesced partition and single-thread-sorted it
+    // (measured 6.3 s of the query at sf0.1) to fetch 18 values
+    val cnts = bucketed.groupBy($"bkt").agg(count(lit(1)).as("c"))
+      .orderBy($"bkt").as[(Int, Long)].collect()
+    val offByBkt = {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      var run = 0L
+      cnts.foreach { case (bk, c) => m(bk.toLong) = run; run += c }
+      m
+    }
+    val wantedByBkt: Map[Int, Seq[Long]] = {
+      // rank r lives in the last bucket whose offset < r
+      val sorted = cnts.map(_._1)
+      wantedRanks.map { r =>
+        val bk = sorted.filter(bk2 => offByBkt(bk2.toLong) < r).last
+        bk -> (r - offByBkt(bk.toLong)) // local rank within bucket
+      }.groupBy(_._1).map { case (bk, v) => bk -> v.map(_._2).distinct }
+    }
+    val wantedBkts = wantedByBkt.keys.toSeq
+    val localRankFilter = wantedByBkt.map { case (bk, lrs) =>
+      ($"bkt" === bk) && $"lr".isin(lrs: _*)
+    }.reduce(_ || _)
+    val atRank = bucketed.filter($"bkt".isin(wantedBkts: _*))
+      .withColumn("lr", row_number().over(W.partitionBy($"bkt").orderBy($"s")))
+      .filter(localRankFilter)
+      .select($"bkt", $"lr", $"s").as[(Int, Long, Double)].collect()
+      .map { case (bk, lr, s) => (lr + offByBkt(bk.toLong)) -> s }.toMap
     val bsVals = (1 to 9).map { k =>
       val p = qpos(k)
       val vlo = atRank(math.floor(p).toLong + 1)

@@ -356,8 +356,13 @@ object Dedup {
     import spark.implicits._
     val sweeps = Seq((0.7, 7000), (0.8, 8000), (0.9, 9000))
     val tNum = sweeps.map(_._2).min
+    // cache: prefixFilteredPairs consumes the shingled corpus FOUR
+    // times (gram frequencies, prefixes, and both sides of the
+    // verification join) — without this each consumer re-runs the
+    // corpus scan + shingle kernel
     val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh", size($"sh").as("sz"))
+      .cache()
     val pairs = prefixFilteredPairs(docs, tNum)
     val th = sweeps.toDF("threshold", "tn")
     val f = pairs.crossJoin(broadcast(th))
@@ -1239,13 +1244,15 @@ object Dedup {
     */
   def dupSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     import spark.implicits._
+    // codegen'd one-pass gram digests (16-byte binary shuffle keys,
+    // half the hex-string width; GramMd5Spec pins the equivalence to
+    // the transform/slice/md5-hex chain this replaces)
     val grams = Tables.load(spark, dir, "documents")
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(size($"toks") >= n)
-      .select($"doc_id", posexplode(transform(
-        sequence(lit(0), size($"toks") - n),
-        i => md5(concat_ws(" ", slice($"toks", i + 1, lit(n))).cast("binary"))))
-        .as(Seq("pos", "g")))
+      .select($"doc_id",
+        posexplode(graft.functions.gram_md5($"toks", n))
+          .as(Seq("pos", "g")))
     val dupGrams = grams.groupBy($"g")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)

@@ -111,6 +111,41 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(emptyArr.filter(not($"fast" <=> $"ref")).count() === 0L)
   }
 
+  test("gram_md5 ≡ the transform/slice/md5-hex chain (digests unhex-equal)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 8
+    def sqlChain(toks: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), size(toks) - n),
+        i => unhex(md5(concat_ws(" ", slice(toks, i + 1, lit(n)))
+          .cast("binary"))))
+    // real corpus: every document with >= n tokens
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= n)
+    val mism = docs
+      .select(graft.functions.gram_md5($"toks", n).as("fast"),
+        sqlChain($"toks").as("ref"))
+      .filter(not($"fast" <=> $"ref")).count()
+    assert(mism === 0L)
+    // edges: exactly n tokens, null element (concat_ws skips it),
+    // empty tokens, unicode, fewer than n tokens (empty result)
+    val tricky = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('a','b','c','d','e','f','g','h')),
+        |  (array('a','b','c','d','e','f','g','h','i','j')),
+        |  (array('a', CAST(NULL AS STRING),'c','d','e','f','g','h','i')),
+        |  (array('','','','','','','','','')),
+        |  (array('héllo','wörld','日本','語','🚀','x','y','z','w'))
+        |AS t(toks)""".stripMargin)
+      .select(graft.functions.gram_md5($"toks", n).as("fast"),
+        sqlChain($"toks").as("ref"))
+    assert(tricky.filter(not($"fast" <=> $"ref")).count() === 0L)
+    val short = spark.sql("SELECT array('a','b') AS toks")
+      .select(graft.functions.gram_md5($"toks", n).as("fast")).head()
+    assert(short.getSeq[Array[Byte]](0).isEmpty)
+  }
+
   test("byte_log_units ≡ per-byte floor(c·ln c·1e9+.5) sum via codegen") {
     import spark.implicits._
     def ref(bytes: Array[Byte]): Long =
