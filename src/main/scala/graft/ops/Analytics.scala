@@ -997,80 +997,21 @@ object Analytics {
       .select((($"xb" - $"xa").cast("double") /
         ($"tb" - $"ta").cast("double")).as("s"))
       .localCheckpoint()
-    // quantiles by EQUAL-FREQUENCY BUCKETED RANK SELECTION, not the
-    // exact Percentile aggregate: Percentile buffers every distinct
-    // value in one boxed map (measured ~17 s on 2.9M pairs), and
-    // equal-WIDTH buckets collapse under the slope distribution's
-    // heavy tail (min/max ride 1-day outliers, so ~all mass lands in
-    // 1-2 central buckets and the rank sort goes single-threaded —
-    // measured 5-6 s). Bucket BOUNDARIES come from an
-    // approx_percentile sketch — approximation only ever places
-    // boundaries, never values: the global rank of a row is its exact
-    // per-bucket row_number plus the exact driver-side prefix of exact
-    // bucket counts, so the fetched order statistics are exact
-    // wherever the boundaries fall. Only the ≤18 ranks the 9
-    // interpolation points touch are fetched (bounded artifact — the
-    // audited percentile-boundary collect). The interpolation formula
-    // v_lo + (pos−⌊pos⌋)(v_hi−v_lo) is written identically in the
-    // oracle's SQL, so parity is by construction.
-    val nB = 64
-    val statRow = slopes.agg(count(lit(1)),
-      expr(s"approx_percentile(s, array(${
-        (1 until nB).map(i => s"${i.toDouble / nB}").mkString(",")}), 10000)"))
-      .head()
-    val nPairs = statRow.getLong(0)
-    if (nPairs == 0L)  // <2 distinct days: no slopes, no fit
+    // decile slopes by [[RankSelect]] equal-frequency bucketed rank
+    // selection — not the exact Percentile aggregate, which buffers
+    // every distinct value in one boxed map (measured ~17 s on 2.9M
+    // pairs). Approximation only ever places bucket boundaries; the
+    // fetched order statistics are exact, and the interpolation is
+    // the Percentile aggregate's two-sided (hi−pos)·v_lo +
+    // (pos−lo)·v_hi, written identically in the oracle's SQL, so
+    // parity is by construction.
+    val sel = RankSelect.groupedQuantiles(slopes, lit("_"), $"s",
+      (1 to 9).map(_ / 10.0))
+    if (sel.isEmpty)  // <2 distinct days: no slopes, no fit
       return Seq.empty[(Long, Double, Double, Double, Long)]
         .toDF("slope_decile", "decile_mean_slope", "slope_median",
           "intercept_median", "n_pairs")
-    def qpos(k: Int): Double = k.toDouble / 10.0 * (nPairs - 1).toDouble
-    val wantedRanks = (1 to 9)
-      .flatMap(k => Seq(math.floor(qpos(k)).toLong + 1,
-        math.ceil(qpos(k)).toLong + 1)).distinct
-    val W = org.apache.spark.sql.expressions.Window
-    // ~n/64-row buckets by construction; the same boundary array is
-    // the bucket assignment in BOTH passes, so counts and local ranks
-    // can never disagree on a row's bucket
-    val sketchBounds = typedLit(statRow.getSeq[Double](1))
-    val bucketed = slopes.withColumn("bkt",
-      size(filter(sketchBounds, bv => $"s" > bv)))
-    // bucket counts collapse to ≤nB rows (bounded artifact, like the
-    // percentile-boundary collect); prefix offsets driver-side, then
-    // ONLY the ≤18 buckets that contain a wanted rank are sorted —
-    // a global row_number window here shuffled every pair row into
-    // one AQE-coalesced partition and single-thread-sorted it
-    // (measured 6.3 s of the query at sf0.1) to fetch 18 values
-    val cnts = bucketed.groupBy($"bkt").agg(count(lit(1)).as("c"))
-      .orderBy($"bkt").as[(Int, Long)].collect()
-    val offByBkt = {
-      val m = scala.collection.mutable.LongMap.empty[Long]
-      var run = 0L
-      cnts.foreach { case (bk, c) => m(bk.toLong) = run; run += c }
-      m
-    }
-    val wantedByBkt: Map[Int, Seq[Long]] = {
-      // rank r lives in the last bucket whose offset < r
-      val sorted = cnts.map(_._1)
-      wantedRanks.map { r =>
-        val bk = sorted.filter(bk2 => offByBkt(bk2.toLong) < r).last
-        bk -> (r - offByBkt(bk.toLong)) // local rank within bucket
-      }.groupBy(_._1).map { case (bk, v) => bk -> v.map(_._2).distinct }
-    }
-    val wantedBkts = wantedByBkt.keys.toSeq
-    val localRankFilter = wantedByBkt.map { case (bk, lrs) =>
-      ($"bkt" === bk) && $"lr".isin(lrs: _*)
-    }.reduce(_ || _)
-    val atRank = bucketed.filter($"bkt".isin(wantedBkts: _*))
-      .withColumn("lr", row_number().over(W.partitionBy($"bkt").orderBy($"s")))
-      .filter(localRankFilter)
-      .select($"bkt", $"lr", $"s").as[(Int, Long, Double)].collect()
-      .map { case (bk, lr, s) => (lr + offByBkt(bk.toLong)) -> s }.toMap
-    val bsVals = (1 to 9).map { k =>
-      val p = qpos(k)
-      val vlo = atRank(math.floor(p).toLong + 1)
-      val vhi = atRank(math.ceil(p).toLong + 1)
-      vlo + (p - math.floor(p)) * (vhi - vlo)
-    }
+    val (nPairs, bsVals) = sel("_")
     val med = spark.range(1)
       .select(typedLit(bsVals).as("bs"), lit(nPairs).as("n_pairs"),
         (floor(lit(bsVals(4)) * 1000000.0 + 0.5) / 1000000.0)
@@ -1901,15 +1842,21 @@ object Analytics {
         |  FROM dd a JOIN dd b ON a.t < b.t),
         |med0 AS (SELECT count(*)::BIGINT AS n FROM sl),
         |rs AS (SELECT s, row_number() OVER (ORDER BY s) AS r FROM sl),
-        |tp AS (SELECT k, (k::DOUBLE / 10.0) * (n - 1)::DOUBLE AS pos
+        |tp AS (SELECT k, (k::DOUBLE / 10.0) * (n - 1)::DOUBLE AS pos,
+        |    CAST(floor((k::DOUBLE / 10.0) * (n - 1)::DOUBLE) AS BIGINT)
+        |      AS lo,
+        |    CAST(ceil((k::DOUBLE / 10.0) * (n - 1)::DOUBLE) AS BIGINT)
+        |      AS hi
         |  FROM (SELECT unnest(range(1, 10)) AS k), med0),
-        |qlo AS (SELECT tp.k, tp.pos, rs.s AS vlo FROM tp JOIN rs
-        |  ON rs.r = CAST(floor(tp.pos) AS BIGINT) + 1),
+        |qlo AS (SELECT tp.k, tp.pos, tp.lo, tp.hi, rs.s AS vlo
+        |  FROM tp JOIN rs ON rs.r = tp.lo + 1),
         |qhi AS (SELECT tp.k, rs.s AS vhi FROM tp JOIN rs
-        |  ON rs.r = CAST(ceil(tp.pos) AS BIGINT) + 1),
+        |  ON rs.r = tp.hi + 1),
         |bv AS (SELECT qlo.k,
-        |    qlo.vlo + (qlo.pos - floor(qlo.pos)) * (qhi.vhi - qlo.vlo)
-        |      AS v
+        |    CASE WHEN qlo.hi = qlo.lo THEN qlo.vlo
+        |      WHEN qhi.vhi = qlo.vlo THEN qlo.vlo
+        |      ELSE (qlo.hi - qlo.pos) * qlo.vlo
+        |        + (qlo.pos - qlo.lo) * qhi.vhi END AS v
         |  FROM qlo JOIN qhi ON qhi.k = qlo.k),
         |med AS (
         |  SELECT list(v ORDER BY k) AS bs,

@@ -471,16 +471,38 @@ object Events {
 
   /** B20 — exact percentiles (median/p90/p99 of value per type):
     * linear-interpolation percentile, the tail-latency staple.
+    * Computed via [[RankSelect.groupedQuantiles]]: below its gate this
+    * is the one-pass Percentile aggregate as before; above it, the
+    * equal-frequency bucketed rank selection — the Percentile
+    * aggregate buffers every value of a group in one in-memory map,
+    * which cannot survive groups that are terabytes of doubles, while
+    * the rank-selection path's state is buckets × groups counters.
+    * Both paths produce bit-identical values (RankSelectSpec).
     */
-  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+  def valuePercentiles(spark: SparkSession, dir: String,
+                       gateRows: Long = 1L << 20): DataFrame = {
     import spark.implicits._
-    def p(q: Double) =
-      floor(expr(s"percentile(value, $q)") * 10000.0 + 0.5)
-        .cast("double") / 10000.0
-    Tables.load(spark, dir, "events")
-      .groupBy($"event_type")
-      .agg(p(0.5).as("p50"), p(0.9).as("p90"), p(0.99).as("p99"),
-        count(lit(1)).as("n"))
+    val ev = Tables.load(spark, dir, "events")
+    if (ev.count() <= gateRows) {
+      // small data: the one-pass Percentile aggregate as always
+      // (the count gate itself is a parquet metadata read)
+      def p(q: Double) =
+        floor(expr(s"percentile(value, $q)") * 10000.0 + 0.5)
+          .cast("double") / 10000.0
+      return ev.groupBy($"event_type")
+        .agg(p(0.5).as("p50"), p(0.9).as("p90"), p(0.99).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }
+    val sel = RankSelect.groupedQuantiles(ev, $"event_type", $"value",
+      Seq(0.5, 0.9, 0.99), smallGate = 0L)
+    def r4(v: Double): Double = math.floor(v * 10000.0 + 0.5) / 10000.0
+    val pv = sel.toSeq
+      .map { case (g, (_, vs)) => (g, r4(vs(0)), r4(vs(1)), r4(vs(2))) }
+      .toDF("event_type", "p50", "p90", "p99")
+    ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .join(broadcast(pv), Seq("event_type"), "left")
+      .select($"event_type", $"p50", $"p90", $"p99", $"n")
       .orderBy($"event_type")
   }
 
@@ -628,17 +650,40 @@ object Events {
     *
     * Scale shape: two grouped exact-percentile passes (types-sized
     * results, broadcast back) + one scan-side flag projection — the
-    * corpus shuffles only into the percentile aggregates.
+    * corpus shuffles only into the percentile aggregates below the
+    * gate; above it both medians come from [[RankSelect]], whose
+    * per-task state is bucket counters instead of the group's values.
     */
   def madOutliers(spark: SparkSession, dir: String,
-                  cutoff: Double = 3.5): DataFrame = {
+                  cutoff: Double = 3.5,
+                  gateRows: Long = 1L << 20): DataFrame = {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
-    val med = events.groupBy($"event_type")
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val mad = events.join(broadcast(med), "event_type")
-      .groupBy($"event_type")
-      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    // same gate-and-convert as B20: the exact Percentile aggregate
+    // below the gate, RankSelect bucketed rank selection above it —
+    // bit-identical medians either way (RankSelectSpec), so the gate
+    // can never move a flagged outlier
+    val (med, mad) =
+      if (events.count() <= gateRows) {
+        val m = events.groupBy($"event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val d = events.join(broadcast(m), "event_type")
+          .groupBy($"event_type")
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        (m, d)
+      } else {
+        val mSel = RankSelect.groupedQuantiles(events, $"event_type",
+          $"value", Seq(0.5), smallGate = 0L)
+        val m = mSel.toSeq.map { case (g, (_, vs)) => (g, vs(0)) }
+          .toDF("event_type", "med")
+        val dev = events.join(broadcast(m), "event_type")
+          .select($"event_type", abs($"value" - $"med").as("ad"))
+        val dSel = RankSelect.groupedQuantiles(dev, $"event_type",
+          $"ad", Seq(0.5), smallGate = 0L)
+        val d = dSel.toSeq.map { case (g, (_, vs)) => (g, vs(0)) }
+          .toDF("event_type", "mad")
+        (m, d)
+      }
     events
       .join(broadcast(med), "event_type")
       .join(broadcast(mad), "event_type")
