@@ -161,6 +161,135 @@ object Shingle3Distinct {
   }
 }
 
+/** All (or first-occurrence-distinct) n-token word grams joined with
+  * a single space — bit-identical, for inputs with size(toks) ≥ n, to
+  * the interpreted chain `transform(sequence(1, size(toks)-(n-1)),
+  * i => concat_ws(' ', slice(toks, i, n)))` (wrapped in
+  * `array_distinct` when `distinct`): concat_ws skips null tokens,
+  * distinct keeps first-occurrence order. Returns an EMPTY array when
+  * size < n — every caller guards with `filter(size(toks) >= n)`; the
+  * SQL chain's descending-`sequence` artifact below n is deliberately
+  * not replicated (same stance as [[GramMd5]]). The chain runs as
+  * interpreted higher-order functions allocating a slice array per
+  * window; this is one codegen'd pass reusing each token's bytes
+  * across the n windows it participates in.
+  */
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String =
+    if (distinct) "shingles_n" else "word_ngrams"
+
+  override def nullSafeEval(arr: Any): Any =
+    WordNGrams.compute(arr.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.WordNGrams.compute($a, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val sz = arr.numElements()
+    val count = sz - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](sz)
+    var i = 0
+    while (i < sz) {
+      // concat_ws skips nulls; UTF8String.concatWs does the same
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+      i = 0
+      while (i < count) {
+        val parts = new Array[UTF8String](n)
+        System.arraycopy(toks, i, parts, 0, n)
+        seen.add(UTF8String.concatWs(Sep, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray)
+    } else {
+      val out = new Array[Any](count)
+      i = 0
+      while (i < count) {
+        val parts = new Array[UTF8String](n)
+        System.arraycopy(toks, i, parts, 0, n)
+        out(i) = UTF8String.concatWs(Sep, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** All length-3 character substrings of a string — bit-identical, for
+  * length(text) ≥ 3, to the interpreted chain
+  * `transform(sequence(1, length(text)-2), i => substring(text, i,
+  * 3))`. Empty below 3 characters (the caller filters
+  * `length(text) >= 3`; the descending-`sequence` artifact below 3 is
+  * not replicated). Why it exists: character-indexed
+  * `substring(text, i, 3)` re-seeks UTF-8 character boundaries from
+  * byte 0 on every call, so the chain is O(chars²) per document —
+  * this is one linear pass that records each character's byte offset
+  * once and slices the shared byte array per window.
+  */
+case class CharTrigrams(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+
+  override def nullSafeEval(s: Any): Any =
+    CharTrigrams.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.CharTrigrams.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharTrigrams {
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // character start offsets, computed once (the same
+    // numBytesForFirstByte stepping Spark's numChars/substring use)
+    val starts = new Array[Int](s.numChars() + 1)
+    var off = 0
+    var c = 0
+    while (off < nb) {
+      starts(c) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      c += 1
+    }
+    starts(c) = nb
+    val count = c - 2
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = starts(i + 3)
+      out(i) = UTF8String.fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Salted-md5 MinHash signature — the PORTABLE-SQL hash family of the
   * LSH-tuning / estimator-error reports (graft.ops.Dedup C20/C21).
   * Element j = min over shingles s of the unsigned integer value of

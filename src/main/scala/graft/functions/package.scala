@@ -35,6 +35,28 @@ package object functions {
   def shingles3(toks: Column): Column =
     toCol(Shingle3Distinct(toExpr(toks)))
 
+  /** All n-token word grams in order, single-space joined — for
+    * size(toks) ≥ n, bit-identical to transform(sequence(1,
+    * size-(n-1)), i => concat_ws(' ', slice(toks, i, n))); EMPTY
+    * below n (callers filter size >= n first).
+    */
+  def word_ngrams(toks: Column, n: Int): Column =
+    toCol(WordNGrams(toExpr(toks), n, distinct = false))
+
+  /** First-occurrence-distinct n-token word grams — the
+    * array_distinct(...) wrap of [[word_ngrams]], one pass.
+    */
+  def shingles_n(toks: Column, n: Int): Column =
+    toCol(WordNGrams(toExpr(toks), n, distinct = true))
+
+  /** All length-3 character substrings — for length(text) ≥ 3,
+    * bit-identical to transform(sequence(1, length(text)-2),
+    * i => substring(text, i, 3)); EMPTY below 3 characters. One
+    * linear byte pass vs the chain's O(chars²) re-seeking substring.
+    */
+  def char_trigrams(text: Column): Column =
+    toCol(CharTrigrams(toExpr(text)))
+
   /** Salted-md5 MinHash signature (the portable-SQL hash family of
     * the C20/C21 tuning reports): element j = min over shingles of the
     * first 48 bits of md5(j + ":" + s) — bit-identical to

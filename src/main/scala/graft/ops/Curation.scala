@@ -102,9 +102,11 @@ object Curation {
     val grams = Tables.load(spark, dir, "documents")
       .withColumn("t", split($"text", " "))
       .filter(size($"t") >= n)
-      .select($"doc_id", explode(array_distinct(transform(
-        sequence(lit(1), size($"t") - (n - 1)),
-        i => concat_ws(" ", slice($"t", i, lit(n)))))).as("gram"))
+      // codegen'd one-pass distinct n-grams, bit-identical to the
+      // array_distinct(transform(sequence…slice…)) chain for
+      // size >= n (WordNGramsSpec)
+      .select($"doc_id",
+        explode(graft.functions.shingles_n($"t", n)).as("gram"))
     val bench = grams.filter($"doc_id" < benchBelow)
       .select($"gram").distinct()
     grams.filter($"doc_id" >= benchBelow)
@@ -317,9 +319,8 @@ object Curation {
           .otherwise("test"))
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= n)
-      .select($"lang", $"split", explode(transform(
-        sequence(lit(1), size($"toks") - (n - 1)),
-        i => concat_ws(" ", slice($"toks", i, lit(n))))).as("g"))
+      .select($"lang", $"split",
+        explode(graft.functions.word_ngrams($"toks", n)).as("g"))
       .distinct()
     val train = grams.filter($"split" === "train")
       .select($"lang", $"g").distinct()
@@ -654,9 +655,10 @@ object Curation {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", $"lang", split($"text", " ").as("t"))
       .filter(size($"t") >= 2)
-      .select($"doc_id", $"lang", explode(transform(
-        sequence(lit(0), size($"t") - 2),
-        i => concat_ws(" ", slice($"t", i + 1, lit(2))))).as("bg"))
+      // same bigram list as the old transform(sequence(0, size-2),
+      // i -> concat_ws(' ', slice(t, i+1, 2))) chain, one codegen pass
+      .select($"doc_id", $"lang",
+        explode(graft.functions.word_ngrams($"t", 2)).as("bg"))
       .withColumn("b",
         conv(substring(md5($"bg".cast("binary")), 1, 2), 16, 10)
           .cast("long"))

@@ -1116,20 +1116,33 @@ object Dedup {
                  threshold: Double = 0.8, topK: Int = 20): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
+    // distinct() is a correctness guard, not a hint: the flag join
+    // below is a left OUTER join, and a duplicated keeper row would
+    // double that doc's token counts (the old left_semi shape was
+    // immune). clusterKeepers emits one row per cluster and clusters
+    // partition docs, so this dedups nothing today — it costs one
+    // exchange of a clusters-sized frame and keeps the invariant
+    // local instead of inherited.
     val keepers = clusterKeepers(spark, dir, threshold)
-      .select($"keeper_id".as("doc_id"))
-    def counts(d: DataFrame): DataFrame = d
-      .select(explode(split($"text", " ")).as("t"))
-      .groupBy($"t").agg(count(lit(1)).as("c"))
-    val full = counts(docs)
-    // keepers is doc-keyed (corpus-sized after dedup): no broadcast
-    // hint — the semi-join shuffles on doc_id like any corpus join
-    val kept = counts(docs.join(keepers, Seq("doc_id"), "left_semi"))
-    val nf = full.agg(sum($"c").cast("double").as("nf"))
-    val nk = kept.agg(sum($"c").cast("double").as("nk"))
-    full.join(kept.select($"t", $"c".as("ck")), Seq("t"), "left")
-      .na.fill(0L, Seq("ck"))
-      .crossJoin(broadcast(nf)).crossJoin(broadcast(nk))
+      .select($"keeper_id".as("doc_id")).distinct()
+      .withColumn("keep", lit(1L))
+    // ONE corpus text pass (was two + a token-keyed join of the two
+    // count tables): tag each doc with its keeper flag, explode once,
+    // and count both populations in the same partial-aggregable
+    // groupBy — count(*) is the full-corpus count, sum(keep) the
+    // keeper-only count (0 via coalesce for non-keeper docs, exactly
+    // the old left-join + na.fill(0)). keepers is doc-keyed
+    // (corpus-sized after dedup): no broadcast hint — the flag join
+    // shuffles on doc_id like any corpus join.
+    val counts = docs.join(keepers, Seq("doc_id"), "left")
+      .select(explode(split($"text", " ")).as("t"),
+        coalesce($"keep", lit(0L)).as("keep"))
+      .groupBy($"t").agg(count(lit(1)).as("c"), sum($"keep").as("ck"))
+    // both totals off the token table (distinct-tokens-sized), one agg
+    val tot = counts.agg(sum($"c").cast("double").as("nf"),
+      sum($"ck").cast("double").as("nk"))
+    counts
+      .crossJoin(broadcast(tot))
       .select($"t".as("token"), $"c".as("n_full"), $"ck".as("n_kept"),
         (floor($"c" / $"nf" * 1000000.0 + 0.5) / 1000000.0)
           .as("share_full"),

@@ -286,13 +286,13 @@ object TextAnalysis {
                      topK: Int = 20): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.{Window => W}
-    val stop = Stopwords.map(lit(_))
     val toks = Tables.load(spark, dir, "documents")
       .select($"doc_id", posexplode(split($"text", " "))
         .as(Seq("pos", "tok")))
+      // isin, not an OR chain of equalities: same predicate, one In
+      // the optimizer can evaluate as a set probe
       .withColumn("is_stop",
-        ($"tok" === "" || stop.map($"tok" === _).reduce(_ || _))
-          .cast("long"))
+        ($"tok" === "" || $"tok".isin(Stopwords: _*)).cast("long"))
     val w = W.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(W.unboundedPreceding, 0)
     val phrases = toks
@@ -385,10 +385,12 @@ object TextAnalysis {
           16, 10).cast("long"))
     val tri = docs
       .filter(length($"text") >= 3)
+      // codegen'd linear trigram pass — the SQL chain's per-window
+      // substring(text, i, 3) re-seeks character boundaries from byte
+      // 0, O(chars²) per document (CharTrigramsSpec pins bit-equality
+      // to the chain; the oracle SQL is unchanged)
       .select($"doc_id", $"lang", $"bucket",
-        explode(expr(
-          "transform(sequence(1, length(text) - 2), " +
-            "i -> substring(text, i, 3))")).as("g"))
+        explode(graft.functions.char_trigrams($"text")).as("g"))
     val profile = tri.filter($"bucket" < 12)
       .groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
     val w = W.partitionBy($"lang").orderBy($"c".desc, $"g")
@@ -586,9 +588,10 @@ object TextAnalysis {
     val grams = Tables.load(spark, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 2)
-      .select($"lang", explode(transform(
-        sequence(lit(1), size($"toks") - 1),
-        i => concat_ws(" ", slice($"toks", i, lit(2))))).as("gram"))
+      // codegen'd one-pass bigrams, bit-identical to the interpreted
+      // transform(sequence…slice…) chain for size >= 2 (WordNGramsSpec)
+      .select($"lang",
+        explode(graft.functions.word_ngrams($"toks", 2)).as("gram"))
       .groupBy($"lang", $"gram")
       .agg(count(lit(1)).as("cnt"))
     val w = W.partitionBy($"lang").orderBy($"cnt".desc, $"gram")
@@ -707,9 +710,8 @@ object TextAnalysis {
       .filter(size($"toks") >= 2)
     val uni = toks.select(explode($"toks").as("t"))
       .groupBy($"t").agg(count(lit(1)).as("c"))
-    val big = toks.select(explode(transform(
-        sequence(lit(1), size($"toks") - 1),
-        i => concat_ws(" ", slice($"toks", i, lit(2))))).as("gram"))
+    val big = toks.select(
+        explode(graft.functions.word_ngrams($"toks", 2)).as("gram"))
       .groupBy($"gram").agg(count(lit(1)).as("cab"))
     val tot = uni.agg(sum($"c").cast("double").as("n_uni"))
       .crossJoin(big.agg(sum($"cab").cast("double").as("n_big")))
@@ -744,9 +746,11 @@ object TextAnalysis {
     val grams = Tables.load(spark, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= n)
-      .select($"doc_id", explode(array_distinct(transform(
-        sequence(lit(1), size($"toks") - (n - 1)),
-        i => concat_ws(" ", slice($"toks", i, lit(n)))))).as("gram"))
+      // codegen'd one-pass distinct n-grams, bit-identical to the
+      // array_distinct(transform(sequence…slice…)) chain for
+      // size >= n (WordNGramsSpec)
+      .select($"doc_id",
+        explode(graft.functions.shingles_n($"toks", n)).as("gram"))
     val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     grams.join(df, "gram")
       .groupBy($"doc_id")
@@ -928,9 +932,8 @@ object TextAnalysis {
       sum($"c").as("n_tok"), max($"c").as("top_tok"),
       count(lit(1)).as("n_uniq"))
     val bigTop = docs.filter(size($"toks") >= 2)
-      .select($"doc_id", explode(transform(
-        sequence(lit(1), size($"toks") - 1),
-        i => concat_ws(" ", slice($"toks", i, lit(2))))).as("gram"))
+      .select($"doc_id",
+        explode(graft.functions.word_ngrams($"toks", 2)).as("gram"))
       .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(max($"c").as("top_big"))
     val w = W.partitionBy($"doc_id").orderBy($"pos")

@@ -7,6 +7,37 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 class DedupSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("tokenShift single-pass counts match the two-pass reference") {
+    // r14 rewrote tokenShift from two corpus explode+count passes
+    // (full and keeper-semi-joined) + a token-keyed join into ONE
+    // flagged pass; this pins the rewrite row-for-row against the old
+    // shape computed independently here.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val keepers = Dedup.clusterKeepers(spark, sf)
+      .select(col("keeper_id").as("doc_id"))
+    def counts(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val full = counts(docs)
+    val kept = counts(docs.join(keepers, Seq("doc_id"), "left_semi"))
+    val nf = full.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
+    val nk = kept.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
+    val ref = full.join(kept.select(col("t"), col("c").as("ck")),
+        Seq("t"), "left").na.fill(0L, Seq("ck")).collect()
+      .map { r =>
+        val (t, c, ck) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val d = math.floor((ck / nk - c / nf) * 1e6 + 0.5) / 1e6
+        (t, c, ck, d)
+      }
+      .sortBy { case (t, _, _, d) => (-math.abs(d), t) }.take(20)
+      .map { case (t, c, ck, d) => (t, c, ck, d) }.toSeq
+    val got = Dedup.tokenShift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5))).toSeq
+    assert(got === ref)
+  }
+
   test("exact dedup groups by content hash, keeps min id") {
     val rows = Dedup.exact(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum === 500L) // total docs preserved

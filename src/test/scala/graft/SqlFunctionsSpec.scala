@@ -34,6 +34,75 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(nulls(0).getString(0) === "fall" && nulls(1).isNullAt(0))
   }
 
+  test("word_ngrams / shingles_n ≡ the transform/slice SQL chain (size >= n)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def sqlChain(toks: org.apache.spark.sql.Column, n: Int) =
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("toks", split($"text", " "))
+    for (n <- Seq(2, 8)) {
+      // the kernels are only defined on the chain's guarded domain
+      val guarded = docs.filter(size($"toks") >= n)
+      val mism = guarded.select(
+          graft.functions.word_ngrams($"toks", n).as("fa"),
+          sqlChain($"toks", n).as("ra"),
+          graft.functions.shingles_n($"toks", n).as("fd"),
+          array_distinct(sqlChain($"toks", n)).as("rd"))
+        .filter(not($"fa" <=> $"ra") || not($"fd" <=> $"rd")).count()
+      assert(mism === 0L, s"n=$n")
+    }
+    // adversarial literals: repeats, empty tokens, null element
+    // (concat_ws skips it), exactly-n, and the below-n empty contract
+    val tricky = Seq(
+      Seq("a", "b"), Seq("a", "a", "a", "a"), Seq("", "", ""),
+      Seq("x", "", "y", ""), Seq("a b", "c", "a", "b c")).toDF("toks")
+      .select(graft.functions.word_ngrams($"toks", 2).as("fa"),
+        sqlChain($"toks", 2).as("ra"),
+        graft.functions.shingles_n($"toks", 2).as("fd"),
+        array_distinct(sqlChain($"toks", 2)).as("rd"))
+    assert(tricky.filter(not($"fa" <=> $"ra") || not($"fd" <=> $"rd"))
+      .count() === 0L)
+    val below = Seq(Seq("a"), Seq.empty[String]).toDF("toks")
+      .select(graft.functions.word_ngrams($"toks", 2).as("fa"),
+        graft.functions.shingles_n($"toks", 8).as("fd")).collect()
+    assert(below.forall(r =>
+      r.getSeq[String](0).isEmpty && r.getSeq[String](1).isEmpty))
+    val nullElem = Seq(Seq("a", null, "c", "d")).toDF("toks")
+      .select(graft.functions.word_ngrams($"toks", 2).as("fa"),
+        sqlChain($"toks", 2).as("ra"))
+    assert(nullElem.filter(not($"fa" <=> $"ra")).count() === 0L)
+  }
+
+  test("char_trigrams ≡ the transform/substring SQL chain (length >= 3)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sqlChain = expr(
+      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length($"text") >= 3)
+    val mism = docs.select(
+        graft.functions.char_trigrams($"text").as("fast"),
+        sqlChain.as("ref"))
+      .filter(not($"fast" <=> $"ref")).count()
+    assert(mism === 0L)
+    // multi-byte UTF-8 (2/3/4-byte chars), spaces, exactly 3 chars,
+    // and the below-3 empty contract
+    val tricky = Seq("abc", "abcd", "héllo wörld", "日本語のテキスト",
+      "mixé日本x", "a é 日 😀 z", "  a  ").toDF("text")
+      .select(graft.functions.char_trigrams($"text").as("fast"),
+        sqlChain.as("ref"))
+    assert(tricky.filter(not($"fast" <=> $"ref")).count() === 0L)
+    val below = Seq("ab", "").toDF("text")
+      .select(graft.functions.char_trigrams($"text")).collect()
+    assert(below.forall(_.getSeq[String](0).isEmpty))
+    val nulls = Seq[Option[String]](Some("abcd"), None).toDF("text")
+      .select(graft.functions.char_trigrams($"text")).collect()
+    assert(nulls(0).getSeq[String](0) === Seq("abc", "bcd") &&
+      nulls(1).isNullAt(0))
+  }
+
   test("shingles3 ≡ the array_distinct/transform/slice SQL chain") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
