@@ -1170,7 +1170,12 @@ object Similarity {
         .join(visited.select($"seed", $"node"), Seq("seed", "node"),
           "left_anti")
         .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
+      // no checkpoint on visited: it is a UNION of already-
+      // checkpointed frontiers, so its lineage is flat (d inputs,
+      // each materialized) — checkpointing it re-materialized the
+      // whole visited set every round, one extra corpus-of-visited
+      // job per depth for nothing
+      visited = visited.unionAll(next)
       frontier = next
     }
     visited.groupBy($"seed")
