@@ -103,6 +103,27 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
+  /** Spread a SMALL scan across the session's cores before CPU-heavy
+    * scan-side kernels (shingling, minhash, n-gram/regex synthesis).
+    *
+    * Why: a single small parquet file is ONE row group, so the scan is
+    * ONE task no matter the split config — every kernel computed in
+    * that scan's projection is pinned to one core at any core count
+    * (measured r15: the dedup/stac kernel tier ran near-serial at
+    * sf0.1). Guide §2.5 "input skew → repartition immediately after
+    * the read", gated so it is scale-adaptive: the round-robin
+    * repartition fires only when the source reads as fewer partitions
+    * than half the default parallelism; at production scale the scan
+    * already has >= cores splits and this is the identity — no corpus
+    * shuffle is ever added where the input is already parallel.
+    * Results are unaffected: consumers aggregate/join (row order free),
+    * and sort-before-repartition keeps the assignment retry-safe.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   /** The generated `events.ts` column has shipped as both
     * TIMESTAMP(NANOS) (surfacing as epoch-ns BIGINT under
     * `nanosAsLong`) and TIMESTAMP(MICROS) (surfacing as

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -175,9 +175,12 @@ object Shingle3Distinct {
   * across the n windows it participates in.
   */
 case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1)
 
+  // analysis-time type check instead of a runtime ClassCastException
+  // on a wrong-typed child (r14 ADVICE)
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def prettyName: String =
@@ -244,8 +247,11 @@ object WordNGrams {
   * once and slices the shared byte array per window.
   */
 case class CharTrigrams(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  // analysis-time type check instead of a runtime ClassCastException
+  // on a wrong-typed child (r14 ADVICE)
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_trigrams"
@@ -262,6 +268,15 @@ case class CharTrigrams(child: Expression)
 }
 
 object CharTrigrams {
+  /** NOTE (r14 ADVICE): the emitted UTF8Strings are fromBytes VIEWS
+    * over the array `getBytes` returns. When the input string spans
+    * its whole buffer, `getBytes` returns the backing array itself,
+    * so the outputs alias the input's storage. Safe under Spark's
+    * copy-on-unsafe-projection behavior (every consumer copies the
+    * array into an UnsafeArrayData before the row leaves the
+    * operator); if this expression is ever reused somewhere that
+    * recycles input buffers, copy the byte range per trigram instead.
+    */
   def compute(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
     val nb = bytes.length

@@ -131,6 +131,13 @@ package object functions {
     */
   def byte_log_units(b: Column): Column = toCol(ByteLogUnits(toExpr(b)))
 
+  /** Identity barrier for an EXPENSIVE derived column that is
+    * subsequently filtered on: stops predicate pushdown from
+    * duplicating the expression below its Project (guide §4.4; see
+    * [[graft.expressions.Once]]). Zero runtime cost.
+    */
+  def once(c: Column): Column = toCol(Once(toExpr(c)))
+
   /** Register graft functions for SQL use on this session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -988,6 +988,12 @@ object Analytics {
     // parallelism trap as the kNN-graph checkpoint). Spreading the
     // ≤days-row side first costs a trivial shuffle and makes the
     // join output land already parallel.
+    // (r15: a bytes-derived partition count was tried here and
+    // REVERTED — the nested-loop theta-join below is O(days²)
+    // predicate evaluations concentrated in these partitions, so
+    // sizing them by output bytes serialized the pair production:
+    // 2.8 s → 7.5 s measured. Core-count partitions are right for a
+    // compute-bound, bytes-tiny stage.)
     val parts = spark.sessionState.conf.numShufflePartitions
     val a = daily.select($"t".as("ta"), $"x".as("xa")).repartition(parts)
     val b = daily.select($"t".as("tb"), $"x".as("xb"))

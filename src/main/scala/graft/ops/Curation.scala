@@ -104,7 +104,7 @@ object Curation {
       .filter(size($"t") >= n)
       // codegen'd one-pass distinct n-grams, bit-identical to the
       // array_distinct(transform(sequence…slice…)) chain for
-      // size >= n (WordNGramsSpec)
+      // size >= n (SqlFunctionsSpec)
       .select($"doc_id",
         explode(graft.functions.shingles_n($"t", n)).as("gram"))
     val bench = grams.filter($"doc_id" < benchBelow)

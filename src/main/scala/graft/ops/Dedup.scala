@@ -281,7 +281,11 @@ object Dedup {
         $"sz".as("sz_b")), "doc_b")
       // |A∩B| ≤ |B|, so |B|·10⁴ ≥ t·10⁴·|A| is a free pre-filter
       .filter($"sz_b" * 10000 >= $"sz_a" * tNum)
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      // once(): stops the threshold filter from being pushed below
+      // this Project, which would evaluate the set intersection twice
+      // per candidate (guide §4.4 / expressions.Once)
+      .withColumn("inter",
+        graft.functions.once(size(array_intersect($"sh_a", $"sh_b"))))
       .filter($"inter" * 10000 >= $"sz_a" * tNum)
       .select($"doc_a", $"doc_b",
         (floor($"inter".cast("double") / $"sz_a" * 10000.0 + 0.5)
@@ -320,8 +324,11 @@ object Dedup {
         $"sz".as("sz_b")), "doc_b")
       .filter(least($"sz_a", $"sz_b") * 10000 >=
         greatest($"sz_a", $"sz_b") * tNum)
-      .withColumn("i",
-        graft.functions.intersect_size($"sh_a", $"sh_b").cast("long"))
+      // once(): the Jaccard filter below would otherwise push beneath
+      // this Project and run the intersection twice per candidate —
+      // the pair-verify hot loop at any scale (guide §4.4)
+      .withColumn("i", graft.functions.once(
+        graft.functions.intersect_size($"sh_a", $"sh_b").cast("long")))
       .withColumn("u", $"sz_a" + $"sz_b" - $"i")
       .filter($"i" * 10000 >= $"u" * tNum)
       .select($"doc_a", $"doc_b", $"i", $"u")
@@ -367,14 +374,21 @@ object Dedup {
     val th = sweeps.toDF("threshold", "tn")
     val f = pairs.crossJoin(broadcast(th))
       .filter($"i" * 10000 >= $"tn" * $"u")
-    val byPair = f.groupBy($"threshold")
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct($"doc_b").as("n_docs_removed"))
-    val affected = f
-      .select($"threshold", explode(array($"doc_a", $"doc_b")).as("d"))
+    // ONE aggregation over ONE pair pass (r15, guide §2.4): the old
+    // two-branch shape (pair counts ⋈ affected-doc counts) consumed
+    // `f` twice, re-running the whole candidate+verify pipeline per
+    // branch. Explode each pair into its two (doc, is_b) rows and
+    // compute all three counts in a single partial-aggregable pass:
+    // n_pairs = #doc_b rows (one per pair), n_docs_removed = distinct
+    // doc_b, n_docs_affected = distinct doc either side — the exact
+    // same integers, row-for-row.
+    f.select($"threshold", explode(array(
+        struct($"doc_a".as("d"), lit(0L).as("is_b")),
+        struct($"doc_b".as("d"), lit(1L).as("is_b")))).as("e"))
       .groupBy($"threshold")
-      .agg(countDistinct($"d").as("n_docs_affected"))
-    byPair.join(affected, "threshold")
+      .agg(count(when($"e.is_b" === 1L, 1L)).as("n_pairs"),
+        countDistinct($"e.d").as("n_docs_affected"),
+        countDistinct(when($"e.is_b" === 1L, $"e.d")).as("n_docs_removed"))
       .select($"threshold", $"n_pairs", $"n_docs_affected",
         $"n_docs_removed")
       .orderBy($"threshold")
@@ -457,42 +471,58 @@ object Dedup {
     import spark.implicits._
     val bandsGrid = Seq(2, 4, 8)
     val tNum = math.round(threshold * 10000).toInt
+    // cache: [[prefixFilteredPairs]] consumes the shingled corpus four
+    // more times beyond the signature pass below — uncached (r14) each
+    // consumer re-ran the corpus scan + shingle kernel
     val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh", size($"sh").as("sz"))
+      .cache()
     // codegen'd scan-side signature, bit-identical to the oracle's
     // conv(substring(md5(concat_ws(':', i, s)), 1, 12), 16, 10) chain
     // (SaltedMd5MinHashSpec pins the equivalence on the real corpus)
     val sigs = docs.select($"doc_id",
       graft.functions.salted_md5_minhash($"sh", numHashes).as("sig"))
       .cache()
-    val bucketStats = bandsGrid.map { b =>
-      val r = numHashes / b
-      sigs.select($"doc_id", posexplode(
-        transform(sequence(lit(0), lit(b - 1)),
-          k => slice($"sig", k * r + 1, lit(r))))
-        .as(Seq("band", "band_sig")))
-        .groupBy($"band", $"band_sig")
-        .agg(count(lit(1)).as("n"))
-        .agg(sum(when($"n" >= 2, 1L).otherwise(0L))
-          .as("n_collision_buckets"),
-          sum(expr("(n * (n - 1)) DIV 2")).as("bucket_pair_work"),
-          max($"n").as("max_bucket"))
-        .withColumn("bands", lit(b.toLong))
-    }.reduce(_ unionByName _)
+    // ONE exploded pass for every (bands, band) slice of every config
+    // (r15, guide §2.4): the old per-config union re-ran the sig-
+    // explode + two-level aggregation pipeline once per grid point —
+    // 3 pipelines, 6+ exchanges — for identical integers. 2+4+8 = 14
+    // slice rows per doc, one (bands, band, band_sig) partial-agg
+    // count, one per-bands rollup. Values unchanged row-for-row.
+    val bucketStats = sigs.select(explode(array(bandsGrid.flatMap { b =>
+        val r = numHashes / b
+        (0 until b).map(k => struct(lit(b.toLong).as("bands"),
+          lit(k).as("band"),
+          slice($"sig", lit(k * r + 1), lit(r)).as("bs")))
+      }: _*)).as("e"))
+      .select($"e.bands".as("bands"), $"e.band".as("band"),
+        $"e.bs".as("band_sig"))
+      .groupBy($"bands", $"band", $"band_sig")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"bands")
+      .agg(sum(when($"n" >= 2, 1L).otherwise(0L))
+        .as("n_collision_buckets"),
+        sum(expr("(n * (n - 1)) DIV 2")).as("bucket_pair_work"),
+        max($"n").as("max_bucket"))
     val checked = prefixFilteredPairs(docs, tNum)
       .select($"doc_a", $"doc_b")
       .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
-    val recall = bandsGrid.map { b =>
-      val r = numHashes / b
-      checked.select(lit(b.toLong).as("bands"),
-        when(exists(sequence(lit(0), lit(b - 1)),
-          k => slice($"sig_a", k * r + 1, lit(r)) ===
-            slice($"sig_b", k * r + 1, lit(r))), 1L)
-          .otherwise(0L).as("hit"))
-        .groupBy($"bands")
-        .agg(count(lit(1)).as("n_true_pairs"), sum($"hit").as("n_caught"))
-    }.reduce(_ unionByName _)
+    // ONE pass over the true-pair frame for all three configs (the
+    // old per-config union re-ran the WHOLE prefixFilteredPairs
+    // pipeline per grid point); per pair, one (bands, hit) row per
+    // config, one partial-agg rollup. Same counts exactly.
+    val recall = checked.select(explode(array(bandsGrid.map { b =>
+        val r = numHashes / b
+        struct(lit(b.toLong).as("bands"),
+          when(exists(sequence(lit(0), lit(b - 1)),
+            k => slice($"sig_a", k * r + 1, lit(r)) ===
+              slice($"sig_b", k * r + 1, lit(r))), 1L)
+            .otherwise(0L).as("hit"))
+      }: _*)).as("e"))
+      .select($"e.bands".as("bands"), $"e.hit".as("hit"))
+      .groupBy($"bands")
+      .agg(count(lit(1)).as("n_true_pairs"), sum($"hit").as("n_caught"))
     bucketStats.join(recall, Seq("bands"), "left")
       .select($"bands", lit(numHashes.toLong)./($"bands").cast("long")
         .as("rows_per_band"),
@@ -529,8 +559,11 @@ object Dedup {
                        numHashes: Int = 16): DataFrame = {
     import spark.implicits._
     val tNum = math.round(threshold * 10000).toInt
+    // cache: the signature pass + prefixFilteredPairs' four consumers
+    // otherwise re-run the corpus scan + shingle kernel five times
     val docs = withShingles(Tables.load(spark, dir, "documents"))
       .select($"doc_id", $"sh", size($"sh").as("sz"))
+      .cache()
     // same codegen'd signature as C20 — oracle chain unchanged
     val sigs = docs.select($"doc_id",
       graft.functions.salted_md5_minhash($"sh", numHashes).as("sig"))
@@ -590,7 +623,9 @@ object Dedup {
       .join(docs.select($"doc_id", $"sh"), "doc_id")
       .join(broadcast(docs.filter($"doc_id" < benchBelow)
         .select($"doc_id".as("bench_id"), $"sh".as("sh_b"))), "bench_id")
-      .withColumn("j", jaccard($"sh", $"sh_b"))
+      // once(): keep the threshold filter above this Project — pushed
+      // down it would compute the Jaccard twice per candidate (§4.4)
+      .withColumn("j", graft.functions.once(jaccard($"sh", $"sh_b")))
       .filter($"j" >= threshold)
       .select($"doc_id", $"bench_id",
         (floor($"j" * 10000.0 + 0.5) / 10000.0).as("jaccard"))
@@ -1076,8 +1111,10 @@ object Dedup {
       probes
         .join(ranked.select($"rank".as("prank"), $"doc_id".as("db"),
           $"sh".as("shb"), $"sz".as("szb")), "prank")
-        .withColumn("i",
-          graft.functions.intersect_size($"sha", $"shb").cast("long"))
+        // once(): keep the threshold filter above — pushed down it
+        // would run the intersection twice per window pair (§4.4)
+        .withColumn("i", graft.functions.once(
+          graft.functions.intersect_size($"sha", $"shb").cast("long")))
         .withColumn("u", $"sza" + $"szb" - $"i")
         .filter($"i" * 10000 >= $"u" * tNum)
         .select(least($"da", $"db").as("doc_a"),

@@ -1113,12 +1113,17 @@ object Similarity {
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       .localCheckpoint()
     val nodes = vecs.select($"vec_id")
+    // hoist the loop-INVARIANT edges⋈outdeg join out of the iteration
+    // (r15, guide §2.4): od depends only on the checkpointed edge
+    // list, so joining it inside the loop re-ran one exchange + join
+    // per iteration for identical rows; materialize (src, dst, od)
+    // once and each iteration is one join + one partial-agg sum
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    val edgesOd = edges.join(outdeg, "src").localCheckpoint()
     var ranks = nodes.select($"vec_id", lit(Scale / n).as("r"))
     for (_ <- 1 to iters) {
-      val sums = edges
+      val sums = edgesOd
         .join(ranks.withColumnRenamed("vec_id", "src"), "src")
-        .join(outdeg, "src")
         .select($"dst", expr("r div od").as("contrib"))
         .groupBy($"dst").agg(sum($"contrib").as("s"))
       ranks = nodes.join(sums, nodes("vec_id") === sums("dst"), "left")
@@ -1162,13 +1167,18 @@ object Similarity {
       .localCheckpoint()
     var frontier = visited
     for (d <- 1 to maxDepth) {
+      // dist is CONSTANT within a round, so distinct on (seed, node)
+      // alone — hash-partitioned on exactly the anti-join key, so the
+      // two operators share ONE exchange (r15, guide §2.4); the old
+      // 3-column distinct partitioned on (seed, node, dist) and paid
+      // a second exchange for the anti-join. Same rows either way.
       val next = frontier
         .join(edges, frontier("node") === edges("src"))
-        .select(frontier("seed"), edges("dst").as("node"),
-          lit(d).as("dist"))
+        .select(frontier("seed"), edges("dst").as("node"))
         .distinct()
         .join(visited.select($"seed", $"node"), Seq("seed", "node"),
           "left_anti")
+        .withColumn("dist", lit(d))
         .localCheckpoint()
       // no checkpoint on visited: it is a UNION of already-
       // checkpointed frontiers, so its lineage is flat (d inputs,

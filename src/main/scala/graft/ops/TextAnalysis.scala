@@ -387,7 +387,7 @@ object TextAnalysis {
       .filter(length($"text") >= 3)
       // codegen'd linear trigram pass — the SQL chain's per-window
       // substring(text, i, 3) re-seeks character boundaries from byte
-      // 0, O(chars²) per document (CharTrigramsSpec pins bit-equality
+      // 0, O(chars²) per document (SqlFunctionsSpec pins bit-equality
       // to the chain; the oracle SQL is unchanged)
       .select($"doc_id", $"lang", $"bucket",
         explode(graft.functions.char_trigrams($"text")).as("g"))
@@ -589,7 +589,7 @@ object TextAnalysis {
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 2)
       // codegen'd one-pass bigrams, bit-identical to the interpreted
-      // transform(sequence…slice…) chain for size >= 2 (WordNGramsSpec)
+      // transform(sequence…slice…) chain for size >= 2 (SqlFunctionsSpec)
       .select($"lang",
         explode(graft.functions.word_ngrams($"toks", 2)).as("gram"))
       .groupBy($"lang", $"gram")
@@ -748,7 +748,7 @@ object TextAnalysis {
       .filter(size($"toks") >= n)
       // codegen'd one-pass distinct n-grams, bit-identical to the
       // array_distinct(transform(sequence…slice…)) chain for
-      // size >= n (WordNGramsSpec)
+      // size >= n (SqlFunctionsSpec)
       .select($"doc_id",
         explode(graft.functions.shingles_n($"toks", n)).as("gram"))
     val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))

@@ -56,8 +56,13 @@ object StacOps {
   def linkExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     catalog(spark, dir)
+      // once(): the isNotNull filter below would otherwise be pushed
+      // beneath this Project, re-evaluating the whole link synthesis
+      // + first_link per row in the (serial) scan stage — measured 2×
+      // the query's cost at r15 (guide §4.4)
       .withColumn("stac_link",
-        graft.functions.first_link($"links", "https", "stac.json"))
+        graft.functions.once(
+          graft.functions.first_link($"links", "https", "stac.json")))
       .filter($"stac_link".isNotNull)
       .select($"granule_id", $"stac_link")
       .orderBy($"granule_id")

@@ -47,7 +47,9 @@ object StacSynth {
   }.mkString(",\n    ")
 
   def catalog(spark: SparkSession, dir: String): DataFrame =
-    catalogFrom(Tables.load(spark, dir, "orders"))
+    // spread the single-row-group orders scan before the ~1 KB/row
+    // string synthesis below — serial otherwise (Tables.spread doc)
+    catalogFrom(Tables.spread(Tables.load(spark, dir, "orders")))
 
   /** The catalog transform over any orders-shaped frame — including a
     * `readStream` source (every column is a deterministic scalar

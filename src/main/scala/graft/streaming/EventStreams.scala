@@ -24,10 +24,20 @@ object EventStreams {
     * TIMESTAMP(MICROS), so take the schema from the file footer (one
     * metadata read, no data scan) and canonicalize like the batch path.
     */
+  /** Footer-schema memo: every event-stream query re-probed the
+    * parquet footer through a throwaway batch read (file listing +
+    * footer IO, ~0.1-0.2 s each across ~12 queries). The schema is
+    * pure file metadata — re-derived per JVM, never a result — so one
+    * probe per directory serves the session (r15).
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   private def eventStream(spark: SparkSession, dir: String,
                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val fileSchema = spark.read
-      .option("pathGlobFilter", "events*.parquet").parquet(dir).schema
+    val fileSchema = schemaMemo.computeIfAbsent(dir, d =>
+      spark.read
+        .option("pathGlobFilter", "events*.parquet").parquet(d).schema)
     var reader = spark.readStream.schema(fileSchema)
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
