@@ -753,7 +753,8 @@ object Dedup {
                threshold: Double = 0.8, maxIters: Int = 20,
                driverCcMaxEdges: Long = 4000000L): DataFrame = {
     import spark.implicits._
-    val docs = withShingles(Tables.load(spark, dir, "documents"))
+    val docs = withShingles(
+      Tables.spread(Tables.load(spark, dir, "documents")))
       .select($"doc_id", $"sh")
       .withColumn("sig", minhash($"sh", 128, seed = 42L))
       .cache()

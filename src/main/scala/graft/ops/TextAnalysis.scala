@@ -244,6 +244,9 @@ object TextAnalysis {
     // zero-norm docs (every term in every doc ⇒ idf 0 — the n=1
     // degenerate) carry no TF-IDF signal; drop them on BOTH sides
     // rather than divide by zero
+    // (r15: caching this frame was tried and REVERTED — the cache
+    // materialization of the doc-term weight rows cost more than the
+    // two consumers' recompute at committed SFs: 1.9 → 2.6 s.)
     val wn = w.join(norm, "doc_id").filter($"nrm" > 0.0)
       .select($"doc_id", $"term", ($"w" / $"nrm").as("wn"))
     val q = wn.filter($"doc_id" < nQueries)
@@ -743,7 +746,10 @@ object TextAnalysis {
     */
   def novelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     import spark.implicits._
-    val grams = Tables.load(spark, dir, "documents")
+    // spread: the 8-gram kernel is the one text kernel heavy enough
+    // to beat the spread shuffle (A/B 1.27 -> 1.02 s; langid/rake/
+    // readability measured flat-to-worse and stay unspread)
+    val grams = Tables.spread(Tables.load(spark, dir, "documents"))
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= n)
       // codegen'd one-pass distinct n-grams, bit-identical to the

@@ -55,7 +55,7 @@ object StacOps {
     */
   def linkExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    catalog(spark, dir)
+    catalog(spark, dir, spread = true)
       // once(): the isNotNull filter below would otherwise be pushed
       // beneath this Project, re-evaluating the whole link synthesis
       // + first_link per row in the (serial) scan stage — measured 2×

@@ -46,10 +46,20 @@ object StacSynth {
     s"(CAST($id AS BIGINT), $w, $s, $e, $n)"
   }.mkString(",\n    ")
 
-  def catalog(spark: SparkSession, dir: String): DataFrame =
-    // spread the single-row-group orders scan before the ~1 KB/row
-    // string synthesis below — serial otherwise (Tables.spread doc)
-    catalogFrom(Tables.spread(Tables.load(spark, dir, "orders")))
+  /** `spread = true` repartitions the single-row-group orders scan
+    * before the ~1 KB/row string synthesis below (Tables.spread doc)
+    * — opt-IN per consumer: only queries that materialize the full
+    * synthesis for every row win (linkExtract: 2.4 → 0.5 s); the
+    * r15 full-bench A/B showed a blanket spread REGRESSING every
+    * other stac query (+0.1-0.5 s each — their filters/aggregates
+    * touch a slice of the synthesis, and the added exchange + wider
+    * task fan cost more than the parallel synthesis saved).
+    */
+  def catalog(spark: SparkSession, dir: String,
+              spread: Boolean = false): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    catalogFrom(if (spread) Tables.spread(orders) else orders)
+  }
 
   /** The catalog transform over any orders-shaped frame — including a
     * `readStream` source (every column is a deterministic scalar
